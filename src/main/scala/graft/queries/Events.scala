@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Batch twins of the streaming operators (SURVEY.md §2.5 → EVT-1/EVT-2).
+  *
+  * These run the same window/sessionization semantics as the Structured
+  * Streaming versions in [[graft.streaming]], but over the bounded events
+  * table so the DuckDB oracle can check them. The streaming suite asserts
+  * stream-vs-batch equivalence against these exact frames.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- EVT-1: tumbling 10-minute window × event_type ----
+    "evt1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("sum_value")))
+    }),
+
+    // ---- EVT-2: lag-gap sessionization (30-minute gap) + per-session agg ----
+    "evt2" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+        .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+      val sessions = e
+        .withColumn("is_new", newSession)
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ordered(sessions
+        .groupBy(col("user_id"), col("session_id").cast("int").as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value")).as("sum_value")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB: time_bucket gives the tumbling window start; ns ts cast to µs
+    // first to match Spark's parquet read truncation.
+    "evt1" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,
+        |  event_type, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start NULLS FIRST, window_end NULLS FIRST, event_type NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
+
+    "evt2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, event_id, value, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(1) AS n_events,
+        |  MIN(uts) AS session_start, MAX(uts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST, session_start NULLS FIRST, session_end NULLS FIRST, sum_value NULLS FIRST""".stripMargin
+  )
+}

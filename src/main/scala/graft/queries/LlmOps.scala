@@ -1,0 +1,509 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (lang-id heuristic, quality scores, token counts,
+  * fingerprints), and multimodal column carry.
+  *
+  * 100 TB design notes:
+  *  - every near-dup query is BLOCKED (lang, length band, LSH band, or sign
+  *    bucket) so the self-join is never O(n²) on the full corpus; the
+  *    blocking predicate is part of the declared semantics so the oracle
+  *    agrees exactly.
+  *  - MinHash/SimHash signatures are plain aggregates over an exploded
+  *    token relation: partial aggregation (map-side combine) keeps the
+  *    shuffle proportional to |docs|, not |tokens|.
+  *  - the token hash is a portable 31-polynomial mod 2^31-1, spelled
+  *    identically in Spark HOFs and DuckDB lambdas, so sketches are
+  *    bit-identical across engines (SURVEY §5.3 determinism).
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime
+  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val Bs = Seq(104729L, 224737L, 350377L, 479909L,
+    611953L, 746773L, 882377L, 1020379L)
+
+  /** Portable polynomial string hash: fold chars as (acc*31 + code) mod P. */
+  private def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+
+  /** Distinct whitespace tokens of a text column. */
+  private def toks(text: Column): Column = array_distinct(split(text, " "))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+
+  // Shared DuckDB CTE fragments (token sets + portable token hash).
+  private val duckToks =
+    "SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+  private val duckTokHash =
+    """SELECT doc_id, lang, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      |  FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    // ---- MM-1: multimodal carry — vector columns survive joins ----
+    "mm1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val emb = load(s, d, "embeddings")
+      ordered(doc.join(emb, doc("doc_id") === emb("vec_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+          slice(col("embedding"), 1, 2).as("head2")))
+    }),
+    "mm1_agg" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val emb = load(s, d, "embeddings")
+      ordered(doc.join(emb, doc("doc_id") === emb("vec_id"), "inner")
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          davg(col("n_chars")).as("avg_chars"),
+          dsum4(element_at(col("embedding"), 1).cast("double")).as("sum_dim1")))
+    }),
+
+    // ---- SIM-1: brute-force cosine top-k (query set broadcast over corpus) ----
+    "sim1" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val dot = aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      ordered(broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4(col("score_raw")).as("score")))
+    }),
+
+    // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
+    //      the 100 TB path: candidates only within the same bucket ----
+    "sim1_lsh" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      def bucket = (when(element_at(col("e"), 1) > 0.0, 4).otherwise(0) +
+        when(element_at(col("e"), 2) > 0.0, 2).otherwise(0) +
+        when(element_at(col("e"), 3) > 0.0, 1).otherwise(0)).cast("int")
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+        .withColumn("bucket", bucket)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket").as("cb"))
+      val dot = aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      ordered(broadcast(q).join(c,
+        col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4(col("score_raw")).as("score")))
+    }),
+
+    // ---- SIM-2: exact pairwise Jaccard near-dup, blocked by lang ----
+    "sim2" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val t = doc.select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
+      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"), col("toks").as("t1"))
+      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"), col("toks").as("t2"))
+      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .withColumn("jac", jaccard(col("t1"), col("t2")))
+        .filter(col("jac") >= 0.95)
+        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+    }),
+
+    // ---- DDP-2: exact text dedup with deterministic keeper ----
+    "ddp_exact" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      ordered(doc.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"), length(col("text")).as("text_len")))
+    }),
+
+    // ---- SIM-3 / DDP-3: MinHash + LSH banding near-dup (the sketch path) ----
+    "ddp_minhash" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val tok = doc.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", polyHash(col("tok")))
+      val sigExprs = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
+      }
+      val sigs = tok.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
+      // 4 bands × 2 rows: band hash packs two signature slots into one long
+      val bands = (0 until 4).map { bi =>
+        sigs.select(col("doc_id"), lit(bi).as("band_idx"),
+          (col(s"s${2 * bi}") * lit(P) + col(s"s${2 * bi + 1}")).as("bh"))
+      }.reduce(_.unionAll(_))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
+      ordered(cand
+        .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+        .withColumn("jac", jaccard(col("t1"), col("t2")))
+        .filter(col("jac") >= 0.95)
+        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+    }),
+
+    // ---- DDP-4: SimHash near-dup (16-bit sketch, hamming ≤ 2) ----
+    "ddp_simhash" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val tok = doc.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", polyHash(col("tok")))
+      val bitSums = (0 until 16).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val sig = tok.groupBy(col("doc_id"), col("lang")).agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash", (0 until 16).map { b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+        .select(col("doc_id"), col("lang"), col("simhash"))
+      val a = sig.select(col("doc_id").as("d1"), col("lang").as("l1"), col("simhash").as("h1"))
+      val b = sig.select(col("doc_id").as("d2"), col("lang").as("l2"), col("simhash").as("h2"))
+      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
+        .filter(col("hamming") <= 2)
+        .select(col("d1"), col("d2"), col("hamming")))
+    }),
+
+    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup ----
+    "ddp_ngram" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words = split(col("text"), " ")
+      val grams = array_distinct(transform(
+        sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      val t = doc.select(col("doc_id"), col("lang"), grams.as("grams"))
+      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"), col("grams").as("g1"))
+      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"), col("grams").as("g2"))
+      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .withColumn("jac", jaccard(col("g1"), col("g2")))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+    }),
+
+    // ---- DDP-6: embedding-cosine near-dup pairs ----
+    "ddp_embed" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      val a = base.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+      val b = base.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+      val dot = aggregate(zip_with(col("e1"), col("e2"), (x, y) => x * y), lit(0.0), (a2, x) => a2 + x)
+      ordered(a.join(b, col("v1") < col("v2"))
+        .withColumn("cos", dot / (col("n1") * col("n2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("v1"), col("v2"), dec4(col("cos")).as("cos")))
+    }),
+
+    // ---- TXT-1: per-language document stats ----
+    "txt1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      ordered(doc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        davg(col("n_chars")).as("avg_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        davg(size(array_distinct(split(col("text"), " ")))).as("avg_distinct_toks")))
+    }),
+
+    // ---- TXT-2: top-5 tokens per language ----
+    "txt_topwords" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val counts = doc.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+      ordered(counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("word"), col("n")))
+    }),
+
+    // ---- TXT-3: stopword-marker language-ID heuristic ----
+    "txt_langid" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words = split(col("text"), " ")
+      val stopRatio = size(filter(words, w => w.isin("a", "the"))).cast("double") /
+        size(words).cast("double")
+      ordered(doc.select(col("doc_id"), col("lang"),
+        when(stopRatio > 0.05, "en").otherwise("unknown").as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang")))
+    }),
+
+    // ---- TXT-4: quality scoring (length / stopword / token-size ratios) ----
+    "txt_quality" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words = split(col("text"), " ")
+      val nTok = size(words).cast("double")
+      val stopRatio = size(filter(words, w => w.isin("a", "the"))).cast("double") / nTok
+      val avgTokLen = (col("n_chars").cast("double") - (nTok - 1.0)) / nTok
+      ordered(doc.select(col("doc_id"), col("lang"),
+        dec4(stopRatio).as("stop_ratio"),
+        dec4(avgTokLen).as("avg_tok_len"),
+        dec4(size(array_distinct(words)).cast("double") / nTok).as("ttr"),
+        (col("n_chars") >= 100 && col("n_chars") <= 500).as("len_ok")))
+    }),
+
+    // ---- TXT-5: token counting (whitespace + regex tokenizers) ----
+    "txt_tokens" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      ordered(doc.select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("int").as("re_tokens"),
+        length(col("text")).as("n_chars_obs"),
+        (col("n_chars") === length(col("text"))).as("n_chars_valid")))
+    }),
+
+    // ---- TXT-6: document fingerprint (portable rolling hash) ----
+    "txt_fingerprint" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      ordered(doc.select(col("doc_id"),
+        polyHash(col("text")).as("fingerprint"),
+        polyHash(substring(col("text"), 1, 64)).as("prefix_fp")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1" ->
+      """SELECT doc_id, lang, label, n_chars, embedding[1:2] AS head2
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, label NULLS FIRST, n_chars NULLS FIRST""".stripMargin,
+
+    "mm1_agg" ->
+      """SELECT lang, label, COUNT(1) AS n_docs,
+        |  CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_chars,
+        |  CAST(SUM(CAST(floor((CAST(embedding[1] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_dim1
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label
+        |ORDER BY lang NULLS FIRST, label NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST, sum_dim1 NULLS FIRST""".stripMargin,
+
+    "sim1" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS score_raw
+        |  FROM base q JOIN base c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, rn, neighbor_id, CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS score
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "sim1_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST((CASE WHEN embedding[1] > 0.0 THEN 4 ELSE 0 END) +
+        |         (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN embedding[3] > 0.0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS score_raw
+        |  FROM base q JOIN base c
+        |    ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, rn, neighbor_id, CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS score
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "sim2" ->
+      s"""WITH t AS ($duckToks)
+        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |) WHERE jac >= 0.95
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
+
+    "ddp_exact" ->
+      """SELECT MIN(doc_id) AS keeper, COUNT(1) AS n_copies,
+        |  CAST(length(text) AS INT) AS text_len
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keeper NULLS FIRST, n_copies NULLS FIRST, text_len NULLS FIRST""".stripMargin,
+
+    "ddp_minhash" -> {
+      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a * h + $b) % 2147483647) AS s$i"
+      }.mkString(",\n        |    ")
+      val bandRows = (0 until 4).map { bi =>
+        s"SELECT doc_id, $bi AS band_idx, s${2 * bi} * 2147483647 + s${2 * bi + 1} AS bh FROM sig"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH h AS (
+        |  $duckTokHash
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $sigCols
+        |  FROM h GROUP BY doc_id
+        |), bands AS (
+        |  $bandRows
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |), sets AS ($duckToks)
+        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |  SELECT d1, d2,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+        |  FROM cand JOIN sets a ON cand.d1 = a.doc_id JOIN sets b ON cand.d2 = b.doc_id
+        |) WHERE jac >= 0.95
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
+    },
+
+    "ddp_simhash" -> {
+      val bitSums = (0 until 16).map { b =>
+        s"SUM(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n        |    ")
+      val compose = (0 until 16).map { b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS (
+        |  $duckTokHash
+        |), bits AS (
+        |  SELECT doc_id, lang,
+        |    $bitSums
+        |  FROM h GROUP BY doc_id, lang
+        |), sig AS (
+        |  SELECT doc_id, lang, CAST($compose AS BIGINT) AS simhash FROM bits
+        |)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, hamming NULLS FIRST""".stripMargin
+    },
+
+    "ddp_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
+        |  FROM documents
+        |)
+        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jac
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |) WHERE jac >= 0.5
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
+
+    "ddp_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT v1, v2, CAST(floor((cos)*10000+0.5)/10000 AS DECIMAL(38,4)) AS cos FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cos
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |) WHERE cos >= 0.4
+        |ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, cos NULLS FIRST""".stripMargin,
+
+    "txt1" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(floor((CAST(SUM(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_distinct_toks
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST, total_tokens NULLS FIRST, avg_distinct_toks NULLS FIRST""".stripMargin,
+
+    "txt_topwords" ->
+      """SELECT lang, rn, word, n FROM (
+        |  SELECT lang, word, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS INT) AS rn
+        |  FROM (
+        |    SELECT lang, word, COUNT(1) AS n
+        |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |    GROUP BY 1, 2
+        |  )
+        |) WHERE rn <= 5
+        |ORDER BY lang NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+        |  THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |  (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+        |  THEN 'en' ELSE 'unknown' END) = lang AS is_match
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, pred_lang NULLS FIRST, is_match NULLS FIRST""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id, lang,
+        |  CAST(floor((CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS stop_ratio,
+        |  CAST(floor(((CAST(n_chars AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0)) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_tok_len,
+        |  CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS ttr,
+        |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,
+
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS re_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_obs,
+        |  (n_chars = length(text)) AS n_chars_valid
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS prefix_fp
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,657 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Relational core operators (SURVEY.md §2.2).
+  *
+  * Each entry is one oracle-checked query id: the Spark DataFrame build in
+  * `all` and the matching DuckDB SQL in `oracle`. Column names and ordering
+  * are aligned pair-wise; measures follow the determinism rules in
+  * [[graft.core.Tables]].
+  *
+  * Scale notes (100 TB design point):
+  *  - group-bys rely on Spark's partial+final HashAggregate (map-side combine)
+  *  - small dimensions (region/nation/customer at TPC-H ratios) are broadcast
+  *    explicitly; fact-fact joins shuffle on their keys and lean on AQE for
+  *    skew splitting
+  *  - top-k is always window-row_number-filter or orderBy.limit
+  *    (TakeOrderedAndProject), never a global sort of the full fact table.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- PRJ-1: projection + computed columns ----
+    "prj1" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      ordered(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge")))
+    }),
+
+    // ---- FLT-1: predicates: AND/OR, IN, BETWEEN, LIKE, null-safe eq ----
+    "flt1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o.filter(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(1000.0, 50000.0) &&
+          (col("o_orderstatus").like("F%") || col("o_orderstatus") <=> "P"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          dec(col("o_totalprice")).as("total_price")))
+    }),
+
+    // ---- AGG-1: TPC-H Q1-shape hash aggregate ----
+    "agg1" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      ordered(li
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")))
+    }),
+
+    // ---- AGG-2: distinct aggregates ----
+    "agg2" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      ordered(li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(dec(col("l_quantity"))).cast(dt).as("sum_dist_qty")))
+    }),
+
+    // ---- AGG-3: rollup + grouping flags ----
+    "agg3" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"), col("o_totalprice"))
+      ordered(o
+        .rollup(col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")))
+    }),
+
+    // ---- AGG-4: cube ----
+    "agg4" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o
+        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          davg(col("o_totalprice")).as("avg_price")))
+    }),
+
+    // ---- AGG-4b: GROUPING SETS via SQL ----
+    "agg4_gsets" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      ordered(s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |""".stripMargin))
+    }),
+
+    // ---- AGG-5: min / max / max_by with unique order value ----
+    "agg5" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o.groupBy(col("o_custkey"))
+        .agg(
+          min(dec(col("o_totalprice"))).cast(dt).as("min_price"),
+          max(dec(col("o_totalprice"))).cast(dt).as("max_price"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          min_by(dec(col("o_totalprice")), col("o_orderkey")).cast(dt).as("first_price")))
+    }),
+
+    // ---- JOIN-1: inner equi-join, small side broadcast ----
+    "join1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price")))
+    }),
+
+    // ---- JOIN-2: fact-fact shuffle join + aggregate (Q3 shape) ----
+    "join2" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val o = load(s, d, "orders")
+      ordered(li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
+    }),
+
+    // ---- JOIN-3: multi-way join (Q5 shape), dims broadcast ----
+    "join3" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      val su = load(s, d, "supplier")
+      val n = load(s, d, "nation")
+      val r = load(s, d, "region")
+      ordered(li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")))
+    }),
+
+    // ---- JOIN-4: left outer join, count order rows per customer ----
+    "join4" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders")))
+    }),
+
+    // ---- JOIN-5: full outer join ----
+    "join5" -> ((s, d) => {
+      val su = load(s, d, "supplier")
+      val n = load(s, d, "nation")
+      ordered(su.join(n, su("s_nationkey") === n("n_nationkey"), "full_outer")
+        .select(col("s_suppkey"), col("s_name"), col("n_nationkey"), col("n_name")))
+    }),
+
+    // ---- JOIN-6: left semi (EXISTS) ----
+    "join6" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")))
+    }),
+
+    // ---- JOIN-7: left anti (NOT EXISTS) ----
+    "join7" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")))
+    }),
+
+    // ---- JOIN-8: cross join (bounded dims) ----
+    "join8" -> ((s, d) => {
+      val r = load(s, d, "region")
+      val n = load(s, d, "nation")
+      ordered(r.crossJoin(n).select(col("r_name"), col("n_name")))
+    }),
+
+    // ---- JOIN-9: equi-join + non-equi residual ----
+    "join9" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val p = load(s, d, "part")
+      ordered(li.join(broadcast(p),
+        li("l_partkey") === p("p_partkey") &&
+          li("l_extendedprice") > p("p_retailprice") * lit(20.0))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price")))
+    }),
+
+    // ---- JOIN-9b: pure band (range) join on small tables ----
+    "join9_band" -> ((s, d) => {
+      val su = load(s, d, "supplier")
+      val c = load(s, d, "customer")
+      ordered(su.join(c,
+        c("c_acctbal").between(su("s_acctbal") - lit(100.0), su("s_acctbal") + lit(100.0)),
+        "inner")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_close"), davg(col("c_acctbal")).as("avg_bal")))
+    }),
+
+    // ---- JOIN-10: as-of-style join (latest click at-or-before each
+    //      user's last purchase) ----
+    "join10" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val probes = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user")).agg(max(col("ts")).as("probe_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+      val w = Window.partitionBy(col("p_user"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ordered(clicks.join(probes,
+        clicks("user_id") === probes("p_user") && clicks("ts") <= probes("probe_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_user").as("user_id"), col("probe_ts"),
+          col("ts").as("click_ts"), col("event_id").as("click_event")))
+    }),
+
+    // ---- SUBQ-1: scalar + correlated subqueries ----
+    "subq1" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      ordered(s.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |              AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+          |""".stripMargin))
+    }),
+
+    // ---- WIN-1: ranking window functions ----
+    "win1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("total_price"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 10))
+    }),
+
+    // ---- WIN-2: analytic window functions (lag/lead/first/last) ----
+    "win2" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ordered(e.select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type")))
+    }),
+
+    // ---- WIN-3: explicit frames (running / sliding / range) ----
+    "win3" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sliding = wo.rowsBetween(-2, 0)
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("value").asc)
+        .rangeBetween(-5L, 0L)
+      ordered(e.select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(running).cast(dt).as("running_sum"),
+        dec4(sum(dec(col("value"))).over(sliding).cast("double") /
+          count(lit(1)).over(sliding)).as("sliding_avg"),
+        count(lit(1)).over(wr).as("n_in_band")))
+    }),
+
+    // ---- SRT-1: global multi-key sort + limit (TakeOrderedAndProject) ----
+    "srt1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      o.select(col("o_orderkey"), dec(col("o_totalprice")).as("total_price"),
+        col("o_orderdate"))
+        .orderBy(col("total_price").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- SRT-2: per-group top-k via ranking window ----
+    "srt2" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ordered(o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("total_price")))
+    }),
+
+    // ---- SET-1: union all / union distinct ----
+    "set1_union_all" -> ((s, d) => {
+      val su = load(s, d, "supplier").select(col("s_nationkey").cast("int").as("nkey"))
+      val c = load(s, d, "customer").select(col("c_nationkey").cast("int").as("nkey"))
+      ordered(su.unionAll(c).groupBy(col("nkey")).agg(count(lit(1)).as("n")))
+    }),
+    "set1_union_distinct" -> ((s, d) => {
+      val su = load(s, d, "supplier").select(col("s_name").as("name"))
+      val c = load(s, d, "customer").select(col("c_name").as("name"))
+      ordered(su.union(c).distinct())
+    }),
+
+    // ---- SET-2: intersect / except (+ all variant) ----
+    "set2_intersect" -> ((s, d) => {
+      val su = load(s, d, "supplier").select(col("s_nationkey").cast("int").as("nkey"))
+      val c = load(s, d, "customer").select(col("c_nationkey").cast("int").as("nkey"))
+      ordered(su.intersect(c))
+    }),
+    "set2_except" -> ((s, d) => {
+      val n = load(s, d, "nation").select(col("n_nationkey").cast("int").as("nkey"))
+      val su = load(s, d, "supplier").select(col("s_nationkey").cast("int").as("nkey"))
+      ordered(n.except(su))
+    }),
+    "set2_except_all" -> ((s, d) => {
+      val o = load(s, d, "orders").select(col("o_orderstatus").as("status"))
+      val f = load(s, d, "orders").filter(col("o_totalprice") > 10000.0)
+        .select(col("o_orderstatus").as("status"))
+      ordered(o.exceptAll(f).groupBy(col("status")).agg(count(lit(1)).as("n")))
+    }),
+
+    // ---- DDP-1: exact dedup, deterministic keeper (min event_id) ----
+    "ddp1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("keeper_event"), count(lit(1)).as("n_dups")))
+    }),
+
+    // ---- PVT-1: pivot events: rows=user, cols=event_type ----
+    "pvt1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = e.groupBy(col("user_id")).pivot("event_type", types).count()
+      ordered(p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*))
+    }),
+
+    // ---- EXPL-1: explode tokenized text into words ----
+    "expl1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      doc.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(50)
+    })
+  )
+
+  /** DuckDB SQL twins — same column names, same ordering, same decimal
+    * discipline (SURVEY §5.3). NULLS FIRST is spelled out because DuckDB
+    * defaults to NULLS LAST while Spark's asc defaults to nulls first. */
+  val oracle: Map[String, String] = Map(
+    "prj1" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS disc_price,
+        |  CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4)) AS charge
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, disc_price NULLS FIRST, charge NULLS FIRST""".stripMargin,
+
+    "flt1" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(o_totalprice AS DECIMAL(38,4)) AS total_price
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  AND o_totalprice BETWEEN 1000.0 AND 50000.0
+        |  AND (o_orderstatus LIKE 'F%' OR o_orderstatus IS NOT DISTINCT FROM 'P')
+        |ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, total_price NULLS FIRST""".stripMargin,
+
+    "agg1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_charge,
+        |  CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_qty,
+        |  CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_price,
+        |  CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, sum_qty NULLS FIRST, sum_base_price NULLS FIRST, sum_disc_price NULLS FIRST, sum_charge NULLS FIRST, avg_qty NULLS FIRST, avg_price NULLS FIRST, avg_disc NULLS FIRST, count_order NULLS FIRST""".stripMargin,
+
+    "agg2" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_dist_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, n_supp NULLS FIRST, n_part NULLS FIRST, sum_dist_qty NULLS FIRST""".stripMargin,
+
+    "agg3" ->
+      """SELECT o_year, o_orderpriority,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price,
+        |  CAST(GROUPING(o_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority, o_totalprice FROM orders)
+        |GROUP BY ROLLUP (o_year, o_orderpriority)
+        |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, g_year NULLS FIRST, g_prio NULLS FIRST""".stripMargin,
+
+    "agg4" ->
+      """SELECT o_year, o_orderstatus,
+        |  COUNT(1) AS n_orders,
+        |  CAST(floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_price
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus, o_totalprice FROM orders)
+        |GROUP BY CUBE (o_year, o_orderstatus)
+        |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST, n_orders NULLS FIRST, avg_price NULLS FIRST""".stripMargin,
+
+    "agg4_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n_orders NULLS FIRST""".stripMargin,
+
+    "agg5" ->
+      """SELECT o_custkey,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS min_price,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS max_price,
+        |  MAX_BY(o_orderstatus, o_orderkey) AS latest_status,
+        |  CAST(MIN_BY(CAST(o_totalprice AS DECIMAL(38,4)), o_orderkey) AS DECIMAL(38,4)) AS first_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey NULLS FIRST, min_price NULLS FIRST, max_price NULLS FIRST, latest_status NULLS FIRST, first_price NULLS FIRST""".stripMargin,
+
+    "join1" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
+
+    "join2" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin,
+
+    "join3" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name NULLS FIRST, revenue NULLS FIRST, n_items NULLS FIRST""".stripMargin,
+
+    "join4" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey NULLS FIRST, n_orders NULLS FIRST""".stripMargin,
+
+    "join5" ->
+      """SELECT s_suppkey, s_name, n_nationkey, n_name
+        |FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey NULLS FIRST, s_name NULLS FIRST, n_nationkey NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "join6" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+
+    "join7" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+
+    "join8" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "join9" ->
+      """SELECT p_brand, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 20.0
+        |GROUP BY p_brand
+        |ORDER BY p_brand NULLS FIRST, n_items NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
+
+    "join9_band" ->
+      """SELECT s_suppkey, COUNT(1) AS n_close,
+        |  CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_bal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey NULLS FIRST, n_close NULLS FIRST, avg_bal NULLS FIRST""".stripMargin,
+
+    "join10" ->
+      """WITH probes AS (
+        |  SELECT user_id AS p_user, MAX(CAST(ts AS TIMESTAMP)) AS probe_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), ranked AS (
+        |  SELECT p.p_user AS user_id, p.probe_ts,
+        |    CAST(e.ts AS TIMESTAMP) AS click_ts, e.event_id AS click_event,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p_user
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+        |  FROM events e JOIN probes p
+        |    ON e.user_id = p.p_user AND CAST(e.ts AS TIMESTAMP) <= p.probe_ts
+        |  WHERE e.event_type = 'click'
+        |)
+        |SELECT user_id, probe_ts, click_ts, click_event FROM ranked WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, probe_ts NULLS FIRST, click_ts NULLS FIRST, click_event NULLS FIRST""".stripMargin,
+
+    "subq1" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+
+    "win1" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(38,4)) AS total_price,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |    CAST(RANK() OVER w AS INT) AS rk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 10
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderkey NULLS FIRST, total_price NULLS FIRST, rn NULLS FIRST, rk NULLS FIRST, drk NULLS FIRST, quartile NULLS FIRST""".stripMargin,
+
+    "win2" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  FIRST_VALUE(event_type) OVER w AS first_type,
+        |  LAST_VALUE(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST, prev_value NULLS FIRST, next_value NULLS FIRST, first_type NULLS FIRST, last_type NULLS FIRST""".stripMargin,
+
+    "win3" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_sum,
+        |  CAST(floor((CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    COUNT(1) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS sliding_avg,
+        |  COUNT(1) OVER (PARTITION BY user_id ORDER BY value ASC
+        |    RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM events
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, running_sum NULLS FIRST, sliding_avg NULLS FIRST, n_in_band NULLS FIRST""".stripMargin,
+
+    "srt1" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,4)) AS total_price, o_orderdate
+        |FROM orders
+        |ORDER BY total_price DESC NULLS LAST, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "srt2" ->
+      """SELECT o_custkey, rn, o_orderkey, total_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(38,4)) AS total_price,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST, o_orderkey NULLS FIRST, total_price NULLS FIRST""".stripMargin,
+
+    "set1_union_all" ->
+      """SELECT nkey, COUNT(1) AS n FROM (
+        |  SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(c_nationkey AS INT) AS nkey FROM customer
+        |) GROUP BY nkey
+        |ORDER BY nkey NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "set1_union_distinct" ->
+      """SELECT name FROM (
+        |  SELECT s_name AS name FROM supplier
+        |  UNION
+        |  SELECT c_name AS name FROM customer
+        |)
+        |ORDER BY name NULLS FIRST""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier
+        |INTERSECT
+        |SELECT CAST(c_nationkey AS INT) AS nkey FROM customer
+        |ORDER BY nkey NULLS FIRST""".stripMargin,
+
+    "set2_except" ->
+      """SELECT CAST(n_nationkey AS INT) AS nkey FROM nation
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier
+        |ORDER BY nkey NULLS FIRST""".stripMargin,
+
+    "set2_except_all" ->
+      """SELECT status, COUNT(1) AS n FROM (
+        |  SELECT o_orderstatus AS status FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 10000.0
+        |) GROUP BY status
+        |ORDER BY status NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "ddp1" ->
+      """SELECT user_id, event_type, MIN(event_id) AS keeper_event, COUNT(1) AS n_dups
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, keeper_event NULLS FIRST, n_dups NULLS FIRST""".stripMargin,
+
+    "pvt1" ->
+      """SELECT user_id,
+        |  COUNT(1) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(1) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(1) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(1) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, click NULLS FIRST, error NULLS FIRST, purchase NULLS FIRST, signup NULLS FIRST, "view" NULLS FIRST""".stripMargin,
+
+    "expl1" ->
+      """SELECT word, COUNT(1) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) GROUP BY word
+        |ORDER BY n DESC NULLS LAST, word ASC
+        |LIMIT 50""".stripMargin
+  )
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Scalar function families (SURVEY.md §2.3) — one oracle query per family.
+  *
+  * Everything here is a per-row computation over `functions._` builtins, so
+  * whole-stage codegen covers the full plan and Parquet sees the pruned
+  * column set. Type alignment with DuckDB is explicit (INT vs BIGINT casts)
+  * because the driver compares schemas/values after reading both results.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- STR-1: string functions ----
+    "str1" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      ordered(c.select(
+        col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        trim(concat(lit("  "), col("c_name"), lit(" "))).as("name_trim"),
+        substring(col("c_name"), 1, 8).as("name_pre"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        col("c_name").like("Customer%").as("is_customer"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        size(split(col("c_name"), "#")).as("n_parts")))
+    }),
+
+    // ---- DTE-1: date/time functions (UTC session) ----
+    "dte1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        to_date(col("o_orderdate")).as("o_date"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        make_date(lit(2024), lit(1), lit(15)).as("fixed_date")))
+    }),
+
+    // ---- MTH-1: math functions ----
+    "mth1" -> ((s, d) => {
+      val p = load(s, d, "part")
+      ordered(p.select(
+        col("p_partkey"),
+        dec4(abs(col("p_retailprice") - lit(1000.0))).as("abs_diff"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        dec4(sqrt(col("p_retailprice"))).as("price_sqrt"),
+        dec4(col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+        pmod(col("p_partkey"), lit(7)).cast("bigint").as("key_mod"),
+        signum(col("p_retailprice") - lit(1200.0)).cast("int").as("price_sign"),
+        dec4(greatest(col("p_retailprice"), lit(900.0))).as("price_hi"),
+        dec4(least(col("p_retailprice"), lit(900.0))).as("price_lo"),
+        dec4(log(col("p_retailprice"))).as("price_ln"),
+        dec4(exp(col("p_size").cast("double") / lit(25.0))).as("size_exp")))
+    }),
+
+    // ---- CND-1: conditional / null handling ----
+    "cnd1" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      ordered(c.select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "normal")
+          .otherwise("premium").as("bal_class"),
+        expr("if(c_mktsegment = 'BUILDING', 1, 0)").cast("int").as("is_building"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("redacted")).as("seg_masked"),
+        isnull(nullif(col("c_mktsegment"), lit("MACHINERY"))).as("is_machinery"),
+        dec4(nvl(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))).as("bal_nvl")))
+    }),
+
+    // ---- ARR-1: array functions on embeddings + tokenized text ----
+    "arr1" -> ((s, d) => {
+      val e = load(s, d, "embeddings")
+      ordered(e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        sort_array(array_distinct(array(col("label"), col("label"), lit(0)))).as("label_arr"),
+        array_max(col("embedding")).as("max_dim"),
+        array_min(col("embedding")).as("min_dim")))
+    }),
+
+    // ---- ARR-1b: array set ops on token arrays ----
+    "arr1_tokens" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val toks = split(col("text"), " ")
+      ordered(doc.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        sort_array(array_intersect(array_distinct(toks),
+          array(lit("spark"), lit("table"), lit("query")))).as("kw_hits"),
+        size(array_union(array_distinct(toks),
+          array(lit("spark"), lit("table"), lit("query")))).as("n_union")))
+    }),
+
+    // ---- HOF-1: higher-order functions (transform/filter/exists/aggregate/zip_with) ----
+    "hof1" -> ((s, d) => {
+      val e = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      ordered(e.select(
+        col("vec_id"),
+        size(filter(dbl, x => x > 0.0)).as("n_pos"),
+        exists(dbl, x => abs(x) > lit(0.5)).as("has_big"),
+        dec4(aggregate(zip_with(dbl, dbl, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)).as("norm_sq"),
+        dec4(aggregate(dbl, lit(0.0), (acc, x) => acc + x)).as("dim_sum"),
+        size(filter(transform(dbl, x => x * lit(2.0)), x => x > lit(0.8))).as("n_scaled_big")))
+    }),
+
+    // ---- MAP-1: map functions over parsed JSON props ----
+    "map1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val m = from_json(col("props"), lit("map<string,int>"))
+      ordered(e.select(
+        col("event_id"),
+        size(map_keys(m)).as("n_keys"),
+        element_at(m, "k").as("k_val"),
+        array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
+        element_at(map_values(m), 1).as("first_val")))
+    }),
+
+    // ---- JSN-1: JSON string functions ----
+    "jsn1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+        to_json(struct(col("user_id").as("u"))).as("user_json")))
+    }),
+
+    // ---- CST-1: cast matrix (string/numeric/timestamp; ns→µs) ----
+    "cst1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e.select(
+        col("event_id"),
+        col("ts"),
+        col("ts").cast("date").as("ts_date"),
+        col("event_id").cast("string").as("id_str"),
+        col("event_id").cast("double").as("id_dbl"),
+        lit("42").cast("long").as("const_int"),
+        lit("2024-01-15 10:30:00").cast("timestamp").as("const_ts"),
+        col("value").cast("int").as("value_trunc"),
+        floor(col("value")).cast("long").as("value_floor")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "str1" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  upper(c_name) AS name_upper,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  trim('  ' || c_name || ' ') AS name_trim,
+        |  substring(c_name, 1, 8) AS name_pre,
+        |  concat_ws('|', c_name, c_mktsegment) AS name_seg,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  (c_name LIKE 'Customer%') AS is_customer,
+        |  CAST(instr(c_name, '#') AS INT) AS hash_pos,
+        |  CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "dte1" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS o_day,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  make_date(2024, 1, 15) AS fixed_date
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "mth1" ->
+      """SELECT p_partkey,
+        |  CAST(floor((abs(p_retailprice - 1000.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS abs_diff,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(floor((sqrt(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_sqrt,
+        |  CAST(floor((p_retailprice * p_retailprice)*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_sq,
+        |  CAST(((p_partkey % 7) + 7) % 7 AS BIGINT) AS key_mod,
+        |  CAST(sign(p_retailprice - 1200.0) AS INT) AS price_sign,
+        |  CAST(floor((greatest(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_hi,
+        |  CAST(floor((least(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_lo,
+        |  CAST(floor((ln(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_ln,
+        |  CAST(floor((exp(CAST(p_size AS DOUBLE) / 25.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS size_exp
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "cnd1" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'normal'
+        |       ELSE 'premium' END AS bal_class,
+        |  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS INT) AS is_building,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'redacted') AS seg_masked,
+        |  (nullif(c_mktsegment, 'MACHINERY') IS NULL) AS is_machinery,
+        |  CAST(floor((coalesce(nullif(c_acctbal, 0.0), -1.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS bal_nvl
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "arr1" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_dim,
+        |  embedding[1:3] AS head3,
+        |  list_contains(embedding, 0.0) AS has_zero,
+        |  list_sort(embedding[1:4]) AS head4_sorted,
+        |  list_sort(list_distinct([label, label, 0])) AS label_arr,
+        |  list_max(embedding) AS max_dim,
+        |  list_min(embedding) AS min_dim
+        |FROM embeddings
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "arr1_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['spark','table','query'])) AS kw_hits,
+        |  CAST(len(list_distinct(list_concat(list_distinct(string_split(text, ' ')),
+        |    ['spark','table','query']))) AS INT) AS n_union
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "hof1" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(dbl, x -> x > 0.0)) AS INT) AS n_pos,
+        |  (len(list_filter(dbl, x -> abs(x) > 0.5)) > 0) AS has_big,
+        |  CAST(floor((list_sum(list_transform(dbl, x -> x * x)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS norm_sq,
+        |  CAST(floor((list_sum(dbl))*10000+0.5)/10000 AS DECIMAL(38,4)) AS dim_sum,
+        |  CAST(len(list_filter(list_transform(dbl, x -> x * 2.0), x -> x > 0.8)) AS INT) AS n_scaled_big
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl FROM embeddings)
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "map1" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS first_val
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "jsn1" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  to_json(struct_pack(u := user_id)) AS user_json
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "cst1" ->
+      """SELECT event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(ts AS DATE) AS ts_date,
+        |  CAST(event_id AS VARCHAR) AS id_str,
+        |  CAST(event_id AS DOUBLE) AS id_dbl,
+        |  CAST('42' AS BIGINT) AS const_int,
+        |  TIMESTAMP '2024-01-15 10:30:00' AS const_ts,
+        |  CAST(trunc(value) AS INT) AS value_trunc,
+        |  CAST(floor(value) AS BIGINT) AS value_floor
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin
+  )
+}
