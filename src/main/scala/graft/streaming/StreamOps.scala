@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Streaming operators (SURVEY.md §2.5) over the events schema.
+  *
+  * Reference analog: the file-arrival-triggered ingestion flow
+  * (`/root/reference/Untitled Diagram.drawio:150-152` — "Lambda will look
+  * for new file in specific S3 location and launch EC2") maps to a
+  * Structured Streaming file source with `Trigger.AvailableNow`; the
+  * completion-status flow (`:147-149`) maps to a StreamingQueryListener
+  * ([[StatusListener]]).
+  *
+  * Every transform here takes a DataFrame so the same code path serves a
+  * batch frame (for the oracle-checked twins EVT-1/EVT-2) and a streaming
+  * frame — batch/stream equivalence is asserted in StreamingSpec.
+  *
+  * Scale notes: stateful ops key by user_id (hash-partitioned state store);
+  * watermarks bound state size; windows are pre-aggregated per partition
+  * before the shuffle (partial aggregation applies to streaming aggs too).
+  */
+object StreamOps {
+
+  /** Event-schema streaming source over a directory of parquet files.
+    * `maxFilesPerTrigger=1` replays file-by-file (micro-batch per arrival),
+    * the closest local analog of the [REF] per-file Lambda trigger. */
+  def eventsFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** STR-W1: tumbling 10-minute window × event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** STR-W2: 10-minute window sliding every 5. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** STR-W3: session window with 30-minute gap per user. */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** STR-WM: 1-hour watermark — late events beyond it are dropped from
+    * the tumbling aggregation (append mode emits only finalized windows). */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    tumblingKeepWindow(events.withWatermark("ts", "1 hour"))
+
+  private def tumblingKeepWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** STR-DDP: streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  // ---- STR-ST: arbitrary stateful processing ----
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double,
+                      last_ts: Timestamp)
+
+  /** Per-user running counters via flatMapGroupsWithState — the custom-state
+    * extension point (typed `GroupState`, processing-time timeout). Emits
+    * the updated counter on every input batch. */
+  def runningCounters(events: Dataset[Ev]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserStat]) => {
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0, new Timestamp(0)))
+          val batch = rows.toSeq
+          val next = UserStat(
+            uid,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_ts))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  /** STR-SNK: run any of the above to a parquet sink with checkpointing
+    * (exactly-once file sink), draining all available input. Returns the
+    * sink directory. */
+  def runToParquetSink(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain a streaming frame into an in-memory table and return the result
+    * (test/verification harness; Complete mode for aggregations). */
+  def drainToMemory(df: DataFrame, name: String, complete: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
