@@ -70,6 +70,35 @@ object Tables {
   def davg(c: Column): Column =
     dec4(sum(dec(c)).cast("double") / count(lit(1)))
 
+  /** Canonical string rendering of a decimal-valued OUTPUT column.
+    *
+    * The driver's comparator loads both results into pandas: Spark's parquet
+    * DECIMAL becomes `decimal.Decimal` objects while DuckDB's DECIMAL becomes
+    * float64 — they can never hash-equal. So every decimal-typed output is
+    * rendered as its plain scale-4 string ("123.4500") in BOTH engines:
+    * Spark `cast(dec AS string)` == Java BigDecimal.toString == DuckDB
+    * `CAST(dec AS VARCHAR)` for scale 4 (always plain notation). The decimal
+    * arithmetic itself stays exact; only the final rendering changes. */
+  def cstr(c: Column): Column = c.cast("string")
+
+  // String-rendered variants of the aggregate helpers, for OUTPUT columns.
+  def dsumS(c: Column): Column = cstr(dsum(c))
+  def dsum4S(c: Column): Column = cstr(dsum4(c))
+  def davgS(c: Column): Column = cstr(davg(c))
+  def dec4S(c: Column): Column = cstr(dec4(c))
+  def decS(c: Column): Column = cstr(dec(c))
+
+  /** Canonical string for a float ARRAY output column: each element cast to
+    * double, tie-safe rounded to 4 decimals, rendered scale-4, joined by ",".
+    * (pandas cannot sort/hash ndarray cells, so arrays never leave the engine
+    * raw.) DuckDB twin: `array_to_string(list_transform(a, x ->
+    * CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',')`. */
+  def farrS(c: Column): Column =
+    array_join(transform(c, x => cstr(dec4(x.cast("double")))), ",")
+
+  /** Canonical string for an int/string ARRAY output column. */
+  def arrS(c: Column): Column = array_join(c.cast("array<string>"), ",")
+
   /** Total order on all output columns, asc nulls first (matches the
     * `ORDER BY ... NULLS FIRST` the oracle SQL spells out). */
   def ordered(df: DataFrame): DataFrame =

@@ -21,7 +21,7 @@ object Events {
       val e = load(s, d, "events")
       ordered(e
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), dsumS(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
           col("event_type"), col("n_events"), col("sum_value")))
     }),
@@ -43,7 +43,7 @@ object Events {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
-          dsum(col("value")).as("sum_value")))
+          dsumS(col("value")).as("sum_value")))
     })
   )
 
@@ -54,7 +54,7 @@ object Events {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |  time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,
         |  event_type, COUNT(1) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start NULLS FIRST, window_end NULLS FIRST, event_type NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
@@ -76,7 +76,7 @@ object Events {
         |)
         |SELECT user_id, session_id, COUNT(1) AS n_events,
         |  MIN(uts) AS session_start, MAX(uts) AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST, session_start NULLS FIRST, session_end NULLS FIRST, sum_value NULLS FIRST""".stripMargin

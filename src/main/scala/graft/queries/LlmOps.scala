@@ -62,7 +62,7 @@ object LlmOps {
       val emb = load(s, d, "embeddings")
       ordered(doc.join(emb, doc("doc_id") === emb("vec_id"), "inner")
         .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
-          slice(col("embedding"), 1, 2).as("head2")))
+          farrS(slice(col("embedding"), 1, 2)).as("head2")))
     }),
     "mm1_agg" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -70,8 +70,8 @@ object LlmOps {
       ordered(doc.join(emb, doc("doc_id") === emb("vec_id"), "inner")
         .groupBy(col("lang"), col("label"))
         .agg(count(lit(1)).as("n_docs"),
-          davg(col("n_chars")).as("avg_chars"),
-          dsum4(element_at(col("embedding"), 1).cast("double")).as("sum_dim1")))
+          davgS(col("n_chars")).as("avg_chars"),
+          dsum4S(element_at(col("embedding"), 1).cast("double")).as("sum_dim1")))
     }),
 
     // ---- SIM-1: brute-force cosine top-k (query set broadcast over corpus) ----
@@ -91,7 +91,7 @@ object LlmOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("neighbor_id"),
-          dec4(col("score_raw")).as("score")))
+          dec4S(col("score_raw")).as("score")))
     }),
 
     // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
@@ -119,7 +119,7 @@ object LlmOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("query_id"), col("rn"), col("neighbor_id"),
-          dec4(col("score_raw")).as("score")))
+          dec4S(col("score_raw")).as("score")))
     }),
 
     // ---- SIM-2: exact pairwise Jaccard near-dup, blocked by lang ----
@@ -131,7 +131,7 @@ object LlmOps {
       ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
         .withColumn("jac", jaccard(col("t1"), col("t2")))
         .filter(col("jac") >= 0.95)
-        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+        .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
 
     // ---- DDP-2: exact text dedup with deterministic keeper ----
@@ -166,7 +166,7 @@ object LlmOps {
         .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
         .withColumn("jac", jaccard(col("t1"), col("t2")))
         .filter(col("jac") >= 0.95)
-        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+        .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
 
     // ---- DDP-4: SimHash near-dup (16-bit sketch, hamming ≤ 2) ----
@@ -204,7 +204,7 @@ object LlmOps {
       ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
         .withColumn("jac", jaccard(col("g1"), col("g2")))
         .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), dec4(col("jac")).as("jac")))
+        .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
 
     // ---- DDP-6: embedding-cosine near-dup pairs ----
@@ -219,7 +219,7 @@ object LlmOps {
       ordered(a.join(b, col("v1") < col("v2"))
         .withColumn("cos", dot / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
-        .select(col("v1"), col("v2"), dec4(col("cos")).as("cos")))
+        .select(col("v1"), col("v2"), dec4S(col("cos")).as("cos")))
     }),
 
     // ---- TXT-1: per-language document stats ----
@@ -227,9 +227,9 @@ object LlmOps {
       val doc = load(s, d, "documents")
       ordered(doc.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        davg(col("n_chars")).as("avg_chars"),
+        davgS(col("n_chars")).as("avg_chars"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
-        davg(size(array_distinct(split(col("text"), " ")))).as("avg_distinct_toks")))
+        davgS(size(array_distinct(split(col("text"), " ")))).as("avg_distinct_toks")))
     }),
 
     // ---- TXT-2: top-5 tokens per language ----
@@ -262,9 +262,9 @@ object LlmOps {
       val stopRatio = size(filter(words, w => w.isin("a", "the"))).cast("double") / nTok
       val avgTokLen = (col("n_chars").cast("double") - (nTok - 1.0)) / nTok
       ordered(doc.select(col("doc_id"), col("lang"),
-        dec4(stopRatio).as("stop_ratio"),
-        dec4(avgTokLen).as("avg_tok_len"),
-        dec4(size(array_distinct(words)).cast("double") / nTok).as("ttr"),
+        dec4S(stopRatio).as("stop_ratio"),
+        dec4S(avgTokLen).as("avg_tok_len"),
+        dec4S(size(array_distinct(words)).cast("double") / nTok).as("ttr"),
         (col("n_chars") >= 100 && col("n_chars") <= 500).as("len_ok")))
     }),
 
@@ -289,14 +289,15 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "mm1" ->
-      """SELECT doc_id, lang, label, n_chars, embedding[1:2] AS head2
+      """SELECT doc_id, lang, label, n_chars,
+        |  array_to_string(list_transform(embedding[1:2], x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS head2
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, label NULLS FIRST, n_chars NULLS FIRST""".stripMargin,
 
     "mm1_agg" ->
       """SELECT lang, label, COUNT(1) AS n_docs,
-        |  CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_chars,
-        |  CAST(SUM(CAST(floor((CAST(embedding[1] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_dim1
+        |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars,
+        |  CAST(CAST(SUM(CAST(floor((CAST(embedding[1] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_dim1
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label
         |ORDER BY lang NULLS FIRST, label NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST, sum_dim1 NULLS FIRST""".stripMargin,
@@ -316,7 +317,7 @@ object LlmOps {
         |      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rn
         |  FROM scored
         |)
-        |SELECT query_id, rn, neighbor_id, CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS score
+        |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
 
@@ -339,13 +340,13 @@ object LlmOps {
         |      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rn
         |  FROM scored
         |)
-        |SELECT query_id, rn, neighbor_id, CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS score
+        |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
 
     "sim2" ->
       s"""WITH t AS ($duckToks)
-        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
@@ -380,7 +381,7 @@ object LlmOps {
         |  FROM bands x JOIN bands y
         |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
         |), sets AS ($duckToks)
-        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
         |  SELECT d1, d2,
         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
@@ -419,7 +420,7 @@ object LlmOps {
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
         |  FROM documents
         |)
-        |SELECT d1, d2, CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS jac FROM (
+        |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |    CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jac
@@ -433,7 +434,7 @@ object LlmOps {
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |  FROM embeddings
         |)
-        |SELECT v1, v2, CAST(floor((cos)*10000+0.5)/10000 AS DECIMAL(38,4)) AS cos FROM (
+        |SELECT v1, v2, CAST(CAST(floor((cos)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cos FROM (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
         |    list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cos
         |  FROM base a JOIN base b ON a.vec_id < b.vec_id
@@ -442,9 +443,9 @@ object LlmOps {
 
     "txt1" ->
       """SELECT lang, COUNT(1) AS n_docs,
-        |  CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_chars,
+        |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(floor((CAST(SUM(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_distinct_toks
+        |  CAST(CAST(floor((CAST(SUM(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_distinct_toks
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST, total_tokens NULLS FIRST, avg_distinct_toks NULLS FIRST""".stripMargin,
@@ -476,12 +477,12 @@ object LlmOps {
 
     "txt_quality" ->
       """SELECT doc_id, lang,
-        |  CAST(floor((CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS DOUBLE) /
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS stop_ratio,
-        |  CAST(floor(((CAST(n_chars AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0)) /
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_tok_len,
-        |  CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS ttr,
+        |  CAST(CAST(floor((CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS stop_ratio,
+        |  CAST(CAST(floor(((CAST(n_chars AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0)) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_tok_len,
+        |  CAST(CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ttr,
         |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,

@@ -29,8 +29,8 @@ object Relational {
       val li = load(s, d, "lineitem")
       ordered(li.select(
         col("l_orderkey"), col("l_linenumber"),
-        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
-        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge")))
+        dec4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        dec4S(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge")))
     }),
 
     // ---- FLT-1: predicates: AND/OR, IN, BETWEEN, LIKE, null-safe eq ----
@@ -41,7 +41,7 @@ object Relational {
           col("o_totalprice").between(1000.0, 50000.0) &&
           (col("o_orderstatus").like("F%") || col("o_orderstatus") <=> "P"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
-          dec(col("o_totalprice")).as("total_price")))
+          decS(col("o_totalprice")).as("total_price")))
     }),
 
     // ---- AGG-1: TPC-H Q1-shape hash aggregate ----
@@ -51,13 +51,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          dsumS(col("l_quantity")).as("sum_qty"),
+          dsumS(col("l_extendedprice")).as("sum_base_price"),
+          dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davgS(col("l_quantity")).as("avg_qty"),
+          davgS(col("l_extendedprice")).as("avg_price"),
+          davgS(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order")))
     }),
 
@@ -68,7 +68,7 @@ object Relational {
         .agg(
           countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),
-          sum_distinct(dec(col("l_quantity"))).cast(dt).as("sum_dist_qty")))
+          cstr(sum_distinct(dec(col("l_quantity"))).cast(dt)).as("sum_dist_qty")))
     }),
 
     // ---- AGG-3: rollup + grouping flags ----
@@ -78,7 +78,7 @@ object Relational {
       ordered(o
         .rollup(col("o_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("sum_price"),
+          dsumS(col("o_totalprice")).as("sum_price"),
           grouping(col("o_year")).cast("int").as("g_year"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio")))
     }),
@@ -89,7 +89,7 @@ object Relational {
       ordered(o
         .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          davg(col("o_totalprice")).as("avg_price")))
+          davgS(col("o_totalprice")).as("avg_price")))
     }),
 
     // ---- AGG-4b: GROUPING SETS via SQL ----
@@ -107,10 +107,10 @@ object Relational {
       val o = load(s, d, "orders")
       ordered(o.groupBy(col("o_custkey"))
         .agg(
-          min(dec(col("o_totalprice"))).cast(dt).as("min_price"),
-          max(dec(col("o_totalprice"))).cast(dt).as("max_price"),
+          cstr(min(dec(col("o_totalprice"))).cast(dt)).as("min_price"),
+          cstr(max(dec(col("o_totalprice"))).cast(dt)).as("max_price"),
           max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
-          min_by(dec(col("o_totalprice")), col("o_orderkey")).cast(dt).as("first_price")))
+          cstr(min_by(dec(col("o_totalprice")), col("o_orderkey")).cast(dt)).as("first_price")))
     }),
 
     // ---- JOIN-1: inner equi-join, small side broadcast ----
@@ -119,7 +119,7 @@ object Relational {
       val c = load(s, d, "customer")
       ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price")))
+        .agg(count(lit(1)).as("n_orders"), dsumS(col("o_totalprice")).as("sum_price")))
     }),
 
     // ---- JOIN-2: fact-fact shuffle join + aggregate (Q3 shape) ----
@@ -130,7 +130,7 @@ object Relational {
         .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp") &&
           col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
-        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
+        .agg(dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
     }),
 
     // ---- JOIN-3: multi-way join (Q5 shape), dims broadcast ----
@@ -149,7 +149,7 @@ object Relational {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items")))
     }),
 
@@ -201,7 +201,7 @@ object Relational {
         li("l_partkey") === p("p_partkey") &&
           li("l_extendedprice") > p("p_retailprice") * lit(20.0))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price")))
+        .agg(count(lit(1)).as("n_items"), dsumS(col("l_extendedprice")).as("sum_price")))
     }),
 
     // ---- JOIN-9b: pure band (range) join on small tables ----
@@ -212,7 +212,7 @@ object Relational {
         c("c_acctbal").between(su("s_acctbal") - lit(100.0), su("s_acctbal") + lit(100.0)),
         "inner")
         .groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("n_close"), davg(col("c_acctbal")).as("avg_bal")))
+        .agg(count(lit(1)).as("n_close"), davgS(col("c_acctbal")).as("avg_bal")))
     }),
 
     // ---- JOIN-10: as-of-style join (latest click at-or-before each
@@ -254,7 +254,7 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("total_price"),
+          decS(col("o_totalprice")).as("total_price"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rk"),
           dense_rank().over(w).as("drk"),
@@ -284,8 +284,8 @@ object Relational {
       val wr = Window.partitionBy(col("user_id")).orderBy(col("value").asc)
         .rangeBetween(-5L, 0L)
       ordered(e.select(col("user_id"), col("event_id"),
-        sum(dec(col("value"))).over(running).cast(dt).as("running_sum"),
-        dec4(sum(dec(col("value"))).over(sliding).cast("double") /
+        cstr(sum(dec(col("value"))).over(running).cast(dt)).as("running_sum"),
+        dec4S(sum(dec(col("value"))).over(sliding).cast("double") /
           count(lit(1)).over(sliding)).as("sliding_avg"),
         count(lit(1)).over(wr).as("n_in_band")))
     }),
@@ -293,10 +293,12 @@ object Relational {
     // ---- SRT-1: global multi-key sort + limit (TakeOrderedAndProject) ----
     "srt1" -> ((s, d) => {
       val o = load(s, d, "orders")
-      o.select(col("o_orderkey"), dec(col("o_totalprice")).as("total_price"),
+      o.select(col("o_orderkey"), dec(col("o_totalprice")).as("tp_num"),
         col("o_orderdate"))
-        .orderBy(col("total_price").desc, col("o_orderkey").asc)
+        .orderBy(col("tp_num").desc, col("o_orderkey").asc)
         .limit(10)
+        .select(col("o_orderkey"), cstr(col("tp_num")).as("total_price"),
+          col("o_orderdate"))
     }),
 
     // ---- SRT-2: per-group top-k via ranking window ----
@@ -307,7 +309,7 @@ object Relational {
       ordered(o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("total_price")))
+          decS(col("o_totalprice")).as("total_price")))
     }),
 
     // ---- SET-1: union all / union distinct ----
@@ -372,14 +374,14 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "prj1" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS disc_price,
-        |  CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4)) AS charge
+        |  CAST(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS disc_price,
+        |  CAST(CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS charge
         |FROM lineitem
         |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, disc_price NULLS FIRST, charge NULLS FIRST""".stripMargin,
 
     "flt1" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority,
-        |  CAST(o_totalprice AS DECIMAL(38,4)) AS total_price
+        |  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS total_price
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
         |  AND o_totalprice BETWEEN 1000.0 AND 50000.0
@@ -388,13 +390,13 @@ object Relational {
 
     "agg1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_charge,
-        |  CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_qty,
-        |  CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_price,
-        |  CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_charge,
+        |  CAST(CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_qty,
+        |  CAST(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_price,
+        |  CAST(CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_disc,
         |  COUNT(1) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -405,7 +407,7 @@ object Relational {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_suppkey) AS n_supp,
         |  COUNT(DISTINCT l_partkey) AS n_part,
-        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_dist_qty
+        |  CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_dist_qty
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST, n_supp NULLS FIRST, n_part NULLS FIRST, sum_dist_qty NULLS FIRST""".stripMargin,
@@ -413,7 +415,7 @@ object Relational {
     "agg3" ->
       """SELECT o_year, o_orderpriority,
         |  COUNT(1) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
         |  CAST(GROUPING(o_year) AS INT) AS g_year,
         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority, o_totalprice FROM orders)
@@ -423,7 +425,7 @@ object Relational {
     "agg4" ->
       """SELECT o_year, o_orderstatus,
         |  COUNT(1) AS n_orders,
-        |  CAST(floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_price
+        |  CAST(CAST(floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_price
         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus, o_totalprice FROM orders)
         |GROUP BY CUBE (o_year, o_orderstatus)
         |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST, n_orders NULLS FIRST, avg_price NULLS FIRST""".stripMargin,
@@ -436,24 +438,24 @@ object Relational {
 
     "agg5" ->
       """SELECT o_custkey,
-        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS min_price,
-        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS max_price,
+        |  CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS min_price,
+        |  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS max_price,
         |  MAX_BY(o_orderstatus, o_orderkey) AS latest_status,
-        |  CAST(MIN_BY(CAST(o_totalprice AS DECIMAL(38,4)), o_orderkey) AS DECIMAL(38,4)) AS first_price
+        |  CAST(CAST(MIN_BY(CAST(o_totalprice AS DECIMAL(38,4)), o_orderkey) AS DECIMAL(38,4)) AS VARCHAR) AS first_price
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY o_custkey NULLS FIRST, min_price NULLS FIRST, max_price NULLS FIRST, latest_status NULLS FIRST, first_price NULLS FIRST""".stripMargin,
 
     "join1" ->
       """SELECT c_mktsegment, COUNT(1) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
 
     "join2" ->
       """SELECT l_orderkey, o_orderpriority,
-        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
@@ -462,7 +464,7 @@ object Relational {
 
     "join3" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
         |  COUNT(1) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -500,7 +502,7 @@ object Relational {
 
     "join9" ->
       """SELECT p_brand, COUNT(1) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
         |FROM lineitem JOIN part
         |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 20.0
         |GROUP BY p_brand
@@ -508,7 +510,7 @@ object Relational {
 
     "join9_band" ->
       """SELECT s_suppkey, COUNT(1) AS n_close,
-        |  CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS avg_bal
+        |  CAST(CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_bal
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
         |GROUP BY s_suppkey
@@ -542,7 +544,7 @@ object Relational {
     "win1" ->
       """SELECT * FROM (
         |  SELECT c_mktsegment, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(38,4)) AS total_price,
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS total_price,
         |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
         |    CAST(RANK() OVER w AS INT) AS rk,
         |    CAST(DENSE_RANK() OVER w AS INT) AS drk,
@@ -564,30 +566,32 @@ object Relational {
 
     "win3" ->
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_sum,
-        |  CAST(floor((CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS running_sum,
+        |  CAST(CAST(floor((CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
         |    COUNT(1) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS sliding_avg,
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS sliding_avg,
         |  COUNT(1) OVER (PARTITION BY user_id ORDER BY value ASC
         |    RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS n_in_band
         |FROM events
         |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, running_sum NULLS FIRST, sliding_avg NULLS FIRST, n_in_band NULLS FIRST""".stripMargin,
 
     "srt1" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,4)) AS total_price, o_orderdate
-        |FROM orders
-        |ORDER BY total_price DESC NULLS LAST, o_orderkey ASC
-        |LIMIT 10""".stripMargin,
+      """SELECT o_orderkey, CAST(tp_num AS VARCHAR) AS total_price, o_orderdate FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,4)) AS tp_num, o_orderdate
+        |  FROM orders
+        |  ORDER BY tp_num DESC NULLS LAST, o_orderkey ASC
+        |  LIMIT 10
+        |)""".stripMargin,
 
     "srt2" ->
       """SELECT o_custkey, rn, o_orderkey, total_price FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(38,4)) AS total_price,
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS total_price,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
         |  FROM orders

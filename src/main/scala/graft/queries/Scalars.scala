@@ -55,17 +55,17 @@ object Scalars {
       val p = load(s, d, "part")
       ordered(p.select(
         col("p_partkey"),
-        dec4(abs(col("p_retailprice") - lit(1000.0))).as("abs_diff"),
+        dec4S(abs(col("p_retailprice") - lit(1000.0))).as("abs_diff"),
         ceil(col("p_retailprice")).as("price_ceil"),
         floor(col("p_retailprice")).as("price_floor"),
-        dec4(sqrt(col("p_retailprice"))).as("price_sqrt"),
-        dec4(col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+        dec4S(sqrt(col("p_retailprice"))).as("price_sqrt"),
+        dec4S(col("p_retailprice") * col("p_retailprice")).as("price_sq"),
         pmod(col("p_partkey"), lit(7)).cast("bigint").as("key_mod"),
         signum(col("p_retailprice") - lit(1200.0)).cast("int").as("price_sign"),
-        dec4(greatest(col("p_retailprice"), lit(900.0))).as("price_hi"),
-        dec4(least(col("p_retailprice"), lit(900.0))).as("price_lo"),
-        dec4(log(col("p_retailprice"))).as("price_ln"),
-        dec4(exp(col("p_size").cast("double") / lit(25.0))).as("size_exp")))
+        dec4S(greatest(col("p_retailprice"), lit(900.0))).as("price_hi"),
+        dec4S(least(col("p_retailprice"), lit(900.0))).as("price_lo"),
+        dec4S(log(col("p_retailprice"))).as("price_ln"),
+        dec4S(exp(col("p_size").cast("double") / lit(25.0))).as("size_exp")))
     }),
 
     // ---- CND-1: conditional / null handling ----
@@ -79,22 +79,25 @@ object Scalars {
         expr("if(c_mktsegment = 'BUILDING', 1, 0)").cast("int").as("is_building"),
         coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("redacted")).as("seg_masked"),
         isnull(nullif(col("c_mktsegment"), lit("MACHINERY"))).as("is_machinery"),
-        dec4(nvl(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))).as("bal_nvl")))
+        dec4S(nvl(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))).as("bal_nvl")))
     }),
 
     // ---- ARR-1: array functions on embeddings + tokenized text ----
+    // Array/float outputs rendered canonically (farrS/dec4S): the driver's
+    // pandas comparator cannot sort ndarray cells, and float formatting
+    // differs across engines.
     "arr1" -> ((s, d) => {
       val e = load(s, d, "embeddings")
       ordered(e.select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).as("first_dim"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        dec4S(element_at(col("embedding"), 1).cast("double")).as("first_dim"),
+        farrS(slice(col("embedding"), 1, 3)).as("head3"),
         array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
-        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
-        sort_array(array_distinct(array(col("label"), col("label"), lit(0)))).as("label_arr"),
-        array_max(col("embedding")).as("max_dim"),
-        array_min(col("embedding")).as("min_dim")))
+        farrS(sort_array(slice(col("embedding"), 1, 4))).as("head4_sorted"),
+        arrS(sort_array(array_distinct(array(col("label"), col("label"), lit(0))))).as("label_arr"),
+        dec4S(array_max(col("embedding")).cast("double")).as("max_dim"),
+        dec4S(array_min(col("embedding")).cast("double")).as("min_dim")))
     }),
 
     // ---- ARR-1b: array set ops on token arrays ----
@@ -105,8 +108,8 @@ object Scalars {
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
-        sort_array(array_intersect(array_distinct(toks),
-          array(lit("spark"), lit("table"), lit("query")))).as("kw_hits"),
+        arrS(sort_array(array_intersect(array_distinct(toks),
+          array(lit("spark"), lit("table"), lit("query"))))).as("kw_hits"),
         size(array_union(array_distinct(toks),
           array(lit("spark"), lit("table"), lit("query")))).as("n_union")))
     }),
@@ -119,8 +122,8 @@ object Scalars {
         col("vec_id"),
         size(filter(dbl, x => x > 0.0)).as("n_pos"),
         exists(dbl, x => abs(x) > lit(0.5)).as("has_big"),
-        dec4(aggregate(zip_with(dbl, dbl, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)).as("norm_sq"),
-        dec4(aggregate(dbl, lit(0.0), (acc, x) => acc + x)).as("dim_sum"),
+        dec4S(aggregate(zip_with(dbl, dbl, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)).as("norm_sq"),
+        dec4S(aggregate(dbl, lit(0.0), (acc, x) => acc + x)).as("dim_sum"),
         size(filter(transform(dbl, x => x * lit(2.0)), x => x > lit(0.8))).as("n_scaled_big")))
     }),
 
@@ -196,17 +199,17 @@ object Scalars {
 
     "mth1" ->
       """SELECT p_partkey,
-        |  CAST(floor((abs(p_retailprice - 1000.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS abs_diff,
+        |  CAST(CAST(floor((abs(p_retailprice - 1000.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS abs_diff,
         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
         |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-        |  CAST(floor((sqrt(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_sqrt,
-        |  CAST(floor((p_retailprice * p_retailprice)*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_sq,
+        |  CAST(CAST(floor((sqrt(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_sqrt,
+        |  CAST(CAST(floor((p_retailprice * p_retailprice)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_sq,
         |  CAST(((p_partkey % 7) + 7) % 7 AS BIGINT) AS key_mod,
         |  CAST(sign(p_retailprice - 1200.0) AS INT) AS price_sign,
-        |  CAST(floor((greatest(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_hi,
-        |  CAST(floor((least(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_lo,
-        |  CAST(floor((ln(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS price_ln,
-        |  CAST(floor((exp(CAST(p_size AS DOUBLE) / 25.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS size_exp
+        |  CAST(CAST(floor((greatest(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_hi,
+        |  CAST(CAST(floor((least(p_retailprice, 900.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_lo,
+        |  CAST(CAST(floor((ln(p_retailprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_ln,
+        |  CAST(CAST(floor((exp(CAST(p_size AS DOUBLE) / 25.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS size_exp
         |FROM part
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 
@@ -218,20 +221,20 @@ object Scalars {
         |  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS INT) AS is_building,
         |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'redacted') AS seg_masked,
         |  (nullif(c_mktsegment, 'MACHINERY') IS NULL) AS is_machinery,
-        |  CAST(floor((coalesce(nullif(c_acctbal, 0.0), -1.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS bal_nvl
+        |  CAST(CAST(floor((coalesce(nullif(c_acctbal, 0.0), -1.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS bal_nvl
         |FROM customer
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "arr1" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  embedding[1] AS first_dim,
-        |  embedding[1:3] AS head3,
+        |  CAST(CAST(floor(CAST(embedding[1] AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS first_dim,
+        |  array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS head3,
         |  list_contains(embedding, 0.0) AS has_zero,
-        |  list_sort(embedding[1:4]) AS head4_sorted,
-        |  list_sort(list_distinct([label, label, 0])) AS label_arr,
-        |  list_max(embedding) AS max_dim,
-        |  list_min(embedding) AS min_dim
+        |  array_to_string(list_transform(list_sort(embedding[1:4]), x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS head4_sorted,
+        |  array_to_string(list_sort(list_distinct([label, label, 0])), ',') AS label_arr,
+        |  CAST(CAST(floor(CAST(list_max(embedding) AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS max_dim,
+        |  CAST(CAST(floor(CAST(list_min(embedding) AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS min_dim
         |FROM embeddings
         |ORDER BY vec_id NULLS FIRST""".stripMargin,
 
@@ -239,8 +242,8 @@ object Scalars {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-        |  list_sort(list_intersect(list_distinct(string_split(text, ' ')),
-        |    ['spark','table','query'])) AS kw_hits,
+        |  coalesce(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['spark','table','query'])), ','), '') AS kw_hits,
         |  CAST(len(list_distinct(list_concat(list_distinct(string_split(text, ' ')),
         |    ['spark','table','query']))) AS INT) AS n_union
         |FROM documents
@@ -250,8 +253,8 @@ object Scalars {
       """SELECT vec_id,
         |  CAST(len(list_filter(dbl, x -> x > 0.0)) AS INT) AS n_pos,
         |  (len(list_filter(dbl, x -> abs(x) > 0.5)) > 0) AS has_big,
-        |  CAST(floor((list_sum(list_transform(dbl, x -> x * x)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS norm_sq,
-        |  CAST(floor((list_sum(dbl))*10000+0.5)/10000 AS DECIMAL(38,4)) AS dim_sum,
+        |  CAST(CAST(floor((list_sum(list_transform(dbl, x -> x * x)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS norm_sq,
+        |  CAST(CAST(floor((list_sum(dbl))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dim_sum,
         |  CAST(len(list_filter(list_transform(dbl, x -> x * 2.0), x -> x > 0.8)) AS INT) AS n_scaled_big
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl FROM embeddings)
         |ORDER BY vec_id NULLS FIRST""".stripMargin,
