@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.6/§4.3) — the codegen'd
+  * replacements for the interpreted higher-order-function hot loops in the
+  * LLM-pipeline queries.
+  *
+  * Spark's lambda HOFs (`aggregate`/`transform`/`zip_with`) are evaluated
+  * interpreted, one boxed lambda call per element, and they break the
+  * surrounding whole-stage-codegen span. A per-token string hash or a
+  * per-pair 64-d dot product sits in the innermost loop of the dedup /
+  * similarity operators, so at 100 TB the interpreter overhead dominates the
+  * scan. These expressions keep identical semantics (bit-identical doubles,
+  * same long hashes — asserted in ExpressionSpec) but compile to a single
+  * static Java call inside the generated code.
+  */
+object GraftHashImpl {
+  final val P: Long = 2147483647L // 2^31-1, Mersenne prime
+
+  /** Portable 31-polynomial string hash: fold code points as
+    * (acc*31 + cp) mod P. Exactly `aggregate(split(s,""), 0L,
+    * (acc,c) -> (acc*31 + ascii(c)) % P)` (the round-2 HOF) and DuckDB's
+    * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    * c -> ascii(c))), (acc,c) -> (acc*31+c) % 2147483647)`. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+object GraftVecImpl {
+  /** In-order dot product — IEEE-identical to the HOF formulation
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0.0, (s,x)->s+x)` (left fold,
+    * ascending index). Arrays must be equal length (embeddings are fixed-d);
+    * the shorter length wins defensively. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** cosine(a,b) = dot/(|a|·|b|), all three sums in ascending index order so
+    * the result is bit-identical to the composed HOF/oracle formulation. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `graft_poly_hash(str)` → long: codegen'd portable polynomial hash. */
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashImpl.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashImpl.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_dot(array<double>, array<double>)` → double: codegen'd dot product. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVecImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVecImpl.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cosine(array<double>, array<double>)` → double (SURVEY §4.3). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVecImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVecImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the custom expressions. */
+object GraftFunctions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def poly_hash(s: Column): Column = c(PolyHash(e(s)))
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+}
+
+/** SQL registration via SparkSessionExtensions (the declared extension
+  * mechanism): `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)` makes
+  * `graft_poly_hash` / `graft_dot` / `graft_cosine` available to SQL text. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}

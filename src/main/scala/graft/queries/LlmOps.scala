@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
+import graft.functions.GraftFunctions.{dot_product, poly_hash}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -32,10 +33,11 @@ object LlmOps {
   private val Bs = Seq(104729L, 224737L, 350377L, 479909L,
     611953L, 746773L, 882377L, 1020379L)
 
-  /** Portable polynomial string hash: fold chars as (acc*31 + code) mod P. */
-  private def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+  /** Portable polynomial string hash: fold chars as (acc*31 + code) mod P.
+    * Codegen'd custom Expression ([[graft.functions.PolyHash]]); identical
+    * to the HOF `aggregate(split(s,""), 0L, (acc,c) -> (acc*31+ascii(c))%P)`
+    * and to the DuckDB list_reduce twin (asserted in ExpressionSpec). */
+  private def polyHash(s: Column): Column = poly_hash(s)
 
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
@@ -79,11 +81,11 @@ object LlmOps {
       val emb = load(s, d, "embeddings")
       val dbl = transform(col("embedding"), x => x.cast("double"))
       val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
-      val dot = aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      val dot = dot_product(col("qe"), col("ce"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score_raw").desc, col("neighbor_id").asc)
       ordered(broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
@@ -103,14 +105,14 @@ object LlmOps {
         when(element_at(col("e"), 2) > 0.0, 2).otherwise(0) +
         when(element_at(col("e"), 3) > 0.0, 1).otherwise(0)).cast("int")
       val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
         .withColumn("bucket", bucket)
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("nrm").as("qn"), col("bucket").as("qb"))
       val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("bucket").as("cb"))
-      val dot = aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      val dot = dot_product(col("qe"), col("ce"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score_raw").desc, col("neighbor_id").asc)
       ordered(broadcast(q).join(c,
@@ -247,13 +249,13 @@ object LlmOps {
         when(element_at(col("e"), 3) > 0.0, 2).otherwise(0) +
         when(element_at(col("e"), 4) > 0.0, 1).otherwise(0)).cast("int")
       val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
         .withColumn("bucket", bucket)
       val a = base.select(col("vec_id").as("v1"), col("e").as("e1"),
         col("nrm").as("n1"), col("bucket").as("b1"))
       val b = base.select(col("vec_id").as("v2"), col("e").as("e2"),
         col("nrm").as("n2"), col("bucket").as("b2"))
-      val dot = aggregate(zip_with(col("e1"), col("e2"), (x, y) => x * y), lit(0.0), (a2, x) => a2 + x)
+      val dot = dot_product(col("e1"), col("e2"))
       ordered(a.join(b, col("b1") === col("b2") && col("v1") < col("v2"))
         .withColumn("cos", dot / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)

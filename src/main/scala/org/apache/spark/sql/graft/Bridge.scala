@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made `Column` node-based and gated the Expression<->Column
+  * converters as `private[sql]` (`classic.ExpressionUtils`). Extension
+  * libraries that ship custom Catalyst expressions bridge from inside the
+  * `org.apache.spark.sql` package — same pattern the public Delta/Sedona
+  * codebases use. This is the only file outside the `graft` namespace. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
