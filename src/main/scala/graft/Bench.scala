@@ -17,7 +17,10 @@ object Bench {
     // cannot prune projections or drop final sorts the way it can under
     // count() — timings reflect the plan a real sink would pay for.
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query-name filter for focused local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

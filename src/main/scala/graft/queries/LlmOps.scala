@@ -124,23 +124,33 @@ object LlmOps {
           dec4S(col("score_raw")).as("score")))
     }),
 
-    // ---- SIM-2: exact pairwise Jaccard near-dup, blocked by lang + length
-    //      band. The band is LOSSLESS for J >= 0.95: J <= min/max of the two
-    //      set sizes, so any qualifying pair has min*20 >= max*19 (exact
-    //      integer form of min >= 0.95*max) — pruned pairs can never reach
-    //      the threshold. Evaluated as a cheap join residual so the
-    //      expensive array_intersect only runs on surviving pairs. ----
+    // ---- SIM-2: exact pairwise Jaccard near-dup via inverted-index join.
+    //      Shape: explode distinct tokens -> self-equi-join on (token, lang)
+    //      with a lossless length band residual (J >= 0.95 implies
+    //      min*20 >= max*19, exact ints) -> count shared tokens per pair
+    //      (ni = |A∩B|) -> jac = ni/(n1+n2-ni). Identical output to the
+    //      naive pair join (a pair with ni = 0 can never reach any positive
+    //      threshold), but the plan is a shuffle on token postings —
+    //      proportional to sum over tokens of df², never materializing
+    //      O(n²) doc pairs or an array_intersect per pair. This is the
+    //      100 TB shape: candidates exist only for docs sharing a token. ----
     "sim2" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val t = doc.select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
         .withColumn("nt", size(col("toks")))
-      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("toks").as("t1"), col("nt").as("n1"))
-      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("toks").as("t2"), col("nt").as("n2"))
-      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2") &&
+      val g = t.select(col("doc_id"), col("lang"), col("nt"), explode(col("toks")).as("tok"))
+      val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("nt").as("n1"), col("tok").as("tk1"))
+      val b = g.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("nt").as("n2"), col("tok").as("tk2"))
+      val cand = a.join(b, col("tk1") === col("tk2") && col("l1") === col("l2") &&
+          col("d1") < col("d2") &&
           col("n1") * 20 >= col("n2") * 19 && col("n2") * 20 >= col("n1") * 19)
-        .withColumn("jac", jaccard(col("t1"), col("t2")))
+        .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("ni"))
+      ordered(cand
+        .withColumn("jac", col("ni").cast("double") /
+          (col("n1") + col("n2") - col("ni")).cast("double"))
         .filter(col("jac") >= 0.95)
         .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
@@ -162,16 +172,22 @@ object LlmOps {
         min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
       }
       val sigs = tok.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
-      // 4 bands × 2 rows: band hash packs two signature slots into one long.
+      // 2 bands × 4 rows: a candidate pair must agree on all 4 min-slots of
+      // a band. The s-curve threshold (1/b)^(1/r) = 0.5^0.25 ≈ 0.84 fits the
+      // τ=0.95 verify step; the round-2 choice (4 bands × 2 rows, t ≈ 0.71)
+      // generated ~10M candidates at sf0.1 — 500× the true near-dup count —
+      // so verification dominated the runtime. The band hash folds the four
+      // slots with the same 31-poly mod P both engines share; a fold
+      // collision only adds a false candidate that exact verify rejects.
       // Bands come from ONE pass over the signature table (array-of-structs
       // explode) and are persisted so the token-explode + per-token-hash +
       // 8-way min sketch runs exactly once — not once per band branch per
-      // join side. At 100 TB the sketch scan dominates; recomputing it 8×
-      // (round-2 shape: 4-way unionAll × self-join) is the difference
-      // between one corpus pass and eight.
-      val bandArr = array((0 until 4).map { bi =>
-        struct(lit(bi).as("band_idx"),
-          (col(s"s${2 * bi}") * lit(P) + col(s"s${2 * bi + 1}")).as("bh"))
+      // join side.
+      def foldSlots(bi: Int): Column =
+        (0 to 3).map(j => col(s"s${4 * bi + j}"))
+          .foldLeft(lit(0L))((acc, s) => (acc * 31L + s) % lit(P))
+      val bandArr = array((0 until 2).map { bi =>
+        struct(lit(bi).as("band_idx"), foldSlots(bi).as("bh"))
       }: _*)
       val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
         .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
@@ -211,8 +227,11 @@ object LlmOps {
         .select(col("d1"), col("d2"), col("hamming")))
     }),
 
-    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup, blocked by lang +
-    //      length band (lossless for J >= 0.5: min*2 >= max, exact ints) ----
+    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup via inverted-index
+    //      join (same shape as sim2; lossless band for J >= 0.5 is
+    //      min*2 >= max). Bigram postings are near-unique, so the equi-join
+    //      fan-out stays close to the corpus size — no O(n²) pair
+    //      materialization, no per-pair array_intersect. ----
     "ddp_ngram" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val words = split(col("text"), " ")
@@ -221,13 +240,19 @@ object LlmOps {
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
       val t = doc.select(col("doc_id"), col("lang"), grams.as("grams"))
         .withColumn("ng", size(col("grams")))
-      val a = t.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("grams").as("g1"), col("ng").as("n1"))
-      val b = t.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("grams").as("g2"), col("ng").as("n2"))
-      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2") &&
+      val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
+      val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("ng").as("n1"), col("gram").as("gr1"))
+      val b = g.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("ng").as("n2"), col("gram").as("gr2"))
+      val cand = a.join(b, col("gr1") === col("gr2") && col("l1") === col("l2") &&
+          col("d1") < col("d2") &&
           col("n1") * 2 >= col("n2") && col("n2") * 2 >= col("n1"))
-        .withColumn("jac", jaccard(col("g1"), col("g2")))
+        .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("ni"))
+      ordered(cand
+        .withColumn("jac", col("ni").cast("double") /
+          (col("n1") + col("n2") - col("ni")).cast("double"))
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
@@ -406,8 +431,10 @@ object LlmOps {
       val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
         s"MIN(($a * h + $b) % 2147483647) AS s$i"
       }.mkString(",\n        |    ")
-      val bandRows = (0 until 4).map { bi =>
-        s"SELECT doc_id, $bi AS band_idx, s${2 * bi} * 2147483647 + s${2 * bi + 1} AS bh FROM sig"
+      val bandRows = (0 until 2).map { bi =>
+        val fold = (0 to 3).map(j => s"s${4 * bi + j}")
+          .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 31 + $s) % 2147483647")
+        s"SELECT doc_id, $bi AS band_idx, $fold AS bh FROM sig"
       }.mkString("\n        |  UNION ALL ")
       s"""WITH h AS (
         |  $duckTokHash
