@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+import graft.core.Tables._
+import graft.sources.Ingest
+
+/** Oracle-checked connector queries (SURVEY.md §2.1): the [REF] CSV scan
+  * and the JSON scan, each reading a deterministic fixture file that the
+  * query writes before reading, so the DuckDB twin (`read_csv`/`read_json`
+  * on the same absolute path) sees identical bytes.
+  *
+  * The fixtures exercise the parsing surface that matters for partner
+  * files: RFC-4180 quoting (embedded comma, doubled quote), NULL-as-empty
+  * numeric fields, dates, nested objects, empty and multi-element arrays.
+  * Bad-record *policies* (PERMISSIVE quarantine / DROPMALFORMED / FAILFAST)
+  * can't be oracle-compared — DuckDB's malformed-row handling differs by
+  * design — so they are asserted engine-side in IngestSpec instead.
+  */
+object Ingestion {
+  type Q = (SparkSession, String) => DataFrame
+
+  val fixtureDir = "/tmp/graft_fixtures"
+
+  val csvPath = s"$fixtureDir/partner_feed.csv"
+  private val csvBytes =
+    """id,name,qty,price,ship_date
+      |1,Widget,5,19.99,2024-01-15
+      |2,"Gadget, large",3,249.5,2024-02-01
+      |3,"Bolt ""M8"" steel",100,0.25,2024-02-10
+      |4,Nut,,1.5,2024-03-05
+      |5,Washer,250,0.05,2024-03-06
+      |""".stripMargin
+
+  val csvSchema: StructType = StructType.fromDDL(
+    "id BIGINT, name STRING, qty INT, price DOUBLE, ship_date DATE")
+
+  val jsonPath = s"$fixtureDir/partner_feed.jsonl"
+  private val jsonBytes =
+    """{"id":1,"s":"alpha","d":3.5,"obj":{"x":10},"tags":["a","b"]}
+      |{"id":2,"s":"beta","d":0.25,"obj":{"x":-2},"tags":[]}
+      |{"id":3,"s":"gamma, \"quoted\"","d":100.0,"obj":{"x":0},"tags":["z"]}
+      |{"id":4,"s":"delta","d":-7.75,"obj":null,"tags":["q","r","s"]}
+      |""".stripMargin
+
+  val jsonSchema: StructType = StructType.fromDDL(
+    "id BIGINT, s STRING, d DOUBLE, obj STRUCT<x: INT>, tags ARRAY<STRING>")
+
+  /** Write both fixtures (idempotent, deterministic bytes). */
+  def writeFixtures(): Unit = {
+    Files.createDirectories(Paths.get(fixtureDir))
+    Files.writeString(Paths.get(csvPath), csvBytes)
+    Files.writeString(Paths.get(jsonPath), jsonBytes)
+  }
+
+  val all: Map[String, Q] = Map(
+    // ---- CSV scan ([REF] partner feed): schema'd, FAILFAST (the fixture
+    //      is well-formed; policy variants live in IngestSpec) ----
+    "ingest_csv" -> ((s, _) => {
+      writeFixtures()
+      val df = Ingest.readCsv(s, csvPath, csvSchema, Ingest.FailFast)
+      ordered(df.select(col("id"), col("name"), col("qty"),
+        decS(col("price")).as("price"), col("ship_date")))
+    }),
+
+    // ---- JSON scan: nested struct + array columns ----
+    "jsn_scan" -> ((s, _) => {
+      writeFixtures()
+      val df = Ingest.readJson(s, jsonPath, jsonSchema, Ingest.FailFast)
+      ordered(df.select(col("id"), col("s"), decS(col("d")).as("d"),
+        col("obj.x").as("obj_x"), arrS(col("tags")).as("tags")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ingest_csv" ->
+      s"""SELECT id, name, qty, CAST(CAST(price AS DECIMAL(38,4)) AS VARCHAR) AS price, ship_date
+        |FROM read_csv('$csvPath', header=true,
+        |  columns={'id':'BIGINT','name':'VARCHAR','qty':'INTEGER','price':'DOUBLE','ship_date':'DATE'})
+        |ORDER BY id NULLS FIRST, name NULLS FIRST, qty NULLS FIRST, price NULLS FIRST, ship_date NULLS FIRST""".stripMargin,
+
+    "jsn_scan" ->
+      s"""SELECT id, s, CAST(CAST(d AS DECIMAL(38,4)) AS VARCHAR) AS d,
+        |  obj.x AS obj_x,
+        |  CASE WHEN tags IS NULL THEN NULL
+        |       ELSE COALESCE(array_to_string(tags, ','), '') END AS tags
+        |FROM read_json('$jsonPath', format='newline_delimited',
+        |  columns={'id':'BIGINT','s':'VARCHAR','d':'DOUBLE','obj':'STRUCT(x INTEGER)','tags':'VARCHAR[]'})
+        |ORDER BY id NULLS FIRST, s NULLS FIRST, d NULLS FIRST, obj_x NULLS FIRST, tags NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.streaming.StatusListener
+
+/** The [REF]-fidelity ingestion surface (SURVEY.md §2.1, §3.2).
+  *
+  * The reference system is an event-driven CSV ingestion pipeline: a data
+  * partner drops a .csv into object storage (`/root/reference/Untitled
+  * Diagram.drawio:201-203`), a watcher triggers the engine (`:150-152`),
+  * the engine transforms and loads into a warehouse (`:79-87`) and an OLTP
+  * store with read-back (`:88-98`), then emits a completion status
+  * (`:147-149`). Spark-native mapping: schema'd `spark.read.csv` with an
+  * explicit bad-record policy, `readStream.csv` + `Trigger.AvailableNow`
+  * for the arrival trigger ([[graft.streaming.StreamOps.csvFileSource]]),
+  * `DataFrameWriter.partitionBy` file sinks, `format("jdbc")` writers
+  * behind a trait (no live database in this environment — the JDBC path is
+  * asserted at plan/configuration level, see IngestSpec), and
+  * [[StatusListener]] for the completion event.
+  *
+  * 100 TB notes: a schema'd CSV read is a single distributed pass —
+  * no inference pre-scan; `PERMISSIVE` keeps bad rows quarantined in a
+  * corrupt-record column so one rotten file can't kill a day-long load;
+  * partitioned parquet output gives downstream readers partition pruning.
+  */
+object Ingest {
+
+  /** Bad-record policy for text sources (CSV/JSON), SURVEY §2.1. */
+  sealed abstract class ParsePolicy(val mode: String)
+  /** Keep malformed rows; capture raw text in `corruptCol` (quarantine column). */
+  final case class Permissive(corruptCol: String = "_corrupt_record") extends ParsePolicy("PERMISSIVE")
+  /** Silently drop malformed rows. */
+  case object DropMalformed extends ParsePolicy("DROPMALFORMED")
+  /** Abort the job on the first malformed row. */
+  case object FailFast extends ParsePolicy("FAILFAST")
+
+  /** Schema'd CSV scan with explicit bad-record policy. RFC-4180 quoting
+    * (`""` escapes a quote inside a quoted field) so partner files written
+    * by standard tooling parse identically everywhere. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              policy: ParsePolicy = Permissive(), header: Boolean = true): DataFrame = {
+    val withCorrupt = policy match {
+      case Permissive(c) if !schema.fieldNames.contains(c) =>
+        schema.add(c, org.apache.spark.sql.types.StringType, nullable = true)
+      case _ => schema
+    }
+    val r = spark.read
+      .schema(withCorrupt)
+      .option("header", header)
+      .option("mode", policy.mode)
+      .option("escape", "\"")
+    val r2 = policy match {
+      case Permissive(c) => r.option("columnNameOfCorruptRecord", c)
+      case _ => r
+    }
+    r2.csv(path)
+  }
+
+  /** Schema'd newline-delimited JSON scan with the same policy surface. */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               policy: ParsePolicy = Permissive()): DataFrame = {
+    val withCorrupt = policy match {
+      case Permissive(c) if !schema.fieldNames.contains(c) =>
+        schema.add(c, org.apache.spark.sql.types.StringType, nullable = true)
+      case _ => schema
+    }
+    val r = spark.read
+      .schema(withCorrupt)
+      .option("mode", policy.mode)
+    val r2 = policy match {
+      case Permissive(c) => r.option("columnNameOfCorruptRecord", c)
+      case _ => r
+    }
+    r2.json(path)
+  }
+
+  /** Partitioned parquet "warehouse" sink — the offline stand-in for the
+    * [REF] warehouse load; partition columns give downstream scans
+    * partition pruning (§4.2 PruneFileSourcePartitions). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String] = Nil,
+                              mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** CSV file sink (header + RFC-4180 quoting). */
+  def writeCsv(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("header", true).option("escape", "\"")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).csv(path)
+  }
+
+  // ---- JDBC sinks ([REF] Redshift `:79-87` / PostgreSQL `:88-98`) ----
+
+  /** Connection spec for a relational sink/source. */
+  final case class JdbcTarget(url: String, table: String,
+                              user: String = "", password: String = "",
+                              driver: String = "org.postgresql.Driver",
+                              batchSize: Int = 10000)
+
+  /** Warehouse/OLTP writer abstraction: production impl is JDBC; the
+    * offline test env swaps in the parquet impl. (SURVEY §7.4-5: no live
+    * database here, so JDBC correctness is asserted on the configured
+    * writer, not a round-trip.) */
+  trait WarehouseWriter {
+    def write(df: DataFrame, mode: SaveMode): Unit
+  }
+
+  /** Bulk JDBC load — the [REF] warehouse flow. `configured` exposes the
+    * fully-specified writer so tests can assert format/options without a
+    * live endpoint; `write` executes it. */
+  final class JdbcWarehouseWriter(target: JdbcTarget) extends WarehouseWriter {
+    def configured(df: DataFrame, mode: SaveMode): DataFrameWriter[Row] =
+      df.write.format("jdbc").mode(mode)
+        .option("url", target.url)
+        .option("dbtable", target.table)
+        .option("user", target.user)
+        .option("password", target.password)
+        .option("driver", target.driver)
+        .option("batchsize", target.batchSize)
+    override def write(df: DataFrame, mode: SaveMode): Unit =
+      configured(df, mode).save()
+  }
+
+  /** Parquet-directory impl for the offline environment. */
+  final class ParquetWarehouseWriter(dir: String, partitionCols: Seq[String] = Nil)
+      extends WarehouseWriter {
+    override def write(df: DataFrame, mode: SaveMode): Unit =
+      writePartitionedParquet(df, dir, partitionCols, mode)
+  }
+
+  /** OLTP read-back ([REF] bidirectional PostgreSQL edge): a configured
+    * JDBC reader. Returned unloaded so the offline tests can assert the
+    * source configuration; `.load()` executes against a live database. */
+  def jdbcRead(spark: SparkSession, target: JdbcTarget): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", target.url)
+      .option("dbtable", target.table)
+      .option("user", target.user)
+      .option("password", target.password)
+      .option("driver", target.driver)
+
+  // ---- The ingestion job (diagram flows 1-3 in miniature) ----
+
+  final case class IngestReport(rowsRead: Long, rowsQuarantined: Long,
+                                rowsWritten: Long, statuses: List[String])
+
+  /** One [REF]-shaped ingestion run: schema'd CSV read with PERMISSIVE
+    * quarantine → clean/quarantine split → partitioned parquet warehouse
+    * write → completion status from the attached listener. */
+  def runIngestJob(spark: SparkSession, csvPath: String, schema: StructType,
+                   warehouseDir: String, partitionCols: Seq[String] = Nil): IngestReport = {
+    val listener = StatusListener.attach(spark)
+    try {
+      val corruptCol = "_corrupt_record"
+      val raw = readCsv(spark, csvPath, schema, Permissive(corruptCol)).cache()
+      val quarantined = raw.filter(raw(corruptCol).isNotNull).count()
+      val clean = raw.filter(raw(corruptCol).isNull).drop(corruptCol)
+      writePartitionedParquet(clean, warehouseDir, partitionCols)
+      val written = spark.read.parquet(warehouseDir).count()
+      raw.unpersist()
+      // QueryExecutionListener events post asynchronously; give the bus a
+      // bounded moment to drain before reporting.
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (listener.statuses.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      IngestReport(quarantined + written, quarantined, written, listener.statuses)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

@@ -37,6 +37,19 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** [REF] trigger fidelity: the Lambda-watches-S3 flow (`Untitled
+    * Diagram.drawio:150-152`) over partner CSVs — a schema'd CSV file
+    * source; run with `Trigger.AvailableNow` for batch-per-arrival or
+    * `maxFilesPerTrigger=1` for one micro-batch per file. */
+  def csvFileSource(spark: SparkSession, dir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("escape", "\"")
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir)
+
   /** STR-W1: tumbling 10-minute window × event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events
