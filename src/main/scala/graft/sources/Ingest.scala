@@ -108,18 +108,23 @@ object Ingest {
     def write(df: DataFrame, mode: SaveMode): Unit
   }
 
+  /** The exact option set a JDBC writer/reader is configured with — a pure
+    * function so the offline tests can assert the wiring (SURVEY §7.4-5:
+    * no live database in this env, correctness is plan/config-level). */
+  def jdbcOptions(t: JdbcTarget): Map[String, String] = Map(
+    "url" -> t.url,
+    "dbtable" -> t.table,
+    "user" -> t.user,
+    "password" -> t.password,
+    "driver" -> t.driver,
+    "batchsize" -> t.batchSize.toString)
+
   /** Bulk JDBC load — the [REF] warehouse flow. `configured` exposes the
     * fully-specified writer so tests can assert format/options without a
     * live endpoint; `write` executes it. */
   final class JdbcWarehouseWriter(target: JdbcTarget) extends WarehouseWriter {
     def configured(df: DataFrame, mode: SaveMode): DataFrameWriter[Row] =
-      df.write.format("jdbc").mode(mode)
-        .option("url", target.url)
-        .option("dbtable", target.table)
-        .option("user", target.user)
-        .option("password", target.password)
-        .option("driver", target.driver)
-        .option("batchsize", target.batchSize)
+      df.write.format("jdbc").mode(mode).options(jdbcOptions(target))
     override def write(df: DataFrame, mode: SaveMode): Unit =
       configured(df, mode).save()
   }
@@ -135,12 +140,7 @@ object Ingest {
     * JDBC reader. Returned unloaded so the offline tests can assert the
     * source configuration; `.load()` executes against a live database. */
   def jdbcRead(spark: SparkSession, target: JdbcTarget): DataFrameReader =
-    spark.read.format("jdbc")
-      .option("url", target.url)
-      .option("dbtable", target.table)
-      .option("user", target.user)
-      .option("password", target.password)
-      .option("driver", target.driver)
+    spark.read.format("jdbc").options(jdbcOptions(target) - "batchsize")
 
   // ---- The ingestion job (diagram flows 1-3 in miniature) ----
 

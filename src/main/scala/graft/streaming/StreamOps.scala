@@ -86,9 +86,14 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
-  /** STR-DDP: streaming dedup on event_id within the watermark horizon. */
+  /** STR-DDP: streaming dedup on event_id within the watermark horizon.
+    * The event-time column is part of the dedup key — the structured
+    * streaming guide's bounded-state pattern: state for (event_id, ts) is
+    * evicted once the watermark passes ts, so replayed/duplicated events
+    * (which carry identical event times) collapse while state stays
+    * bounded. Keying by event_id alone would keep state forever. */
   def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
   // ---- STR-ST: arbitrary stateful processing ----
 
@@ -107,11 +112,13 @@ object StreamOps {
         (uid: Long, rows: Iterator[Ev], state: GroupState[UserStat]) => {
           val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0, new Timestamp(0)))
           val batch = rows.toSeq
+          // last_ts is a RUNNING max: replay order across micro-batches is
+          // arbitrary, so the current batch's max may precede the stored one.
           val next = UserStat(
             uid,
             prev.n_events + batch.size,
             prev.total_value + batch.map(_.value).sum,
-            batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_ts))
+            (prev.last_ts +: batch.map(_.ts)).maxBy(_.getTime))
           state.update(next)
           Iterator.single(next)
         })
@@ -132,11 +139,12 @@ object StreamOps {
   }
 
   /** Drain a streaming frame into an in-memory table and return the result
-    * (test/verification harness; Complete mode for aggregations). */
-  def drainToMemory(df: DataFrame, name: String, complete: Boolean): DataFrame = {
+    * (test/verification harness; Complete mode for aggregations, Update for
+    * flatMapGroupsWithState, Append otherwise). */
+  def drainToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
-      .outputMode(if (complete) OutputMode.Complete else OutputMode.Append)
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -144,4 +152,6 @@ object StreamOps {
     q.awaitTermination()
     spark.table(name)
   }
+  def drainToMemory(df: DataFrame, name: String, complete: Boolean): DataFrame =
+    drainToMemory(df, name, if (complete) OutputMode.Complete else OutputMode.Append)
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.functions.GraftFunctions.{cosine_similarity, dot_product, poly_hash}
+import graft.functions.GraftHashImpl
+
+/** The custom Catalyst expressions must be drop-in replacements for the
+  * HOF formulations they replaced: identical longs for the hash, identical
+  * doubles (bit-for-bit — same IEEE op order) for the vector ops, in both
+  * codegen and interpreted evaluation, and reachable from SQL text via the
+  * SparkSessionExtensions registration. */
+class ExpressionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val P = GraftHashImpl.P
+
+  private def hofPolyHash(c: org.apache.spark.sql.Column) =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(P))
+
+  test("poly_hash equals the HOF formulation on every document and token") {
+    val doc = Tables.load(spark, sfDir, "documents")
+    val mismatches = doc
+      .select(col("text"), explode(split(col("text"), " ")).as("tok"))
+      .filter(!(poly_hash(col("text")) <=> hofPolyHash(col("text"))) ||
+              !(poly_hash(col("tok")) <=> hofPolyHash(col("tok"))))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("poly_hash edge cases: empty string is 0, null is null, range is [0, P)") {
+    val df = spark.range(1).select(
+      poly_hash(lit("")).as("empty"),
+      poly_hash(lit(null).cast("string")).as("n"),
+      poly_hash(lit("abc")).as("abc"))
+    val r = df.head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1))
+    val expected = ((0L * 31 + 'a') % P * 31 + 'b') % P * 31 + 'c'
+    assert(r.getLong(2) == expected % P)
+  }
+
+  test("dot_product and cosine_similarity are bit-identical to the HOF formulation") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val a = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val pairs = a.join(emb.filter(col("vec_id") < 100), col("qid") =!= col("vec_id"))
+    val hofDot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val hofCos = hofDot / (hofNorm(col("qe")) * hofNorm(col("e")))
+    val bad = pairs.filter(
+      !(dot_product(col("qe"), col("e")) <=> hofDot) ||
+      !(cosine_similarity(col("qe"), col("e")) <=> hofCos)).count()
+    assert(bad == 0, "expression results must be bit-identical to the HOFs")
+  }
+
+  test("expressions evaluate identically under codegen and interpreted modes") {
+    val doc = Tables.load(spark, sfDir, "documents").limit(50)
+    def result() = doc.select(col("doc_id"), poly_hash(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withCodegen = result()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = result()
+      assert(withCodegen == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+  }
+
+  test("projection over poly_hash stays inside whole-stage codegen") {
+    val doc = Tables.load(spark, sfDir, "documents")
+    val qe = doc.select(poly_hash(col("text"))).queryExecution
+    // WholeStageCodegenExec prints its span as a "*(n)" prefix in the plan
+    // tree; a ProjectExec outside codegen would print bare.
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"plan lost codegen:\n$plan")
+  }
+
+  test("SQL registration via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_poly_hash('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head
+    val expected = ((0L * 31 + 'a') % P * 31 + 'b') % P * 31 + 'c'
+    assert(r.getLong(0) == expected % P)
+    assert(r.getDouble(1) == 11.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.GraftFunctions.{cosine_similarity, poly_hash}
+
+/** Property-based algebraic laws (SURVEY §5.2.4), run through the real
+  * engine — each property builds DataFrames from generated data and checks
+  * the relational/similarity algebra Spark must preserve. */
+object GraftLaws extends Properties("graft.laws") {
+  import TestSpark._
+  import spark.implicits._
+
+  // Each property runs several Spark jobs; 10 generated cases per law keeps
+  // the suite honest without making `sbt test` minutes-long.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val ints = Gen.listOfN(25, Gen.choose(0, 20))
+  private val keyed = Gen.listOfN(20, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+
+  property("filter commutes with projection") = forAll(ints) { xs =>
+    val df = xs.toDF("x")
+    val a = df.select((col("x") * 2).as("y")).filter(col("y") > 10)
+    val b = df.filter(col("x") * 2 > 10).select((col("x") * 2).as("y"))
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+  }
+
+  property("unionAll adds counts; union-distinct equals set union") = forAll(ints, ints) { (xs, ys) =>
+    val (a, b) = (xs.toDF("x"), ys.toDF("x"))
+    a.unionAll(b).count() == xs.size + ys.size &&
+      a.union(b).distinct().count() == (xs.toSet ++ ys.toSet).size
+  }
+
+  property("dropDuplicates is idempotent and reaches the distinct count") = forAll(ints) { xs =>
+    val d1 = xs.toDF("x").dropDuplicates("x")
+    d1.count() == xs.distinct.size && d1.dropDuplicates("x").count() == d1.count()
+  }
+
+  property("inner join row count is the sum of key-multiplicity products") =
+    forAll(keyed, keyed) { (ls, rs) =>
+      val l = ls.toDF("k", "v")
+      val r = rs.toDF("k", "w")
+      val expected = ls.groupBy(_._1).map { case (k, g) =>
+        g.size.toLong * rs.count(_._1 == k)
+      }.sum
+      l.join(r, "k").count() == expected
+    }
+
+  property("left_anti plus left_semi partition the left side") = forAll(keyed, keyed) { (ls, rs) =>
+    val l = ls.toDF("k", "v")
+    val r = rs.toDF("k", "w")
+    l.join(r, Seq("k"), "left_semi").count() + l.join(r, Seq("k"), "left_anti").count() == ls.size
+  }
+
+  private val tokenArr = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+
+  property("Jaccard is within [0,1], symmetric, and 1 on self") =
+    forAll(tokenArr, tokenArr) { (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("xa", "ya")
+        .select(array_distinct(col("xa")).as("x"), array_distinct(col("ya")).as("y"))
+      def jac(a: String, b: String) =
+        size(array_intersect(col(a), col(b))).cast("double") /
+          (size(col(a)) + size(col(b)) - size(array_intersect(col(a), col(b)))).cast("double")
+      val r = df.select(jac("x", "y").as("j1"), jac("y", "x").as("j2"), jac("x", "x").as("js")).head
+      val (j1, j2, js) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      j1 >= 0.0 && j1 <= 1.0 && j1 == j2 && js == 1.0
+    }
+
+  private val vec = Gen.listOfN(8, Gen.choose(-100, 100).map(_.toDouble))
+    .suchThat(v => v.exists(_ != 0.0))
+
+  property("cosine similarity is symmetric, bounded, and 1 on self") = forAll(vec, vec) { (a, b) =>
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      cosine_similarity(col("a"), col("b")).as("ab"),
+      cosine_similarity(col("b"), col("a")).as("ba"),
+      cosine_similarity(col("a"), col("a")).as("aa")).head
+    r.getDouble(0) == r.getDouble(1) &&
+      r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9 &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9
+  }
+
+  private val asciiStr = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>
+    val df = Seq(s).toDF("s").select(poly_hash(col("s")).as("h1"), poly_hash(col("s")).as("h2"))
+    val r = df.head
+    r.getLong(0) >= 0L && r.getLong(0) < graft.functions.GraftHashImpl.P &&
+      r.getLong(0) == r.getLong(1)
+  }
+}

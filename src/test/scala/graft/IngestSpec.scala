@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.queries.Ingestion
+import graft.sources.Ingest
+
+/** Ingestion-policy tests (SURVEY §5.2.5): CSV bad-record modes, empty
+  * files, schema drift, partitioned file sinks, the JDBC writer wiring,
+  * and the end-to-end [REF]-shaped ingest job. */
+class IngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val header = "id,name,qty,price,ship_date"
+  private val goodRows = Seq(
+    "1,Widget,5,19.99,2024-01-15",
+    "3,Gears,7,5.75,2024-03-01")
+  private val badRow = "oops,Bad,notanint,alsobad,nope"
+
+  private def csvDir(rows: Seq[String]): String = {
+    val d = tempDir("csv_case")
+    Files.writeString(d.resolve("feed.csv"), (header +: rows).mkString("", "\n", "\n"))
+    d.toString
+  }
+
+  test("PERMISSIVE keeps malformed rows quarantined in the corrupt column") {
+    val df = Ingest.readCsv(spark, csvDir(goodRows :+ badRow), Ingestion.csvSchema,
+      Ingest.Permissive("_bad")).cache()
+    assert(df.count() == 3)
+    val bad = df.filter(col("_bad").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head.getAs[String]("_bad").startsWith("oops,"))
+    val clean = df.filter(col("_bad").isNull)
+    assert(clean.select(sum(col("qty"))).head.getLong(0) == 12L)
+    df.unpersist()
+  }
+
+  test("DROPMALFORMED silently drops malformed rows") {
+    val df = Ingest.readCsv(spark, csvDir(goodRows :+ badRow), Ingestion.csvSchema,
+      Ingest.DropMalformed)
+    // collect() (not count()) — under count Spark prunes every column, the
+    // parser never attempts the failing conversions, and no row is dropped.
+    // Malformedness is judged against the columns the query actually reads.
+    assert(df.collect().length == 2)
+  }
+
+  test("FAILFAST aborts on the first malformed row") {
+    val df = Ingest.readCsv(spark, csvDir(goodRows :+ badRow), Ingestion.csvSchema,
+      Ingest.FailFast)
+    intercept[Exception] { df.collect() }
+  }
+
+  test("header-only and zero-byte files yield zero rows, not errors") {
+    val d = tempDir("csv_empty")
+    Files.writeString(d.resolve("header_only.csv"), header + "\n")
+    Files.writeString(d.resolve("zero.csv"), "")
+    val df = Ingest.readCsv(spark, d.toString, Ingestion.csvSchema, Ingest.Permissive())
+    assert(df.count() == 0)
+  }
+
+  test("schema drift: a row with extra columns is quarantined under PERMISSIVE") {
+    val drifted = "7,Widget,5,19.99,2024-01-15,SURPRISE_EXTRA"
+    val df = Ingest.readCsv(spark, csvDir(goodRows :+ drifted), Ingestion.csvSchema,
+      Ingest.Permissive()).cache() // corrupt-col-only queries require a cached parse
+    try {
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    } finally df.unpersist()
+  }
+
+  test("partitioned parquet sink writes partition directories and reads back equal") {
+    val doc = Tables.load(spark, sfDir, "documents")
+    val out = tempDir("wh_parquet").toString
+    Ingest.writePartitionedParquet(doc, out, Seq("lang"))
+    val partDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("lang="))
+    assert(partDirs.nonEmpty, "expected lang=<value> partition directories")
+    val back = spark.read.parquet(out)
+    assert(back.count() == doc.count())
+    assertSameRows(
+      back.select("doc_id", "lang", "n_chars"),
+      doc.select("doc_id", "lang", "n_chars"), "partitioned parquet roundtrip")
+    // Partition pruning: a lang filter must prune the file listing.
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter should appear as a partition filter, got: ${scan.take(300)}")
+  }
+
+  test("CSV sink roundtrips through the schema'd reader") {
+    val region = Tables.load(spark, sfDir, "region")
+    val out = tempDir("wh_csv").toString
+    Ingest.writeCsv(region, out)
+    val back = Ingest.readCsv(spark, out, region.schema, Ingest.FailFast)
+    assertSameRows(back, region, "csv sink roundtrip")
+  }
+
+  test("JDBC writer/reader carry the full target configuration") {
+    val t = Ingest.JdbcTarget("jdbc:postgresql://wh:5439/dw", "public.lineitem",
+      user = "loader", password = "secret", driver = "org.postgresql.Driver",
+      batchSize = 5000)
+    val opts = Ingest.jdbcOptions(t)
+    assert(opts("url") == t.url && opts("dbtable") == t.table &&
+      opts("driver") == t.driver && opts("batchsize") == "5000")
+    // The writer/readers must construct without a live endpoint.
+    val w = new Ingest.JdbcWarehouseWriter(t)
+    w.configured(Tables.load(spark, sfDir, "region"), SaveMode.Append)
+    Ingest.jdbcRead(spark, t)
+  }
+
+  test("runIngestJob: clean/quarantine split, partitioned warehouse, status events") {
+    val src = csvDir(goodRows :+ badRow)
+    val wh = tempDir("ingest_wh").toString
+    val report = Ingest.runIngestJob(spark, src, Ingestion.csvSchema, wh, Seq("ship_date"))
+    assert(report.rowsWritten == 2, s"expected 2 clean rows, got $report")
+    assert(report.rowsQuarantined == 1)
+    assert(report.rowsRead == 3)
+    assert(new java.io.File(wh).listFiles().exists(_.getName.startsWith("ship_date=")))
+    assert(report.statuses.nonEmpty, "completion listener must record statuses")
+    assert(report.statuses.forall(_.contains("\"success\"")))
+  }
+}

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Path
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.queries.Events
+import graft.sources.Ingest
+import graft.streaming.StreamOps
+
+/** Batch/stream equivalence for every §2.5 operator (SURVEY §5.2.3): the
+  * events table is replayed file-by-file through the streaming file source
+  * and each streaming transform's drained result must equal the same
+  * transform applied to the batch frame — plus crafted late-data cases for
+  * the watermark, exactly-once on the checkpointed sink, and the CSV
+  * file-arrival trigger analog.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // The real sf0.001 events table, ns→µs normalized, split into 4 replay
+  // slices (deterministic membership by event_id, deterministic order by
+  // file modification time).
+  private lazy val eventsBatch = Tables.load(spark, sfDir, "events").cache()
+  private lazy val replayDir: Path = {
+    val d = tempDir("events_replay")
+    val t0 = 1700000000000L
+    (0 until 4).foreach { i =>
+      writeSlice(eventsBatch.filter(col("event_id") % 4 === i), d, f"slice_$i%02d", t0 + i * 60000)
+    }
+    d
+  }
+
+  private def replayStream: DataFrame =
+    spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir.toString)
+
+  test("STR-W1 tumbling window: stream replay equals batch") {
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.tumbling(replayStream), "w1_stream", complete = true)
+    assertSameRows(streamed, StreamOps.tumbling(eventsBatch), "tumbling")
+  }
+
+  test("STR-W2 sliding window: stream replay equals batch") {
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.sliding(replayStream), "w2_stream", complete = true)
+    assertSameRows(streamed, StreamOps.sliding(eventsBatch), "sliding")
+  }
+
+  test("STR-W3 session window: stream replay equals batch equals lag-gap twin") {
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.sessionWindow(replayStream), "w3_stream", complete = true)
+    val batch = StreamOps.sessionWindow(eventsBatch)
+    assertSameRows(streamed, batch, "session_window stream vs batch")
+    // Cross-algorithm: session_window must agree with the oracle-checked
+    // lag-gap sessionization (EVT-2) on (user, start, size); session_window
+    // ends at last_ts + gap while the lag-gap twin ends at last_ts, so the
+    // comparison is on start + count.
+    val viaWindow = batch.select(col("user_id"), col("session_start"), col("n_events"))
+    val viaLag = Events.all("evt2")(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assertSameRows(viaWindow, viaLag, "session_window vs lag-gap sessionization")
+  }
+
+  // Crafted frame helper for the late-data / dedup / sink cases.
+  private def ev(rows: (Long, String, Long, String, Double)*): DataFrame =
+    rows.toSeq.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("STR-WM watermark drops events later than 1h behind max event time") {
+    // Two checkpointed runs make the watermark advance deterministic: run 1
+    // processes the on-time events (max 12:00 → checkpointed watermark
+    // 11:00); run 2 sees the 10:05 straggler arrive after its 10:00 window
+    // already closed. (One AvailableNow run over both files could batch them
+    // together, leaving the watermark at 0 while the late row is processed.)
+    val d = tempDir("wm_replay")
+    val out = tempDir("wm_out").toString
+    val ckpt = tempDir("wm_ckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+        .parquet(d.toString)
+      StreamOps.runToParquetSink(StreamOps.tumblingWithWatermark(stream), out, ckpt)
+    }
+    writeSlice(ev(
+      (1L, "2024-06-01 10:01:00", 1L, "c", 1.0),
+      (2L, "2024-06-01 10:04:00", 1L, "c", 1.0),
+      (3L, "2024-06-01 12:00:00", 1L, "c", 1.0)), d, "a", 1700000000000L)
+    run()
+    writeSlice(ev(
+      (4L, "2024-06-01 10:05:00", 1L, "c", 1.0)), d, "b", 1700000060000L)
+    run()
+    // Append mode: only the finalized 10:00 window is emitted, without the
+    // late event (n=2); the 12:00 window is still open at drain end.
+    val rows = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events").collect()
+    assert(rows.length == 1, s"expected 1 finalized window, got ${rows.toSeq}")
+    assert(rows(0).getTimestamp(0) == Timestamp.valueOf("2024-06-01 10:00:00"))
+    assert(rows(0).getLong(2) == 2L, "late event must be dropped from the closed window")
+    // The batch twin (no watermark) sees all 4 events: 3 in the 10:00 window.
+    val batchN = StreamOps.tumbling(spark.read.parquet(d.toString))
+      .filter(col("window_start") === lit(Timestamp.valueOf("2024-06-01 10:00:00")))
+      .select("n_events").head.getLong(0)
+    assert(batchN == 3L, "batch (no watermark) must include the late event")
+  }
+
+  test("STR-DDP streaming dedup equals batch dropDuplicates") {
+    val d = tempDir("ddp_replay")
+    writeSlice(ev(
+      (1L, "2024-06-01 10:00:00", 1L, "c", 1.0),
+      (2L, "2024-06-01 10:01:00", 1L, "c", 1.0)), d, "a", 1700000000000L)
+    writeSlice(ev(
+      (2L, "2024-06-01 10:01:00", 1L, "c", 1.0), // duplicate id
+      (3L, "2024-06-01 10:02:00", 2L, "d", 2.0)), d, "b", 1700000060000L)
+    val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val out = tempDir("ddp_out").toString
+    StreamOps.runToParquetSink(StreamOps.dedup(stream), out, tempDir("ddp_ckpt").toString)
+    val streamed = spark.read.parquet(out)
+    val batch = spark.read.parquet(d.toString).dropDuplicates("event_id")
+    assert(streamed.count() == 3L)
+    assert(streamed.count() == batch.count())
+    assertSameRows(streamed.select("event_id", "ts", "user_id"),
+      batch.select("event_id", "ts", "user_id"), "stream vs batch dedup")
+  }
+
+  test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
+    val stream = replayStream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val drained = StreamOps.drainToMemory(
+      StreamOps.runningCounters(stream).toDF(), "state_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // Update mode emits one row per user per micro-batch; the final state is
+    // the row with the highest n_events per user.
+    val finalState = drained
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = eventsBatch.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value")).as("total_value"),
+      max(col("ts")).as("last_ts"))
+    val joined = finalState.as("s").join(batch.as("b"), "user_id")
+    assert(joined.count() == batch.count(), "one final state row per user")
+    val bad = joined.filter(
+      col("s.n_events") =!= col("b.n_events") ||
+      col("s.last_ts") =!= col("b.last_ts") ||
+      abs(col("s.total_value") - col("b.total_value")) > 1e-6).count()
+    assert(bad == 0, "per-user state must match the batch aggregate")
+  }
+
+  test("STR-SNK checkpointed parquet sink is exactly-once across restarts") {
+    val d = tempDir("snk_replay")
+    writeSlice(ev(
+      (1L, "2024-06-01 10:00:00", 1L, "c", 1.0),
+      (2L, "2024-06-01 10:01:00", 1L, "c", 1.0)), d, "a", 1700000000000L)
+    writeSlice(ev(
+      (3L, "2024-06-01 10:02:00", 2L, "d", 2.0)), d, "b", 1700000060000L)
+    val out = tempDir("snk_out").toString
+    val ckpt = tempDir("snk_ckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      StreamOps.runToParquetSink(StreamOps.dedup(stream), out, ckpt)
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3L)
+    // Restart with the same checkpoint and no new input: no reprocessing,
+    // no duplicate rows (exactly-once file sink).
+    run()
+    assert(spark.read.parquet(out).count() == 3L, "restart must not duplicate rows")
+  }
+
+  test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
+    import graft.queries.Ingestion
+    val d = tempDir("csv_arrivals")
+    java.nio.file.Files.writeString(d.resolve("f1.csv"),
+      "id,name,qty,price,ship_date\n1,Widget,5,19.99,2024-01-15\n2,\"Gadget, large\",3,249.5,2024-02-01\n")
+    java.nio.file.Files.writeString(d.resolve("f2.csv"),
+      "id,name,qty,price,ship_date\n3,\"Bolt \"\"M8\"\" steel\",100,0.25,2024-02-10\n")
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.csvFileSource(spark, d.toString, Ingestion.csvSchema),
+      "csv_stream", complete = false)
+    val batch = Ingest.readCsv(spark, d.toString, Ingestion.csvSchema, Ingest.FailFast)
+    assert(streamed.count() == 3L)
+    assertSameRows(streamed, batch, "streamed CSV vs batch CSV")
+  }
+}
