@@ -27,11 +27,10 @@ import graft.functions.GraftFunctions.{dot_product, poly_hash}
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val P = 2147483647L // 2^31-1, Mersenne prime
-  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
-    67867967L, 86028121L, 104395301L, 122949823L)
-  private val Bs = Seq(104729L, 224737L, 350377L, 479909L,
-    611953L, 746773L, 882377L, 1020379L)
+  // Shared with the MinHashSketch UDAF so query and aggregate can't drift.
+  private val P = graft.functions.MinHashSeeds.P
+  private val As = graft.functions.MinHashSeeds.As
+  private val Bs = graft.functions.MinHashSeeds.Bs
 
   /** Portable polynomial string hash: fold chars as (acc*31 + code) mod P.
     * Codegen'd custom Expression ([[graft.functions.PolyHash]]); identical
@@ -45,6 +44,94 @@ object LlmOps {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+
+  /** MinHash + LSH-banding near-dup over `documents` (SIM-3/DDP-3).
+    *
+    * Sketch: per doc, sig[i] = min over distinct tokens of
+    * (A_i * polyHash(tok) + B_i) mod P — built either from 8 builtin `min`
+    * aggregates or from the [[graft.functions.MinHashSketch]]
+    * TypedImperativeAggregate (bit-identical; asserted in ExpressionSpec).
+    *
+    * Banding: 2 bands × 4 rows — a candidate pair must agree on all 4
+    * min-slots of a band. The s-curve threshold (1/b)^(1/r) = 0.5^0.25 ≈
+    * 0.84 fits the τ=0.95 verify step; 4 bands × 2 rows (t ≈ 0.71)
+    * generated ~10M candidates at sf0.1, 500× the true near-dup count, so
+    * verification dominated the runtime. The band hash folds the 4 slots
+    * with the same 31-poly mod P both engines share; a fold collision only
+    * adds a false candidate that exact verify rejects.
+    *
+    * Bands come from ONE pass over the signature table (array-of-structs
+    * explode) and are persisted so the token-explode + per-token-hash +
+    * sketch aggregation runs exactly once — not once per band branch per
+    * join side. The shuffle carries one 8-slot signature per doc. */
+  private def minhashNearDup(doc: DataFrame, useUdaf: Boolean): DataFrame = {
+    val tok = doc.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("h", polyHash(col("tok")))
+    val sigs =
+      if (useUdaf)
+        tok.groupBy(col("doc_id"))
+          .agg(graft.functions.MinHashSketch.minhash_sketch(col("h")).as("sig"))
+          .select(col("doc_id") +: (0 until As.size).map(i =>
+            element_at(col("sig"), i + 1).as(s"s$i")): _*)
+      else {
+        val sigExprs = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+          min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
+        }
+        tok.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
+      }
+    def foldSlots(bi: Int): Column =
+      (0 to 3).map(j => col(s"s${4 * bi + j}"))
+        .foldLeft(lit(0L))((acc, s) => (acc * 31L + s) % lit(P))
+    val bandArr = array((0 until 2).map { bi =>
+      struct(lit(bi).as("band_idx"), foldSlots(bi).as("bh"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
+      .persist()
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
+    ordered(cand
+      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+      .withColumn("jac", jaccard(col("t1"), col("t2")))
+      .filter(col("jac") >= 0.95)
+      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+  }
+
+  /** DuckDB twin of [[minhashNearDup]] (both engine variants). */
+  private lazy val duckMinhashSql: String = {
+    val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % 2147483647) AS s$i"
+    }.mkString(",\n      |    ")
+    val bandRows = (0 until 2).map { bi =>
+      val fold = (0 to 3).map(j => s"s${4 * bi + j}")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 31 + $s) % 2147483647")
+      s"SELECT doc_id, $bi AS band_idx, $fold AS bh FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH h AS (
+      |  $duckTokHash
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM h GROUP BY doc_id
+      |), bands AS (
+      |  $bandRows
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |), sets AS ($duckToks)
+      |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
+      |  SELECT d1, d2,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+      |  FROM cand JOIN sets a ON cand.d1 = a.doc_id JOIN sets b ON cand.d2 = b.doc_id
+      |) WHERE jac >= 0.95
+      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
+  }
 
   // Shared DuckDB CTE fragments (token sets + portable token hash).
   private val duckToks =
@@ -164,46 +251,12 @@ object LlmOps {
     }),
 
     // ---- SIM-3 / DDP-3: MinHash + LSH banding near-dup (the sketch path) ----
-    "ddp_minhash" -> ((s, d) => {
-      val doc = load(s, d, "documents")
-      val tok = doc.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .withColumn("h", polyHash(col("tok")))
-      val sigExprs = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
-      }
-      val sigs = tok.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
-      // 2 bands × 4 rows: a candidate pair must agree on all 4 min-slots of
-      // a band. The s-curve threshold (1/b)^(1/r) = 0.5^0.25 ≈ 0.84 fits the
-      // τ=0.95 verify step; the round-2 choice (4 bands × 2 rows, t ≈ 0.71)
-      // generated ~10M candidates at sf0.1 — 500× the true near-dup count —
-      // so verification dominated the runtime. The band hash folds the four
-      // slots with the same 31-poly mod P both engines share; a fold
-      // collision only adds a false candidate that exact verify rejects.
-      // Bands come from ONE pass over the signature table (array-of-structs
-      // explode) and are persisted so the token-explode + per-token-hash +
-      // 8-way min sketch runs exactly once — not once per band branch per
-      // join side.
-      def foldSlots(bi: Int): Column =
-        (0 to 3).map(j => col(s"s${4 * bi + j}"))
-          .foldLeft(lit(0L))((acc, s) => (acc * 31L + s) % lit(P))
-      val bandArr = array((0 until 2).map { bi =>
-        struct(lit(bi).as("band_idx"), foldSlots(bi).as("bh"))
-      }: _*)
-      val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
-        .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
-        .persist()
-      val cand = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-      val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
-      ordered(cand
-        .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
-        .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
-        .withColumn("jac", jaccard(col("t1"), col("t2")))
-        .filter(col("jac") >= 0.95)
-        .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
-    }),
+    "ddp_minhash" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = false)),
+
+    // Same declared query, signature built by the MinHashSketch
+    // TypedImperativeAggregate (SURVEY §2.6) — one mutable 8-slot buffer per
+    // doc instead of 8 builtin min aggregates. Identical oracle SQL.
+    "ddp_minhash_udaf" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = true)),
 
     // ---- DDP-4: SimHash near-dup (16-bit sketch, hamming ≤ 2) ----
     "ddp_simhash" -> ((s, d) => {
@@ -427,36 +480,9 @@ object LlmOps {
         |GROUP BY text
         |ORDER BY keeper NULLS FIRST, n_copies NULLS FIRST, text_len NULLS FIRST""".stripMargin,
 
-    "ddp_minhash" -> {
-      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
-        s"MIN(($a * h + $b) % 2147483647) AS s$i"
-      }.mkString(",\n        |    ")
-      val bandRows = (0 until 2).map { bi =>
-        val fold = (0 to 3).map(j => s"s${4 * bi + j}")
-          .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 31 + $s) % 2147483647")
-        s"SELECT doc_id, $bi AS band_idx, $fold AS bh FROM sig"
-      }.mkString("\n        |  UNION ALL ")
-      s"""WITH h AS (
-        |  $duckTokHash
-        |), sig AS (
-        |  SELECT doc_id,
-        |    $sigCols
-        |  FROM h GROUP BY doc_id
-        |), bands AS (
-        |  $bandRows
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        |  FROM bands x JOIN bands y
-        |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
-        |), sets AS ($duckToks)
-        |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
-        |  SELECT d1, d2,
-        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
-        |  FROM cand JOIN sets a ON cand.d1 = a.doc_id JOIN sets b ON cand.d2 = b.doc_id
-        |) WHERE jac >= 0.95
-        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
-    },
+    "ddp_minhash" -> duckMinhashSql,
+    // The UDAF variant computes the identical signature; same oracle.
+    "ddp_minhash_udaf" -> duckMinhashSql,
 
     "ddp_simhash" -> {
       val bitSums = (0 until 16).map { b =>

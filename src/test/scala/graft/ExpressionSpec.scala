@@ -81,6 +81,24 @@ class ExpressionSpec extends AnyFunSuite {
       s"plan lost codegen:\n$plan")
   }
 
+  test("MinHashSketch UDAF equals the 8-column builtin min-aggregate sketch") {
+    import graft.functions.{MinHashSeeds, MinHashSketch}
+    val doc = Tables.load(spark, sfDir, "documents")
+    val tok = doc.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", poly_hash(col("tok")))
+    val viaUdaf = tok.groupBy(col("doc_id"))
+      .agg(MinHashSketch.minhash_sketch(col("h")).as("sig"))
+    val mins = MinHashSeeds.As.zip(MinHashSeeds.Bs).map { case (a, b) =>
+      min((lit(a) * col("h") + lit(b)) % lit(MinHashSeeds.P))
+    }
+    val viaBuiltins = tok.groupBy(col("doc_id"))
+      .agg(array(mins: _*).as("sig2"))
+    val bad = viaUdaf.join(viaBuiltins, "doc_id")
+      .filter(!(col("sig") <=> col("sig2"))).count()
+    assert(bad == 0, "UDAF signature must be bit-identical to the builtin-min sketch")
+  }
+
   test("SQL registration via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT graft_poly_hash('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
