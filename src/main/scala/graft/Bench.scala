@@ -4,11 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partitioning strategy: AQE owns the post-shuffle partition count —
+    // start from an over-partitioned initial number (4× cores here; on a
+    // real cluster a few× total executor cores) and let
+    // coalescePartitions shrink it per-stage from runtime statistics.
+    // Pinning spark.sql.shuffle.partitions itself is the wrong knob to
+    // carry to a 1000-executor cluster.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north star): media payloads ride through
+  * the engine as opaque BINARY columns beside typed metadata — no UDT, no
+  * format awareness in the engine core. Joins, filters, partitioned sinks
+  * and shuffles treat the payload as bytes; only the decode boundary
+  * interprets them.
+  *
+  * The decode step is a STUB: this environment ships no image/audio
+  * codecs, so [[DeterministicFakeDecoder]] derives fixed-shape
+  * pseudo-features from the raw bytes. Everything around it — the binary
+  * schema, the typed `Dataset`, the one-decoder-per-partition
+  * `mapPartitions` shape (what a `mapInPandas` batch decoder is in
+  * PySpark), bounded frame sampling — is real engine plumbing and is
+  * asserted in MultimodalSpec.
+  *
+  * 100 TB notes: payloads never pass through a driver collect; decode is a
+  * narrow per-partition map (no shuffle); frame sampling bounds output
+  * rows per input row, so the explode cannot amplify a partition beyond
+  * `ceil(n_bytes / frameBytes / stride)` rows.
+  */
+object Multimodal {
+  /** A media row: opaque payload + typed metadata. */
+  final case class Blob(doc_id: Long, lang: String, payload: Array[Byte])
+
+  /** Fixed-shape decoded features (what a real image decode would yield). */
+  final case class MediaFeatures(doc_id: Long, lang: String, n_bytes: Int,
+                                 width: Int, height: Int, mean_intensity: Double)
+
+  /** STUB boundary — a real deployment decodes media bytes here (JPEG →
+    * pixel array, WAV → samples). The fake is pure and deterministic in
+    * the payload so tests and reruns agree. */
+  object DeterministicFakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      val width = 16 + (n % 16)
+      val height = 16 + ((n / 16) % 16)
+      val mean =
+        if (n == 0) 0.0
+        else payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / n
+      (width, height, mean)
+    }
+  }
+
+  /** Per-partition decode + feature extraction. One decoder init per
+    * partition, rows streamed through it — the scalable batch-decode shape
+    * (narrow map, no shuffle, no driver involvement). */
+  def decodeFeatures(blobs: Dataset[Blob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { rows =>
+      // A real decoder's per-partition init (codec/model handle) goes here.
+      rows.map { b =>
+        val (w, h, mean) = DeterministicFakeDecoder.decode(b.payload)
+        MediaFeatures(b.doc_id, b.lang, b.payload.length, w, h, mean)
+      }
+    }
+  }
+
+  /** Bounded frame sampling: split `payload` into fixed-size frames and
+    * keep every `stride`-th, as (doc_id, frame_idx, frame_bytes) rows —
+    * all builtin expressions (sequence/transform/explode), codegen-able,
+    * output bounded per input row. */
+  def sampleFrames(df: DataFrame, payload: Column, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nFrames = ceil(length(payload).cast("double") / frameBytes).cast("int")
+    val idxs = filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => i % stride === 0)
+    df.withColumn("frame_idx", explode(when(length(payload) > 0, idxs).otherwise(array())))
+      .withColumn("frame",
+        substring(payload, col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+  }
+}

@@ -163,6 +163,33 @@ object LlmOps {
           dsum4S(element_at(col("embedding"), 1).cast("double")).as("sum_dim1")))
     }),
 
+    // ---- MM-2: opaque binary payload + metadata (multimodal column
+    //      pattern): media bytes survive the engine untouched; features
+    //      computed on the byte stream, not the decoded text ----
+    "mm2_binary" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val bin = col("text").cast("binary")
+      ordered(doc.select(col("doc_id"), col("lang"),
+        length(bin).as("n_bytes"),
+        md5(bin).as("content_md5"),
+        (length(bin) === length(col("text"))).as("is_ascii")))
+    }),
+
+    // ---- MM-3: per-partition decode stub over the binary payload
+    //      (mapPartitions typed pipeline; not SQL-expressible → rows-only
+    //      driver check, determinism asserted in MultimodalSpec) ----
+    "mm2_decode" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      import s.implicits._
+      val blobs = doc.select(col("doc_id"), col("lang"),
+        col("text").cast("binary").as("payload"))
+        .as[graft.operators.Multimodal.Blob]
+      ordered(graft.operators.Multimodal.decodeFeatures(blobs).toDF()
+        .select(col("doc_id"), col("lang"), col("n_bytes"),
+          col("width"), col("height"),
+          dec4S(col("mean_intensity")).as("mean_intensity")))
+    }),
+
     // ---- SIM-1: brute-force cosine top-k (query set broadcast over corpus) ----
     "sim1" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
@@ -419,6 +446,14 @@ object LlmOps {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label
         |ORDER BY lang NULLS FIRST, label NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST, sum_dim1 NULLS FIRST""".stripMargin,
+
+    "mm2_binary" ->
+      """SELECT doc_id, lang,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  (octet_length(encode(text)) = length(text)) AS is_ascii
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_bytes NULLS FIRST, content_md5 NULLS FIRST, is_ascii NULLS FIRST""".stripMargin,
 
     "sim1" ->
       """WITH base AS (

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.Multimodal
+
+/** The multimodal plumbing around the decode stub must be real: binary
+  * payloads survive the engine byte-exact, the per-partition decoder is
+  * deterministic and partition-count-independent, and frame sampling is
+  * bounded and lossless at stride 1. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def blobs = Tables.load(spark, sfDir, "documents")
+    .select(col("doc_id"), col("lang"), col("text").cast("binary").as("payload"))
+    .as[Multimodal.Blob]
+
+  test("binary payloads roundtrip byte-exact through shuffle and parquet") {
+    val out = tempDir("blob_roundtrip").toString
+    blobs.toDF().repartition(7, col("lang")).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val joined = back.as("b").join(blobs.toDF().as("o"), "doc_id")
+      .filter(!(col("b.payload") <=> col("o.payload")))
+    assert(joined.count() == 0, "payload bytes must be unchanged")
+  }
+
+  test("decodeFeatures is deterministic and independent of partitioning") {
+    val f1 = Multimodal.decodeFeatures(blobs).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(blobs.repartition(13)).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq)
+    // Spot-check against a driver-side decode of the same bytes.
+    val sample = blobs.filter(col("doc_id") === f1.head.doc_id).head
+    val (w, h, m) = Multimodal.DeterministicFakeDecoder.decode(sample.payload)
+    assert((f1.head.width, f1.head.height, f1.head.mean_intensity) == (w, h, m))
+  }
+
+  test("sampleFrames is bounded and lossless at stride 1") {
+    val df = blobs.toDF().limit(50)
+    val framed = Multimodal.sampleFrames(df, col("payload"), frameBytes = 32, stride = 1)
+    // Bounded: ceil(n_bytes / 32) frames per row.
+    val badCount = framed.groupBy(col("doc_id"), col("payload")).count()
+      .filter(col("count") =!= ceil(length(col("payload")).cast("double") / 32).cast("long"))
+      .count()
+    assert(badCount == 0, "frame count must be ceil(n_bytes/frameBytes)")
+    // Lossless: concatenating all frames in order rebuilds the payload.
+    val rebuilt = framed.orderBy(col("doc_id"), col("frame_idx"))
+      .groupBy(col("doc_id"), col("payload"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame")))).as("fs"))
+      .withColumn("joined",
+        aggregate(col("fs"), lit(Array.emptyByteArray),
+          (acc, f) => concat(acc, f.getField("frame"))))
+      .filter(!(col("joined") <=> col("payload")))
+    assert(rebuilt.count() == 0, "stride-1 frames must reassemble the payload")
+  }
+
+  test("stride sampling keeps every k-th frame only") {
+    val df = blobs.toDF().limit(20)
+    val framed = Multimodal.sampleFrames(df, col("payload"), frameBytes = 16, stride = 3)
+    assert(framed.filter(col("frame_idx") % 3 =!= 0).count() == 0)
+    assert(framed.count() > 0)
+  }
+}
