@@ -26,6 +26,17 @@ object Events {
           col("event_type"), col("n_events"), col("sum_value")))
     }),
 
+    // ---- EVT-3: sliding 10-minute window every 5 × event_type (batch twin
+    //      of STR-W2; each event lands in exactly two windows) ----
+    "evt3" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsumS(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("sum_value")))
+    }),
+
     // ---- EVT-2: lag-gap sessionization (30-minute gap) + per-session agg ----
     "evt2" -> ((s, d) => {
       val e = load(s, d, "events")
@@ -56,6 +67,22 @@ object Events {
         |  event_type, COUNT(1) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
         |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start NULLS FIRST, window_end NULLS FIRST, event_type NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
+
+    // Sliding windows in plain SQL: an event at t is in the 10-min windows
+    // starting at bucket5(t) and bucket5(t) - 5min — unnest both starts.
+    "evt3" ->
+      """WITH starts AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+        |            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes']) AS window_start
+        |  FROM events
+        |)
+        |SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+        |  event_type, COUNT(1) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+        |FROM starts
         |GROUP BY 1, 2, 3
         |ORDER BY window_start NULLS FIRST, window_end NULLS FIRST, event_type NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
 
