@@ -45,6 +45,52 @@ object LlmOps {
     size(array_intersect(a, b)).cast("double") /
       (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
 
+  /** Exact τ-Jaccard near-dup pairs via prefix-filtered inverted index
+    * (the AllPairs/PPJoin candidate generation, exact for any τ = num/den).
+    *
+    * Principle: order every doc's terms by global rarity (document
+    * frequency asc, term asc — one total order for the whole corpus). If
+    * J(A,B) ≥ τ, the docs share ≥ ⌈τ·max(|A|,|B|)⌉ terms, so at least one
+    * shared term falls inside BOTH docs' first (n − ⌈τ·n⌉ + 1) terms —
+    * only those prefix postings are indexed and joined. At τ=0.95 a prefix
+    * is ~5% of a doc's terms and rare by construction, so the equi-join
+    * fan-out collapses versus indexing all postings; candidates are then
+    * verified exactly against the full term sets. A pruned pair can never
+    * reach τ (theorem above + the lossless length band), so the declared
+    * output — and the oracle SQL — is identical to the naive pair join.
+    *
+    * 100 TB: three posting-proportional shuffles (df count, rarity rank,
+    * prefix join) replace any O(n²) structure; hot terms never join
+    * because frequent terms sort out of every prefix.
+    *
+    * Input `t` must have columns (doc_id, lang, set, n). */
+  private def prefixJaccardPairs(t: DataFrame, num: Int, den: Int): DataFrame = {
+    val g = t.select(col("doc_id"), col("lang"), col("n"), explode(col("set")).as("tok"))
+    val dfreq = g.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    // prefix length = n - ceil(τ·n) + 1, exact integer arithmetic (`div`)
+    val prefixLen = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1
+    val prefix = g.join(dfreq, Seq("lang", "tok"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+    val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
+      col("n").as("n1"), col("tok").as("tk1"))
+    val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
+      col("n").as("n2"), col("tok").as("tk2"))
+    val cand = a.join(b, col("tk1") === col("tk2") && col("l1") === col("l2") &&
+        col("d1") < col("d2") &&
+        col("n1") * den >= col("n2") * num && col("n2") * den >= col("n1") * num)
+      .select(col("d1"), col("d2")).distinct()
+    val sets = t.select(col("doc_id"), col("set"))
+    ordered(cand
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("t1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("t2")), Seq("d2"))
+      .withColumn("jac", jaccard(col("t1"), col("t2")))
+      .filter(col("jac") >= lit(num.toDouble / den))
+      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+  }
+
   /** MinHash + LSH-banding near-dup over `documents` (SIM-3/DDP-3).
     *
     * Sketch: per doc, sig[i] = min over distinct tokens of
@@ -238,35 +284,12 @@ object LlmOps {
           dec4S(col("score_raw")).as("score")))
     }),
 
-    // ---- SIM-2: exact pairwise Jaccard near-dup via inverted-index join.
-    //      Shape: explode distinct tokens -> self-equi-join on (token, lang)
-    //      with a lossless length band residual (J >= 0.95 implies
-    //      min*20 >= max*19, exact ints) -> count shared tokens per pair
-    //      (ni = |A∩B|) -> jac = ni/(n1+n2-ni). Identical output to the
-    //      naive pair join (a pair with ni = 0 can never reach any positive
-    //      threshold), but the plan is a shuffle on token postings —
-    //      proportional to sum over tokens of df², never materializing
-    //      O(n²) doc pairs or an array_intersect per pair. This is the
-    //      100 TB shape: candidates exist only for docs sharing a token. ----
+    // ---- SIM-2: exact pairwise Jaccard near-dup (τ=0.95) via the
+    //      prefix-filtered inverted index — see prefixJaccardPairs. ----
     "sim2" -> ((s, d) => {
       val doc = load(s, d, "documents")
-      val t = doc.select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
-        .withColumn("nt", size(col("toks")))
-      val g = t.select(col("doc_id"), col("lang"), col("nt"), explode(col("toks")).as("tok"))
-      val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("nt").as("n1"), col("tok").as("tk1"))
-      val b = g.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("nt").as("n2"), col("tok").as("tk2"))
-      val cand = a.join(b, col("tk1") === col("tk2") && col("l1") === col("l2") &&
-          col("d1") < col("d2") &&
-          col("n1") * 20 >= col("n2") * 19 && col("n2") * 20 >= col("n1") * 19)
-        .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-        .agg(count(lit(1)).as("ni"))
-      ordered(cand
-        .withColumn("jac", col("ni").cast("double") /
-          (col("n1") + col("n2") - col("ni")).cast("double"))
-        .filter(col("jac") >= 0.95)
-        .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+      prefixJaccardPairs(doc.select(col("doc_id"), col("lang"),
+        toks(col("text")).as("set")).withColumn("n", size(col("set"))), 19, 20)
     }),
 
     // ---- DDP-2: exact text dedup with deterministic keeper ----
@@ -307,11 +330,14 @@ object LlmOps {
         .select(col("d1"), col("d2"), col("hamming")))
     }),
 
-    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup via inverted-index
-    //      join (same shape as sim2; lossless band for J >= 0.5 is
-    //      min*2 >= max). Bigram postings are near-unique, so the equi-join
-    //      fan-out stays close to the corpus size — no O(n²) pair
-    //      materialization, no per-pair array_intersect. ----
+    // ---- DDP-5: word-bigram (n-gram) Jaccard near-dup (τ=0.5) via the
+    //      counting inverted index: explode grams -> self-equi-join on
+    //      (gram, lang) with the lossless length band (min*2 >= max) ->
+    //      count shared grams per pair -> jac = ni/(n1+n2-ni). At low τ a
+    //      prefix filter admits too many candidates (a τ=0.5 prefix is
+    //      half the doc) and per-pair verify dominates — measured 46s vs
+    //      19s at sf0.1 — so counting wins; at open-web corpus scale a
+    //      low-τ exact join routes through the MinHash path instead. ----
     "ddp_ngram" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val words = split(col("text"), " ")
