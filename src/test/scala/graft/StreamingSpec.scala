@@ -178,6 +178,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3L, "restart must not duplicate rows")
   }
 
+  test("StreamingStatusListener emits started/progress/terminated statuses") {
+    val listener = new graft.streaming.StreamingStatusListener
+    spark.streams.addListener(listener)
+    try {
+      val d = tempDir("status_replay")
+      writeSlice(ev((1L, "2024-06-01 10:00:00", 1L, "c", 1.0)), d, "a", 1700000000000L)
+      val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+        .parquet(d.toString)
+      StreamOps.runToParquetSink(StreamOps.dedup(stream),
+        tempDir("status_out").toString, tempDir("status_ckpt").toString)
+      // Listener events are delivered asynchronously; poll briefly.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def done = listener.statuses.exists(_.contains("\"completed\""))
+      while (!done && System.nanoTime() < deadline) Thread.sleep(50)
+      val st = listener.statuses
+      assert(st.exists(_.contains("\"started\"")), s"missing started: $st")
+      assert(st.exists(_.contains("\"progress\"")), s"missing progress: $st")
+      assert(st.exists(_.contains("\"completed\"")), s"missing completed: $st")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
