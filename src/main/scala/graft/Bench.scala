@@ -35,6 +35,9 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // Queries may persist() intermediates (e.g. minhash band tables);
+      // drop them so measurements stay independent across queries.
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
