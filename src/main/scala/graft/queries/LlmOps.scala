@@ -110,7 +110,9 @@ object LlmOps {
     * explode) and are persisted so the token-explode + per-token-hash +
     * sketch aggregation runs exactly once — not once per band branch per
     * join side. The shuffle carries one 8-slot signature per doc. */
-  private def minhashNearDup(doc: DataFrame, useUdaf: Boolean): DataFrame = {
+  /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
+    * candidate pipeline — shared by the pair queries and ddp_cluster. */
+  private def minhashPairs(doc: DataFrame, useUdaf: Boolean): DataFrame = {
     val tok = doc.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
     val sigs =
@@ -139,16 +141,74 @@ object LlmOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
     val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
-    ordered(cand
+    cand
       .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
       .withColumn("jac", jaccard(col("t1"), col("t2")))
       .filter(col("jac") >= 0.95)
-      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+      .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** DuckDB twin of [[minhashNearDup]] (both engine variants). */
-  private lazy val duckMinhashSql: String = {
+  private def minhashNearDup(doc: DataFrame, useUdaf: Boolean): DataFrame =
+    ordered(minhashPairs(doc, useUdaf)
+      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+
+  /** DDP-CLUSTER: near-dup cluster assignment — the operator a dedup
+    * pipeline actually keys on. Pair queries are inherently quadratic in
+    * cluster size (a k-clique of dups emits k(k-1)/2 edges); what the
+    * pipeline needs is ONE row per doc: its connected component over the
+    * near-dup graph and whether it is the elected keeper (min doc_id).
+    *
+    * Implementation is Hash-Min label propagation: every doc starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels; converges to the component minimum in O(diameter)
+    * rounds (near-dup clusters are near-cliques, so 2-3). Each round is
+    * one shuffle join + aggregate — the standard distributed CC shape
+    * (GraphX/Pregel Hash-Min) with no driver-side data, only a
+    * convergence flag. Labels only ever decrease, so the fixpoint test
+    * (any label changed?) is exact. Edges are persisted once; the DuckDB
+    * twin walks the same graph with a recursive CTE. */
+  private def clusterAssign(doc: DataFrame, edges0: DataFrame): DataFrame = {
+    // localCheckpoint (eager) truncates lineage each round — without it the
+    // round-N plan chains through every previous round plus the whole
+    // minhash pipeline, and planning/broadcast state OOMs the driver.
+    val edges = edges0.select(col("d1"), col("d2")).localCheckpoint()
+    val sym = edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    var labels = doc.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = sym.join(labels, sym("d2") === labels("doc_id"))
+        .groupBy(col("d1")).agg(min(col("label")).as("nl"))
+      val stepped = labels.as("l")
+        .join(neighborMin.as("n"), col("l.doc_id") === col("n.d1"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
+      // Pointer jumping: follow label -> label(label) once per round, so a
+      // min label crosses 2^k hops in k rounds instead of k hops (11 -> ~5
+      // rounds measured at sf0.1). Labels are doc_ids, so the lookup is a
+      // (tiny) self-join on the label table.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("ld"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.ld"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("a").join(labels.as("b"), "doc_id")
+        .filter(col("a.label") =!= col("b.label")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    System.err.println(s"[ddp_cluster] converged after $rounds rounds")
+    ordered(labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_keeper")))
+  }
+
+  /** Shared CTE block ending in `verified(d1, d2, jac)` — the minhash
+    * candidate + exact-verify pipeline, used by the pair queries and the
+    * cluster-assignment twin. */
+  private lazy val duckMinhashCtes: String = {
     val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * h + $b) % 2147483647) AS s$i"
     }.mkString(",\n      |    ")
@@ -157,7 +217,7 @@ object LlmOps {
         .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 31 + $s) % 2147483647")
       s"SELECT doc_id, $bi AS band_idx, $fold AS bh FROM sig"
     }.mkString("\n      |  UNION ALL ")
-    s"""WITH h AS (
+    s"""h AS (
       |  $duckTokHash
       |), sig AS (
       |  SELECT doc_id,
@@ -169,15 +229,37 @@ object LlmOps {
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM bands x JOIN bands y
       |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
-      |), sets AS ($duckToks)
-      |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac FROM (
-      |  SELECT d1, d2,
-      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
-      |  FROM cand JOIN sets a ON cand.d1 = a.doc_id JOIN sets b ON cand.d2 = b.doc_id
-      |) WHERE jac >= 0.95
-      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
+      |), sets AS ($duckToks), verified AS (
+      |  SELECT d1, d2, jac FROM (
+      |    SELECT d1, d2,
+      |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+      |    FROM cand JOIN sets a ON cand.d1 = a.doc_id JOIN sets b ON cand.d2 = b.doc_id
+      |  ) WHERE jac >= 0.95
+      |)""".stripMargin
   }
+
+  /** DuckDB twin of [[minhashNearDup]] (both engine variants). */
+  private lazy val duckMinhashSql: String =
+    s"""WITH $duckMinhashCtes
+      |SELECT d1, d2, CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac
+      |FROM verified
+      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
+
+  /** DuckDB twin of [[clusterAssign]]: recursive reachability over the
+    * symmetric near-dup edge set; a doc's cluster id is the minimum
+    * doc_id reachable from it. */
+  private lazy val duckClusterSql: String =
+    s"""WITH RECURSIVE $duckMinhashCtes, edges AS (
+      |  SELECT d1, d2 FROM verified UNION ALL SELECT d2 AS d1, d1 AS d2 FROM verified
+      |), walk(doc_id, r) AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT w.doc_id, e.d2 AS r FROM walk w JOIN edges e ON w.r = e.d1
+      |)
+      |SELECT doc_id, MIN(r) AS cluster_id, (doc_id = MIN(r)) AS is_keeper
+      |FROM walk GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST, cluster_id NULLS FIRST, is_keeper NULLS FIRST""".stripMargin
 
   // Shared DuckDB CTE fragments (token sets + portable token hash).
   private val duckToks =
@@ -307,6 +389,13 @@ object LlmOps {
     // TypedImperativeAggregate (SURVEY §2.6) — one mutable 8-slot buffer per
     // doc instead of 8 builtin min aggregates. Identical oracle SQL.
     "ddp_minhash_udaf" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = true)),
+
+    // DDP-CLUSTER: one row per doc — connected component over the verified
+    // near-dup graph + keeper election (see clusterAssign).
+    "ddp_cluster" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      clusterAssign(doc, minhashPairs(doc, useUdaf = true))
+    }),
 
     // ---- DDP-4: SimHash near-dup (16-bit sketch, hamming ≤ 2) ----
     "ddp_simhash" -> ((s, d) => {
@@ -544,6 +633,7 @@ object LlmOps {
     "ddp_minhash" -> duckMinhashSql,
     // The UDAF variant computes the identical signature; same oracle.
     "ddp_minhash_udaf" -> duckMinhashSql,
+    "ddp_cluster" -> duckClusterSql,
 
     "ddp_simhash" -> {
       val bitSums = (0 until 16).map { b =>
