@@ -397,23 +397,48 @@ object LlmOps {
       clusterAssign(doc, minhashPairs(doc, useUdaf = true))
     }),
 
-    // ---- DDP-4: SimHash near-dup (16-bit sketch, hamming ≤ 2) ----
+    // ---- DDP-4: SimHash near-dup (62-bit sketch, hamming ≤ 2), banded.
+    //      Signature: per-bit weighted sums over TWO portable 31-bit token
+    //      hash streams (h and h2 = (A0·h + B0) mod P) — 62 bits total, the
+    //      Manku-et-al-style wide fingerprint a real dedup needs (a 16-bit
+    //      sig can't discriminate beyond toy corpora). Candidates come from
+    //      an EQUI join on 16-bit signature chunks: hamming ≤ 2 corrupts at
+    //      most 2 of the 4 chunks, so every qualifying pair agrees exactly
+    //      on ≥ 2 (pigeonhole) — and a wide signature makes chunk buckets
+    //      sparse, so the join fan-out tracks the true near-dup count
+    //      instead of n²/lang. Exact bit_count verify closes the loop. ----
     "ddp_simhash" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val tok = doc.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
         .withColumn("h", polyHash(col("tok")))
-      val bitSums = (0 until 16).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$b")
+        .withColumn("h2", (lit(As.head) * col("h") + lit(Bs.head)) % lit(P))
+      def bitOf(j: Int): Column =
+        if (j < 31) shiftright(col("h"), j) else shiftright(col("h2"), j - 31)
+      val bitSums = (0 until 62).map { j =>
+        sum(when(bitOf(j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
       }
       val sig = tok.groupBy(col("doc_id"), col("lang")).agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash", (0 until 16).map { b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        .withColumn("simhash", (0 until 62).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _))
         .select(col("doc_id"), col("lang"), col("simhash"))
-      val a = sig.select(col("doc_id").as("d1"), col("lang").as("l1"), col("simhash").as("h1"))
-      val b = sig.select(col("doc_id").as("d2"), col("lang").as("l2"), col("simhash").as("h2"))
-      ordered(a.join(b, col("l1") === col("l2") && col("d1") < col("d2"))
+        .persist()
+      val chunks = array((0 until 4).map { ci =>
+        struct(lit(ci).as("ci"),
+          shiftright(col("simhash"), 16 * ci).bitwiseAND(lit(0xFFFFL)).as("cv"))
+      }: _*)
+      val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(chunks).as("c"))
+        .select(col("doc_id"), col("lang"), col("simhash"),
+          col("c.ci").as("ci"), col("c.cv").as("cv"))
+      val a = banded.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("simhash").as("h1"), col("ci").as("ci1"), col("cv").as("cv1"))
+      val b = banded.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("simhash").as("h2"), col("ci").as("ci2"), col("cv").as("cv2"))
+      val cand = a.join(b, col("ci1") === col("ci2") && col("cv1") === col("cv2") &&
+          col("l1") === col("l2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      ordered(cand
         .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
         .filter(col("hamming") <= 2)
         .select(col("d1"), col("d2"), col("hamming")))
@@ -636,18 +661,21 @@ object LlmOps {
     "ddp_cluster" -> duckClusterSql,
 
     "ddp_simhash" -> {
-      val bitSums = (0 until 16).map { b =>
-        s"SUM(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+      val bitSums = (0 until 62).map { j =>
+        val src = if (j < 31) s"(h // ${1L << j})" else s"(h2 // ${1L << (j - 31)})"
+        s"SUM(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
       }.mkString(",\n        |    ")
-      val compose = (0 until 16).map { b =>
-        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+      val compose = (0 until 62).map { j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH h AS (
         |  $duckTokHash
+        |), hh AS (
+        |  SELECT doc_id, lang, h, (${As.head} * h + ${Bs.head}) % 2147483647 AS h2 FROM h
         |), bits AS (
         |  SELECT doc_id, lang,
         |    $bitSums
-        |  FROM h GROUP BY doc_id, lang
+        |  FROM hh GROUP BY doc_id, lang
         |), sig AS (
         |  SELECT doc_id, lang, CAST($compose AS BIGINT) AS simhash FROM bits
         |)
