@@ -246,20 +246,40 @@ object LlmOps {
       |FROM verified
       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin
 
-  /** DuckDB twin of [[clusterAssign]]: recursive reachability over the
-    * symmetric near-dup edge set; a doc's cluster id is the minimum
-    * doc_id reachable from it. */
-  private lazy val duckClusterSql: String =
-    s"""WITH RECURSIVE $duckMinhashCtes, edges AS (
+  /** Recursive-reachability CTE block ending in `clusters(doc_id,
+    * cluster_id)` — DuckDB twin of [[clusterAssign]]'s fixpoint. */
+  private lazy val duckClusterCtes: String =
+    s"""$duckMinhashCtes, edges AS (
       |  SELECT d1, d2 FROM verified UNION ALL SELECT d2 AS d1, d1 AS d2 FROM verified
       |), walk(doc_id, r) AS (
       |  SELECT doc_id, doc_id AS r FROM documents
       |  UNION
       |  SELECT w.doc_id, e.d2 AS r FROM walk w JOIN edges e ON w.r = e.d1
-      |)
-      |SELECT doc_id, MIN(r) AS cluster_id, (doc_id = MIN(r)) AS is_keeper
-      |FROM walk GROUP BY doc_id
+      |), clusters AS (
+      |  SELECT doc_id, MIN(r) AS cluster_id FROM walk GROUP BY doc_id
+      |)""".stripMargin
+
+  private lazy val duckClusterSql: String =
+    s"""WITH RECURSIVE $duckClusterCtes
+      |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
+      |FROM clusters
       |ORDER BY doc_id NULLS FIRST, cluster_id NULLS FIRST, is_keeper NULLS FIRST""".stripMargin
+
+  /** DuckDB twin of the end-to-end cleaning pipeline (`pipeline_clean`). */
+  private lazy val duckPipelineSql: String =
+    s"""WITH RECURSIVE $duckClusterCtes, quality AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+      |), kept AS (
+      |  SELECT q.doc_id, q.lang, q.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY q.doc_id ASC) AS rk
+      |  FROM quality q JOIN clusters c ON q.doc_id = c.doc_id
+      |)
+      |SELECT lang, COUNT(1) AS n_kept,
+      |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars
+      |FROM kept WHERE rk = 1
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST, avg_chars NULLS FIRST""".stripMargin
 
   // Shared DuckDB CTE fragments (token sets + portable token hash).
   private val duckToks =
@@ -395,6 +415,26 @@ object LlmOps {
     "ddp_cluster" -> ((s, d) => {
       val doc = load(s, d, "documents")
       clusterAssign(doc, minhashPairs(doc, useUdaf = true))
+    }),
+
+    // PIPELINE: the end-to-end training-data cleaning shape — quality
+    // filter, then near-dup cluster assignment, then keep one doc per
+    // cluster (the keeper among surviving docs), reporting per-lang
+    // retention. Composes TXT quality + SIM-3 clustering + AGG; this is
+    // the query an LLM data pipeline runs nightly.
+    "pipeline_clean" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val clusters = clusterAssign(doc, minhashPairs(doc, useUdaf = true))
+        .select(col("doc_id"), col("cluster_id"))
+      val quality = doc.filter(col("n_chars") >= 100 &&
+          size(split(col("text"), " ")) >= 20)
+      val kept = quality.join(clusters, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("doc_id").asc)))
+        .filter(col("rk") === 1)
+      ordered(kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_kept"),
+        davgS(col("n_chars")).as("avg_chars")))
     }),
 
     // ---- DDP-4: SimHash near-dup (62-bit sketch, hamming ≤ 2), banded.
@@ -659,6 +699,7 @@ object LlmOps {
     // The UDAF variant computes the identical signature; same oracle.
     "ddp_minhash_udaf" -> duckMinhashSql,
     "ddp_cluster" -> duckClusterSql,
+    "pipeline_clean" -> duckPipelineSql,
 
     "ddp_simhash" -> {
       val bitSums = (0 until 62).map { j =>
