@@ -132,6 +132,10 @@ object GraftFunctions {
   * `graft_poly_hash` / `graft_dot` / `graft_cosine` available to SQL text. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator chain (graft.plans): custom logical leaf + pushdown
+    // rule + planner strategy + physical exec.
+    ext.injectOptimizerRule(_ => new graft.plans.PushFilterIntoGraftSequence)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
