@@ -358,6 +358,46 @@ object LlmOps {
           dec4S(col("score_raw")).as("score")))
     }),
 
+    // ---- SIM-1c: MULTI-TABLE LSH ANN — two independent sign-bit hash
+    //      tables (dims 1-3 and dims 4-6); candidates are the union of
+    //      same-bucket matches from either table. Multi-table is the
+    //      standard recall lever for LSH at scale: a neighbor missed by
+    //      one table's cut planes is caught by the other's, while each
+    //      one table's cut planes is caught by the other's. With a small
+    //      broadcast query set the bucket test is a cheap residual; for
+    //      corpus×corpus ANN the same semantics become a unionAll of two
+    //      per-table equi-joins + distinct. Exact cosine + per-query
+    //      top-k over the candidate set. ----
+    "sim1_lsh_multi" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      def signBucket(d1: Int, d2: Int, d3: Int) =
+        (when(element_at(col("e"), d1) > 0.0, 4).otherwise(0) +
+          when(element_at(col("e"), d2) > 0.0, 2).otherwise(0) +
+          when(element_at(col("e"), d3) > 0.0, 1).otherwise(0)).cast("int")
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+        .withColumn("b1", signBucket(1, 2, 3))
+        .withColumn("b2", signBucket(4, 5, 6))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"), col("b1").as("qb1"), col("b2").as("qb2"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("b1").as("cb1"), col("b2").as("cb2"))
+      val cand = broadcast(q).join(c,
+        (col("qb1") === col("cb1") || col("qb2") === col("cb2")) &&
+          col("query_id") =!= col("neighbor_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      ordered(cand
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("score_raw")).as("score")))
+    }),
+
     // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
     //      the 100 TB path: candidates only within the same bucket ----
     "sim1_lsh" -> ((s, d) => {
@@ -652,6 +692,32 @@ object LlmOps {
         |)
         |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "sim1_lsh_multi" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST((CASE WHEN embedding[1] > 0.0 THEN 4 ELSE 0 END) +
+        |         (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN embedding[3] > 0.0 THEN 1 ELSE 0 END) AS INT) AS b1,
+        |    CAST((CASE WHEN embedding[4] > 0.0 THEN 4 ELSE 0 END) +
+        |         (CASE WHEN embedding[5] > 0.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN embedding[6] > 0.0 THEN 1 ELSE 0 END) AS INT) AS b2
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS score_raw
+        |  FROM base q JOIN base c
+        |    ON q.vec_id < 10 AND (q.b1 = c.b1 OR q.b2 = c.b2) AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+        |FROM ranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
 
     "sim1_lsh" ->
