@@ -398,6 +398,55 @@ object LlmOps {
           dec4S(col("score_raw")).as("score")))
     }),
 
+    // ---- SIM-1d: IVF ANN — coarse quantizer + inverted cell lists.
+    //      Centroids: per-label element-wise means with every dimension
+    //      dec4-quantized (tie-safe, so both engines hold bit-identical
+    //      centroid vectors). Each vector is assigned to its nearest
+    //      centroid by cosine (ties by label); a query probes its 2
+    //      nearest cells and scores exactly only against vectors assigned
+    //      there. The IVF shape at 100 TB: the corpus is partitioned by
+    //      cell (inverted lists), a probe touches nprobe/ncells of the
+    //      data, and the centroid table is a broadcast. ----
+    "sim1_ivf" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val joined = doc.join(emb, doc("doc_id") === emb("vec_id"))
+        .select(col("label"), col("vec_id"), dbl.as("e"))
+      val centCols = (1 to 64).map { i =>
+        dec4(dsum4(element_at(col("e"), i)).cast("double") / count(lit(1)))
+          .cast("double").as(s"c$i")
+      }
+      val cent = joined.groupBy(col("label")).agg(centCols.head, centCols.tail: _*)
+        .select(col("label").as("cell_label"),
+          array((1 to 64).map(i => col(s"c$i")): _*).as("ce"))
+        .withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
+      val vecs = joined.select(col("vec_id"), col("e"))
+        .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cell_label").asc)
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("cscore", dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
+        .withColumn("crn", row_number().over(byVec))
+      val cells = assigned.filter(col("crn") === 1)
+        .select(col("vec_id"), col("e"), col("vn"), col("cell_label").as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("vn").as("qn"), col("cell_label").as("pcell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      ordered(broadcast(probes)
+        .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+          col("vn").as("cn2"), col("cell")),
+          col("pcell") === col("cell") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("score_raw")).as("score")))
+    }),
+
     // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
     //      the 100 TB path: candidates only within the same bucket ----
     "sim1_lsh" -> ((s, d) => {
@@ -693,6 +742,51 @@ object LlmOps {
         |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "sim1_ivf" -> {
+      val centCols = (1 to 64).map { i =>
+        s"CAST(CAST(floor((CAST(SUM(CAST(floor((CAST(embedding[$i] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS c$i"
+      }.mkString(",\n        |    ")
+      val ceList = (1 to 64).map(i => s"c$i").mkString("[", ", ", "]")
+      // NOTE: the cent0 body must stay alias-free — DuckDB 1.0's binder
+      // loses CTE-internal table aliases when the CTE feeds a later cross
+      // join ("Referenced table d not found ... Candidate tables: v").
+      s"""WITH cent0 AS (
+        |  SELECT label,
+        |    $centCols
+        |  FROM documents JOIN embeddings ON doc_id = vec_id
+        |  GROUP BY label
+        |), cent AS (
+        |  SELECT label AS cell_label, $ceList AS ce FROM cent0
+        |), centn AS (
+        |  SELECT cell_label, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cent
+        |), vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+        |  FROM embeddings
+        |), assigned AS (
+        |  SELECT v.vec_id, v.e, v.vn, c.cell_label,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2])) / (v.vn * c.cn) DESC,
+        |      c.cell_label ASC) AS INT) AS crn
+        |  FROM vecs v CROSS JOIN centn c
+        |), cells AS (
+        |  SELECT vec_id, e, vn, cell_label AS cell FROM assigned WHERE crn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
+        |  FROM assigned WHERE vec_id < 10 AND crn <= 2
+        |), ranked AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) AS score_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM probes p JOIN cells c ON p.pcell = c.cell AND p.query_id <> c.vec_id
+        |)
+        |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin
+    },
 
     "sim1_lsh_multi" ->
       """WITH base AS (
