@@ -50,6 +50,20 @@ object Scalars {
         make_date(lit(2024), lit(1), lit(15)).as("fixed_date")))
     }),
 
+    // ---- DTE-2: calendar arithmetic (quarter / ISO week / month-add with
+    //      end-of-month clamping / last_day / day-of-year / quarter trunc) ----
+    "dte2" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o.select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr_start")))
+    }),
+
     // ---- MTH-1: math functions ----
     "mth1" -> ((s, d) => {
       val p = load(s, d, "part")
@@ -194,6 +208,17 @@ object Scalars {
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         |  make_date(2024, 1, 15) AS fixed_date
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "dte2" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
         |FROM orders
         |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
 
