@@ -37,6 +37,14 @@ object Events {
           col("event_type"), col("n_events"), col("sum_value")))
     }),
 
+    // ---- EVT-4: click→purchase attribution (batch twin of STR-JOIN):
+    //      interval-bounded self-join on user, purchase within 10 minutes
+    //      after the click ----
+    "evt4" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(graft.streaming.StreamOps.clickPurchaseJoin(e, e))
+    }),
+
     // ---- EVT-2: lag-gap sessionization (30-minute gap) + per-session agg ----
     "evt2" -> ((s, d) => {
       val e = load(s, d, "events")
@@ -85,6 +93,16 @@ object Events {
         |FROM starts
         |GROUP BY 1, 2, 3
         |ORDER BY window_start NULLS FIRST, window_end NULLS FIRST, event_type NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
+
+    "evt4" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+        |  l.user_id AS user_id,
+        |  CAST(l.ts AS TIMESTAMP) AS click_ts, CAST(r.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+        |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST, l.user_id NULLS FIRST, click_ts NULLS FIRST, purchase_ts NULLS FIRST""".stripMargin,
 
     "evt2" ->
       """WITH flagged AS (

@@ -86,6 +86,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** STR-JOIN: stream-stream inner join — correlate each click with the
+    * same user's purchases in the following 10 minutes. Both sides carry
+    * watermarks and the join condition bounds purchase_ts to a range of
+    * click_ts, so the state store can evict a click once the watermark
+    * passes its match window and reject late rows symmetrically — the
+    * bounded-state equijoin shape streaming joins need at scale. The same
+    * function applied to bounded frames is the batch twin (watermarks are
+    * no-ops in batch); equivalence holds under time-ordered replay and is
+    * asserted in StreamingSpec. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val r = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    l.join(r, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** STR-DDP: streaming dedup on event_id within the watermark horizon.
     * The event-time column is part of the dedup key — the structured
     * streaming guide's bounded-state pattern: state for (event_id, ts) is

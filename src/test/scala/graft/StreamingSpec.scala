@@ -178,6 +178,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3L, "restart must not duplicate rows")
   }
 
+  test("STR-JOIN stream-stream join equals batch join under time-ordered replay") {
+    // Time-ordered slices: watermark advances monotonically, so no click's
+    // match window closes before its possible purchases arrive (a randomly
+    // sliced replay would legitimately drop cross-slice matches as late).
+    val d = tempDir("join_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    def stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.clickPurchaseJoin(stream, stream), "ssjoin_stream", complete = false)
+    val batch = StreamOps.clickPurchaseJoin(eventsBatch, eventsBatch)
+    assert(streamed.count() > 0, "join must produce matches on this corpus")
+    assertSameRows(streamed, batch, "stream-stream join vs batch join")
+  }
+
   test("StreamingStatusListener emits started/progress/terminated statuses") {
     val listener = new graft.streaming.StreamingStatusListener
     spark.streams.addListener(listener)
