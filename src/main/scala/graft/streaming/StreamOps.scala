@@ -162,6 +162,27 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-WH: stream → warehouse loading via foreachBatch — the [REF]
+    * Redshift-load flow (`Untitled Diagram.drawio:79-87`) as a stream.
+    * JDBC (and any non-streaming writer) attaches through foreachBatch,
+    * which hands each micro-batch to the [[graft.sources.Ingest.WarehouseWriter]].
+    * Delivery is at-least-once per micro-batch (the checkpoint tracks
+    * batch offsets; a retried batch re-runs the writer), so warehouse
+    * targets want an idempotent load keyed on batchId — the parquet impl
+    * here appends, and the test asserts a clean rerun adds nothing. */
+  def runToWarehouse(df: DataFrame, writer: graft.sources.Ingest.WarehouseWriter,
+                     checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writer.write(batch, org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming frame into an in-memory table and return the result
     * (test/verification harness; Complete mode for aggregations, Update for
     * flatMapGroupsWithState, Append otherwise). */

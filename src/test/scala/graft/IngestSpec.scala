@@ -110,6 +110,24 @@ class IngestSpec extends AnyFunSuite {
     Ingest.jdbcRead(spark, t)
   }
 
+  test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {
+    import graft.streaming.StreamOps
+    val d = tempDir("wh_stream_src")
+    Files.writeString(d.resolve("f1.csv"), (header +: goodRows).mkString("", "\n", "\n"))
+    val wh = tempDir("wh_stream_out").toString
+    val ckpt = tempDir("wh_stream_ckpt").toString
+    val writer = new Ingest.ParquetWarehouseWriter(wh)
+    def run(): Unit = StreamOps.runToWarehouse(
+      StreamOps.csvFileSource(spark, d.toString, Ingestion.csvSchema), writer, ckpt)
+    run()
+    assert(spark.read.parquet(wh).count() == 2)
+    run() // same checkpoint, no new files: at-least-once but no reprocessing
+    assert(spark.read.parquet(wh).count() == 2, "rerun must not reload batches")
+    assertSameRows(spark.read.parquet(wh),
+      Ingest.readCsv(spark, d.toString, Ingestion.csvSchema, Ingest.FailFast),
+      "warehouse content vs batch read")
+  }
+
   test("runIngestJob: clean/quarantine split, partitioned warehouse, status events") {
     val src = csvDir(goodRows :+ badRow)
     val wh = tempDir("ingest_wh").toString
