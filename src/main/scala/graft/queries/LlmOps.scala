@@ -168,26 +168,39 @@ object LlmOps {
     * convergence flag. Labels only ever decrease, so the fixpoint test
     * (any label changed?) is exact. Edges are persisted once; the DuckDB
     * twin walks the same graph with a recursive CTE. */
-  private def clusterAssign(doc: DataFrame, edges0: DataFrame): DataFrame = {
-    // localCheckpoint (eager) truncates lineage each round — without it the
-    // round-N plan chains through every previous round plus the whole
-    // minhash pipeline, and planning/broadcast state OOMs the driver.
+  private[graft] def clusterAssign(doc: DataFrame, edges0: DataFrame): DataFrame = {
+    // Alternating-contraction Hash-Min. Invariant entering each round: the
+    // symmetric edge set `sym` connects CURRENT label values (round 0:
+    // labels are identity, so raw doc edges qualify). Each round:
+    //   1. min-propagate: a label node takes the min of itself and its
+    //      edge neighbors; docs inherit through their label.
+    //   2. pointer-jump: label -> label(label), so a min crosses 2^k hops
+    //      in k rounds.
+    //   3. contract: relabel edge endpoints under the new labels and drop
+    //      intra-cluster loops — after round one the edge set collapses
+    //      from |E| to the handful of unmerged cross-cluster links, so
+    //      only the first round pays a full |E| scan.
+    // localCheckpoint (eager) truncates lineage at every step — without it
+    // the round-N plan chains through all prior rounds plus the whole
+    // minhash pipeline and OOMs the driver. Convergence (no label moved)
+    // is exact: labels only ever decrease.
     val edges = edges0.select(col("d1"), col("d2")).localCheckpoint()
-    val sym = edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    var sym = edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
     var labels = doc.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val neighborMin = sym.join(labels, sym("d2") === labels("doc_id"))
-        .groupBy(col("d1")).agg(min(col("label")).as("nl"))
+      // 1. Edge endpoints are label values, so min-propagation needs no
+      //    doc-level join: min neighbor label per label node...
+      val neighborMin = sym.groupBy(col("d1")).agg(min(col("d2")).as("nl"))
+      //    ...applied to every doc through its current label.
       val stepped = labels.as("l")
-        .join(neighborMin.as("n"), col("l.doc_id") === col("n.d1"), "left")
+        .join(neighborMin.as("n"), col("l.label") === col("n.d1"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
-      // Pointer jumping: follow label -> label(label) once per round, so a
-      // min label crosses 2^k hops in k rounds instead of k hops (11 -> ~5
-      // rounds measured at sf0.1). Labels are doc_ids, so the lookup is a
-      // (tiny) self-join on the label table.
+        .localCheckpoint()
+      // 2. Pointer jump (labels are doc_ids, so the lookup is a self-join).
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("ld"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ld"), "left")
@@ -196,6 +209,18 @@ object LlmOps {
         .localCheckpoint()
       converged = next.as("a").join(labels.as("b"), "doc_id")
         .filter(col("a.label") =!= col("b.label")).isEmpty
+      // 3. Contract the graph under the new labels.
+      if (!converged) {
+        sym = sym
+          .join(next.select(col("doc_id").as("j1"), col("label").as("nl1")),
+            col("d1") === col("j1"))
+          .join(next.select(col("doc_id").as("j2"), col("label").as("nl2")),
+            col("d2") === col("j2"))
+          .select(col("nl1").as("d1"), col("nl2").as("d2"))
+          .filter(col("d1") =!= col("d2"))
+          .distinct()
+          .localCheckpoint()
+      }
       labels = next
       rounds += 1
     }

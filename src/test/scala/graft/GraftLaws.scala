@@ -82,6 +82,29 @@ object GraftLaws extends Properties("graft.laws") {
       math.abs(r.getDouble(2) - 1.0) < 1e-9
   }
 
+  // Random sparse graphs over 12 nodes: the distributed alternating-
+  // contraction Hash-Min must agree with a driver-side union-find that
+  // always attaches the larger root under the smaller (so every root is
+  // its component minimum) — chains, cycles, self-merges, empty graphs.
+  private val edgeList = Gen.listOfN(15,
+    Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))).map(_.filter(p => p._1 != p._2))
+
+  property("clusterAssign equals driver-side union-find component minima") =
+    forAll(edgeList) { es =>
+      val docs = (0L to 11L).toDF("doc_id")
+      val edges = es.toDF("d1", "d2")
+      val result = graft.queries.LlmOps.clusterAssign(docs, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map((0L to 11L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L to 11L).forall(i => result(i) == find(i))
+    }
+
   private val asciiStr = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
 
   property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>
