@@ -113,6 +113,28 @@ object Relational {
           cstr(min_by(dec(col("o_totalprice")), col("o_orderkey")).cast(dt)).as("first_price")))
     }),
 
+    // ---- AGG-6: boolean / conditional aggregates ----
+    "agg6" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        count_if(col("l_tax") === 0.0).as("n_taxfree")))
+    }),
+
+    // ---- WIN-4: interval range frame — rolling 10-minute per-user window
+    //      over event time (the analytic twin of a sliding stream agg) ----
+    "win4" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-600, Window.currentRow)
+      ordered(e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10min"),
+        cstr(sum(dec(col("value"))).over(w).cast(dt)).as("sum_10min")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -445,6 +467,26 @@ object Relational {
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY o_custkey NULLS FIRST, min_price NULLS FIRST, max_price NULLS FIRST, latest_status NULLS FIRST, first_price NULLS FIRST""".stripMargin,
+
+    "agg6" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_taxfree
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, n_bulk NULLS FIRST, all_positive NULLS FIRST, any_deep_discount NULLS FIRST, n_taxfree NULLS FIRST""".stripMargin,
+
+    "win4" ->
+      """SELECT event_id, user_id,
+        |  COUNT(1) OVER w AS n_10min,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS sum_10min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, n_10min NULLS FIRST, sum_10min NULLS FIRST""".stripMargin,
 
     "join1" ->
       """SELECT c_mktsegment, COUNT(1) AS n_orders,

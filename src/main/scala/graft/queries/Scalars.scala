@@ -50,6 +50,18 @@ object Scalars {
         make_date(lit(2024), lit(1), lit(15)).as("fixed_date")))
     }),
 
+    // ---- STR-2: positional/segment string functions ----
+    "str2" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      ordered(c.select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        repeat(lit("*"), (col("c_custkey") % 4).cast("int")).as("stars"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        substring(col("c_name"), 1, 4).as("name_left"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr")))
+    }),
+
     // ---- DTE-2: calendar arithmetic (quarter / ISO week / month-add with
     //      end-of-month clamping / last_day / day-of-year / quarter trunc) ----
     "dte2" -> ((s, d) => {
@@ -210,6 +222,16 @@ object Scalars {
         |  make_date(2024, 1, 15) AS fixed_date
         |FROM orders
         |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "str2" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  repeat('*', CAST(c_custkey % 4 AS INT)) AS stars,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  substring(c_name, 1, 4) AS name_left,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "dte2" ->
       """SELECT o_orderkey,
