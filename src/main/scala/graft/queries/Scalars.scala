@@ -50,6 +50,27 @@ object Scalars {
         make_date(lit(2024), lit(1), lit(15)).as("fixed_date")))
     }),
 
+    // ---- CST-2: try_cast — null-on-failure conversions (the lenient
+    //      ingest-side twin of CST-1's strict casts) ----
+    "cst2" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      ordered(c.select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).try_cast("int").as("name_num"),
+        col("c_mktsegment").try_cast("int").as("seg_as_int"),
+        concat(lit("20"), col("c_custkey").cast("string")).try_cast("double").as("num_ok"),
+        col("c_name").try_cast("date").as("name_as_date")))
+    }),
+
+    // ---- EXPL-2: posexplode — ordinal-preserving UDTF-shape ----
+    "expl2" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      ordered(doc.filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "word")
+        .filter(col("pos") < 5))
+    }),
+
     // ---- STR-2: positional/segment string functions ----
     "str2" -> ((s, d) => {
       val c = load(s, d, "customer")
@@ -222,6 +243,23 @@ object Scalars {
         |  make_date(2024, 1, 15) AS fixed_date
         |FROM orders
         |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "cst2" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(split_part(c_name, '#', 2) AS INT) AS name_num,
+        |  TRY_CAST(c_mktsegment AS INT) AS seg_as_int,
+        |  TRY_CAST('20' || CAST(c_custkey AS VARCHAR) AS DOUBLE) AS num_ok,
+        |  TRY_CAST(c_name AS DATE) AS name_as_date
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "expl2" ->
+      """SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word AS word FROM (
+        |  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+        |    (w, i) -> {'pos': i - 1, 'word': w})) AS u
+        |  FROM documents WHERE doc_id < 100
+        |) WHERE u.pos < 5
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST, word NULLS FIRST""".stripMargin,
 
     "str2" ->
       """SELECT c_custkey,
