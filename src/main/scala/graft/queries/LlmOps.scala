@@ -41,9 +41,21 @@ object LlmOps {
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  /** Exact-verify tail shared by the candidate generators: join candidate
+    * (d1, d2) pairs to their full term sets, compute Jaccard with the
+    * intersection evaluated ONCE (its own projection step — CollapseProject
+    * keeps non-cheap expressions referenced twice in a separate project,
+    * so the 4.5M-pair hot loop never recomputes array_intersect), filter
+    * at τ, render. */
+  private def verifyJaccardPairs(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame =
+    ordered(cand
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("t1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("t2")), Seq("d2"))
+      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
 
   /** Exact τ-Jaccard near-dup pairs via prefix-filtered inverted index
     * (the AllPairs/PPJoin candidate generation, exact for any τ = num/den).
@@ -82,13 +94,7 @@ object LlmOps {
         col("d1") < col("d2") &&
         col("n1") * den >= col("n2") * num && col("n2") * den >= col("n1") * num)
       .select(col("d1"), col("d2")).distinct()
-    val sets = t.select(col("doc_id"), col("set"))
-    ordered(cand
-      .join(sets.select(col("doc_id").as("d1"), col("set").as("t1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("set").as("t2")), Seq("d2"))
-      .withColumn("jac", jaccard(col("t1"), col("t2")))
-      .filter(col("jac") >= lit(num.toDouble / den))
-      .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
+    verifyJaccardPairs(cand, t.select(col("doc_id"), col("set")), num.toDouble / den)
   }
 
   /** MinHash + LSH-banding near-dup over `documents` (SIM-3/DDP-3).
@@ -141,10 +147,13 @@ object LlmOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
     val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
+    // Intersection staged in its own projection (see verifyJaccardPairs).
     cand
       .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
-      .withColumn("jac", jaccard(col("t1"), col("t2")))
+      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
       .filter(col("jac") >= 0.95)
       .select(col("d1"), col("d2"), col("jac"))
   }
