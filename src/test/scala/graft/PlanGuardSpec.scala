@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the properties that make the gated queries scale are
+  * physical-plan facts (pushdown reaching the scan, broadcast on small
+  * sides, top-k operators instead of global sorts, no cartesian products
+  * in blocked near-dup joins). Pin them here so a refactor that silently
+  * degrades a plan fails the suite, not just the benchmark. */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("flt1: predicates reach the parquet scan") {
+    val p = plan("flt1")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"filter not pushed:\n${p.take(800)}")
+  }
+
+  test("prj1: scan reads only the projected columns") {
+    val p = plan("prj1")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"projection not pruned at scan: $read")
+  }
+
+  test("join1/join3: small dimension sides broadcast") {
+    assert(plan("join1").contains("BroadcastHashJoin"))
+    val p3 = plan("join3")
+    assert(p3.contains("BroadcastHashJoin"), "nation/region/supplier should broadcast")
+  }
+
+  test("srt1: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("srt1").contains("TakeOrderedAndProject"))
+  }
+
+  test("srt2: per-group top-k uses WindowGroupLimit pushdown") {
+    assert(plan("srt2").contains("WindowGroupLimit"),
+      "rank<=k filter should push a group limit below the window")
+  }
+
+  test("near-dup joins are equi-joins — no cartesian/nested-loop products") {
+    for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
+    }
+  }
+
+  test("ddp_embed: the sign bucket is a join key, not a post-filter") {
+    val p = plan("ddp_embed")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash-keyed join:\n${p.take(600)}")
+  }
+}
