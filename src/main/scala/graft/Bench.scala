@@ -35,10 +35,13 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // Timing stops BEFORE cache cleanup so unpersisting one query's
+      // intermediates is never billed to it (or its successor).
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // Queries may persist() intermediates (e.g. minhash band tables);
       // drop them so measurements stay independent across queries.
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

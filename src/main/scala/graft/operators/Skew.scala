@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * and plain joins; only the data distribution changes.
   */
 object Skew {
+  /** Deterministic-within-a-run salt. Hashing only the row content would
+    * send byte-identical rows of a hot key (the common skew case) to one
+    * bucket; mixing in the physical position (partition id + per-partition
+    * row id) spreads them while staying rand()-free. */
   private def saltCol(df: DataFrame, buckets: Int): Column =
-    pmod(hash(struct(df.columns.map(col): _*)), lit(buckets))
+    pmod(hash(struct(df.columns.map(col): _*),
+      spark_partition_id(), monotonically_increasing_id()), lit(buckets))
 
   /** Two-phase salted aggregation: rows of one key spread over `buckets`
     * partial groups (salt derived from the full row — deterministic, no

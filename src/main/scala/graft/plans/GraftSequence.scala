@@ -61,14 +61,21 @@ class PushFilterIntoGraftSequence extends Rule[LogicalPlan] {
       val residual = conjuncts(cond).filter {
         case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(id) =>
           asLong(l).forall { v => lo = math.max(lo, v); false }
+        // `v + 1` at Long.MaxValue wraps to Long.MinValue and inverts the
+        // bound (`id > MAX` would return all rows, `id <= MAX` none) — keep
+        // the boundary literal as a residual conjunct instead of folding.
         case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(id) =>
-          asLong(l).forall { v => lo = math.max(lo, v + 1); false }
+          asLong(l).forall { v =>
+            if (v == Long.MaxValue) true else { lo = math.max(lo, v + 1); false } }
         case LessThan(a: Attribute, l: Literal) if a.semanticEquals(id) =>
           asLong(l).forall { v => hi = math.min(hi, v); false }
         case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(id) =>
-          asLong(l).forall { v => hi = math.min(hi, v + 1); false }
+          asLong(l).forall { v =>
+            if (v == Long.MaxValue) true else { hi = math.min(hi, v + 1); false } }
         case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(id) =>
-          asLong(l).forall { v => lo = math.max(lo, v); hi = math.min(hi, v + 1); false }
+          asLong(l).forall { v =>
+            if (v == Long.MaxValue) true
+            else { lo = math.max(lo, v); hi = math.min(hi, v + 1); false } }
         case _ => true
       }
       val pruned = seq.copy(start = lo, end = math.max(lo, hi))

@@ -41,6 +41,23 @@ object LlmOps {
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Distinct word-bigram shingles of a text column (same gram expression
+    * as ddp_ngram). Sketch queries use SHINGLES, not unigrams: the corpus
+    * vocabulary is ~31 words with document frequencies up to 78%, so every
+    * doc's unigram min-hash lands on the same handful of common words and
+    * LSH banding degenerates into corpus-sized buckets (measured: one
+    * band bucket held 46% of sf0.1, 4.5M candidate pairs for 191k
+    * survivors). Bigram shingles carry word order, the shingle vocabulary
+    * is ~30× larger with low df, and the same banding yields candidates ≈
+    * true near-dups (342 candidates / 220 pairs at sf0.1) — the standard
+    * shingling prescription for template-heavy corpora. */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+  }
+
   /** Exact-verify tail shared by the candidate generators: join candidate
     * (d1, d2) pairs to their full term sets, compute Jaccard with the
     * intersection evaluated ONCE (its own projection step — CollapseProject
@@ -99,10 +116,11 @@ object LlmOps {
 
   /** MinHash + LSH-banding near-dup over `documents` (SIM-3/DDP-3).
     *
-    * Sketch: per doc, sig[i] = min over distinct tokens of
-    * (A_i * polyHash(tok) + B_i) mod P — built either from 8 builtin `min`
-    * aggregates or from the [[graft.functions.MinHashSketch]]
+    * Sketch: per doc, sig[i] = min over distinct word-bigram SHINGLES of
+    * (A_i * polyHash(shingle) + B_i) mod P — built either from 8 builtin
+    * `min` aggregates or from the [[graft.functions.MinHashSketch]]
     * TypedImperativeAggregate (bit-identical; asserted in ExpressionSpec).
+    * See [[shingles]] for why the sketch is shingle-based, not unigram.
     *
     * Banding: 2 bands × 4 rows — a candidate pair must agree on all 4
     * min-slots of a band. The s-curve threshold (1/b)^(1/r) = 0.5^0.25 ≈
@@ -119,7 +137,7 @@ object LlmOps {
   /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
     * candidate pipeline — shared by the pair queries and ddp_cluster. */
   private def minhashPairs(doc: DataFrame, useUdaf: Boolean): DataFrame = {
-    val tok = doc.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tok = doc.select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
     val sigs =
       if (useUdaf)
@@ -146,9 +164,9 @@ object LlmOps {
       col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val sets = doc.select(col("doc_id"), toks(col("text")).as("toks"))
+    val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
     // Intersection staged in its own projection (see verifyJaccardPairs).
-    cand
+    val verified = cand
       .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
       .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
@@ -156,6 +174,12 @@ object LlmOps {
         (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
       .filter(col("jac") >= 0.95)
       .select(col("d1"), col("d2"), col("jac"))
+      // Eagerly materialize the (small) verified edge set, then release the
+      // band cache — callers (pair queries, ddp_cluster, pipeline_clean,
+      // tests) no longer leak persisted blocks across the session.
+      .localCheckpoint()
+    bands.unpersist()
+    verified
   }
 
   private def minhashNearDup(doc: DataFrame, useUdaf: Boolean): DataFrame =
@@ -252,7 +276,7 @@ object LlmOps {
       s"SELECT doc_id, $bi AS band_idx, $fold AS bh FROM sig"
     }.mkString("\n      |  UNION ALL ")
     s"""h AS (
-      |  $duckTokHash
+      |  $duckShingleHash
       |), sig AS (
       |  SELECT doc_id,
       |    $sigCols
@@ -263,7 +287,7 @@ object LlmOps {
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM bands x JOIN bands y
       |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
-      |), sets AS ($duckToks), verified AS (
+      |), sets AS ($duckShingles), verified AS (
       |  SELECT d1, d2, jac FROM (
       |    SELECT d1, d2,
       |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
@@ -324,6 +348,21 @@ object LlmOps {
       |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (acc, c) -> (acc * 31 + c) % 2147483647) AS h
       |  FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents)""".stripMargin
+  // Word-bigram shingle twins (see `shingles`): the minhash family sketches
+  // and verifies over shingle sets, spelled identically to ddp_ngram's grams.
+  private val duckGrams =
+    """list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))""".stripMargin
+  private val duckShingles =
+    s"SELECT doc_id, lang, $duckGrams AS toks FROM documents"
+  private val duckShingleHash =
+    s"""SELECT doc_id, lang, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      |  FROM (SELECT doc_id, lang, unnest($duckGrams) AS tok
       |        FROM documents)""".stripMargin
 
   val all: Map[String, Q] = Map(
@@ -455,7 +494,10 @@ object LlmOps {
         .select(col("label").as("cell_label"),
           array((1 to 64).map(i => col(s"c$i")): _*).as("ce"))
         .withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
-      val vecs = joined.select(col("vec_id"), col("e"))
+      // Searchable set = ALL embeddings (documents are joined only to label
+      // the centroids above); an embedding without a document row is still
+      // assigned to a cell and searchable, matching the oracle's vecs CTE.
+      val vecs = emb.select(col("vec_id"), dbl.as("e"))
         .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
       val byVec = Window.partitionBy(col("vec_id"))
         .orderBy(col("cscore").desc, col("cell_label").asc)
@@ -585,7 +627,10 @@ object LlmOps {
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _))
         .select(col("doc_id"), col("lang"), col("simhash"))
-        .persist()
+        // Eager materialization instead of persist(): the 1-row-per-doc
+        // signature table is tiny, both self-join sides read the same
+        // blocks, and no CacheManager entry outlives the query.
+        .localCheckpoint()
       val chunks = array((0 until 4).map { ci =>
         struct(lit(ci).as("ci"),
           shiftright(col("simhash"), 16 * ci).bitwiseAND(lit(0xFFFFL)).as("cv"))

@@ -45,4 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(GraftSequence.df(spark, 10, 10).count() == 0)
     assert(GraftSequence.df(spark, 0, 100).filter(col("id") >= 200).count() == 0)
   }
+
+  test("Long.MaxValue boundary literals do not wrap the folded bounds") {
+    val max = Long.MaxValue
+    // id > MAX is always false: v+1 would wrap to Long.MinValue and fold
+    // lo to -inf, returning ALL rows. Must return none.
+    assert(GraftSequence.df(spark, 0, 100).filter(col("id") > max).count() == 0)
+    // id <= MAX is always true: the wrapped hi would empty the range.
+    assert(GraftSequence.df(spark, 0, 100).filter(col("id") <= max).count() == 100)
+    // id = MAX: no row of [0, 100) matches, and no wrap-around either.
+    assert(GraftSequence.df(spark, 0, 100).filter(col("id") === max).count() == 0)
+  }
 }
