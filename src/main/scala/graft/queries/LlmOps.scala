@@ -58,6 +58,17 @@ object LlmOps {
       i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
   }
 
+  /** Spread a narrow-scan table across cores before an expensive per-row
+    * projection. The documents table is one parquet split at test scale,
+    * so shingling/hashing otherwise runs at scan parallelism = 1; the
+    * explicit partition count (2× defaultParallelism, which scales with
+    * executors on a cluster) also keeps AQE from coalescing the exchange
+    * to the tiny INPUT byte size when the downstream work fans out. At
+    * real corpus scale the scan has thousands of splits and this exchange
+    * is a no-op cost relative to the pipeline. */
+  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col(key))
+
   /** Exact-verify tail shared by the candidate generators: join candidate
     * (d1, d2) pairs to their full term sets, compute Jaccard with the
     * intersection evaluated ONCE (its own projection step — CollapseProject
@@ -93,16 +104,24 @@ object LlmOps {
     * because frequent terms sort out of every prefix.
     *
     * Input `t` must have columns (doc_id, lang, set, n). */
-  private def prefixJaccardPairs(t: DataFrame, num: Int, den: Int): DataFrame = {
+  private def prefixJaccardPairs(t0: DataFrame, num: Int, den: Int): DataFrame = {
+    val t = spread(t0)
     val g = t.select(col("doc_id"), col("lang"), col("n"), explode(col("set")).as("tok"))
     val dfreq = g.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("tok").asc)
     // prefix length = n - ceil(τ·n) + 1, exact integer arithmetic (`div`)
     val prefixLen = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1
+    // Materialized once: both self-join sides read the same tiny prefix
+    // relation instead of re-running the df-count join + rarity window.
+    // Repartitioned so the checkpointed RDD keeps join-probe parallelism
+    // (the upstream window leaves few, skewed partitions).
     val prefix = g.join(dfreq, Seq("lang", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("lang"), col("n"), col("tok"))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
     val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
       col("n").as("n1"), col("tok").as("tk1"))
     val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
@@ -136,7 +155,8 @@ object LlmOps {
     * join side. The shuffle carries one 8-slot signature per doc. */
   /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
     * candidate pipeline — shared by the pair queries and ddp_cluster. */
-  private def minhashPairs(doc: DataFrame, useUdaf: Boolean): DataFrame = {
+  private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
+    val doc = spread(doc0)
     val tok = doc.select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
     val sigs =
@@ -613,6 +633,8 @@ object LlmOps {
     //      sparse, so the join fan-out tracks the true near-dup count
     //      instead of n²/lang. Exact bit_count verify closes the loop. ----
     "ddp_simhash" -> ((s, d) => {
+      // No `spread` here: unigram tokenization is cheap (no shingle
+      // construction), so the extra exchange costs more than it saves.
       val doc = load(s, d, "documents")
       val tok = doc.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
         .withColumn("h", polyHash(col("tok")))
@@ -666,9 +688,13 @@ object LlmOps {
       val grams = array_distinct(transform(
         sequence(lit(1), size(words) - 1),
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-      val t = doc.select(col("doc_id"), col("lang"), grams.as("grams"))
+      val t = spread(doc).select(col("doc_id"), col("lang"), grams.as("grams"))
         .withColumn("ng", size(col("grams")))
+      // Materialized once for both sides of the postings self-join;
+      // inherits `spread`'s partitioning, so the join probe emitting the
+      // 7M-row fan-out and the per-pair partial counts run wide.
       val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
+        .localCheckpoint()
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("ng").as("n1"), col("gram").as("gr1"))
       val b = g.select(col("doc_id").as("d2"), col("lang").as("l2"),
@@ -713,6 +739,24 @@ object LlmOps {
         .withColumn("cos", dot / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
         .select(col("v1"), col("v2"), dec4S(col("cos")).as("cos")))
+    }),
+
+    // ---- SMP-1: deterministic content-hash split — the holdout-split
+    //      operator a training pipeline needs. Split is derived from the
+    //      portable poly-hash of the full text (content-addressed: exact
+    //      dups land in the same split by construction, no rand()), so
+    //      both engines and every rerun agree. 80/10/10 train/val/test;
+    //      reports per-(split, lang) counts and mean length. At 100 TB
+    //      this is one codegen'd projection + an aggregation — no
+    //      shuffle beyond the final tiny group-by. ----
+    "smp1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val bucket = polyHash(col("text")) % lit(100L)
+      val split_ = when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val")).otherwise(lit("test"))
+      ordered(doc.withColumn("split", split_)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), davgS(col("n_chars")).as("avg_chars")))
     }),
 
     // ---- TXT-1: per-language document stats ----
@@ -998,6 +1042,20 @@ object LlmOps {
         |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE cos >= 0.4
         |ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, cos NULLS FIRST""".stripMargin,
+
+    "smp1" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(1) AS n_docs,
+        |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars
+        |FROM h GROUP BY 1, 2
+        |ORDER BY split NULLS FIRST, lang NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST""".stripMargin,
 
     "txt1" ->
       """SELECT lang, COUNT(1) AS n_docs,

@@ -123,6 +123,22 @@ object Relational {
         count_if(col("l_tax") === 0.0).as("n_taxfree")))
     }),
 
+    // ---- AGG-7: exact percentile aggregates (distribution stats a data
+    //      pipeline reports per slice). Spark `percentile` and DuckDB
+    //      `quantile_cont` both compute the linearly-interpolated (type-7)
+    //      quantile in double arithmetic, so with the dec4 tie-safe render
+    //      both engines agree bit-for-bit. Exact percentile shuffles the
+    //      group's values once (sort within group); at 100 TB you'd reach
+    //      for approx_percentile, which trades the oracle hash away. ----
+    "agg7" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      def pct(p: Double) = expr(s"percentile(l_extendedprice, $p)")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        dec4S(pct(0.5)).as("p50"),
+        dec4S(pct(0.9)).as("p90"),
+        dec4S(pct(0.99)).as("p99")))
+    }),
+
     // ---- WIN-4: interval range frame — rolling 10-minute per-user window
     //      over event time (the analytic twin of a sliding stream agg) ----
     "win4" -> ((s, d) => {
@@ -477,6 +493,15 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST, n_bulk NULLS FIRST, all_positive NULLS FIRST, any_deep_discount NULLS FIRST, n_taxfree NULLS FIRST""".stripMargin,
+
+    "agg7" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(floor((quantile_cont(l_extendedprice, 0.5))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p50,
+        |  CAST(CAST(floor((quantile_cont(l_extendedprice, 0.9))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p90,
+        |  CAST(CAST(floor((quantile_cont(l_extendedprice, 0.99))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, p50 NULLS FIRST, p90 NULLS FIRST, p99 NULLS FIRST""".stripMargin,
 
     "win4" ->
       """SELECT event_id, user_id,
