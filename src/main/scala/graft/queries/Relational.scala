@@ -270,6 +270,29 @@ object Relational {
           col("ts").as("click_ts"), col("event_id").as("click_event")))
     }),
 
+    // ---- MRG-1: upsert / latest-record-wins merge — the [REF] warehouse
+    //      load + OLTP read-back shape (bidirectional PostgreSQL edge,
+    //      Untitled Diagram.drawio:88-98) as a declarative operator: a
+    //      delta batch overrides matching base keys, everything else
+    //      carries through. The delta here is derived deterministically
+    //      from orders (keys % 7 == 0, price bumped, status 'U') so the
+    //      oracle sees the identical inputs. One shuffle by merge key;
+    //      at 100 TB the base would be bucketed by key so only the delta
+    //      shuffles. ----
+    "mrg1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("price"), lit(0).as("version"))
+      val delta = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          dec(col("o_totalprice") + 100.0).as("price"), lit(1).as("version"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      ordered(base.unionAll(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), cstr(col("price")).as("price")))
+    }),
+
     // ---- SUBQ-1: scalar + correlated subqueries ----
     "subq1" -> ((s, d) => {
       load(s, d, "orders").createOrReplaceTempView("orders")
@@ -598,6 +621,21 @@ object Relational {
         |)
         |SELECT user_id, probe_ts, click_ts, click_event FROM ranked WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, probe_ts NULLS FIRST, click_ts NULLS FIRST, click_event NULLS FIRST""".stripMargin,
+
+    "mrg1" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(38,4)) AS price, 0 AS version
+        |  FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, CAST(o_totalprice + 100.0 AS DECIMAL(38,4)) AS price, 1 AS version
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), merged AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |)
+        |SELECT o_orderkey, o_orderstatus, CAST(price AS VARCHAR) AS price
+        |FROM merged WHERE rn = 1
+        |ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST, price NULLS FIRST""".stripMargin,
 
     "subq1" ->
       """SELECT c_custkey, c_name
