@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide O(n²) tripwire: no gated query may plan a CartesianProduct,
+  * and BroadcastNestedLoopJoin is allowed only where the operator's
+  * declared semantics genuinely have no equi-key — a small broadcast side
+  * probed per row (brute-force sim1, bounded cross joins, theta-only
+  * conditions). Everything else must reach its join through an equi key
+  * (hash/sort-merge/broadcast-hash); a new query that accidentally drops
+  * its blocking predicate fails here, at sf0.001, before it can melt a
+  * cluster at corpus scale. */
+class CartesianGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Queries whose DECLARED semantics pair every row of one side with
+    * every row of a (small, broadcast) other side. */
+  private val bnljAllowed = Set(
+    "sim1",       // brute-force baseline: query set × corpus by design
+    "join8",      // bounded cross join (region × nation)
+    "join9",      // pure theta/band join — no equi key exists
+    "join9_band", // pure band join — no equi key exists
+    "sim1_ivf",   // vectors × broadcast centroid table (cell assignment)
+    "sim1_lsh_multi", // OR of two bucket equalities over a broadcast query
+                  // set: the disjunction defeats hash joins by definition;
+                  // the corpus×corpus form is a unionAll of equi-joins
+    "subq1"       // correlated scalar subquery: decorrelated agg is tiny
+  )
+
+  test("no gated query plans a CartesianProduct; BNLJ only where declared") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: plan failed: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
