@@ -759,6 +759,49 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), davgS(col("n_chars")).as("avg_chars")))
     }),
 
+    // ---- SMP-2: stratified deterministic sample — k docs per language
+    //      stratum, ordered by content hash (uniform-ish, rand()-free,
+    //      rerun-stable; ties broken by doc_id). The per-group top-k
+    //      window is the srt2 pattern; at 100 TB a first pass would
+    //      pre-filter by a hash threshold so the window only ranks
+    //      ~k candidates per stratum instead of the full stratum. ----
+    "smp2" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(polyHash(col("text")).asc, col("doc_id").asc)
+      ordered(doc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars")))
+    }),
+
+    // ---- DCN-1: benchmark decontamination — the asymmetric twin of the
+    //      dedup family: for each (corpus doc, benchmark doc) pair, the
+    //      CONTAINMENT |shingles(c) ∩ shingles(b)| / |shingles(b)| — how
+    //      much of the benchmark doc appears in the training doc — not
+    //      symmetric Jaccard, because a long doc quoting a whole short
+    //      benchmark item must be caught even though their Jaccard is
+    //      tiny. Benchmark = doc_id % 100 == 0 (a deterministic stand-in
+    //      set). The benchmark side is small by nature, so its exploded
+    //      postings BROADCAST and the corpus side streams: shuffle ∝
+    //      matching postings only — the 100 TB decontamination shape. ----
+    "dcn1" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val sh = doc.select(col("doc_id"), shingles(col("text")).as("sh"))
+      val bpost = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
+          explode(col("sh")).as("tok"))
+      val cpost = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+      ordered(cpost.join(broadcast(bpost), Seq("tok"))
+        .groupBy(col("doc_id"), col("bench_id"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        // τ=0.2: decontamination flags aggressively — a flagged doc is
+        // dropped or reviewed, so over-flagging is the safe direction.
+        .withColumn("cont", col("ni").cast("double") / col("nb").cast("double"))
+        .filter(col("cont") >= 0.2)
+        .select(col("doc_id"), col("bench_id"), dec4S(col("cont")).as("containment")))
+    }),
+
     // ---- TXT-1: per-language document stats ----
     "txt1" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -1042,6 +1085,39 @@ object LlmOps {
         |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE cos >= 0.4
         |ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, cos NULLS FIRST""".stripMargin,
+
+    "smp2" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS th
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY th ASC, doc_id ASC) AS INT) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, rn, doc_id, n_chars FROM r WHERE rn <= 10
+        |ORDER BY lang NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, n_chars NULLS FIRST""".stripMargin,
+
+    "dcn1" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, $duckGrams AS sh FROM documents
+        |), bpost AS (
+        |  SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS tok
+        |  FROM sh WHERE doc_id % 100 = 0
+        |), cpost AS (
+        |  SELECT doc_id, unnest(sh) AS tok FROM sh WHERE doc_id % 100 <> 0
+        |), ov AS (
+        |  SELECT doc_id, bench_id, nb, count(*) AS ni
+        |  FROM cpost JOIN bpost USING (tok)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, bench_id,
+        |  CAST(CAST(floor((CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS containment
+        |FROM ov WHERE CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.2
+        |ORDER BY doc_id NULLS FIRST, bench_id NULLS FIRST, containment NULLS FIRST""".stripMargin,
 
     "smp1" ->
       """WITH h AS (
