@@ -8,9 +8,11 @@ import graft.functions.GraftFunctions.{dot_product, poly_hash}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
-  * text analysis (lang-id heuristic, quality scores, token counts,
-  * fingerprints), and multimodal column carry.
+  * embedding-cosine), near-dup cluster assignment, similarity search
+  * (brute-force + LSH / multi-table LSH / IVF ANN), deterministic
+  * splitting & sampling, benchmark decontamination, text analysis
+  * (lang-id heuristic, quality scores, token counts, fingerprints), and
+  * multimodal column carry.
   *
   * 100 TB design notes:
   *  - every near-dup query is BLOCKED (lang, length band, LSH band, or sign
@@ -18,11 +20,13 @@ import graft.functions.GraftFunctions.{dot_product, poly_hash}
   *    blocking predicate is part of the declared semantics so the oracle
   *    agrees exactly.
   *  - MinHash/SimHash signatures are plain aggregates over an exploded
-  *    token relation: partial aggregation (map-side combine) keeps the
-  *    shuffle proportional to |docs|, not |tokens|.
-  *  - the token hash is a portable 31-polynomial mod 2^31-1, spelled
-  *    identically in Spark HOFs and DuckDB lambdas, so sketches are
-  *    bit-identical across engines (SURVEY §5.3 determinism).
+  *    shingle/token relation: partial aggregation (map-side combine) keeps
+  *    the shuffle proportional to |docs|, not |postings|. The MinHash
+  *    family sketches word-bigram SHINGLES (see [[shingles]]) — unigram
+  *    sketches degenerate on template-heavy / small-vocabulary corpora.
+  *  - the content hash is a portable 31-polynomial mod 2^31-1, spelled
+  *    identically in the codegen'd Spark Expression and DuckDB lambdas, so
+  *    sketches are bit-identical across engines (SURVEY §5.3 determinism).
   */
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame
