@@ -790,7 +790,9 @@ object LlmOps {
     //      matching postings only — the 100 TB decontamination shape. ----
     "dcn1" -> ((s, d) => {
       val doc = spread(load(s, d, "documents"))
+      // Materialized once: the benchmark and corpus branches both read it.
       val sh = doc.select(col("doc_id"), shingles(col("text")).as("sh"))
+        .localCheckpoint()
       val bpost = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
           explode(col("sh")).as("tok"))
