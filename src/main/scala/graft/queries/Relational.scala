@@ -270,6 +270,33 @@ object Relational {
           col("ts").as("click_ts"), col("event_id").as("click_event")))
     }),
 
+    // ---- AGG-8: statistical aggregates — corr/covar/stddev/variance per
+    //      group. Both engines use numerically-stable co-moment merges;
+    //      operand magnitudes are kept small (discount/tax scale) so the
+    //      engines' different summation orders stay far below the dec4
+    //      rendering resolution. ----
+    "agg8" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        dec4S(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        dec4S(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"),
+        dec4S(stddev_samp(col("l_discount"))).as("sd_disc"),
+        dec4S(var_samp(col("l_tax"))).as("var_tax")))
+    }),
+
+    // ---- WIN-5: distribution window functions — cume_dist/percent_rank
+    //      are exact rationals (rank arithmetic over identical ints), so
+    //      the doubles agree bit-for-bit across engines. ----
+    "win5" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ordered(o.select(
+        col("o_orderpriority"), col("o_orderkey"),
+        dec4S(cume_dist().over(w)).as("cd"),
+        dec4S(percent_rank().over(w)).as("pr")))
+    }),
+
     // ---- MRG-1: upsert / latest-record-wins merge — the [REF] warehouse
     //      load + OLTP read-back shape (bidirectional PostgreSQL edge,
     //      Untitled Diagram.drawio:88-98) as a declarative operator: a
@@ -621,6 +648,24 @@ object Relational {
         |)
         |SELECT user_id, probe_ts, click_ts, click_event FROM ranked WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, probe_ts NULLS FIRST, click_ts NULLS FIRST, click_event NULLS FIRST""".stripMargin,
+
+    "agg8" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(floor((corr(l_quantity, l_extendedprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr_qty_price,
+        |  CAST(CAST(floor((covar_samp(l_quantity, l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS covar_qty_disc,
+        |  CAST(CAST(floor((stddev_samp(l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS sd_disc,
+        |  CAST(CAST(floor((var_samp(l_tax))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS var_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, corr_qty_price NULLS FIRST, covar_qty_disc NULLS FIRST, sd_disc NULLS FIRST, var_tax NULLS FIRST""".stripMargin,
+
+    "win5" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(CAST(floor((cume_dist() OVER w)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cd,
+        |  CAST(CAST(floor((percent_rank() OVER w)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, cd NULLS FIRST, pr NULLS FIRST""".stripMargin,
 
     "mrg1" ->
       """WITH base AS (

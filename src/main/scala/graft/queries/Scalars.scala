@@ -83,6 +83,20 @@ object Scalars {
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr")))
     }),
 
+    // ---- STR-3: edit distance (levenshtein) — the fuzzy-match primitive
+    //      a data-cleaning pipeline uses for typo-tolerant matching; both
+    //      engines implement the standard Wagner-Fischer distance so the
+    //      integer results are exactly comparable. ----
+    "str3" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      ordered(c.select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).as("lev_rev"),
+        levenshtein(substring(col("c_name"), 1, 12),
+          col("c_mktsegment")).as("lev_name_seg"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg")))
+    }),
+
     // ---- DTE-2: calendar arithmetic (quarter / ISO week / month-add with
     //      end-of-month clamping / last_day / day-of-year / quarter trunc) ----
     "dte2" -> ((s, d) => {
@@ -270,6 +284,14 @@ object Scalars {
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
         |FROM customer
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "str3" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev_rev,
+        |  CAST(levenshtein(substring(c_name, 1, 12), c_mktsegment) AS INT) AS lev_name_seg,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_seg
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST, lev_rev NULLS FIRST, lev_name_seg NULLS FIRST, lev_seg NULLS FIRST""".stripMargin,
 
     "dte2" ->
       """SELECT o_orderkey,
