@@ -132,11 +132,15 @@ object Relational {
     //      for approx_percentile, which trades the oracle hash away. ----
     "agg7" -> ((s, d) => {
       val l = load(s, d, "lineitem")
-      def pct(p: Double) = expr(s"percentile(l_extendedprice, $p)")
-      ordered(l.groupBy(col("l_returnflag")).agg(
-        dec4S(pct(0.5)).as("p50"),
-        dec4S(pct(0.9)).as("p90"),
-        dec4S(pct(0.99)).as("p99")))
+      // One percentile aggregate with an array of ps: the group's values
+      // buffer ONCE instead of once per percentile (the oracle's three
+      // scalar quantile_cont calls produce element-identical results).
+      ordered(l.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+        .select(col("l_returnflag"),
+          dec4S(element_at(col("ps"), 1)).as("p50"),
+          dec4S(element_at(col("ps"), 2)).as("p90"),
+          dec4S(element_at(col("ps"), 3)).as("p99")))
     }),
 
     // ---- WIN-4: interval range frame — rolling 10-minute per-user window
