@@ -301,6 +301,42 @@ object Relational {
         dec4S(percent_rank().over(w)).as("pr")))
     }),
 
+    // ---- FZJ-1: fuzzy join / record linkage — name pairs within edit
+    //      distance 1 (equal length ⟹ hamming ≤ 1), the typo-tolerant
+    //      entity-matching op an ingestion pipeline runs against its OLTP
+    //      read-back. Blocking is the DELETION NEIGHBORHOOD: each name
+    //      emits one key per position (the name with that position
+    //      removed); two equal-length names share the key at position i
+    //      iff they agree everywhere else, so the (i, key) equi-join's
+    //      candidate set is EXACTLY the answer set — no false candidates
+    //      to verify away. Prefix/half-key blocking degenerates here
+    //      (every name shares the "Customer#" prefix); the deletion
+    //      neighborhood is immune to shared affixes. Cost: a len×
+    //      posting blowup, the standard spell-index trade; buckets stay
+    //      tiny because a bucket holds only rows identical off one
+    //      position. ----
+    "fzj1" -> ((s, d) => {
+      val c = load(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val n = length(col("c_name"))
+      val delKeys = transform(sequence(lit(1), n), i =>
+        struct(i.as("pos"),
+          concat(col("c_name").substr(lit(1), i - 1),
+            col("c_name").substr(i + 1, n)).as("k")))
+      val keyed = c.select(col("c_custkey"), col("c_name"), explode(delKeys).as("dk"))
+        .select(col("c_custkey"), col("c_name"),
+          col("dk.pos").as("pos"), col("dk.k").as("k"))
+      val a = keyed.select(col("c_custkey").as("c1"), col("c_name").as("n1"),
+        col("pos").as("p1"), col("k").as("k1"))
+      val b = keyed.select(col("c_custkey").as("c2"), col("c_name").as("n2"),
+        col("pos").as("p2"), col("k").as("k2"))
+      ordered(a.join(b, col("p1") === col("p2") && col("k1") === col("k2") &&
+          col("c1") < col("c2"))
+        .select(col("c1"), col("c2"), col("n1"), col("n2")).distinct()
+        .withColumn("lev", levenshtein(col("n1"), col("n2")))
+        .filter(col("lev") <= 1 && length(col("n1")) === length(col("n2")))
+        .select(col("c1"), col("c2"), col("lev")))
+    }),
+
     // ---- MRG-1: upsert / latest-record-wins merge — the [REF] warehouse
     //      load + OLTP read-back shape (bidirectional PostgreSQL edge,
     //      Untitled Diagram.drawio:88-98) as a declarative operator: a
@@ -670,6 +706,14 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, cd NULLS FIRST, pr NULLS FIRST""".stripMargin,
+
+    "fzj1" ->
+      """SELECT a.c_custkey AS c1, b.c_custkey AS c2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  AND len(a.c_name) = len(b.c_name)
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, lev NULLS FIRST""".stripMargin,
 
     "mrg1" ->
       """WITH base AS (
