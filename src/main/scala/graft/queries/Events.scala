@@ -45,6 +45,22 @@ object Events {
       ordered(graft.streaming.StreamOps.clickPurchaseJoin(e, e))
     }),
 
+    // ---- EVT-5: native session_window in BATCH (the exact operator the
+    //      streaming STR-W3 path uses) certified against a declarative
+    //      lag-gap oracle. Spark's session windows are half-open: a new
+    //      session starts when the gap to the previous event is >= 30
+    //      minutes (an event landing exactly at previous_end opens a new
+    //      window), and session_end = last event ts + gap — the oracle
+    //      spells both rules with microsecond-exact arithmetic. ----
+    "evt5" -> ((s, d) => {
+      val e = load(s, d, "events")
+      ordered(e
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsumS(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value")))
+    }),
+
     // ---- EVT-2: lag-gap sessionization (30-minute gap) + per-session agg ----
     "evt2" -> ((s, d) => {
       val e = load(s, d, "events")
@@ -103,6 +119,29 @@ object Events {
         |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
         |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST, l.user_id NULLS FIRST, click_ts NULLS FIRST, purchase_ts NULLS FIRST""".stripMargin,
+
+    "evt5" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('microsecond', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) >= 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, value, uts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(uts) AS session_start,
+        |  MAX(uts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(1) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST, session_end NULLS FIRST, n_events NULLS FIRST, sum_value NULLS FIRST""".stripMargin,
 
     "evt2" ->
       """WITH flagged AS (
