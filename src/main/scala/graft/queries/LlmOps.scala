@@ -124,7 +124,9 @@ object LlmOps {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("doc_id"), col("lang"), col("n"), col("tok"))
-      .repartition(col("doc_id"))
+      // Explicit count: a column-only repartition gets AQE-coalesced to
+      // ~1 partition (tiny bytes) and the pair-join probe runs narrow.
+      .repartition(t.sparkSession.sparkContext.defaultParallelism * 2, col("doc_id"))
       .localCheckpoint()
     val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
       col("n").as("n1"), col("tok").as("tk1"))
