@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic laws for the round-4 pipeline operators, asserted against
+  * brute-force recomputation on the sf0.001 slice (the DuckDB oracle
+  * certifies values; these certify the DECLARED properties hold — the
+  * blocking scheme loses nothing, the split partitions the corpus, and
+  * reruns are bit-stable). */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("fzj1: deletion-neighborhood blocking is exact vs brute force") {
+    val out = SparkEntry.queries("fzj1")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val names = graft.core.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev1(a: String, b: String): Boolean =
+      a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
+    val brute = (for {
+      (c1, n1) <- names; (c2, n2) <- names
+      if c1 < c2 && lev1(n1, n2)
+    } yield (c1, c2, n1.zip(n2).count { case (x, y) => x != y })).toSet
+    assert(out == brute,
+      s"blocked=${out.size} brute=${brute.size} missing=${(brute -- out).take(3)}")
+  }
+
+  test("smp1: splits partition the corpus and reruns are bit-stable") {
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val total = doc.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run() = SparkEntry.queries("smp1")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val a = run()
+    // partition: per-lang split counts sum to the lang total
+    val perLang = a.groupBy(_._2).map { case (l, rows) => l -> rows.map(_._3).sum }
+    assert(perLang == total, s"split counts $perLang != totals $total")
+    // determinism: a second evaluation is identical, row for row
+    assert(a.toSeq == run().toSeq)
+  }
+
+  test("smp2: exactly k rows per stratum, rerun-stable") {
+    def run() = SparkEntry.queries("smp2")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == 10, s"$lang has ${rows.length} sample rows")
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), s"$lang ranks not 1..10")
+    }
+    assert(a.toSeq == run().toSeq)
+  }
+}
