@@ -176,6 +176,32 @@ object Scalars {
     }),
 
     // ---- HOF-1: higher-order functions (transform/filter/exists/aggregate/zip_with) ----
+    // ---- ARR-2: positional/structural array functions ----
+    "arr2" -> ((s, d) => {
+      val e = load(s, d, "embeddings")
+      ordered(e.select(
+        col("vec_id"),
+        array_position(col("embedding"), element_at(col("embedding"), 5)).as("pos5"),
+        farrS(flatten(array(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2)))).as("flat4"),
+        farrS(reverse(slice(col("embedding"), 1, 3))).as("rev3")))
+    }),
+
+    // ---- HOF-2: forall + aggregate-with-finish + index-aware transform
+    //      (Spark lambda indexes are 0-based, DuckDB's are 1-based — the
+    //      twins offset accordingly). ----
+    "hof2" -> ((s, d) => {
+      val e = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      ordered(e.select(
+        col("vec_id"),
+        forall(dbl, x => abs(x) <= 1.0).as("all_unit"),
+        dec4S(aggregate(dbl, lit(0.0), (acc, x) => acc + x,
+          acc => acc / 64.0)).as("mean_dim"),
+        dec4S(aggregate(transform(dbl, (x, i) => x * (i + 1).cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("idx_dot")))
+    }),
+
     "hof1" -> ((s, d) => {
       val e = load(s, d, "embeddings")
       val dbl = transform(col("embedding"), x => x.cast("double"))
@@ -355,6 +381,24 @@ object Scalars {
         |    ['spark','table','query']))) AS INT) AS n_union
         |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "arr2" ->
+      """SELECT vec_id,
+        |  CAST(list_position(embedding, embedding[5]) AS BIGINT) AS pos5,
+        |  array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS flat4,
+        |  array_to_string(list_transform(list_reverse(embedding[1:3]),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS rev3
+        |FROM embeddings
+        |ORDER BY vec_id NULLS FIRST, pos5 NULLS FIRST, flat4 NULLS FIRST, rev3 NULLS FIRST""".stripMargin,
+
+    "hof2" ->
+      """SELECT vec_id,
+        |  (len(list_filter(dbl, x -> abs(x) <= 1.0)) = len(dbl)) AS all_unit,
+        |  CAST(CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), dbl), (acc, x) -> acc + x) / 64.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_dim,
+        |  CAST(CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(dbl, (x, i) -> x * CAST(i AS DOUBLE))), (acc, x) -> acc + x))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS idx_dot
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl FROM embeddings)
+        |ORDER BY vec_id NULLS FIRST, all_unit NULLS FIRST, mean_dim NULLS FIRST, idx_dot NULLS FIRST""".stripMargin,
 
     "hof1" ->
       """SELECT vec_id,
