@@ -57,9 +57,15 @@ object LlmOps {
     * shingling prescription for template-heavy corpora. */
   private def shingles(text: Column): Column = {
     val words = split(text, " ")
-    array_distinct(transform(
+    // Single-word docs: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
+    // ANSI element_at(words, 2) then throws — guard to an empty set (what
+    // DuckDB's exclusive-end range(1, 1) yields natively), so degenerate
+    // docs drop out of the sketch instead of killing the job.
+    val grams = transform(
       sequence(lit(1), size(words) - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    array_distinct(when(size(words) >= 2, grams)
+      .otherwise(array().cast("array<string>")))
   }
 
   /** Spread a narrow-scan table across cores before an expensive per-row
@@ -690,11 +696,8 @@ object LlmOps {
     //      low-τ exact join routes through the MinHash path instead. ----
     "ddp_ngram" -> ((s, d) => {
       val doc = load(s, d, "documents")
-      val words = split(col("text"), " ")
-      val grams = array_distinct(transform(
-        sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-      val t = spread(doc).select(col("doc_id"), col("lang"), grams.as("grams"))
+      val t = spread(doc).select(col("doc_id"), col("lang"),
+          shingles(col("text")).as("grams"))
         .withColumn("ng", size(col("grams")))
       // Materialized once for both sides of the postings self-join;
       // inherits `spread`'s partitioning, so the join probe emitting the

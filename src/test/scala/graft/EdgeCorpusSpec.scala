@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-corpus robustness: the document operators run on inputs the
+  * synthetic testdata never produces but a real corpus always contains —
+  * single-word docs (empty shingle set), a doc that is one repeated word,
+  * byte-identical duplicates, cross-language rows — and produce exactly
+  * the declared output, not a crash or a silent wrong pair. */
+class EdgeCorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("edge_corpus").toString
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "solo", "en", "t", 4L),                        // one word: no shingles
+      (2L, "a a a a a", "en", "t", 9L),                   // repeated word: one shingle
+      (3L, "the quick brown fox jumps", "en", "t", 25L),  // |
+      (4L, "the quick brown fox jumps", "en", "t", 25L),  // | byte-identical pair
+      (5L, "the quick brown fox jumped", "en", "t", 26L), // near (bigram jac 0.6)
+      (6L, "decon bench doc alpha beta gamma", "en", "t", 32L),
+      (100L, "decon bench doc alpha beta gamma", "en", "t", 32L), // benchmark doc
+      (7L, "bonjour le monde entier", "fr", "t", 23L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def pairs(name: String): Set[(Long, Long, String)] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("ddp_minhash: exactly the identical pairs; degenerate docs are silent") {
+    assert(pairs("ddp_minhash") ==
+      Set((3L, 4L, "1.0000"), (6L, 100L, "1.0000")))
+  }
+
+  test("ddp_ngram: bigram jaccard finds the near pair at 0.6") {
+    assert(pairs("ddp_ngram") == Set(
+      (3L, 4L, "1.0000"), (3L, 5L, "0.6000"), (4L, 5L, "0.6000"),
+      (6L, 100L, "1.0000")))
+  }
+
+  test("sim2: unigram tau=0.95 keeps only identical sets") {
+    assert(pairs("sim2") == Set((3L, 4L, "1.0000"), (6L, 100L, "1.0000")))
+  }
+
+  test("dcn1: the full-containment quote of the benchmark doc is flagged") {
+    assert(pairs("dcn1") == Set((6L, 100L, "1.0000")))
+  }
+
+  test("smp1: splits partition the corpus (8 docs)") {
+    val n = SparkEntry.queries("smp1")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(n == 8L)
+  }
+
+  test("ddp_cluster: one row per doc; the identical docs share a cluster") {
+    val rows = SparkEntry.queries("ddp_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 8)
+    assert(rows(3L) == rows(4L) && rows(3L) == 3L)
+    assert(rows(6L) == rows(100L) && rows(6L) == 6L)
+    assert(rows(1L) == 1L && rows(2L) == 2L)
+  }
+}
