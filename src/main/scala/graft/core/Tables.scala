@@ -34,9 +34,19 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // Driver testdata: TIMESTAMP(NANOS) read as long via nanosAsLong.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Files from other writers may carry TIMESTAMP_NTZ; with the session
+      // pinned UTC the wall time IS the instant — normalize so downstream
+      // `ts` arithmetic (casts to long seconds, window frames) keeps
+      // working instead of failing on the NTZ type.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", to_timestamp(col("ts")))
+      case _ => df
+    }
   }
 
   /** DECIMAL(38,4) — the canonical exact aggregation type (SURVEY §5.3). */

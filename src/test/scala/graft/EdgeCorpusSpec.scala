@@ -57,6 +57,20 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("Tables.load normalizes TIMESTAMP_NTZ event times from foreign writers") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("ntz_events").toString
+    val src = graft.core.Tables.load(spark, sfDir, "events").limit(500)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    src.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val loaded = graft.core.Tables.load(spark, d, "events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    // a ts-arithmetic query (win4 pattern) runs and matches the original
+    val out = SparkEntry.queries("win4")(spark, d)
+    assert(out.count() == 500)
+  }
+
   test("ddp_cluster: one row per doc; the identical docs share a cluster") {
     val rows = SparkEntry.queries("ddp_cluster")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
