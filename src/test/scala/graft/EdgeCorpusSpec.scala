@@ -57,6 +57,17 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("empty corpus: document operators return empty, never throw") {
+    val d = Files.createTempDirectory("empty_corpus").toString
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "smp1", "smp2",
+        "txt1", "txt_langid", "ddp_cluster", "pipeline_clean"))
+      assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
+  }
+
   test("Tables.load normalizes TIMESTAMP_NTZ event times from foreign writers") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
