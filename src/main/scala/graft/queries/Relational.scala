@@ -301,6 +301,25 @@ object Relational {
         dec4S(percent_rank().over(w)).as("pr")))
     }),
 
+    // ---- GAP-1: date-spine gap fill — zero-filled daily counts per
+    //      priority, the reporting op that turns sparse facts into a
+    //      dense series. The spine is generated (GraftSequence-shaped
+    //      leaf via `sequence` + explode), crossed with the tiny priority
+    //      dimension, and left-joined to the aggregated facts: the cross
+    //      product is dims × days (bounded), never fact-proportional. ----
+    "gap1" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val day = col("o_orderdate").cast("date")
+      val daily = o.groupBy(col("o_orderpriority").as("prio"), day.as("d"))
+        .agg(count(lit(1)).as("n"))
+      val spine = o.agg(min(day).as("lo"), max(day).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val prios = o.select(col("o_orderpriority").as("prio")).distinct()
+      ordered(spine.crossJoin(broadcast(prios))
+        .join(daily, Seq("prio", "d"), "left")
+        .select(col("prio"), col("d"), coalesce(col("n"), lit(0L)).as("n")))
+    }),
+
     // ---- FZJ-1: fuzzy join / record linkage — name pairs within edit
     //      distance 1 (equal length ⟹ hamming ≤ 1), the typo-tolerant
     //      entity-matching op an ingestion pipeline runs against its OLTP
@@ -706,6 +725,22 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, cd NULLS FIRST, pr NULLS FIRST""".stripMargin,
+
+    "gap1" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+        |), prios AS (
+        |  SELECT DISTINCT o_orderpriority AS prio FROM orders
+        |), daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d, COUNT(1) AS n
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT p.prio AS prio, s.d AS d, COALESCE(daily.n, 0) AS n
+        |FROM spine s CROSS JOIN prios p
+        |LEFT JOIN daily ON daily.prio = p.prio AND daily.d = s.d
+        |ORDER BY p.prio NULLS FIRST, s.d NULLS FIRST, n NULLS FIRST""".stripMargin,
 
     "fzj1" ->
       """SELECT a.c_custkey AS c1, b.c_custkey AS c2,

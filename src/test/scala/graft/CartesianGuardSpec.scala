@@ -21,6 +21,8 @@ class CartesianGuardSpec extends AnyFunSuite {
     "join9",      // pure theta/band join — no equi key exists
     "join9_band", // pure band join — no equi key exists
     "sim1_ivf",   // vectors × broadcast centroid table (cell assignment)
+    "gap1",       // date spine × tiny priority dimension: a bounded,
+                  // dims-proportional cross product by construction
     "sim1_lsh_multi", // OR of two bucket equalities over a broadcast query
                   // set: the disjunction defeats hash joins by definition;
                   // the corpus×corpus form is a unionAll of equi-joins
