@@ -301,6 +301,29 @@ object Relational {
         dec4S(percent_rank().over(w)).as("pr")))
     }),
 
+    // ---- JOIN-11: per-event as-of join, certified against DuckDB's
+    //      NATIVE `ASOF JOIN` operator. The engine formulation is the
+    //      100 TB one: tag both streams, ONE sort per user, and carry the
+    //      last click time forward with a running `last(ignoreNulls)`
+    //      window — no range-join fan-out (a purchase preceded by k
+    //      clicks costs one row, not k). Same-instant clicks qualify
+    //      (c.ts <= p.ts), so the tiebreak orders 'click' < 'purchase'
+    //      at equal ts. ----
+    "join11" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_type").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastClick = last(
+        when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w)
+      ordered(tagged.withColumn("click_ts", lastClick)
+        .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("click_ts")))
+    }),
+
     // ---- GAP-1: date-spine gap fill — zero-filled daily counts per
     //      priority, the reporting op that turns sparse facts into a
     //      dense series. The spine is generated (GraftSequence-shaped
@@ -725,6 +748,17 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, cd NULLS FIRST, pr NULLS FIRST""".stripMargin,
+
+    "join11" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events
+        |), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id NULLS FIRST, user_id NULLS FIRST, purchase_ts NULLS FIRST, click_ts NULLS FIRST""".stripMargin,
 
     "gap1" ->
       """WITH bounds AS (
