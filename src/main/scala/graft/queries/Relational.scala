@@ -61,6 +61,25 @@ object Relational {
           count(lit(1)).as("count_order")))
     }),
 
+    // ---- AGG-1-SALTED: the same sum/count aggregate through the explicit
+    //      two-phase salt rewrite (operators/Skew.saltedSumCount) — the
+    //      lever for a GROUP BY key so hot its final aggregation lands on
+    //      one reducer. lineitem has only 6 (flag,status) groups, the
+    //      maximally-skewed shape: unsalted, six reducers own the whole
+    //      table; salted, each group's stream is pre-combined across 8
+    //      salt buckets and the final pass reads ≤8 rows per group. Same
+    //      oracle as the direct aggregation — the rewrite is
+    //      result-identical because decimal addition is associative. ----
+    "agg1_salted" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      ordered(graft.operators.Skew
+        .saltedSumCount(li, Seq("l_returnflag", "l_linestatus"), "l_quantity", buckets = 8)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), cstr(col("total")).as("total")))
+    }),
+
     // ---- AGG-2: distinct aggregates ----
     "agg2" -> ((s, d) => {
       val li = load(s, d, "lineitem")
@@ -572,6 +591,17 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, sum_qty NULLS FIRST, sum_base_price NULLS FIRST, sum_disc_price NULLS FIRST, sum_charge NULLS FIRST, avg_qty NULLS FIRST, avg_price NULLS FIRST, avg_disc NULLS FIRST, count_order NULLS FIRST""".stripMargin,
+
+    // The salted rewrite must hash-match the DIRECT aggregation — the twin
+    // deliberately contains no salt: it certifies result-identity, the plan
+    // guard certifies the two-phase shape.
+    "agg1_salted" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST, total NULLS FIRST""".stripMargin,
 
     "agg2" ->
       """SELECT l_returnflag,

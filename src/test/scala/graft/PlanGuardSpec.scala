@@ -48,6 +48,31 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("agg1_salted: two-phase salt rewrite — pre-combine keyed by (key, _salt)") {
+    val p = plan("agg1_salted")
+    // First aggregation level groups by (key, _salt): the hot key's stream
+    // is shared by `buckets` reducers; the final level then combines at
+    // most `buckets` pre-aggregated rows per key.
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n${p.take(800)}")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected two partial+final aggregate levels, saw $aggs HashAggregates")
+  }
+
+  test("prune_static: partition predicate becomes a PartitionFilter at the scan") {
+    val p = plan("prune_static")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [") && !scanLine.contains("PartitionFilters: []"),
+      s"o_year=1996 did not reach the scan as a partition filter:\n${p.take(1200)}")
+    assert(scanLine.contains("o_year"), s"partition filter is not on o_year: $scanLine")
+  }
+
+  test("prune_dpp: dim-join prunes fact partitions via dynamic partition pruning") {
+    val p = plan("prune_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "the 5-row dim should broadcast")
+  }
+
   test("ddp_embed: the sign bucket is a join key, not a post-filter") {
     val p = plan("ddp_embed")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
