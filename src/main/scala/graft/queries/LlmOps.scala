@@ -901,6 +901,24 @@ object LlmOps {
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_bytes NULLS FIRST, content_md5 NULLS FIRST, is_ascii NULLS FIRST""".stripMargin,
 
+    // MM-3 twin: the decode STUB is pure byte arithmetic (width/height from
+    // the byte length, mean from the byte sum — Multimodal.scala:37-45), so
+    // it IS SQL-expressible. The corpus is verified pure-ASCII (octet_length
+    // == length for every row at every SF), so the per-byte sum equals the
+    // per-char ascii() sum; the CASE guards the n=0 division like the stub.
+    "mm2_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    list_aggregate(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 'sum') AS byte_sum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_bytes,
+        |  CAST(16 + (n_bytes % 16) AS INT) AS width,
+        |  CAST(16 + ((n_bytes // 16) % 16) AS INT) AS height,
+        |  CAST(CAST(floor((CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n_bytes END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_intensity
+        |FROM f
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_bytes NULLS FIRST, width NULLS FIRST, height NULLS FIRST, mean_intensity NULLS FIRST""".stripMargin,
+
     "sim1" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
