@@ -178,6 +178,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3L, "restart must not duplicate rows")
   }
 
+  test("STR-RCV crash mid-batch: checkpoint recovery replays without dupes or loss") {
+    // Injected failure at the worst point: AFTER the batch's side effect
+    // lands on disk, BEFORE its commit reaches the checkpoint — the state a
+    // real executor/driver death leaves behind. Recovery must re-run the
+    // uncommitted batch; the idempotent per-batch overwrite (the standard
+    // foreachBatch exactly-once recipe) turns that at-least-once replay
+    // into exactly-once output.
+    val out = tempDir("rcv_out").toString
+    val ckpt = tempDir("rcv_ckpt").toString
+    def run(crashAtBatch: Long): Option[Throwable] = {
+      val stream = spark.readStream.schema(eventsBatch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_id=$bid")
+          if (bid == crashAtBatch)
+            throw new RuntimeException(s"injected crash in batch $bid (post-write, pre-commit)")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    val crash = run(crashAtBatch = 1)
+    assert(crash.nonEmpty, "the injected batch-1 crash must terminate the query")
+    // Batch 1's parquet exists on disk but its checkpoint commit does not:
+    // a restart must replay it (same offsets → same rows → same partition
+    // overwritten), then drain batches 2-3.
+    assert(run(crashAtBatch = -1).isEmpty, "recovery run must complete cleanly")
+    val cols = eventsBatch.columns.map(col).toIndexedSeq
+    val recovered = spark.read.parquet(out).select(cols: _*)
+    assertSameRows(recovered, eventsBatch.select(cols: _*),
+      "post-crash sink must equal the batch input exactly once")
+  }
+
   test("STR-JOIN stream-stream join equals batch join under time-ordered replay") {
     // Time-ordered slices: watermark advances monotonically, so no click's
     // match window closes before its possible purchases arrive (a randomly
