@@ -42,7 +42,7 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("near-dup joins are equi-joins — no cartesian/nested-loop products") {
-    for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_simhash")) {
+    for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_embed_multi", "ddp_simhash")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
     }
