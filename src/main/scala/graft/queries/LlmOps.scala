@@ -935,6 +935,97 @@ object LlmOps {
       ordered(doc.select(col("doc_id"),
         polyHash(col("text")).as("fingerprint"),
         polyHash(substring(col("text"), 1, 64)).as("prefix_fp")))
+    }),
+
+    // ---- TXT-7: repetition-based quality signals (the Gopher/C4-style
+    //      filters a web-scale pipeline applies before training): duplicate
+    //      word fraction, most-frequent-word mass, duplicate bigram
+    //      fraction. One narrow codegen'd projection — no explode, no
+    //      shuffle; the per-doc nested loop is bounded by the doc's own
+    //      distinct-token count, so 100 TB cost is scan-proportional.
+    //      Single-token docs are guarded (Spark's sequence(1, 0) is
+    //      DESCENDING — see shingles). ----
+    "txt_repetition" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val w = split(col("text"), " ")
+      val n = size(w)
+      val nd = size(array_distinct(w))
+      val topCnt = array_max(transform(array_distinct(w),
+        t => size(filter(w, x => x === t))))
+      val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val ndb = size(array_distinct(bigrams))
+      ordered(doc.select(col("doc_id"),
+        dec4S(lit(1.0) - nd.cast("double") / n.cast("double")).as("dup_word_frac"),
+        dec4S(topCnt.cast("double") / n.cast("double")).as("top_word_frac"),
+        dec4S(when(n >= 2,
+          lit(1.0) - ndb.cast("double") / (n - 1).cast("double"))
+          .otherwise(lit(0.0))).as("dup_bigram_frac")))
+    }),
+
+    // ---- PACK-1: fixed-size chunk packing — split each doc's token
+    //      stream into 32-token training chunks (no overlap), one row per
+    //      chunk with its bounds. explode(sequence) is bounded per input
+    //      row by ceil(n/32), so a partition cannot amplify beyond its
+    //      token count; no shuffle at all — pure narrow fan-out that
+    //      parallelizes by input split at any scale. ----
+    "pack1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val C = 32
+      val t = doc.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("nc", ceil(size(col("w")).cast("double") / C).cast("int"))
+      ordered(t
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+        .withColumn("ch", slice(col("w"), col("chunk_idx") * C + 1, lit(C)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ch")).as("n_toks"),
+          element_at(col("ch"), 1).as("first_tok"),
+          element_at(col("ch"), size(col("ch"))).as("last_tok")))
+    }),
+
+    // ---- TFIDF-1: per-doc top-3 terms by tf-idf. The global document-
+    //      frequency relation is vocabulary-sized — broadcast, like the
+    //      idf table any 100 TB featurizer ships to executors — so the
+    //      per-token stream joins it map-side; the only shuffles are the
+    //      tf group-by (∝ tokens, map-side combined) and the per-doc
+    //      top-k window (WindowGroupLimit pushes the k). Ties broken by
+    //      word for rerun- and engine-stable output. ----
+    "tfidf1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val t = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = t.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = doc.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_raw").desc, col("word").asc)
+      ordered(tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_raw", col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"),
+          dec4S(col("tfidf_raw")).as("tfidf")))
+    }),
+
+    // ---- SRC-1: per-source document cap — the domain-cap stage of a web
+    //      pipeline (no single domain may dominate the corpus). Keeps ≤10
+    //      docs per source, selected by content hash (uniform-ish,
+    //      rand()-free, rerun-stable, ties by doc_id — same recipe as
+    //      SMP-2), and reports retention per source. One window shuffle
+    //      by source; at 100 TB a hash-threshold pre-filter would bound
+    //      the window's input per source first. ----
+    "src1" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(polyHash(col("text")).asc, col("doc_id").asc)
+      val tot = doc.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      ordered(doc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_kept_chars"))
+        .join(tot, "source")
+        .select(col("source"), col("n_total"), col("n_kept"), col("avg_kept_chars")))
     })
   )
 
@@ -1310,6 +1401,69 @@ object LlmOps {
         |    list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 2147483647) AS prefix_fp
         |FROM documents
-        |ORDER BY doc_id NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_word_frac,
+        |  CAST(CAST(floor((CAST(list_max(list_transform(list_distinct(w), t2 -> len(list_filter(w, x -> x = t2)))) AS DOUBLE) / CAST(len(w) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS top_word_frac,
+        |  CAST(CAST(floor((CASE WHEN len(w) >= 2
+        |    THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
+        |    ELSE 0.0 END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_bigram_frac
+        |FROM t
+        |ORDER BY doc_id NULLS FIRST, dup_word_frac NULLS FIRST, top_word_frac NULLS FIRST, dup_bigram_frac NULLS FIRST""".stripMargin,
+
+    "pack1" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, CAST(unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE) / 32.0) AS INT))) AS INT) AS chunk_idx
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, chunk_idx, list_slice(w, chunk_idx*32 + 1, chunk_idx*32 + 32) AS ch
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
+        |  ch[1] AS first_tok, ch[len(ch)] AS last_tok
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST, n_toks NULLS FIRST, first_tok NULLS FIRST, last_tok NULLS FIRST""".stripMargin,
+
+    "tfidf1" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(1) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word,
+        |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf_raw
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, word, tfidf_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, word ASC) AS INT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, word,
+        |  CAST(CAST(floor((tfidf_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS tfidf
+        |FROM r WHERE rn <= 3
+        |ORDER BY doc_id NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, tfidf NULLS FIRST""".stripMargin,
+
+    "src1" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS th
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY th ASC, doc_id ASC) AS INT) AS rk
+        |  FROM h),
+        |tot AS (SELECT source, COUNT(1) AS n_total FROM documents GROUP BY 1),
+        |k AS (
+        |  SELECT source, COUNT(1) AS n_kept,
+        |    CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
+        |  FROM r WHERE rk <= 10 GROUP BY 1)
+        |SELECT source, n_total, n_kept, avg_kept_chars
+        |FROM k JOIN tot USING (source)
+        |ORDER BY source NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin
   )
 }

@@ -26,7 +26,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "sim1_lsh_multi", // OR of two bucket equalities over a broadcast query
                   // set: the disjunction defeats hash joins by definition;
                   // the corpus×corpus form is a unionAll of equi-joins
-    "subq1"       // correlated scalar subquery: decorrelated agg is tiny
+    "subq1",      // correlated scalar subquery: decorrelated agg is tiny
+    "tfidf1"      // global doc count attached via crossJoin(broadcast(1-row
+                  // aggregate)): a single-row scalar side — the BNLJ probes
+                  // one row, it cannot amplify
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

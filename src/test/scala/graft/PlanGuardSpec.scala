@@ -48,6 +48,12 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf1: vocabulary-sized idf relation broadcasts; per-doc top-k is group-limited") {
+    val p = plan("tfidf1")
+    assert(p.contains("BroadcastHashJoin"), "df (vocab-sized) should broadcast")
+    assert(p.contains("WindowGroupLimit"), "rn<=3 filter should push a group limit below the window")
+  }
+
   test("agg1_salted: two-phase salt rewrite — pre-combine keyed by (key, _salt)") {
     val p = plan("agg1_salted")
     // First aggregation level groups by (key, _salt): the hot key's stream
