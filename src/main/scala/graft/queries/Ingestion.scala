@@ -71,8 +71,35 @@ object Ingestion {
       val df = Ingest.readJson(s, jsonPath, jsonSchema, Ingest.FailFast)
       ordered(df.select(col("id"), col("s"), decS(col("d")).as("d"),
         col("obj.x").as("obj_x"), arrS(col("tags")).as("tags")))
+    }),
+
+    // ---- ORC sink + scan: the second columnar warehouse format Spark
+    //      ships natively (predicate pushdown, column pruning and
+    //      vectorized read work the same as parquet). The query writes
+    //      orders to ORC once per (JVM, sfDir) and aggregates the
+    //      read-back; the oracle computes the identical aggregate from the
+    //      original parquet, certifying the roundtrip loses nothing
+    //      (values, timestamps under the UTC session, row count). ----
+    "ingest_orc" -> ((s, d) => {
+      val dir = orcOrders(s, d)
+      ordered(s.read.orc(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("last_order")))
     })
   )
+
+  /** One ORC write per (JVM, sfDir) — repeated reads (Verify, Bench
+    * best-of-2) hit the same files. */
+  private val orcBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def orcOrders(s: SparkSession, d: String): String =
+    orcBuilt.computeIfAbsent(d, dir => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/orders_orc_$key"
+      load(s, dir, "orders").write.mode("overwrite").orc(out)
+      out
+    })
 
   val oracle: Map[String, String] = Map(
     "ingest_csv" ->
@@ -88,6 +115,16 @@ object Ingestion {
         |       ELSE COALESCE(array_to_string(tags, ','), '') END AS tags
         |FROM read_json('$jsonPath', format='newline_delimited',
         |  columns={'id':'BIGINT','s':'VARCHAR','d':'DOUBLE','obj':'STRUCT(x INTEGER)','tags':'VARCHAR[]'})
-        |ORDER BY id NULLS FIRST, s NULLS FIRST, d NULLS FIRST, obj_x NULLS FIRST, tags NULLS FIRST""".stripMargin
+        |ORDER BY id NULLS FIRST, s NULLS FIRST, d NULLS FIRST, obj_x NULLS FIRST, tags NULLS FIRST""".stripMargin,
+
+    // DuckDB can't read Spark's ORC, so the twin aggregates the ORIGINAL
+    // parquet orders — equality certifies the ORC roundtrip is lossless.
+    "ingest_orc" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin
   )
 }

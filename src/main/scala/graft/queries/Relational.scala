@@ -194,6 +194,26 @@ object Relational {
         .agg(dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
     }),
 
+    // ---- JOIN-2-SALTED: the same fact-fact join through the explicit
+    //      salted-join rewrite (operators/Skew.saltedJoin) — the lever for
+    //      a join key so hot one task owns it and AQE's skew split can't
+    //      help (e.g. a single key larger than a task). Each lineitem row
+    //      takes one of 4 salts; the orders side is replicated ×4 so every
+    //      row still meets its full match set. Row multiset is provably
+    //      identical to the plain join, so the oracle is join2's — the
+    //      plan guard pins the salted shape. ----
+    "join2_salted" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      ordered(graft.operators.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", buckets = 4)
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(dsum4S(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
+    }),
+
     // ---- JOIN-3: multi-way join (Q5 shape), dims broadcast ----
     "join3" -> ((s, d) => {
       val li = load(s, d, "lineitem")
@@ -560,6 +580,15 @@ object Relational {
   /** DuckDB SQL twins — same column names, same ordering, same decimal
     * discipline (SURVEY §5.3). NULLS FIRST is spelled out because DuckDB
     * defaults to NULLS LAST while Spark's asc defaults to nulls first. */
+  private val join2Sql =
+    """SELECT l_orderkey, o_orderpriority,
+      |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "prj1" ->
       """SELECT l_orderkey, l_linenumber,
@@ -682,14 +711,10 @@ object Relational {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
 
-    "join2" ->
-      """SELECT l_orderkey, o_orderpriority,
-        |  CAST(CAST(SUM(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderpriority
-        |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin,
+    "join2" -> join2Sql,
+    // The salted rewrite must hash-match the PLAIN join's aggregate — same
+    // oracle; result-identity is the point, the plan guard pins the shape.
+    "join2_salted" -> join2Sql,
 
     "join3" ->
       """SELECT n_name,

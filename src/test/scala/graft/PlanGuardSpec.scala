@@ -64,6 +64,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected two partial+final aggregate levels, saw $aggs HashAggregates")
   }
 
+  test("join2_salted: salted fact-fact join — salt is part of the join key") {
+    val p = plan("join2_salted")
+    assert(p.contains("_salt"), s"salt columns absent from the plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "salted join must stay equi-keyed")
+  }
+
   test("prune_static: partition predicate becomes a PartitionFilter at the scan") {
     val p = plan("prune_static")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
