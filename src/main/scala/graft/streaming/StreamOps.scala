@@ -110,6 +110,32 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream join — the conversion-funnel question
+    * ("which clicks did NOT convert?") that an inner join cannot answer.
+    * Same keys/watermarks/time bound as [[clickPurchaseJoin]]; the extra
+    * semantics are watermark-driven: an unmatched click is emitted with
+    * null purchase columns only once the global watermark passes the end
+    * of its match window (click_ts + 10 min), because until then a
+    * matching purchase could still arrive. Consequence at the tail: rows
+    * younger than the final watermark stay in state unemitted — a stream
+    * is never "done" the way a batch is, and the StreamingSpec test pins
+    * exactly this boundary. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val r = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    l.join(r, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** STR-DDP: streaming dedup on event_id within the watermark horizon.
     * The event-time column is part of the dedup key — the structured
     * streaming guide's bounded-state pattern: state for (event_id, ts) is

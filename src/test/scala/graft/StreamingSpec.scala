@@ -235,6 +235,33 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, batch, "stream-stream join vs batch join")
   }
 
+  test("STR-OJOIN left-outer stream-stream join emits null matches after watermark expiry") {
+    // Crafted timeline: click 1 converts (purchase 2 within 10 min),
+    // click 3 never converts, and a 13:00 click/purchase pair (sentinel)
+    // advances BOTH sides' watermarks to 12:00 in a second batch — past
+    // click 3's match-window end (10:20) — so the engine must emit
+    // (3, null) in the watermark-eviction batch. The sentinel pair matches
+    // itself and emits too, making stream output equal the batch left
+    // join exactly.
+    val d = tempDir("ojoin_replay")
+    writeSlice(ev(
+      (1L, "2024-06-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-06-01 10:05:00", 1L, "purchase", 5.0),
+      (3L, "2024-06-01 10:10:00", 2L, "click", 0.0)), d, "a", 1700000000000L)
+    writeSlice(ev(
+      (4L, "2024-06-01 13:00:00", 99L, "click", 0.0),
+      (5L, "2024-06-01 13:00:00", 99L, "purchase", 1.0)), d, "b", 1700000060000L)
+    val batchIn = spark.read.parquet(d.toString)
+    def stream = spark.readStream.schema(batchIn.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.clickPurchaseLeftJoin(stream, stream), "ojoin_stream", complete = false)
+    assert(streamed.filter(col("purchase_id").isNull).count() == 1L,
+      "exactly the non-converting click must surface with a null match")
+    assertSameRows(streamed, StreamOps.clickPurchaseLeftJoin(batchIn, batchIn),
+      "left-outer stream-stream join vs batch left join")
+  }
+
   test("StreamingStatusListener emits started/progress/terminated statuses") {
     val listener = new graft.streaming.StreamingStatusListener
     spark.streams.addListener(listener)
