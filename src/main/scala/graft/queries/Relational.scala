@@ -327,6 +327,23 @@ object Relational {
         dec4S(var_samp(col("l_tax"))).as("var_tax")))
     }),
 
+    // ---- AGG-9: EXACT percentiles (p25/median/p90) per group — the
+    //      distribution summary every data-quality dashboard asks of a
+    //      measure. Spark's `percentile` is the exact sort-based aggregate
+    //      with linear interpolation at fractional ranks, matching
+    //      DuckDB's `quantile_cont` (both: lower + frac·(upper−lower) on
+    //      2-decimal inputs → identical IEEE doubles). Exact percentiles
+    //      hold the full group in memory at the final aggregate — fine for
+    //      bounded groups like returnflag; at 100 TB over high-cardinality
+    //      groups you'd switch to approx_percentile (t-digest) and accept
+    //      the loss of a cross-engine hash oracle. ----
+    "agg9_pct" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        farrS(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))")).as("qty_pct"),
+        farrS(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")).as("price_pct")))
+    }),
+
     // ---- WIN-5: distribution window functions — cume_dist/percent_rank
     //      are exact rationals (rank arithmetic over identical ints), so
     //      the doubles agree bit-for-bit across engines. ----
@@ -567,6 +584,23 @@ object Relational {
         types.map(t => coalesce(col(t), lit(0L)).as(t)): _*))
     }),
 
+    // ---- PVT-2: UNPIVOT (pivot's inverse) — wide measure columns to
+    //      long (key, measure, value) rows, the shape feature stores and
+    //      metric pipelines ingest. Values are pre-rendered to the
+    //      canonical decimal string so the unified value column needs no
+    //      cross-measure type coercion. Narrow ×3 fan-out per row, no
+    //      shuffle; the oracle spells it as the portable UNION ALL. ----
+    "pvt2_unpivot" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      ordered(li.select(col("l_orderkey"), col("l_linenumber"),
+          decS(col("l_quantity")).as("quantity"),
+          decS(col("l_extendedprice")).as("extendedprice"),
+          decS(col("l_discount")).as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value"))
+    }),
+
     // ---- EXPL-1: explode tokenized text into words ----
     "expl1" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -796,6 +830,14 @@ object Relational {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST, corr_qty_price NULLS FIRST, covar_qty_disc NULLS FIRST, sd_disc NULLS FIRST, var_tax NULLS FIRST""".stripMargin,
 
+    "agg9_pct" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.9]), x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS qty_pct,
+        |  array_to_string(list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]), x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS price_pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, qty_pct NULLS FIRST, price_pct NULLS FIRST""".stripMargin,
+
     "win5" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(CAST(floor((cume_dist() OVER w)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cd,
@@ -972,6 +1014,19 @@ object Relational {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id NULLS FIRST, click NULLS FIRST, error NULLS FIRST, purchase NULLS FIRST, signup NULLS FIRST, "view" NULLS FIRST""".stripMargin,
+
+    "pvt2_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |    CAST(CAST(l_quantity AS DECIMAL(38,4)) AS VARCHAR) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(38,4)) AS VARCHAR) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+        |    CAST(CAST(l_discount AS DECIMAL(38,4)) AS VARCHAR) AS value FROM lineitem
+        |)
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, measure NULLS FIRST, value NULLS FIRST""".stripMargin,
 
     "expl1" ->
       """SELECT word, COUNT(1) AS n FROM (
