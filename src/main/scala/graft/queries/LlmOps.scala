@@ -944,9 +944,15 @@ object LlmOps {
     //      shuffle; the per-doc nested loop is bounded by the doc's own
     //      distinct-token count, so 100 TB cost is scan-proportional.
     //      Single-token docs are guarded (Spark's sequence(1, 0) is
-    //      DESCENDING — see shingles). ----
+    //      DESCENDING — see shingles). `spread` because the per-doc HOFs
+    //      (transform/filter lambdas) don't enter whole-stage codegen and
+    //      documents.parquet is one file split — without the repartition
+    //      the whole projection runs on one core (measured 5.6 s → ~1 s
+    //      at sf0.1). On a real multi-file 100 TB table the input splits
+    //      provide the parallelism and the spread is unnecessary — the
+    //      shuffle is the price of the synthetic single-file layout. ----
     "txt_repetition" -> ((s, d) => {
-      val doc = load(s, d, "documents")
+      val doc = spread(load(s, d, "documents"))
       val w = split(col("text"), " ")
       val n = size(w)
       val nd = size(array_distinct(w))
