@@ -64,8 +64,37 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "smp1", "smp2",
-        "txt1", "txt_langid", "ddp_cluster", "pipeline_clean"))
+        "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
+        "txt_repetition", "pack1", "tfidf1", "src1"))
       assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
+  }
+
+  test("txt_repetition: single-word and repeated-word docs get the declared fractions") {
+    val rows = SparkEntry.queries("txt_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    // one word: nothing repeats, bigram fraction defined to 0 (guard path)
+    assert(rows(1L) == ("0.0000", "1.0000", "0.0000"))
+    // "a a a a a": 4/5 words are repeats, top word is all the mass, all 4
+    // bigrams are the same one
+    assert(rows(2L) == ("0.8000", "1.0000", "0.7500"))
+    // 5 distinct words: no repetition anywhere
+    assert(rows(3L) == ("0.0000", "0.2000", "0.0000"))
+  }
+
+  test("pack1: short docs yield one bounded chunk with exact bounds") {
+    val rows = SparkEntry.queries("pack1")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3), r.getString(4))).toMap
+    assert(rows((1L, 0)) == (1, "solo", "solo"))
+    assert(rows((3L, 0)) == (5, "the", "jumps"))
+    assert(rows.keys.count(_._1 == 2L) == 1, "5 tokens -> exactly one chunk")
+  }
+
+  test("src1: cap larger than the source keeps everything") {
+    val rows = SparkEntry.queries("src1")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map("t" -> ((8L, 8L))), "8 docs in one source, cap 10: all kept")
   }
 
   test("Tables.load normalizes TIMESTAMP_NTZ event times from foreign writers") {
