@@ -472,6 +472,30 @@ object Relational {
           |""".stripMargin))
     }),
 
+    // ---- SUBQ-2: RECURSIVE CTE (transitive closure / hierarchy walk) —
+    //      the iterate-to-fixpoint operator SQL engines express as WITH
+    //      RECURSIVE, supported natively by Spark 4. The hierarchy is
+    //      derived deterministically from customer (parent(k) = k div 2, a
+    //      binary tree rooted at key 0) so both engines see identical
+    //      edges; the query walks root→leaves and profiles each depth.
+    //      Execution is breadth-first: each iteration joins the previous
+    //      frontier against the edge relation — the same scalable frontier
+    //      shape as clusterAssign, but engine-managed. ----
+    "subq2_rec" -> ((s, d) => {
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      ordered(s.sql(
+        """WITH RECURSIVE anc(node, depth) AS (
+          |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+          |  UNION ALL
+          |  SELECT c.c_custkey, a.depth + 1
+          |  FROM customer c JOIN anc a ON c.c_custkey div 2 = a.node
+          |  WHERE c.c_custkey > 0
+          |)
+          |SELECT depth, count(1) AS n_nodes, min(node) AS min_key, max(node) AS max_key
+          |FROM anc GROUP BY depth
+          |""".stripMargin))
+    }),
+
     // ---- WIN-1: ranking window functions ----
     "win1" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -904,6 +928,18 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |              AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
         |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+
+    "subq2_rec" ->
+      """WITH RECURSIVE anc(node, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.depth + 1
+        |  FROM customer c JOIN anc a ON c.c_custkey // 2 = a.node
+        |  WHERE c.c_custkey > 0
+        |)
+        |SELECT depth, count(1) AS n_nodes, min(node) AS min_key, max(node) AS max_key
+        |FROM anc GROUP BY depth
+        |ORDER BY depth NULLS FIRST, n_nodes NULLS FIRST, min_key NULLS FIRST, max_key NULLS FIRST""".stripMargin,
 
     "win1" ->
       """SELECT * FROM (
