@@ -472,6 +472,27 @@ object Relational {
           |""".stripMargin))
     }),
 
+    // ---- JOIN-12: LATERAL correlated subquery — "for each customer,
+    //      their single most expensive order": the per-row dependent
+    //      subquery shape analysts write naturally. Catalyst decorrelates
+    //      the LIMIT 1 subquery into a window-style per-key top-1 over an
+    //      equi-join — declarative in, scalable plan out; inner LATERAL
+    //      also drops customers with no orders, like the join it
+    //      decorrelates to. ----
+    "join12_lateral" -> ((s, d) => {
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      ordered(s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.total_price
+          |FROM customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS STRING) AS total_price
+          |  FROM orders WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+          |) o
+          |""".stripMargin))
+    }),
+
     // ---- SUBQ-2: RECURSIVE CTE (transitive closure / hierarchy walk) —
     //      the iterate-to-fixpoint operator SQL engines express as WITH
     //      RECURSIVE, supported natively by Spark 4. The hierarchy is
@@ -928,6 +949,16 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |              AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
         |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+
+    "join12_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.total_price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS total_price
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        |) o
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST, total_price NULLS FIRST""".stripMargin,
 
     "subq2_rec" ->
       """WITH RECURSIVE anc(node, depth) AS (
