@@ -174,6 +174,19 @@ object Relational {
         cstr(sum(dec(col("value"))).over(w).cast(dt)).as("sum_10min")))
     }),
 
+    // ---- AGG-10: group concatenation (LISTAGG/STRING_AGG) — the report
+    //      column "which statuses did this group see". collect_set is
+    //      order-nondeterministic under parallel merge, so the DECLARED
+    //      semantics sort before joining — rerun- and engine-stable, and
+    //      the list stays bounded by the domain size (statuses), not the
+    //      group size. ----
+    "agg10_listagg" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      ordered(o.groupBy(col("o_orderpriority")).agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -789,6 +802,14 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
+
+    "agg10_listagg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  COUNT(1) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST, statuses NULLS FIRST, n NULLS FIRST""".stripMargin,
 
     "join2" -> join2Sql,
     // The salted rewrite must hash-match the PLAIN join's aggregate — same
