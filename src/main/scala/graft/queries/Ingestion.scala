@@ -90,16 +90,12 @@ object Ingestion {
     })
   )
 
-  /** One ORC write per (JVM, sfDir) — repeated reads (Verify, Bench
-    * best-of-2) hit the same files. */
-  private val orcBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** ORC copy of orders, built once per (process, sfDir) via
+    * [[graft.core.Warehouse.once]]. */
   def orcOrders(s: SparkSession, d: String): String =
-    orcBuilt.computeIfAbsent(d, dir => {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/orders_orc_$key"
-      load(s, dir, "orders").write.mode("overwrite").orc(out)
-      out
-    })
+    graft.core.Warehouse.once(d, "orders_orc") { out =>
+      load(s, d, "orders").write.mode("overwrite").orc(out)
+    }
 
   val oracle: Map[String, String] = Map(
     "ingest_csv" ->

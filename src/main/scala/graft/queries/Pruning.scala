@@ -29,20 +29,14 @@ import graft.sources.Ingest
 object Pruning {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One partitioned write per (JVM, sfDir): repeated queries (Verify's
-    * sequential run, Bench's best-of-2) re-read the same layout instead of
-    * re-paying the write. */
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Hive-partitioned warehouse copy of orders: `.../o_year=YYYY/part-*.parquet`. */
+  /** Hive-partitioned warehouse copy of orders, built once per (process,
+    * sfDir) via [[graft.core.Warehouse.once]]:
+    * `.../o_year=YYYY/part-*.parquet`. */
   def partitionedOrders(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, dir => {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/orders_by_year_$key"
-      val o = load(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+    graft.core.Warehouse.once(d, "orders_by_year") { out =>
+      val o = load(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
       Ingest.writePartitionedParquet(o, out, Seq("o_year"))
-      out
-    })
+    }
 
   val all: Map[String, Q] = Map(
     // ---- PRUNE-STATIC: a literal predicate on the partition column must
