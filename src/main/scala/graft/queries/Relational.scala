@@ -187,6 +187,29 @@ object Relational {
         count(lit(1)).as("n")))
     }),
 
+    // ---- AGG-11: approximate aggregates — the 100 TB switch for the exact
+    //      paths above. `approx_count_distinct` is HyperLogLog++ (fixed-size
+    //      sketch per group, mergeable map-side: no shuffle of distinct
+    //      values, which is what makes exact COUNT(DISTINCT) the first thing
+    //      to fall over at scale) and `approx_percentile` is a bounded-error
+    //      quantile summary (no per-group sort/buffer like AGG-7's exact
+    //      percentile). NOT oracle-hashed: both engines implement different
+    //      sketches, so equality is only within the declared error bound —
+    //      ApproxSpec asserts |approx-exact| against those bounds instead
+    //      (rsd 0.01 for HLL, accuracy 10000 for the percentile summary);
+    //      the driver records a rows-only check (SURVEY §2.7). ----
+    "agg_approx" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)").as("ps"),
+        count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("nd_orders"),
+          dec4S(element_at(col("ps"), 1)).as("p50"),
+          dec4S(element_at(col("ps"), 2)).as("p99"),
+          col("n")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AGG-11 `agg_approx` tolerance gate (SURVEY §2.2 / §2.7).
+  *
+  * Approximate aggregates cannot be oracle-hashed — Spark's HLL++ and
+  * DuckDB's HLL are different sketches that agree only within their error
+  * bounds — so correctness is asserted here against the EXACT values
+  * computed by the engine itself, with the declared bounds:
+  *
+  *  - `approx_count_distinct(rsd = 0.01)`: HLL++ standard error 1% of the
+  *    true cardinality. We allow 5σ (5%) so the test cannot flake while
+  *    still catching a broken sketch (which is off by orders of magnitude).
+  *  - `approx_percentile(accuracy = 10000)`: the Greenwald-Khanna style
+  *    summary guarantees RANK error ≤ n/accuracy, i.e. the returned value
+  *    sits at a rank within n/10000 of the requested one. We assert that
+  *    rank window rather than a value delta, because a value tolerance
+  *    depends on the data's local density and would be either vacuous or
+  *    flaky.
+  */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("agg_approx: HLL distinct within 5 sigma and percentile within rank bound of exact") {
+    val approx = graft.queries.Relational.all("agg_approx")(spark, TestSpark.sfDir)
+      .select(col("l_returnflag"), col("nd_orders"),
+        col("p50").cast("double"), col("p99").cast("double"), col("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+      .cache()
+    try {
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("nd"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      assert(approx.keySet == exact.keySet, "group sets differ")
+      for ((flag, (nd, n)) <- exact) {
+        val row = approx(flag)
+        val approxNd = row.getLong(1)
+        // rsd=0.01 → σ = 1% of true count; 5σ keeps the test deterministic
+        // in practice (HLL++ is itself deterministic for a fixed input set,
+        // but the bound is what the API contracts, so assert that).
+        assert(math.abs(approxNd - nd) <= math.max(1L, (0.05 * nd).round),
+          s"$flag: approx_count_distinct $approxNd vs exact $nd exceeds 5% bound")
+        assert(row.getLong(4) == n, s"$flag: exact count passthrough mismatch")
+
+        // Percentile rank-error bound: rank(approx value) must be within
+        // n/accuracy of the target rank (plus 1 for interpolation slack).
+        val values = li.filter(col("l_returnflag") === flag)
+          .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+        val slack = math.max(1L, n / 10000L) + 1
+        for ((p, v) <- Seq(0.5 -> row.getDouble(2), 0.99 -> row.getDouble(3))) {
+          val targetRank = (p * (n - 1)).round
+          // number of values strictly below / at-or-below the returned value
+          val lo = values.count(_ < v - 1e-9)
+          val hi = values.count(_ <= v + 1e-9)
+          assert(targetRank >= lo - slack && targetRank <= hi + slack,
+            s"$flag p$p: value $v has rank window [$lo,$hi], target $targetRank ± $slack")
+        }
+      }
+    } finally li.unpersist()
+  }
+}
