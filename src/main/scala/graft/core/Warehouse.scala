@@ -17,8 +17,25 @@ package graft.core
 object Warehouse {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Every dir this process builds is deleted at JVM exit: the pid suffix
+  // that isolates concurrent processes also means no other process can be
+  // reading our copies, so cleanup is always safe — and without it every
+  // Bench/Verify run leaves another orders-sized copy in /tmp forever.
+  private val cleanupHook = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerCleanup(): Unit =
+    if (cleanupHook.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        built.values.forEach { dir =>
+          def rm(p: java.io.File): Unit = {
+            val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+            p.delete(); ()
+          }
+          try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+        }))
+
   def once(srcDir: String, name: String)(write: String => Unit): String =
     built.computeIfAbsent(s"$name|$srcDir", _ => {
+      registerCleanup()
       val stem = srcDir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
       val key = f"${srcDir.hashCode}%08x"
       val pid = ProcessHandle.current().pid()

@@ -87,6 +87,28 @@ object Ingestion {
         .agg(count(lit(1)).as("n_orders"),
           dsumS(col("o_totalprice")).as("sum_price"),
           max(col("o_orderdate")).as("last_order")))
+    }),
+
+    // ---- JDBC sink + read-back ([REF] dual relational sinks, Redshift
+    //      `:79-87` / PostgreSQL `:88-98`): the SAME JdbcWarehouseWriter /
+    //      jdbcRead code paths production would point at a network
+    //      database, proven end-to-end against embedded Derby (in
+    //      Spark's own classpath — no network needed). A deterministic
+    //      ~1% keyslice of orders goes out over parallel JDBC INSERTs and
+    //      comes back through the JDBC reader; the oracle computes the
+    //      identical aggregate from the original parquet, so equality
+    //      certifies the round-trip preserved longs, doubles, strings and
+    //      timestamps exactly. Bounded slice: a gated query should not
+    //      spend its budget on single-node INSERT throughput — the bulk
+    //      path at scale is the warehouse's native loader (COPY), JDBC is
+    //      the control-plane edge. ----
+    "ingest_jdbc" -> ((s, d) => {
+      val t = jdbcOrders(s, d)
+      ordered(Ingest.jdbcRead(s, t).load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("last_order")))
     })
   )
 
@@ -96,6 +118,31 @@ object Ingestion {
     graft.core.Warehouse.once(d, "orders_orc") { out =>
       load(s, d, "orders").write.mode("overwrite").orc(out)
     }
+
+  /** Embedded-Derby copy of a deterministic orders keyslice
+    * (o_orderkey % 97 = 0), loaded once per (process, sfDir) through the
+    * production [[Ingest.JdbcWarehouseWriter]]. Returns the target the
+    * JDBC reader should point at. */
+  def jdbcOrders(s: SparkSession, d: String): Ingest.JdbcTarget = {
+    val dbDir = graft.core.Warehouse.once(d, "orders_derby") { out =>
+      // derby.log goes inside the cleaned-up warehouse dir, not the cwd.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      sys.props.getOrElseUpdate("derby.stream.error.file", s"$out/derby.log")
+      new Ingest.JdbcWarehouseWriter(derbyTarget(out)).write(
+        load(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+          // a handful of partitions = parallel INSERT batches without
+          // hammering the embedded engine's lock table
+          .repartition(4),
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    derbyTarget(dbDir)
+  }
+
+  private def derbyTarget(dbDir: String): Ingest.JdbcTarget =
+    Ingest.JdbcTarget(
+      url = s"jdbc:derby:$dbDir/ordersdb;create=true",
+      table = "orders_rt",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
 
   val oracle: Map[String, String] = Map(
     "ingest_csv" ->
@@ -120,6 +167,18 @@ object Ingestion {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
         |  max(o_orderdate) AS last_order
         |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
+
+    // DuckDB can't open Derby, so the twin aggregates the same keyslice of
+    // the ORIGINAL parquet orders — equality certifies the Spark→Derby→
+    // Spark JDBC round-trip is lossless.
+    "ingest_jdbc" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM orders
+        |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin
   )

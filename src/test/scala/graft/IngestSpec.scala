@@ -110,6 +110,24 @@ class IngestSpec extends AnyFunSuite {
     Ingest.jdbcRead(spark, t)
   }
 
+  test("JDBC round-trip through embedded Derby preserves every row exactly") {
+    // The [REF] dual-sink flow end-to-end: the production JdbcWarehouseWriter
+    // writes a deterministic orders keyslice into embedded Derby (in Spark's
+    // own classpath) and jdbcRead brings it back; row-level multiset equality
+    // proves longs, doubles, strings and timestamps survive unchanged.
+    val target = Ingestion.jdbcOrders(spark, sfDir)
+    val src = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+    val back = Ingest.jdbcRead(spark, target).load()
+      .select(src.columns.map(col).toIndexedSeq: _*)
+      // parquet orders carry TIMESTAMP_NTZ; JDBC maps Derby TIMESTAMP to
+      // TimestampType. Under the UTC session the cast is value-identity,
+      // so aligning the type here compares the actual instants.
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    assert(back.count() == src.count() && src.count() > 0)
+    assertSameRows(src, back, "derby round-trip")
+  }
+
   test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {
     import graft.streaming.StreamOps
     val d = tempDir("wh_stream_src")
