@@ -245,14 +245,28 @@ object LlmOps {
     //      intra-cluster loops — after round one the edge set collapses
     //      from |E| to the handful of unmerged cross-cluster links, so
     //      only the first round pays a full |E| scan.
-    // localCheckpoint (eager) truncates lineage at every step — without it
-    // the round-N plan chains through all prior rounds plus the whole
-    // minhash pipeline and OOMs the driver. Convergence (no label moved)
-    // is exact: labels only ever decrease.
-    val edges = edges0.select(col("d1"), col("d2")).localCheckpoint()
-    var sym = edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = doc.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // Eager checkpointing truncates lineage at every step — without it the
+    // round-N plan chains through all prior rounds plus the whole minhash
+    // pipeline and OOMs the driver. Two modes:
+    //  - default: `localCheckpoint` — blocks live on executors; fastest,
+    //    but an executor loss mid-iteration kills the job (acceptable on
+    //    local[n], NOT on a 1000-executor cluster where some loss per hour
+    //    is the norm).
+    //  - `spark.graft.cluster.checkpointDir=<path>`: reliable
+    //    `checkpoint()` to that directory (HDFS/S3 in production) — each
+    //    round's state survives executor loss and is recomputed-free on
+    //    retry, at the price of one distributed-FS write per round. The
+    //    iteration count is O(log n), so the extra writes stay bounded.
+    // Convergence (no label moved) is exact: labels only ever decrease.
+    val spark = doc.sparkSession
+    val reliableDir = spark.conf.getOption("spark.graft.cluster.checkpointDir")
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint()
+    val edges = ckpt(edges0.select(col("d1"), col("d2")))
+    var sym = ckpt(edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var labels = ckpt(doc.select(col("doc_id"), col("doc_id").as("label")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -260,31 +274,28 @@ object LlmOps {
       //    doc-level join: min neighbor label per label node...
       val neighborMin = sym.groupBy(col("d1")).agg(min(col("d2")).as("nl"))
       //    ...applied to every doc through its current label.
-      val stepped = labels.as("l")
+      val stepped = ckpt(labels.as("l")
         .join(neighborMin.as("n"), col("l.label") === col("n.d1"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
-        .localCheckpoint()
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label")))
       // 2. Pointer jump (labels are doc_ids, so the lookup is a self-join).
-      val next = stepped.as("x")
+      val next = ckpt(stepped.as("x")
         .join(stepped.select(col("doc_id").as("ld"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ld"), "left")
         .select(col("x.doc_id").as("doc_id"),
-          least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"))
-        .localCheckpoint()
+          least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label")))
       converged = next.as("a").join(labels.as("b"), "doc_id")
         .filter(col("a.label") =!= col("b.label")).isEmpty
       // 3. Contract the graph under the new labels.
       if (!converged) {
-        sym = sym
+        sym = ckpt(sym
           .join(next.select(col("doc_id").as("j1"), col("label").as("nl1")),
             col("d1") === col("j1"))
           .join(next.select(col("doc_id").as("j2"), col("label").as("nl2")),
             col("d2") === col("j2"))
           .select(col("nl1").as("d1"), col("nl2").as("d2"))
           .filter(col("d1") =!= col("d2"))
-          .distinct()
-          .localCheckpoint()
+          .distinct())
       }
       labels = next
       rounds += 1

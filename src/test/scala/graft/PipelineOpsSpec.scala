@@ -27,6 +27,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"blocked=${out.size} brute=${brute.size} missing=${(brute -- out).take(3)}")
   }
 
+  test("ddp_cluster: reliable-checkpoint mode matches localCheckpoint and writes to the dir") {
+    // At 1000-executor scale, losing an executor mid-iteration is routine;
+    // localCheckpoint blocks die with it. The reliable mode must produce
+    // identical clusters while actually persisting round state to the
+    // configured checkpoint directory.
+    val dflt = graft.queries.LlmOps.all("ddp_cluster")(spark, sfDir)
+    val dir = tempDir("reliable_ckpt")
+    spark.conf.set("spark.graft.cluster.checkpointDir", dir.toString)
+    try {
+      val reliable = graft.queries.LlmOps.all("ddp_cluster")(spark, sfDir)
+      assertSameRows(dflt, reliable, "reliable vs local checkpoint clusters")
+      // Prove the reliable path ran: RDD checkpoint files landed in dir.
+      val wrote = java.nio.file.Files.walk(dir).iterator()
+      val n = Iterator.continually(wrote).takeWhile(_.hasNext).map(_.next()).size
+      assert(n > 1, s"expected checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.cluster.checkpointDir")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
