@@ -21,6 +21,11 @@ object MinHashSeeds {
   val Bs: Seq[Long] = Seq(104729L, 224737L, 350377L, 479909L,
     611953L, 746773L, 882377L, 1020379L)
   val slots: Int = As.size
+  // Primitive copies for the per-token hot loop: Seq#apply on the List
+  // above boxes every access and walks i cells — at 8 slots × every token
+  // of every doc that is measurable interpreter overhead.
+  private[functions] val AsArr: Array[Long] = As.toArray
+  private[functions] val BsArr: Array[Long] = Bs.toArray
 }
 
 /** MinHash sketch as a `TypedImperativeAggregate` (SURVEY §2.6 / SIM-3):
@@ -54,7 +59,7 @@ case class MinHashSketch(child: Expression,
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < slots) {
-        val s = (As(i) * h + Bs(i)) % P
+        val s = (AsArr(i) * h + BsArr(i)) % P
         if (s < buf(i)) buf(i) = s
         i += 1
       }

@@ -172,12 +172,21 @@ object LlmOps {
     val tok = doc.select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
     val sigs =
-      if (useUdaf)
+      if (useUdaf) {
+        // TypedImperativeAggregate plans as ObjectHashAggregate, which by
+        // default abandons its hash map for sort-based aggregation after
+        // 128 distinct groups — and this groupBy has one group PER DOC.
+        // The buffer is a fixed 64 bytes, so even millions of in-flight
+        // groups are a few hundred MB per task at most: raise the
+        // threshold so the sketch aggregates hash-style like its builtin
+        // twin instead of paying a full sort of the token stream.
+        doc0.sparkSession.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         tok.groupBy(col("doc_id"))
           .agg(graft.functions.MinHashSketch.minhash_sketch(col("h")).as("sig"))
           .select(col("doc_id") +: (0 until As.size).map(i =>
             element_at(col("sig"), i + 1).as(s"s$i")): _*)
-      else {
+      } else {
         val sigExprs = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
           min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"s$i")
         }
