@@ -156,6 +156,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0, "per-user state must match the batch aggregate")
   }
 
+  test("RocksDB state store: session window + custom state run and match batch") {
+    // The default HDFSBackedStateStoreProvider keeps every key in executor
+    // heap — at 100 TB sessionization/join state that's an OOM, and the
+    // production answer is the RocksDB provider (state spills to local SSD,
+    // snapshots to the checkpoint dir). Prove this build runs stateful
+    // queries on RocksDB with results identical to batch.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamOps.drainToMemory(
+        StreamOps.sessionWindow(replayStream), "w3_rocks", complete = true)
+      assertSameRows(streamed, StreamOps.sessionWindow(eventsBatch),
+        "session window on RocksDB state store")
+
+      val stream = replayStream
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[StreamOps.Ev]
+      val drained = StreamOps.drainToMemory(
+        StreamOps.runningCounters(stream).toDF(), "state_rocks",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      val finalState = drained
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val batch = eventsBatch.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      val joined = finalState.as("s").join(batch.as("b"), "user_id")
+      assert(joined.count() == batch.count(), "one final state row per user")
+      assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+        col("s.last_ts") =!= col("b.last_ts")).count() == 0,
+        "RocksDB-backed state must match the batch aggregate")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-SNK checkpointed parquet sink is exactly-once across restarts") {
     val d = tempDir("snk_replay")
     writeSlice(ev(
