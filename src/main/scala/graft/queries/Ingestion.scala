@@ -89,6 +89,25 @@ object Ingestion {
           max(col("o_orderdate")).as("last_order")))
     }),
 
+    // ---- Avro sink + scan: the row-oriented interchange format of the
+    //      Kafka ecosystem (Spark 4 ships the avro source in spark-sql).
+    //      Same roundtrip certification as ORC: write orders once per
+    //      (JVM, sfDir), aggregate the read-back, oracle aggregates the
+    //      original parquet. Avro stores timestamps as micros-since-epoch
+    //      (UTC instants) and doubles/longs natively, so the roundtrip is
+    //      exact under the pinned UTC session. This deployment ships the
+    //      avro classes inside spark-sql but without the DataSourceRegister
+    //      service entry, so the format is addressed by its implementation
+    //      class instead of the "avro" short name. ----
+    "ingest_avro" -> ((s, d) => {
+      val dir = avroOrders(s, d)
+      ordered(s.read.format(avroFormat).load(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("last_order")))
+    }),
+
     // ---- JDBC sink + read-back ([REF] dual relational sinks, Redshift
     //      `:79-87` / PostgreSQL `:88-98`): the SAME JdbcWarehouseWriter /
     //      jdbcRead code paths production would point at a network
@@ -117,6 +136,17 @@ object Ingestion {
   def orcOrders(s: SparkSession, d: String): String =
     graft.core.Warehouse.once(d, "orders_orc") { out =>
       load(s, d, "orders").write.mode("overwrite").orc(out)
+    }
+
+  /** The avro FileFormat addressed by class (no service-registry entry in
+    * this deployment; `format("avro")` resolves via DataSourceRegister,
+    * which Spark also satisfies with a fully-qualified class name). */
+  val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Avro copy of orders, built once per (process, sfDir). */
+  def avroOrders(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "orders_avro") { out =>
+      load(s, d, "orders").write.mode("overwrite").format(avroFormat).save(out)
     }
 
   /** Embedded-Derby copy of a deterministic orders keyslice
@@ -163,6 +193,16 @@ object Ingestion {
     // DuckDB can't read Spark's ORC, so the twin aggregates the ORIGINAL
     // parquet orders — equality certifies the ORC roundtrip is lossless.
     "ingest_orc" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
+
+    // DuckDB can't read Spark's Avro either; same original-parquet twin
+    // pattern as ORC — equality certifies the Avro roundtrip is lossless.
+    "ingest_avro" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
         |  max(o_orderdate) AS last_order
