@@ -110,6 +110,28 @@ class IngestSpec extends AnyFunSuite {
     Ingest.jdbcRead(spark, t)
   }
 
+  test("parquet schema evolution: mergeSchema surfaces NULLs for pre-evolution rows") {
+    // A long-lived warehouse dir accretes files written under successive
+    // schemas (a later pipeline version adds a column). mergeSchema must
+    // union the schemas and read old files with NULLs in the new column —
+    // the evolution contract a 100 TB warehouse depends on, since
+    // rewriting history to backfill a column is off the table.
+    val d = tempDir("schema_evo").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode(SaveMode.Append).parquet(d)
+    Seq((3L, "c", 3.5), (4L, "d", 4.5)).toDF("id", "v", "score")
+      .write.mode(SaveMode.Append).parquet(d)
+    val merged = spark.read.option("mergeSchema", true).parquet(d)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select("id", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b", null),
+      (3L, "c", 3.5), (4L, "d", 4.5)),
+      s"old rows must surface NULL in the evolved column: ${rows.mkString(",")}")
+  }
+
   test("JDBC round-trip through embedded Derby preserves every row exactly") {
     // The [REF] dual-sink flow end-to-end: the production JdbcWarehouseWriter
     // writes a deterministic orders keyslice into embedded Derby (in Spark's
