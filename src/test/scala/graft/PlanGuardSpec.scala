@@ -60,8 +60,21 @@ class PlanGuardSpec extends AnyFunSuite {
     // is shared by `buckets` reducers; the final level then combines at
     // most `buckets` pre-aggregated rows per key.
     assert(p.contains("_salt"), s"salt column absent from the plan:\n${p.take(800)}")
-    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
-    assert(aggs >= 4, s"expected two partial+final aggregate levels, saw $aggs HashAggregates")
+    // Count aggregate NODES of any physical kind (Hash/ObjectHash/Sort —
+    // planner fallbacks and AQE formatting must not fail the guard); the
+    // two-phase rewrite shows as two logical levels x partial+final = 4.
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate") ||
+        l.contains("SortAggregate"))
+    assert(aggs >= 4, s"expected two partial+final aggregate levels, saw $aggs aggregate nodes")
+    // And the levels really are (key, _salt) then (key): both grouping
+    // shapes must appear among the aggregate nodes' key lists.
+    val aggLines = p.linesIterator.filter(l =>
+      l.contains("Aggregate") && l.contains("keys=")).toSeq
+    assert(aggLines.exists(l => l.contains("_salt")),
+      "no aggregate level grouped by the salted key")
+    assert(aggLines.exists(l => !l.contains("_salt")),
+      "no final aggregate level grouped by the bare key")
   }
 
   test("join2_salted: salted fact-fact join — salt is part of the join key") {
