@@ -5,22 +5,39 @@ import org.apache.spark.sql.functions._
 
 /** Scale-probe corpus generator (dev tool, not part of the driver contract,
   * like [[Prof]]/[[Explain]]): writes a copy of a testdata directory with
-  * the relational fact tables (orders, lineitem) replicated ×N under
-  * shifted order keys, so `Prof` can measure how the relational family
-  * scales with data volume on otherwise-identical table shapes.
+  * selected tables replicated ×N under shifted primary keys, so `Prof` can
+  * measure how a query family scales with data volume on otherwise-identical
+  * table shapes.
   *
-  * Key shifting preserves join semantics exactly: each replica's lineitem
-  * rows still match only their own replica's orders rows (join multiplicity
-  * per key is unchanged), while o_custkey is left alone — a customer simply
-  * has ×N orders, which is what organic fact growth looks like. Dimension
-  * and LLM tables are copied unchanged.
+  * Key shifting preserves join semantics exactly for the relational facts:
+  * each replica's lineitem rows still match only their own replica's orders
+  * rows (join multiplicity per key is unchanged), while o_custkey is left
+  * alone — a customer simply has ×N orders, which is what organic fact
+  * growth looks like. Tables not in the fan list are copied unchanged.
   *
-  * Usage: `sbt "runMain graft.ProbeGen /root/testdata/sf0.1 /tmp/probe_x10 10"`
+  * For the entity/content tables (documents, customer) the SAME content is
+  * kept under N distinct ids — deliberately ADVERSARIAL for near-dup and
+  * fuzzy-match queries: every doc/name gains an N-copy clique, so pairwise
+  * candidate/output sets amplify ×N², not ×N. That is the corpus the pair-
+  * emitting-vs-cluster-assignment comparison in SURVEY §4.4.8 is measured on.
+  *
+  * Usage: `sbt "runMain graft.ProbeGen <base> <out> <factor> [t1,t2,...]"`
+  * e.g. `sbt "runMain graft.ProbeGen /root/testdata/sf0.1 /tmp/probe_x10 10"`
+  * fans the default orders,lineitem; pass `documents,customer` (etc.) to fan
+  * the clique-probe tables instead.
   */
 object ProbeGen {
+  /** Primary key to shift per fannable table. */
+  private val keyOf = Map(
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "customer" -> "c_custkey", "documents" -> "doc_id",
+    "events" -> "event_id", "embeddings" -> "vec_id")
+
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir, factorS) = args
-    val factor = factorS.toLong
+    val (baseDir, outDir, factor, fanTables) = args match {
+      case Array(b, o, f)     => (b, o, f.toLong, Seq("orders", "lineitem"))
+      case Array(b, o, f, ts) => (b, o, f.toLong, ts.split(",").toSeq)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,20 +48,19 @@ object ProbeGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Offset far beyond any base order key so replica key ranges never collide.
+    // Offset far beyond any base key so replica key ranges never collide.
     val off = 1000000000L
     def fan(df: DataFrame, keyCol: String): DataFrame =
       df.withColumn("_i", explode(sequence(lit(0L), lit(factor - 1L))))
         .withColumn(keyCol, col(keyCol) + col("_i") * off)
         .drop("_i")
-    fan(spark.read.parquet(s"$baseDir/orders.parquet"), "o_orderkey")
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    fan(spark.read.parquet(s"$baseDir/lineitem.parquet"), "l_orderkey")
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "events", "documents", "embeddings"))
-      spark.read.parquet(s"$baseDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    val all = Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")
+    for (t <- all) {
+      val src = spark.read.parquet(s"$baseDir/$t.parquet")
+      val out = if (fanTables.contains(t)) fan(src, keyOf(t)) else src
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
     spark.stop()
   }
 }

@@ -21,12 +21,26 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val names = sys.env.get("SPARK_GRAFT_PROF").map(_.split(",").toSeq)
       .getOrElse(args.toSeq)
-    for (name <- names; i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      System.err.println(f"[prof] $name #$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      spark.catalog.clearCache()
+    // SPARK_GRAFT_COUNT=1: also report the output row count once per query
+    // (untimed, separate action) — used by the §4.4.8 output-blowup probes,
+    // where the interesting number is how the RESULT grows, not just the time.
+    val wantCount = sys.env.get("SPARK_GRAFT_COUNT").contains("1")
+    // SPARK_GRAFT_ITERS: iterations per query (default 3). The 3-run
+    // steady-state convention is for sub-30s queries where warmup dominates;
+    // multi-minute probe runs use 1 — warmup skew is negligible there.
+    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3)
+    for (name <- names) {
+      for (i <- 1 to iters) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        System.err.println(f"[prof] $name #$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        spark.catalog.clearCache()
+      }
+      if (wantCount) {
+        System.err.println(s"[prof] $name rows=${SparkEntry.queries(name)(spark, sfDir).count()}")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

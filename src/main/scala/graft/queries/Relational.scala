@@ -23,6 +23,32 @@ import graft.core.Tables._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deletion-neighborhood fuzzy-match pair builder shared by `fzj1` (pair
+    * list) and `fzj_cluster` (entity assignment): customer pairs within
+    * edit distance 1 (equal length ⟹ hamming ≤ 1), keyed so the (pos, key)
+    * equi-join's candidate set is exactly the answer set — see the fzj1
+    * design comment. Returns (c1, c2, lev) with c1 < c2, deduplicated. */
+  private def fzjPairs(customer: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_name"))
+    val n = length(col("c_name"))
+    val delKeys = transform(sequence(lit(1), n), i =>
+      struct(i.as("pos"),
+        concat(col("c_name").substr(lit(1), i - 1),
+          col("c_name").substr(i + 1, n)).as("k")))
+    val keyed = c.select(col("c_custkey"), col("c_name"), explode(delKeys).as("dk"))
+      .select(col("c_custkey"), col("c_name"),
+        col("dk.pos").as("pos"), col("dk.k").as("k"))
+    val a = keyed.select(col("c_custkey").as("c1"), col("c_name").as("n1"),
+      col("pos").as("p1"), col("k").as("k1"))
+    val b = keyed.select(col("c_custkey").as("c2"), col("c_name").as("n2"),
+      col("pos").as("p2"), col("k").as("k2"))
+    a.join(b, col("p1") === col("p2") && col("k1") === col("k2") &&
+        col("c1") < col("c2"))
+      .select(col("c1"), col("c2"), col("n1"), col("n2")).distinct()
+      .withColumn("lev", levenshtein(col("n1"), col("n2")))
+      .filter(col("lev") <= 1 && length(col("n1")) === length(col("n2")))
+  }
+
   val all: Map[String, Q] = Map(
     // ---- PRJ-1: projection + computed columns ----
     "prj1" -> ((s, d) => {
@@ -450,25 +476,26 @@ object Relational {
     //      tiny because a bucket holds only rows identical off one
     //      position. ----
     "fzj1" -> ((s, d) => {
-      val c = load(s, d, "customer").select(col("c_custkey"), col("c_name"))
-      val n = length(col("c_name"))
-      val delKeys = transform(sequence(lit(1), n), i =>
-        struct(i.as("pos"),
-          concat(col("c_name").substr(lit(1), i - 1),
-            col("c_name").substr(i + 1, n)).as("k")))
-      val keyed = c.select(col("c_custkey"), col("c_name"), explode(delKeys).as("dk"))
-        .select(col("c_custkey"), col("c_name"),
-          col("dk.pos").as("pos"), col("dk.k").as("k"))
-      val a = keyed.select(col("c_custkey").as("c1"), col("c_name").as("n1"),
-        col("pos").as("p1"), col("k").as("k1"))
-      val b = keyed.select(col("c_custkey").as("c2"), col("c_name").as("n2"),
-        col("pos").as("p2"), col("k").as("k2"))
-      ordered(a.join(b, col("p1") === col("p2") && col("k1") === col("k2") &&
-          col("c1") < col("c2"))
-        .select(col("c1"), col("c2"), col("n1"), col("n2")).distinct()
-        .withColumn("lev", levenshtein(col("n1"), col("n2")))
-        .filter(col("lev") <= 1 && length(col("n1")) === length(col("n2")))
-        .select(col("c1"), col("c2"), col("lev")))
+      val p = fzjPairs(load(s, d, "customer"))
+      ordered(p.select(col("c1"), col("c2"), col("lev")))
+    }),
+
+    // ---- FZJ-CLUSTER: fuzzy-match ENTITY ASSIGNMENT — the linear-output
+    //      scale path for fzj1. The ×10 clique probe (SURVEY §4.4.8) shows
+    //      the pair LIST going quadratic on duplicate-heavy corpora (every
+    //      name with k copies emits k·(k-1)/2 rows); downstream consumers
+    //      (golden-record election, dedup retention) only need one row per
+    //      record with its entity id. Formulation: connected components
+    //      over the edit-distance-1 graph via the same Hash-Min label
+    //      propagation as ddp_cluster — output is one row per customer,
+    //      entity_id = min custkey in the component, regardless of how
+    //      clique-heavy the graph gets. ----
+    "fzj_cluster" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val edges = fzjPairs(c).select(col("c1").as("d1"), col("c2").as("d2"))
+      LlmOps.clusterAssign(c.select(col("c_custkey").as("doc_id")), edges)
+        .select(col("doc_id").as("c_custkey"),
+          col("cluster_id").as("entity_id"), col("is_keeper"))
     }),
 
     // ---- MRG-1: upsert / latest-record-wins merge — the [REF] warehouse
@@ -969,6 +996,27 @@ object Relational {
         |  AND len(a.c_name) = len(b.c_name)
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, lev NULLS FIRST""".stripMargin,
+
+    // Same edge set as fzj1; entity = connected component reached by the
+    // recursive walk, entity_id = component minimum (= Hash-Min fixpoint).
+    "fzj_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |    AND len(a.c_name) = len(b.c_name)
+        |    AND levenshtein(a.c_name, b.c_name) <= 1
+        |), edges AS (
+        |  SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs
+        |), walk(c, r) AS (
+        |  SELECT c_custkey, c_custkey AS r FROM customer
+        |  UNION
+        |  SELECT w.c, e.d2 AS r FROM walk w JOIN edges e ON w.r = e.d1
+        |), clusters AS (
+        |  SELECT c AS c_custkey, MIN(r) AS entity_id FROM walk GROUP BY c
+        |)
+        |SELECT c_custkey, entity_id, (c_custkey = entity_id) AS is_keeper
+        |FROM clusters
+        |ORDER BY c_custkey NULLS FIRST, entity_id NULLS FIRST, is_keeper NULLS FIRST""".stripMargin,
 
     "mrg1" ->
       """WITH base AS (

@@ -27,6 +27,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"blocked=${out.size} brute=${brute.size} missing=${(brute -- out).take(3)}")
   }
 
+  test("fzj_cluster: entity assignment is the component closure of the fzj1 pair list") {
+    // One row per customer; every fzj1 pair lands in one entity; entity_id
+    // is the component minimum; keepers are exactly the entity ids. This is
+    // the linear-output scale path for fzj1 (SURVEY §4.4.8) — the pair list
+    // goes quadratic on duplicate-heavy corpora, the assignment never does.
+    val assign = SparkEntry.queries("fzj_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    val nCust = graft.core.Tables.load(spark, sfDir, "customer").count()
+    assert(assign.length == nCust, s"${assign.length} rows for $nCust customers")
+    val entity = assign.toMap.map { case (c, (e, _)) => c -> e }
+    val pairs = SparkEntry.queries("fzj1")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(entity(a) == entity(b), s"pair ($a,$b) split across entities")
+    }
+    // Component minimum: an entity id is the smallest member of its group.
+    entity.groupBy(_._2).foreach { case (e, members) =>
+      assert(members.keys.min == e, s"entity $e is not its component min")
+    }
+    val keepers = assign.collect { case (c, (_, true)) => c }.toSet
+    assert(keepers == entity.values.toSet, "keepers != entity ids")
+  }
+
   test("ddp_cluster: reliable-checkpoint mode matches localCheckpoint and writes to the dir") {
     // At 1000-executor scale, losing an executor mid-iteration is routine;
     // localCheckpoint blocks die with it. The reliable mode must produce
