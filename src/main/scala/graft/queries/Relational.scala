@@ -38,6 +38,14 @@ object Relational {
     val keyed = c.select(col("c_custkey"), col("c_name"), explode(delKeys).as("dk"))
       .select(col("c_custkey"), col("c_name"),
         col("dk.pos").as("pos"), col("dk.k").as("k"))
+      // Explicit count on the exchange feeding the self-join: the posting
+      // table is tiny by BYTES (short strings), so AQE would coalesce the
+      // join's input to ~1-2 partitions while its OUTPUT fans out ×k² per
+      // bucket on duplicate-heavy corpora (the §4.4.3 trap — measured 2/32
+      // cores busy on the ×10 clique probe). Partitioning by the join key
+      // keeps the probe wide; AQE respects user-specified numbers.
+      .repartition(customer.sparkSession.sparkContext.defaultParallelism * 2,
+        col("pos"), col("k"))
     val a = keyed.select(col("c_custkey").as("c1"), col("c_name").as("n1"),
       col("pos").as("p1"), col("k").as("k1"))
     val b = keyed.select(col("c_custkey").as("c2"), col("c_name").as("n2"),
