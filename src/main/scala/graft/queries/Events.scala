@@ -79,10 +79,36 @@ object Events {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           dsumS(col("value")).as("sum_value")))
+    }),
+
+    // ---- CDC-1: changelog compaction — keep the LATEST record per key,
+    //      the standard materialize-a-CDC-stream / upsert-log-to-snapshot
+    //      step. rn=1 over (ts DESC, event_id DESC) plans as a
+    //      WindowGroupLimit (per-key top-1 pushed below the window, with
+    //      partial group-limits before the shuffle), so per-key state on
+    //      the map side is one row — the only full-data shuffle is by
+    //      user_id, which a 100 TB snapshot needs anyway to co-locate
+    //      keys. event_id breaks ts ties deterministically. ----
+    "cdc_latest" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ordered(e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value")))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_latest" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+        |  event_id AS last_event_id, event_type AS last_type, value AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+        |ORDER BY user_id NULLS FIRST, last_ts NULLS FIRST, last_event_id NULLS FIRST, last_type NULLS FIRST, last_value NULLS FIRST""".stripMargin,
+
     // DuckDB: time_bucket gives the tumbling window start; ns ts cast to µs
     // first to match Spark's parquet read truncation.
     "evt1" ->

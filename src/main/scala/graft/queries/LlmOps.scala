@@ -1052,6 +1052,80 @@ object LlmOps {
         .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_kept_chars"))
         .join(tot, "source")
         .select(col("source"), col("n_total"), col("n_kept"), col("avg_kept_chars")))
+    }),
+
+    // ---- SMP-3: per-stratum RATE sampling — rebalance the language mix
+    //      by keeping a different deterministic fraction per stratum
+    //      (downsample the dominant language, keep the rest). The keep
+    //      decision is a pure filter on a hash prefix (md5 hex < per-lang
+    //      threshold): no window, no shuffle beyond the summary agg — at
+    //      100 TB this is THE sampling shape, because rank-based capping
+    //      (SMP-2/SRC-1) must shuffle every stratum through a window
+    //      while a rate filter is embarrassingly parallel at the scan.
+    //      md5 (not polyHash) so the oracle computes the identical bits:
+    //      hex compare of the first 2 chars = 256-bucket uniform rate.
+    //      '1a' = 26/256 ≈ 10.2% for the dominant lang, '80' = 128/256 =
+    //      50% elsewhere. ----
+    "smp_rate" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val thr = when(col("lang") === "en", lit("1a")).otherwise(lit("80"))
+      val kept = substring(md5(col("doc_id").cast("string")), 1, 2) < thr
+      // Mean over KEPT rows only: davg's count(1) denominator would count
+      // the whole stratum. A stratum keeping zero rows yields NULL in both
+      // engines (NULL sum / 0 → NULL).
+      val avgKept = dec4(sum(dec(when(kept, col("n_chars")))).cast("double") /
+        sum(kept.cast("long")))
+      ordered(doc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_total"),
+        sum(kept.cast("long")).as("n_kept"),
+        cstr(avgKept).as("avg_kept_chars")))
+    }),
+
+    // ---- TXT-NORM: text normalization — the canonicalization pass that
+    //      feeds every dedup/tokenize stage: lowercase, strip non-
+    //      alphanumerics, collapse runs of spaces, trim. Pure per-row
+    //      projection (codegen'd regexp), scan-bound, no shuffle; the
+    //      md5 of the normalized text doubles as the canonical content
+    //      key exact-dedup would group on. Regexes stay in the
+    //      Java∩RE2 common subset so Spark and DuckDB rewrite
+    //      identically. ----
+    "txt_norm" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      ordered(doc.select(col("doc_id"), col("lang"),
+        md5(norm).as("norm_md5"),
+        length(norm).as("norm_chars"),
+        regexp_count(norm, lit("[a-z0-9]+")).cast("int").as("norm_tokens")))
+    }),
+
+    // ---- TXT-PII: PII redaction — scrub emails and phone numbers before
+    //      training. The corpus is synthetic, so each doc first gets a
+    //      deterministic email + US-style phone APPENDED (derived from
+    //      doc_id), proving the patterns actually fire on every row; the
+    //      redaction then replaces them with typed placeholder tags.
+    //      Counts come from the pre-redaction text, the md5 certifies the
+    //      redacted output byte-for-byte. Per-row regexp projection —
+    //      scan-bound, embarrassingly parallel, the 100 TB shape. The
+    //      patterns avoid lookaround/backrefs (Java∩RE2 subset), and
+    //      leftmost-greedy matching agrees across engines for these
+    //      alternation-free patterns. ----
+    "txt_pii" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ph "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+      val red = regexp_replace(
+        regexp_replace(aug, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+      ordered(doc.select(col("doc_id"), col("lang"),
+        regexp_count(aug, lit(emailPat)).cast("int").as("n_email"),
+        regexp_count(aug, lit(phonePat)).cast("int").as("n_phone"),
+        md5(red).as("redacted_md5"),
+        (length(aug) - length(red)).cast("int").as("chars_removed")))
     })
   )
 
@@ -1490,6 +1564,51 @@ object LlmOps {
         |  FROM r WHERE rk <= 10 GROUP BY 1)
         |SELECT source, n_total, n_kept, avg_kept_chars
         |FROM k JOIN tot USING (source)
-        |ORDER BY source NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin
+        |ORDER BY source NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "smp_rate" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      (CASE WHEN lang = 'en' THEN '1a' ELSE '80' END) AS kept
+        |  FROM documents)
+        |SELECT lang, COUNT(1) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN kept THEN CAST(n_chars AS DECIMAL(38,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
+        |FROM f GROUP BY lang
+        |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "txt_norm" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, lang, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS INT) AS norm_chars,
+        |  CAST(len(regexp_extract_all(norm, '[a-z0-9]+')) AS INT) AS norm_tokens
+        |FROM n
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, norm_md5 NULLS FIRST, norm_chars NULLS FIRST, norm_tokens NULLS FIRST""".stripMargin,
+
+    "txt_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ph ' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+        |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, lang, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+        |  md5(r) AS redacted_md5,
+        |  CAST(length(t) - length(r) AS INT) AS chars_removed
+        |FROM red
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_email NULLS FIRST, n_phone NULLS FIRST, redacted_md5 NULLS FIRST, chars_removed NULLS FIRST""".stripMargin
   )
 }

@@ -724,6 +724,46 @@ object Relational {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)
+    }),
+
+    // ---- DQ-1: single-pass data-quality audit — the profile/constraint
+    //      gate every ingestion runs before publishing a partition: row
+    //      count, per-column null counts, key-uniqueness violation count,
+    //      domain cardinality, range bounds, exact control total, and a
+    //      constraint-violation tally, all from ONE scan + one 1-row
+    //      aggregate (no per-check passes — at 100 TB each extra pass is
+    //      a full table read). The two exact count-distincts expand the
+    //      aggregate 2×; on wider audits the approx path (agg_approx) is
+    //      the declared high-cardinality switch. ----
+    "dq_audit" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("n_null_custkey"),
+        (count(lit(1)) - count(col("o_orderdate"))).as("n_null_orderdate"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_orderkey"),
+        countDistinct(col("o_orderstatus")).as("n_status_values"),
+        min(col("o_orderdate")).as("min_orderdate"),
+        max(col("o_orderdate")).as("max_orderdate"),
+        dsumS(col("o_totalprice")).as("sum_totalprice"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_nonpos_price"))
+    }),
+
+    // ---- HIST-1: fixed-width histogram of a measure — the distribution
+    //      profile behind skew detection and bucket sizing. The bucket id
+    //      is pure arithmetic (floor(x/w) clamped to [0,19]), so the whole
+    //      query is one map-side-combined groupBy over a narrow scan; no
+    //      window, no sort beyond the 20-row output. width_bucket is
+    //      avoided deliberately: DuckDB and Spark disagree on its edge
+    //      semantics, floor-division is bit-identical in both. ----
+    "agg_hist" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val bucket = least(greatest(floor(col("o_totalprice") / lit(30000.0)), lit(0.0)),
+        lit(19.0)).cast("int")
+      ordered(o.groupBy(bucket.as("bucket")).agg(
+          count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"))
+        .withColumn("bucket_lo", (col("bucket").cast("long") * 30000L)))
     })
   )
 
@@ -1200,6 +1240,27 @@ object Relational {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) GROUP BY word
         |ORDER BY n DESC NULLS LAST, word ASC
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "dq_audit" ->
+      """SELECT COUNT(1) AS n_rows,
+        |  COUNT(1) - COUNT(o_custkey) AS n_null_custkey,
+        |  COUNT(1) - COUNT(o_orderdate) AS n_null_orderdate,
+        |  COUNT(1) - COUNT(DISTINCT o_orderkey) AS n_dup_orderkey,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status_values,
+        |  MIN(o_orderdate) AS min_orderdate,
+        |  MAX(o_orderdate) AS max_orderdate,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_totalprice,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price
+        |FROM orders""".stripMargin,
+
+    "agg_hist" ->
+      """SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 30000.0), 0.0), 19.0) AS INT) AS bucket,
+        |  COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  CAST(LEAST(GREATEST(floor(o_totalprice / 30000.0), 0.0), 19.0) AS INT) * 30000 AS bucket_lo
+        |FROM orders
+        |GROUP BY 1, 4
+        |ORDER BY bucket NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, bucket_lo NULLS FIRST""".stripMargin
   )
 }

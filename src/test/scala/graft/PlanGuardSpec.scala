@@ -41,6 +41,20 @@ class PlanGuardSpec extends AnyFunSuite {
       "rank<=k filter should push a group limit below the window")
   }
 
+  test("cdc_latest: snapshot compaction keeps one row per key below the window") {
+    // rn=1 must plan as WindowGroupLimit (partial group-limit before the
+    // shuffle): map-side state is one row per key, so the compaction's
+    // shuffle carries ~|keys| rows, not the full changelog.
+    assert(plan("cdc_latest").contains("WindowGroupLimit"),
+      "rn=1 filter should push a per-key top-1 below the window")
+  }
+
+  test("smp_rate: the keep decision is a scan-level filter-free projection — no window, no join") {
+    val p = plan("smp_rate")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"rate sampling must stay a pure scan+aggregate:\n${p.take(600)}")
+  }
+
   test("near-dup joins are equi-joins — no cartesian/nested-loop products") {
     for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_embed_multi", "ddp_simhash")) {
       val p = plan(q)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic laws for the round-6 quality/compaction operators. The DuckDB
+  * oracle certifies values; these certify the DECLARED properties hold on
+  * the sf0.001 slice (totality, conservation, and the redaction actually
+  * removing what it counted). */
+class QualityOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cdc_latest: exactly one row per key, carrying that key's max (ts, event_id)") {
+    val out = SparkEntry.queries("cdc_latest")(spark, sfDir)
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(out.count() == nUsers, "compaction must emit one snapshot row per key")
+    // The kept (ts, event_id) is the per-user lexicographic max.
+    val expect = events.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"), col("m.event_id").as("last_event_id"))
+    assertSameRows(out.select(col("user_id"), col("last_ts"), col("last_event_id")),
+      expect, "cdc_latest keeper")
+  }
+
+  test("dq_audit: constraint tallies agree with direct recomputation") {
+    val r = SparkEntry.queries("dq_audit")(spark, sfDir).collect().head
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    assert(r.getAs[Long]("n_rows") == o.count())
+    assert(r.getAs[Long]("n_dup_orderkey") ==
+      o.count() - o.select(col("o_orderkey")).distinct().count())
+    assert(r.getAs[Long]("n_nonpos_price") ==
+      o.filter(col("o_totalprice") <= 0.0).count())
+  }
+
+  test("agg_hist: buckets partition the table — counts and sums conserve") {
+    val h = SparkEntry.queries("agg_hist")(spark, sfDir)
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    val rows = h.collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == o.count(),
+      "every order must land in exactly one bucket")
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b <= 19 &&
+        r.getAs[Long]("bucket_lo") == b * 30000L
+    })
+  }
+
+  test("smp_rate: per-stratum retention bounds and conservation") {
+    val r = SparkEntry.queries("smp_rate")(spark, sfDir).collect()
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    assert(r.map(_.getAs[Long]("n_total")).sum == doc.count())
+    r.foreach { row =>
+      val (tot, kept) = (row.getAs[Long]("n_total"), row.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= tot)
+      // The keep decision is a pure function of doc_id, so the md5-prefix
+      // rate concentrates: allow a wide band (binomial at sf0.001 strata).
+      val target = if (row.getAs[String]("lang") == "en") 26.0 / 256 else 128.0 / 256
+      if (tot >= 50)
+        assert(math.abs(kept.toDouble / tot - target) < 0.2,
+          s"lang=${row.getAs[String]("lang")} kept=$kept/$tot vs target=$target")
+    }
+  }
+
+  test("txt_pii: the synthesized PII is counted, and redaction removes every match") {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+    val out = SparkEntry.queries("txt_pii")(spark, sfDir)
+    assert(out.filter(col("n_email") < 1 || col("n_phone") < 1).count() == 0,
+      "the appended doc_id-derived PII must fire the patterns on every row")
+    // Rebuild the augmented text and redact it with the same patterns: the
+    // result must contain zero residual matches (the count columns prove
+    // the patterns matched; this proves the replacement consumed them).
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ph "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+      lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+    val red = regexp_replace(regexp_replace(aug, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    val residual = doc.select(
+      (regexp_count(red, lit(emailPat)) + regexp_count(red, lit(phonePat))).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(residual == 0, s"$residual unredacted PII matches remain")
+  }
+
+  test("txt_norm: normalized text is idempotent under re-normalization") {
+    // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
+    // fixpoint (lowercase/strip/collapse applied to normalized text is a
+    // no-op), so chaining the pass in a pipeline cannot change content keys.
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    val n = doc.filter(norm(col("text")) =!= norm(norm(col("text")))).count()
+    assert(n == 0, s"$n documents not at fixpoint after one pass")
+  }
+}
