@@ -124,15 +124,22 @@ object LlmOps {
     val prefixLen = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1
     // Materialized once: both self-join sides read the same tiny prefix
     // relation instead of re-running the df-count join + rarity window.
-    // Repartitioned so the checkpointed RDD keeps join-probe parallelism
-    // (the upstream window leaves few, skewed partitions).
+    // Repartitioned BY THE JOIN KEY (lang, tok), explicit count: the
+    // checkpointed partitioning then satisfies both sides' clustering
+    // requirement, so the self-join adds NO exchange — which is also the
+    // only robust guard against AQE coalescing a posting-sized exchange
+    // under a pair-sized fan-out (the §4.4.3 narrow-probe trap: this
+    // relation is ~1 MB by bytes, and letting the join reshuffle it let
+    // AQE run the quadratic probe on 2 of 32 cores — measured 6.7 s vs
+    // 4.9 s steady-state at sf0.1). Rare-token skew is bounded by the
+    // prefix-index construction itself (tokens are kept only while among
+    // a doc's rarest), so hashing by token keeps all cores loaded.
     val prefix = g.join(dfreq, Seq("lang", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("doc_id"), col("lang"), col("n"), col("tok"))
-      // Explicit count: a column-only repartition gets AQE-coalesced to
-      // ~1 partition (tiny bytes) and the pair-join probe runs narrow.
-      .repartition(t.sparkSession.sparkContext.defaultParallelism * 2, col("doc_id"))
+      .repartition(t.sparkSession.sparkContext.defaultParallelism * 2,
+        col("lang"), col("tok"))
       .localCheckpoint()
     val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
       col("n").as("n1"), col("tok").as("tk1"))
