@@ -13,6 +13,39 @@ class PlanGuardSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Run `body` with session confs temporarily overridden, restoring the
+    * prior values (or unsetting) afterwards — the shared session must not
+    * leak experiment confs into later tests. */
+  private def withConf[A](confs: (String, String)*)(body: => A): A = {
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prior.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("join2: runtime bloom filter injects when thresholds match the scale") {
+    // At 100 TB the fact side of join2 is pruned by a bloom filter built
+    // from the filtered orders side (row-level runtime filtering): the
+    // probe runs at the lineitem scan, so rows that cannot join are
+    // dropped before the shuffle. The feature is size-gated (application
+    // side must scan >= 10 GB by default), so it can never fire on the
+    // test slice — scale the thresholds down and pin that the QUERY SHAPE
+    // qualifies: selective creation side, shuffle equi-join, no disabling
+    // rewrite in between. Broadcast is disabled because a broadcast join
+    // already hash-probes the build side; bloom filters are the
+    // shuffle-join counterpart.
+    val p = withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      SparkEntry.queries("join2")(spark, sfDir).queryExecution.optimizedPlan.toString
+    }
+    assert(p.contains("might_contain"),
+      s"no bloom filter probe in the optimized plan:\n${p.take(1200)}")
+  }
+
   test("flt1: predicates reach the parquet scan") {
     val p = plan("flt1")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
