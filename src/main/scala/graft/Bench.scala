@@ -31,10 +31,25 @@ object Bench {
     // Untimed warmup: executor startup, parquet footer reads, and the
     // first codegen compilations otherwise land on whichever query map
     // iteration order puts first (measured ~5s on a sub-second query).
+    // One tiny action per table FAMILY — adding queries reshuffles map
+    // iteration order, and with a lineitem-only warmup the first
+    // documents/events query absorbed that family's scan+codegen warmup,
+    // showing up as a phantom round-over-round "regression".
     try {
-      import org.apache.spark.sql.functions.{col, count}
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(count(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n"))
+        .groupBy(col("w")).agg(sum(col("n")))
+        .write.format("noop").mode("overwrite").save()
+      graft.core.Tables.load(spark, sfDir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+        .groupBy(col("event_type")).agg(count(col("rn")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Prior-round reference timings (bench_prior.json, committed each round

@@ -81,6 +81,41 @@ object Events {
           dsumS(col("value")).as("sum_value")))
     }),
 
+    // ---- FNL-1: ordered conversion funnel (view → click → purchase) —
+    //      the sequential-pattern query behind every product-analytics
+    //      pipeline (MATCH_RECOGNIZE's common case). A click counts only
+    //      at-or-after the user's first view; a purchase only at-or-after
+    //      that qualifying click. Computed with running conditional mins
+    //      over ONE per-user (ts, event_id) sort — the second window
+    //      reuses the first's sort order, so the whole funnel costs a
+    //      single shuffle+sort by user_id plus a groupBy, regardless of
+    //      funnel depth (each extra stage is one more window column, not
+    //      another join — the 100 TB shape; the join formulation would
+    //      re-shuffle per stage). Running-min-in-frame ≤ current ts holds
+    //      by construction (frame rows precede by (ts, event_id)), so
+    //      non-null running state IS the qualification test. ----
+    "funnel" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fv = min(when(col("event_type") === "view", col("ts"))).over(byU)
+      val e2 = e.withColumn("fv", fv)
+      val qc = min(when(col("event_type") === "click" && col("fv").isNotNull,
+        col("ts"))).over(byU)
+      val e3 = e2.withColumn("qc", qc)
+      val funnel = e3.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click" && col("fv").isNotNull, col("ts")))
+          .as("first_click"),
+        min(when(col("event_type") === "purchase" && col("qc").isNotNull, col("ts")))
+          .as("first_purchase"))
+      ordered(funnel.withColumn("stage",
+        (col("first_view").isNotNull.cast("int") +
+          col("first_click").isNotNull.cast("int") +
+          col("first_purchase").isNotNull.cast("int"))))
+    }),
+
     // ---- CDC-1: changelog compaction — keep the LATEST record per key,
     //      the standard materialize-a-CDC-stream / upsert-log-to-snapshot
     //      step. rn=1 over (ts DESC, event_id DESC) plans as a
@@ -101,6 +136,32 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |w1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN uts END) OVER
+        |    (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |  FROM o),
+        |w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN uts END) OVER
+        |    (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qc
+        |  FROM w1),
+        |f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN uts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN uts END) AS first_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL THEN uts END) AS first_purchase
+        |  FROM w2 GROUP BY user_id)
+        |SELECT user_id, first_view, first_click, first_purchase,
+        |  CAST((CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
+        |FROM f
+        |ORDER BY user_id NULLS FIRST, first_view NULLS FIRST, first_click NULLS FIRST, first_purchase NULLS FIRST, stage NULLS FIRST""".stripMargin,
+
     "cdc_latest" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
         |  event_id AS last_event_id, event_type AS last_type, value AS last_value

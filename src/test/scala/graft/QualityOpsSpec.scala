@@ -83,6 +83,35 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(residual == 0, s"$residual unredacted PII matches remain")
   }
 
+  test("funnel: window formulation equals a driver-side state-machine replay") {
+    val out = SparkEntry.queries("funnel")(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4)))
+      }.toMap
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .sortBy { case (u, ts, id, _) => (u, ts.getTime, id) }
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      var fv: Option[java.sql.Timestamp] = None
+      var fc: Option[java.sql.Timestamp] = None
+      var fp: Option[java.sql.Timestamp] = None
+      for ((_, ts, _, tpe) <- rows) tpe match {
+        case "view" if fv.isEmpty => fv = Some(ts)
+        case "click" if fv.isDefined && fc.isEmpty => fc = Some(ts)
+        case "purchase" if fc.isDefined && fp.isEmpty => fp = Some(ts)
+        case _ => ()
+      }
+      u -> ((fv, fc, fp, fv.size + fc.size + fp.size))
+    }
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (u, e) =>
+      assert(out(u) == ((e._1, e._2, e._3, e._4)), s"user $u: ${out(u)} vs $e")
+    }
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
