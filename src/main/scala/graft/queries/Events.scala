@@ -116,6 +116,28 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- CHT-1: cohort retention — users grouped by first-activity day
+    //      (their cohort), then per (cohort_day, day_offset) distinct
+    //      active users — the retention-curve table behind every growth
+    //      dashboard. Two aggregations: per-user first day (one shuffle
+    //      by user), then distinct users per (cohort, offset) — the
+    //      (user, day) activity relation is deduplicated BEFORE the count
+    //      so the final aggregate is a plain count over a distinct set,
+    //      not a count-distinct expansion. At 100 TB the first agg is the
+    //      only full-data shuffle; the dedup'd activity table is ~|users|
+    //      × active-days, orders of magnitude smaller than raw events. ----
+    "cohort" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val act = e.select(col("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ordered(act.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("int"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active")))
+    }),
+
     // ---- CDC-1: changelog compaction — keep the LATEST record per key,
     //      the standard materialize-a-CDC-stream / upsert-log-to-snapshot
     //      step. rn=1 over (ts DESC, event_id DESC) plans as a
@@ -136,6 +158,15 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "cohort" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset, COUNT(1) AS n_active
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST, n_active NULLS FIRST""".stripMargin,
+
     "funnel" ->
       """WITH o AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),

@@ -1088,6 +1088,33 @@ object LlmOps {
         cstr(avgKept).as("avg_kept_chars")))
     }),
 
+    // ---- SMP-4: deterministic WEIGHTED (importance) sampling — keep
+    //      probability ∝ a per-row weight (here n_chars: longer docs kept
+    //      more often), the data-mixing primitive behind upweighting
+    //      high-quality sources without replicating rows. Keep test:
+    //      uniform(doc_id) < w/w_max, where uniform = first 6 md5 hex
+    //      digits / 16^6 — exact integer-derived doubles, so Spark and
+    //      DuckDB decide identically. w_max is a 1-row broadcast scalar
+    //      (the standard scalar-attach: no shuffle, no window); the whole
+    //      op stays a scan-level filter like SMP-3. The summary's
+    //      avg-weight-kept > avg-weight-all gap is the measurable
+    //      importance-sampling effect. ----
+    "smp_weighted" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val wmax = doc.agg(max(col("n_chars")).as("wmax"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double") / lit(16777216.0)
+      val kept = u < col("n_chars").cast("double") / col("wmax").cast("double")
+      val nKept = sum(kept.cast("long"))
+      val avgAll = dec4(sum(dec(col("n_chars"))).cast("double") / count(lit(1)))
+      val avgKept = dec4(sum(dec(when(kept, col("n_chars")))).cast("double") / nKept)
+      ordered(doc.crossJoin(broadcast(wmax)).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_total"),
+        nKept.as("n_kept"),
+        cstr(avgAll).as("avg_w_all"),
+        cstr(avgKept).as("avg_w_kept")))
+    }),
+
     // ---- TXT-NORM: text normalization — the canonicalization pass that
     //      feeds every dedup/tokenize stage: lowercase, strip non-
     //      alphanumerics, collapse runs of spaces, trim. Pure per-row
@@ -1585,6 +1612,21 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "smp_weighted" ->
+      """WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),
+        |f AS (
+        |  SELECT lang, n_chars,
+        |    (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0)
+        |      < (CAST(n_chars AS DOUBLE) / CAST(wmax AS DOUBLE)) AS kept
+        |  FROM documents, m)
+        |SELECT lang, COUNT(1) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_w_all,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN kept THEN CAST(n_chars AS DECIMAL(38,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_w_kept
+        |FROM f GROUP BY lang
+        |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_w_all NULLS FIRST, avg_w_kept NULLS FIRST""".stripMargin,
 
     "txt_norm" ->
       """WITH n AS (

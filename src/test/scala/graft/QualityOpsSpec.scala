@@ -112,6 +112,39 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort: offset-0 row of each cohort counts the cohort's full population") {
+    val rows = SparkEntry.queries("cohort")(spark, sfDir).collect()
+    val e = graft.core.Tables.load(spark, sfDir, "events")
+    val nUsers = e.select(col("user_id")).distinct().count()
+    // Every user is active on their own cohort day, so the day_offset=0
+    // rows across cohorts partition the user population.
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_active")).sum
+    assert(day0 == nUsers, s"offset-0 total $day0 != $nUsers users")
+    // And no cohort's later-day count can exceed its own population.
+    val pop = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(r => r.getAs[java.sql.Date]("cohort_day") -> r.getAs[Long]("n_active")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= pop(r.getAs[java.sql.Date]("cohort_day")),
+        s"retention above cohort population at $r")
+    }
+  }
+
+  test("smp_weighted: kept rows skew toward higher weights") {
+    val rows = SparkEntry.queries("smp_weighted")(spark, sfDir).collect()
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_total")).sum == doc.count())
+    // Importance sampling's defining property: the mean weight of the kept
+    // set exceeds the stratum mean (longer docs are kept more often).
+    // Strict inequality needs enough rows for the effect to dominate hash
+    // noise — assert on strata with >= 100 docs.
+    rows.filter(_.getAs[Long]("n_total") >= 100).foreach { r =>
+      val all = BigDecimal(r.getAs[String]("avg_w_all"))
+      val kept = BigDecimal(r.getAs[String]("avg_w_kept"))
+      assert(kept > all, s"lang=${r.getAs[String]("lang")}: kept mean $kept !> all mean $all")
+    }
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
