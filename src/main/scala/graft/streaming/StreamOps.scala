@@ -174,6 +174,44 @@ object StreamOps {
         })
   }
 
+  case class FunnelSt(user_id: Long, first_view: Option[Timestamp],
+                      first_click: Option[Timestamp],
+                      first_purchase: Option[Timestamp], stage: Int)
+
+  /** STR-FNL: incremental conversion funnel (streaming twin of the batch
+    * `funnel` query) — per-user view→click→purchase state advanced by each
+    * micro-batch, emitted on update. The state machine is the batch
+    * query's qualification rule (a click counts only once a view is seen,
+    * a purchase only once a qualifying click is): rows are applied in
+    * (ts, event_id) order WITHIN a batch, and state is monotone (each slot
+    * is set once, stage only grows), so per-key state is three timestamps
+    * regardless of event volume — the bounded-state funnel a 100 TB stream
+    * needs. Cross-batch late data is the declared limit, as with
+    * [[runningCounters]]: an event older than an already-filled slot
+    * cannot retroactively rewrite it; equivalence with the batch funnel
+    * holds for in-order (event-time-sliced) replay, which the
+    * StreamingSpec test pins. */
+  def funnelState(events: Dataset[Ev]): Dataset[FunnelSt] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelSt]) => {
+          val prev = state.getOption.getOrElse(FunnelSt(uid, None, None, None, 0))
+          var (fv, fc, fp) = (prev.first_view, prev.first_click, prev.first_purchase)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if fv.isEmpty => fv = Some(e.ts)
+              case "click" if fv.isDefined && fc.isEmpty => fc = Some(e.ts)
+              case "purchase" if fc.isDefined && fp.isEmpty => fp = Some(e.ts)
+              case _ => ()
+            }
+          }
+          val next = FunnelSt(uid, fv, fc, fp, fv.size + fc.size + fp.size)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
   /** STR-SNK: run any of the above to a parquet sink with checkpointing
     * (exactly-once file sink), draining all available input. Returns the
     * sink directory. */

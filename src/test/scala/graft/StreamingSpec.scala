@@ -66,6 +66,42 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(viaWindow, viaLag, "session_window vs lag-gap sessionization")
   }
 
+  test("STR-FNL incremental funnel state: in-order replay equals the batch funnel") {
+    // funnelState's equivalence contract requires event-time-ordered
+    // arrival (late data cannot rewrite an already-filled slot), so this
+    // replay slices by TIME QUARTILE — every slice's events follow all of
+    // the previous slice's — unlike the event_id%4 slices the
+    // order-insensitive operators replay.
+    val d = tempDir("events_funnel_replay")
+    val t0 = 1700000000000L
+    val sliced = eventsBatch.withColumn("slice",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts").asc, col("event_id").asc)))
+    (1 to 4).foreach { i =>
+      writeSlice(sliced.filter(col("slice") === i).drop("slice"),
+        d, f"slice_$i%02d", t0 + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val drained = StreamOps.drainToMemory(
+      StreamOps.funnelState(stream).toDF(), "funnel_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // State is monotone and each slot is set once, so a user's rows at the
+    // same stage are identical; after dedup the max-stage row IS the final
+    // state.
+    val fin = drained.dropDuplicates()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("stage").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"), col("stage"))
+    assertSameRows(fin, Events.all("funnel")(spark, sfDir),
+      "incremental funnel state vs batch funnel")
+  }
+
   // Crafted frame helper for the late-data / dedup / sink cases.
   private def ev(rows: (Long, String, Long, String, Double)*): DataFrame =
     rows.toSeq.toDF("event_id", "ts_s", "user_id", "event_type", "value")
