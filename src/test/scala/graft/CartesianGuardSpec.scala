@@ -27,9 +27,11 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // set: the disjunction defeats hash joins by definition;
                   // the corpus×corpus form is a unionAll of equi-joins
     "subq1",      // correlated scalar subquery: decorrelated agg is tiny
-    "tfidf1"      // global doc count attached via crossJoin(broadcast(1-row
+    "tfidf1",     // global doc count attached via crossJoin(broadcast(1-row
                   // aggregate)): a single-row scalar side — the BNLJ probes
                   // one row, it cannot amplify
+    "smp_weighted" // w_max scalar attach: same 1-row broadcast crossJoin
+                  // shape as tfidf1
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
