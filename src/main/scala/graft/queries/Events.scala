@@ -116,6 +116,27 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- PTH-1: per-user journey export — the ordered event-type
+    //      sequence (first 10 events) as a single path string, the input
+    //      to path/Markov analysis and session-replay tooling. Ordering
+    //      inside a grouped collect is NOT guaranteed after a shuffle, so
+    //      the sequence is made deterministic structurally: collect
+    //      (ts, event_id, event_type) structs, array_sort (struct order =
+    //      lexicographic = the declared (ts, event_id) order), then
+    //      project the types. One shuffle by user; per-group state is the
+    //      (bounded: slice 10 after sort) event list. ----
+    "path1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val seq_ = array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type"))))
+      ordered(e.groupBy(col("user_id"))
+        .agg(seq_.as("evs"), count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          array_join(transform(slice(col("evs"), 1, 10), x => x("event_type")), ">")
+            .as("path"),
+          col("n_events")))
+    }),
+
     // ---- CHT-1: cohort retention — users grouped by first-activity day
     //      (their cohort), then per (cohort_day, day_offset) distinct
     //      active users — the retention-curve table behind every growth
@@ -158,6 +179,13 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "path1" ->
+      """SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)[1:10], '>') AS path,
+        |  COUNT(1) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, path NULLS FIRST, n_events NULLS FIRST""".stripMargin,
+
     "cohort" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

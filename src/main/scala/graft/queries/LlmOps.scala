@@ -1088,6 +1088,39 @@ object LlmOps {
         cstr(avgKept).as("avg_kept_chars")))
     }),
 
+    // ---- SKT-1: count-min-sketch frequency estimation, expressed
+    //      RELATIONALLY — the mergeable-sketch shape behind streaming
+    //      heavy-hitter detection, spelled as what it really is: d=2 rows
+    //      of w=1024 counters, each row a groupBy(hash(tok) % w) SUM.
+    //      Counters are commutative sums, so the sketch — and therefore
+    //      every estimate (min over rows of the hashed-bucket counter) —
+    //      is bit-deterministic regardless of partitioning/merge order,
+    //      which is what makes this query ORACLE-HASHABLE while the
+    //      approx_* family (engine-specific HLL/t-digest layouts, §2.7)
+    //      is not. The two hash streams reuse the portable 31-poly
+    //      (second stream = '#'-prefixed input). At 100 TB: the sketch is
+    //      a fixed d×w table (8 KB here) built in one map-side-combined
+    //      pass — THE bounded-memory substitute for a full frequency
+    //      table; est ≥ exact always (collisions only add). ----
+    "freq_cms" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val W = 1024L
+      // Vocabulary-sized exact counts, materialized once for the three
+      // consumers (two counter rows + the candidate top-k).
+      val cnt = doc.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val b1 = polyHash(col("tok")) % W
+      val b2 = polyHash(concat(lit("#"), col("tok"))) % W
+      val row1 = cnt.groupBy(b1.as("b")).agg(sum(col("n")).as("c1"))
+      val row2 = cnt.groupBy(b2.as("b")).agg(sum(col("n")).as("c2"))
+      val top = cnt.orderBy(col("n").desc, col("tok").asc).limit(10)
+      ordered(top.withColumn("b1", b1).withColumn("b2", b2)
+        .join(broadcast(row1), col("b1") === row1("b"))
+        .join(broadcast(row2), col("b2") === row2("b"))
+        .select(col("tok"), col("n"), least(col("c1"), col("c2")).as("est")))
+    }),
+
     // ---- SMP-4: deterministic WEIGHTED (importance) sampling — keep
     //      probability ∝ a per-row weight (here n_chars: longer docs kept
     //      more often), the data-mixing primitive behind upweighting
@@ -1612,6 +1645,27 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "freq_cms" ->
+      """WITH cnt AS (
+        |  SELECT tok, COUNT(1) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |h AS (
+        |  SELECT tok, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS b1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('#' || tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS b2
+        |  FROM cnt),
+        |r1 AS (SELECT b1 AS b, CAST(SUM(n) AS BIGINT) AS c1 FROM h GROUP BY 1),
+        |r2 AS (SELECT b2 AS b, CAST(SUM(n) AS BIGINT) AS c2 FROM h GROUP BY 1),
+        |top AS (SELECT tok, n, b1, b2 FROM h ORDER BY n DESC, tok ASC LIMIT 10)
+        |SELECT tok, n, LEAST(c1, c2) AS est
+        |FROM top JOIN r1 ON top.b1 = r1.b JOIN r2 ON top.b2 = r2.b
+        |ORDER BY tok NULLS FIRST, n NULLS FIRST, est NULLS FIRST""".stripMargin,
 
     "smp_weighted" ->
       """WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),

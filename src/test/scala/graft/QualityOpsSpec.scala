@@ -145,6 +145,35 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("freq_cms: sketch estimates dominate exact counts over the whole vocabulary") {
+    // The count-min property (est >= exact, always — collisions only add)
+    // must hold for EVERY token, not just the 10 the gated query emits.
+    // Recompute the sketch for the full vocabulary with the query's own
+    // hash streams and assert domination plus the standard error bound
+    // est - exact <= N/w per row (loose Markov bound; with d=2 rows the
+    // min is far tighter in practice).
+    import graft.functions.GraftFunctions.poly_hash
+    val W = 1024L
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val cnt = doc.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val b1 = poly_hash(col("tok")) % W
+    val b2 = poly_hash(concat(lit("#"), col("tok"))) % W
+    val r1 = cnt.groupBy(b1.as("b")).agg(sum(col("n")).as("c1"))
+    val r2 = cnt.groupBy(b2.as("b")).agg(sum(col("n")).as("c2"))
+    val est = cnt.withColumn("b1", b1).withColumn("b2", b2)
+      .join(r1, col("b1") === r1("b")).join(r2, col("b2") === r2("b"))
+      .select(col("tok"), col("n"), least(col("c1"), col("c2")).as("est"))
+    val total = cnt.agg(sum(col("n"))).collect().head.getLong(0)
+    val rows = est.collect()
+    rows.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n"), r.getAs[Long]("est"))
+      assert(e >= n, s"CMS underestimated ${r.getAs[String]("tok")}: $e < $n")
+      assert(e - n <= total / W * 8,
+        s"error beyond bound for ${r.getAs[String]("tok")}: est=$e exact=$n N=$total")
+    }
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
