@@ -116,6 +116,30 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- SCD-2: type-2 dimension history from a changelog — each user's
+    //      event_type stream compressed to state-CHANGE rows with
+    //      [valid_from, valid_to) intervals and a current flag: the
+    //      slowly-changing-dimension build every warehouse load runs.
+    //      lag() finds the change points, lead() closes each interval at
+    //      the next change — two window functions sharing ONE per-user
+    //      (ts, event_id) sort, then a filter; no joins, one shuffle.
+    //      valid_to is NULL on the open (current) interval. ----
+    "scd2" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changed = lag(col("event_type"), 1).over(byU).isNull ||
+        lag(col("event_type"), 1).over(byU) =!= col("event_type")
+      val changes = e.withColumn("chg", changed).filter(col("chg"))
+      val byU2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ordered(changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(byU2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")))
+    }),
+
     // ---- PTH-1: per-user journey export — the ordered event-type
     //      sequence (first 10 events) as a single path string, the input
     //      to path/Markov analysis and session-replay tooling. Ordering
@@ -179,6 +203,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |c AS (
+        |  SELECT *, (LAG(event_type) OVER w IS NULL OR LAG(event_type) OVER w <> event_type) AS chg
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)),
+        |f AS (SELECT user_id, event_type, uts, event_id FROM c WHERE chg)
+        |SELECT user_id, event_type AS state, uts AS valid_from,
+        |  LEAD(uts) OVER w2 AS valid_to,
+        |  (LEAD(uts) OVER w2 IS NULL) AS is_current
+        |FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)
+        |ORDER BY user_id NULLS FIRST, state NULLS FIRST, valid_from NULLS FIRST, valid_to NULLS FIRST, is_current NULLS FIRST""".stripMargin,
+
     "path1" ->
       """SELECT user_id,
         |  array_to_string(list(event_type ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)[1:10], '>') AS path,

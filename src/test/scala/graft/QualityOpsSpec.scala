@@ -145,6 +145,26 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: per-user intervals are contiguous, non-overlapping, single-current") {
+    val rows = SparkEntry.queries("scd2")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, hist0) =>
+      val hist = hist0.sortBy(_._3.getTime)
+      // Exactly one open (current) interval, and it is the last one.
+      assert(hist.count(_._5) == 1, s"user $u: ${hist.count(_._5)} current rows")
+      assert(hist.last._5 && hist.last._4.isEmpty, s"user $u: current not last")
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          // Each interval closes exactly where the next opens...
+          assert(a._4.contains(b._3), s"user $u: gap/overlap at ${a._4} -> ${b._3}")
+          // ...and a change row really changes the state.
+          assert(a._2 != b._2, s"user $u: consecutive intervals share state ${a._2}")
+        case _ => ()
+      }
+    }
+  }
+
   test("freq_cms: sketch estimates dominate exact counts over the whole vocabulary") {
     // The count-min property (est >= exact, always — collisions only add)
     // must hold for EVERY token, not just the 10 the gated query emits.
