@@ -142,6 +142,43 @@ object Ingest {
   def jdbcRead(spark: SparkSession, target: JdbcTarget): DataFrameReader =
     spark.read.format("jdbc").options(jdbcOptions(target) - "batchsize")
 
+  /** Opaque media ingestion: whole files as rows via the `binaryFile`
+    * source — (path, modificationTime, length, content BINARY) — the entry
+    * point of the multimodal pipeline (SURVEY §2.4 MM-*): images/audio land
+    * as `content` bytes feeding [[graft.operators.Multimodal]] decode.
+    * Pattern-filtered at the listing (`pathGlobFilter`), so a mixed bucket
+    * only reads matching objects. 100 TB note: binaryFile caps a row at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB hard limit — single
+    * Row payloads live in one task's heap); real pipelines shard larger
+    * media upstream. */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /** Small-files compaction — the nightly operational pass every file-based
+    * warehouse needs: streaming/micro-batch sinks and per-partition writers
+    * leave thousands of KB-sized files, and at 100 TB the resulting
+    * listing + task-scheduling overhead dominates scans (one task per tiny
+    * file). Rewrites `srcDir` into `dstDir` with files sized toward
+    * `targetFileBytes`: file count = ceil(actual bytes / target), measured
+    * from the source listing (no data pass), rows redistributed
+    * round-robin (`repartition(n)`) so output files are uniform. Returns
+    * (filesBefore, filesAfter). Content-preserving by construction —
+    * certified in IngestSpec. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   // ---- The ingestion job (diagram flows 1-3 in miniature) ----
 
   final case class IngestReport(rowsRead: Long, rowsQuarantined: Long,

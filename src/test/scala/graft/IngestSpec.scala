@@ -168,6 +168,39 @@ class IngestSpec extends AnyFunSuite {
       "warehouse content vs batch read")
   }
 
+  test("compact: small files collapse toward the target size, content-identical") {
+    val src = tempDir("compact_src").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    // Simulate a micro-batch sink's droppings: 40 tiny files.
+    orders.repartition(40).write.mode(SaveMode.Overwrite).parquet(src)
+    val dst = tempDir("compact_dst").toString
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // Target a quarter of the total: expect exactly ceil(bytes/target)=4.
+    val (before, after) = Ingest.compact(spark, src, dst, targetFileBytes = bytes / 4 + 1)
+    assert(before == 40, s"setup wrote $before files")
+    assert(after == 4, s"expected 4 compacted files, got $after")
+    assertSameRows(spark.read.parquet(dst), orders, "compaction must preserve rows")
+  }
+
+  test("binaryFile: opaque media files ingest as (path, length, content) rows") {
+    val d = tempDir("media_src")
+    val img = Array.tabulate[Byte](256)(i => i.toByte)
+    val aud = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    Files.write(d.resolve("a.img"), img)
+    Files.write(d.resolve("b.aud"), aud)
+    Files.writeString(d.resolve("notes.txt"), "not media")
+    val rows = Ingest.readBinaryFiles(spark, d.toString, glob = "*.{img,aud}")
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(rows.length == 2, "glob filter must exclude the .txt")
+    val byName = rows.map(r => r.getString(0).split('/').last ->
+      (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    assert(byName("a.img")._1 == 256 && byName("a.img")._2.sameElements(img))
+    assert(byName("b.aud")._1 == 100 && byName("b.aud")._2.sameElements(aud))
+  }
+
   test("runIngestJob: clean/quarantine split, partitioned warehouse, status events") {
     val src = csvDir(goodRows :+ badRow)
     val wh = tempDir("ingest_wh").toString
