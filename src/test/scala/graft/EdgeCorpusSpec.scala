@@ -65,8 +65,27 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
-        "txt_repetition", "pack1", "tfidf1", "src1"))
+        "txt_repetition", "pack1", "tfidf1", "src1",
+        "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))
       assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
+  }
+
+  test("txt_norm: punctuation-only and empty docs normalize to the empty fixpoint") {
+    val d = Files.createTempDirectory("norm_edge").toString
+    import spark.implicits._
+    Seq((1L, "!!! ... ???", "en", "t", 11L),
+        (2L, "", "en", "t", 0L),
+        (3L, "  A  b!! C  ", "en", "t", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("txt_norm")(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    // All-punctuation and empty text both land on ("", 0 chars, 0 tokens) —
+    // the rows survive (a cleaning pipeline filters them EXPLICITLY on
+    // norm_tokens=0, it does not lose them to a crash).
+    assert(rows(1L) == ((0, 0)), s"punct-only: ${rows(1L)}")
+    assert(rows(2L) == ((0, 0)), s"empty: ${rows(2L)}")
+    assert(rows(3L) == (("a b c".length, 3)), s"mixed: ${rows(3L)}")
   }
 
   test("txt_repetition: single-word and repeated-word docs get the declared fractions") {
