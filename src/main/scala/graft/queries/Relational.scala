@@ -749,6 +749,37 @@ object Relational {
         sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_nonpos_price"))
     }),
 
+    // ---- RCN-1: snapshot reconciliation — the acceptance check after a
+    //      migration/backfill: key-level diff of two table versions into
+    //      added / removed / changed / unchanged classes with counts and
+    //      value deltas. The "new" snapshot is derived deterministically
+    //      from orders (every 5th key dropped ≡ removed, every 7th
+    //      repriced ≡ changed, shifted keys appended ≡ added) so the
+    //      oracle sees identical inputs. One full-outer join by key +
+    //      one aggregate; at 100 TB both snapshots would be bucketed by
+    //      key so the join is exchange-free, and the class counts arrive
+    //      map-side combined. ----
+    "recon" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val base = o.select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("v"))
+      val next = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          dec(when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 50.0)
+            .otherwise(col("o_totalprice"))).as("v"))
+        .unionAll(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("k"), dec(col("o_totalprice")).as("v")))
+      val j = base.select(col("k"), col("v").as("v_base"))
+        .join(next.select(col("k"), col("v").as("v_next")), Seq("k"), "full_outer")
+      val cls = when(col("v_base").isNull, "added")
+        .when(col("v_next").isNull, "removed")
+        .when(col("v_base") =!= col("v_next"), "changed")
+        .otherwise("unchanged")
+      ordered(j.groupBy(cls.as("class")).agg(
+        count(lit(1)).as("n"),
+        cstr(sum(coalesce(col("v_next"), lit(0).cast(dt)) -
+          coalesce(col("v_base"), lit(0).cast(dt))).cast(dt)).as("value_delta")))
+    }),
+
     // ---- HIST-1: fixed-width histogram of a measure — the distribution
     //      profile behind skew detection and bucket sizing. The bucket id
     //      is pure arithmetic (floor(x/w) clamped to [0,19]), so the whole
@@ -1253,6 +1284,28 @@ object Relational {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_totalprice,
         |  CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price
         |FROM orders""".stripMargin,
+
+    "recon" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(38,4)) AS v FROM orders),
+        |next0 AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS DECIMAL(38,4)) AS v
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, CAST(o_totalprice AS DECIMAL(38,4)) AS v
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT b.v AS v_base, n.v AS v_next
+        |  FROM base b FULL OUTER JOIN next0 n ON b.k = n.k)
+        |SELECT CASE WHEN v_base IS NULL THEN 'added'
+        |            WHEN v_next IS NULL THEN 'removed'
+        |            WHEN v_base <> v_next THEN 'changed'
+        |            ELSE 'unchanged' END AS class,
+        |  COUNT(1) AS n,
+        |  CAST(CAST(SUM(COALESCE(v_next, CAST(0 AS DECIMAL(38,4))) - COALESCE(v_base, CAST(0 AS DECIMAL(38,4)))) AS DECIMAL(38,4)) AS VARCHAR) AS value_delta
+        |FROM j GROUP BY 1
+        |ORDER BY class NULLS FIRST, n NULLS FIRST, value_delta NULLS FIRST""".stripMargin,
 
     "agg_hist" ->
       """SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 30000.0), 0.0), 19.0) AS INT) AS bucket,
