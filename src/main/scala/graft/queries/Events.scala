@@ -116,6 +116,27 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- WAU-1: trailing-7-day active users per day — the rolling
+    //      DISTINCT count (DAU/WAU/MAU) that resists naive windowing:
+    //      count(distinct) cannot run in a sliding frame. Scalable
+    //      formulation: dedup (user, day) activity, then each activity
+    //      row CONTRIBUTES to the 7 day-buckets it is visible in
+    //      (explode of a 7-day sequence — bounded fan-out ∝ window/step),
+    //      then one distinct-count per bucket day. Only days present in
+    //      the data appear (no spine join — the gap-fill op is GAP-1's
+    //      job). At 100 TB: fan-out ×7 on the DEDUP'd activity relation
+    //      (~users × active-days), not on raw events. ----
+    "wau" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val act = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val contrib = act.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("bucket_day"))
+      val days = act.select(col("day")).distinct()
+      ordered(contrib.join(days, col("bucket_day") === col("day"))
+        .groupBy(col("bucket_day"))
+        .agg(countDistinct(col("user_id")).as("wau")))
+    }),
+
     // ---- SCD-2: type-2 dimension history from a changelog — each user's
     //      event_type stream compressed to state-CHANGE rows with
     //      [valid_from, valid_to) intervals and a current flag: the
@@ -203,6 +224,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "wau" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |contrib AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS bucket_day
+        |  FROM act),
+        |days AS (SELECT DISTINCT day FROM act)
+        |SELECT bucket_day, COUNT(DISTINCT user_id) AS wau
+        |FROM contrib JOIN days ON bucket_day = day
+        |GROUP BY 1
+        |ORDER BY bucket_day NULLS FIRST, wau NULLS FIRST""".stripMargin,
+
     "scd2" ->
       """WITH o AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
