@@ -116,6 +116,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object GraftMortonImpl {
+  /** 32-bit Morton (Z-order) code: interleave the low 16 bits of x and y
+    * (x in even positions). The standard bit-spreading magic constants
+    * (each step doubles the gaps) — branch-free, codegen-friendly. */
+  def morton(x: Long, y: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xffffL
+      v = (v | (v << 8)) & 0x00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0fL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    spread(x) | (spread(y) << 1)
+  }
+}
+
+/** `graft_morton(x, y)` → long: Z-order curve key over two 16-bit dims.
+  *
+  * The multi-dimensional clustering key (SURVEY §4.4.9): sorting a write by
+  * `morton(bucket(dimA), bucket(dimB))` gives every output file a NARROW
+  * range in BOTH dimensions simultaneously — one sort order that serves
+  * min/max (row-group / file) skipping for filters on either dimension,
+  * where a lexicographic sort serves only its leading column. */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_morton"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftMortonImpl.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftMortonImpl.morton($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MortonCode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -124,6 +162,7 @@ object GraftFunctions {
   def poly_hash(s: Column): Column = c(PolyHash(e(s)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def morton_code(x: Column, y: Column): Column = c(MortonCode(e(x), e(y)))
 }
 
 /** SQL registration via SparkSessionExtensions (the declared extension
@@ -148,5 +187,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
+      (args: Seq[Expression]) => MortonCode(args(0), args(1))))
   }
 }

@@ -125,10 +125,35 @@ class ExpressionSpec extends AnyFunSuite {
   test("SQL registration via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT graft_poly_hash('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, graft_morton(5L, 9L) AS z").head
     val expected = ((0L * 31 + 'a') % P * 31 + 'b') % P * 31 + 'c'
     assert(r.getLong(0) == expected % P)
     assert(r.getDouble(1) == 11.0)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // x=5 (0101) in even bit positions -> z0+z4 = 17; y=9 (1001) in odd
+    // positions -> z1+z7 = 130; 17+130 = 147.
+    assert(r.getLong(3) == 147L)
+  }
+
+  test("morton_code equals the bit-by-bit interleave reference") {
+    import graft.functions.GraftFunctions.morton_code
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L; var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rows = spark.range(500).select(
+      (col("id") * 7919L % 65536L).as("x"),
+      (col("id") * 104729L % 65536L).as("y"))
+      .withColumn("z", morton_code(col("x"), col("y")))
+      .collect()
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == ref(x, y), s"morton($x, $y) = $z != ${ref(x, y)}")
+    }
   }
 }

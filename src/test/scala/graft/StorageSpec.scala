@@ -46,4 +46,70 @@ class StorageSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("z-order clustered write: file min/max skipping works on BOTH dimensions") {
+    // One sort order that localizes TWO dimensions: files written in
+    // morton(custkey, day) range order get a narrow range in each
+    // dimension simultaneously, so a min/max-pruning reader (parquet
+    // row-group stats, Delta/Iceberg file stats) can skip files for a
+    // filter on EITHER column. A lexicographic sort serves only its
+    // leading column — the date-sorted baseline proves the difference on
+    // the same data.
+    // PITFALL (hit live writing this test): interleaving RAW values
+    // degenerates when the dims have different bit-scales — custkey here
+    // uses 8 bits, the day number 12, so day's high bits monopolize the
+    // top of the code and the "z-order" collapses into a plain date sort
+    // (measured: custkey probe read 16/16 files). Real z-order NORMALIZES
+    // every dimension to the same width first; 8-bit min/max scaling is
+    // the simplest form (production systems use per-dimension quantile
+    // ranks for skew immunity).
+    import graft.functions.GraftFunctions.morton_code
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dayRaw = datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp")).cast("long")
+    val (ckLo, ckHi, dLo, dHi) = {
+      val r = orders.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(dayRaw), max(dayRaw)).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def norm8(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      floor((c - lit(lo)) * 256L / lit(hi - lo + 1)).cast("long")
+    val nFiles = 16
+    val zdir = tempDir("zorder_layout").toString
+    orders.withColumn("z",
+        morton_code(norm8(col("o_custkey"), ckLo, ckHi), norm8(dayRaw, dLo, dHi)))
+      .repartitionByRange(nFiles, col("z")).drop("z")
+      .write.mode("overwrite").parquet(zdir)
+    val ddir = tempDir("datesort_layout").toString
+    orders.repartitionByRange(nFiles, col("o_orderdate"))
+      .write.mode("overwrite").parquet(ddir)
+
+    // Per-file (min, max) stats of both dimensions — what a stats-pruning
+    // reader consults before opening the file.
+    def stats(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min(col("o_custkey")).as("ck_lo"), max(col("o_custkey")).as("ck_hi"),
+          min(datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp")).cast("long")).as("d_lo"),
+          max(datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp")).cast("long")).as("d_hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (zStats, dStats) = (stats(zdir), stats(ddir))
+    // Probe: a quarter-of-the-span predicate on each dimension, anchored
+    // at the data minimum; a file is read iff its [min,max] overlaps.
+    val ckQ = ckLo + (ckHi - ckLo) / 4
+    val dQ = dLo + (dHi - dLo) / 4
+    def readCk(s: Array[(Long, Long, Long, Long)]) =
+      s.count { case (lo, _, _, _) => lo <= ckQ }
+    def readDay(s: Array[(Long, Long, Long, Long)]) =
+      s.count { case (_, _, lo, _) => lo <= dQ }
+    // Z-order: both probes skip at least a third of the files.
+    assert(readCk(zStats) <= zStats.length * 2 / 3,
+      s"custkey probe reads ${readCk(zStats)}/${zStats.length} z-ordered files")
+    assert(readDay(zStats) <= zStats.length * 2 / 3,
+      s"date probe reads ${readDay(zStats)}/${zStats.length} z-ordered files")
+    // Date sort: its leading column skips, but the custkey probe must
+    // read essentially everything — the single-dim layout's blind spot.
+    assert(readDay(dStats) <= dStats.length / 2)
+    assert(readCk(dStats) >= dStats.length - 1,
+      s"date-sorted layout unexpectedly localized custkey: ${readCk(dStats)}/${dStats.length}")
+  }
 }
