@@ -116,6 +116,54 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- RSM-1: time-series resampling to a regular grid with linear
+    //      interpolation — the regularization step before any ML
+    //      featurization of irregular event streams. Formulation is the
+    //      single-sort resample: union the hourly grid points (spine
+    //      bounded per user by min/max event time) with the events, ONE
+    //      per-user (ts, tag, event_id) sort, then a forward running
+    //      last-known (prev) and a backward running first-known (next)
+    //      window over that same sort — NOT a per-grid-point as-of join,
+    //      which would re-shuffle per boundary. Interpolation arithmetic
+    //      is µs-epoch longs → one double ratio, spelled identically in
+    //      the oracle so the doubles are bit-equal. Events tagged 0 sort
+    //      before a same-instant grid point (tag 1), so a grid point
+    //      landing exactly on an event takes that event's value
+    //      (ratio 0 against the at-or-before prev). ----
+    "resample" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val ev = e.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(0).as("tag"))
+      val bounds = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val grid = bounds
+        // A user whose whole history fits inside one hour has no interior
+        // grid point; sequence() with start > stop would throw.
+        .filter(date_trunc("hour", col("t0")) + expr("INTERVAL 1 HOUR") <= col("t1"))
+        .select(col("user_id"),
+          explode(sequence(date_trunc("hour", col("t0")) + expr("INTERVAL 1 HOUR"),
+            col("t1"), expr("INTERVAL 1 HOUR"))).as("ts"))
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"), lit(1).as("tag"))
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc_nulls_first)
+      val fwd = byU.rowsBetween(Window.unboundedPreceding, 0)
+      val bwd = byU.rowsBetween(0, Window.unboundedFollowing)
+      val all = ev.unionAll(grid)
+        .withColumn("pv", last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(fwd))
+        .withColumn("pt", last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd))
+        .withColumn("nv", first(when(col("tag") === 0, col("value")), ignoreNulls = true).over(bwd))
+        .withColumn("nt", first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(bwd))
+      val gUs = unix_micros(col("ts")); val pUs = unix_micros(col("pt"))
+      val nUs = unix_micros(col("nt"))
+      val ratio = (gUs - pUs).cast("double") / (nUs - pUs).cast("double")
+      val interp = when(col("nt").isNull || nUs === pUs, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) * ratio)
+      ordered(all.filter(col("tag") === 1)
+        .select(col("user_id"), col("ts").as("grid_ts"),
+          dec4S(interp).as("value_interp")))
+    }),
+
     // ---- WAU-1: trailing-7-day active users per day — the rolling
     //      DISTINCT count (DAU/WAU/MAU) that resists naive windowing:
     //      count(distinct) cannot run in a sliding frame. Scalable
@@ -224,6 +272,37 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "resample" ->
+      """WITH o AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |b AS (SELECT user_id, MIN(uts) AS t0, MAX(uts) AS t1 FROM o GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(date_trunc('hour', t0) + INTERVAL 1 HOUR, t1, INTERVAL 1 HOUR)) AS uts
+        |  FROM b WHERE date_trunc('hour', t0) + INTERVAL 1 HOUR <= t1),
+        |u AS (
+        |  SELECT user_id, uts, event_id, value, 0 AS tag FROM o
+        |  UNION ALL
+        |  SELECT user_id, uts, NULL, NULL, 1 FROM g),
+        |w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY uts ASC, tag ASC, event_id ASC NULLS FIRST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN tag = 0 THEN uts END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY uts ASC, tag ASC, event_id ASC NULLS FIRST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    FIRST_VALUE(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY uts ASC, tag ASC, event_id ASC NULLS FIRST
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN tag = 0 THEN uts END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY uts ASC, tag ASC, event_id ASC NULLS FIRST
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u)
+        |SELECT user_id, uts AS grid_ts,
+        |  CAST(CAST(floor((CASE WHEN nt IS NULL OR epoch_us(nt) = epoch_us(pt) THEN pv
+        |    ELSE pv + (nv - pv) * (CAST(epoch_us(uts) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS value_interp
+        |FROM w WHERE tag = 1
+        |ORDER BY user_id NULLS FIRST, grid_ts NULLS FIRST, value_interp NULLS FIRST""".stripMargin,
+
     "wau" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -194,6 +194,24 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample: hourly grid interpolates linearly between bracketing events") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("resample_edge").toString
+    // Two events one value-decade apart: the 01:00 and 02:00 grid points
+    // sit 25% and 75% of the way through the 00:30→02:30 segment.
+    Seq((1L, "2024-01-01 00:30:00", 7L, "view", 10.0, "{}"),
+        (2L, "2024-01-01 02:30:00", 7L, "view", 20.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("resample")(spark, d)
+      .collect().map(r => r.getTimestamp(1).toString -> r.getString(2))
+    assert(rows.toSeq.sorted == Seq(
+      "2024-01-01 01:00:00.0" -> "12.5000",
+      "2024-01-01 02:00:00.0" -> "17.5000"), s"got ${rows.toSeq}")
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
