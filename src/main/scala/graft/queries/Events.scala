@@ -149,11 +149,14 @@ object Events {
         .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc_nulls_first)
       val fwd = byU.rowsBetween(Window.unboundedPreceding, 0)
       val bwd = byU.rowsBetween(0, Window.unboundedFollowing)
-      val all = ev.unionAll(grid)
-        .withColumn("pv", last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(fwd))
-        .withColumn("pt", last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd))
-        .withColumn("nv", first(when(col("tag") === 0, col("value")), ignoreNulls = true).over(bwd))
-        .withColumn("nt", first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(bwd))
+      // One select so Catalyst groups the four window columns into TWO
+      // Window operators (one per frame) over the shared sort — chained
+      // withColumn produced four sequential Window passes.
+      val all = ev.unionAll(grid).select(col("*"),
+        last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(fwd).as("pv"),
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd).as("pt"),
+        first(when(col("tag") === 0, col("value")), ignoreNulls = true).over(bwd).as("nv"),
+        first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(bwd).as("nt"))
       val gUs = unix_micros(col("ts")); val pUs = unix_micros(col("pt"))
       val nUs = unix_micros(col("nt"))
       val ratio = (gUs - pUs).cast("double") / (nUs - pUs).cast("double")
