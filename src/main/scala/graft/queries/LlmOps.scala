@@ -1088,6 +1088,31 @@ object LlmOps {
         cstr(avgKept).as("avg_kept_chars")))
     }),
 
+    // ---- VQ-1: int8 vector quantization + reconstruction error — the
+    //      embedding-STORAGE op: 64 float32 dims → 64 int8 codes + one
+    //      scale (4× smaller, the difference between embeddings fitting
+    //      in cluster memory or not at 100 TB). Per-vector max-abs
+    //      scaling, symmetric round-half-up (floor(x/s + 0.5) — tie-safe
+    //      identical in both engines), and the relative L2 reconstruction
+    //      error ‖x − q·s‖/‖x‖ as the quality metric (~0.5% on this
+    //      corpus — the standard int8 result). Pure per-row projection,
+    //      scan-bound; left-fold HOF sums keep the oracle bit-equal. ----
+    "vec_quant" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val e = transform(col("embedding"), x => x.cast("double"))
+      val t = emb.select(col("vec_id"), e.as("e"))
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+        .withColumn("qv", transform(col("e"), x => floor(x / col("scale") + lit(0.5))))
+      val sqSum = (c: Column) => aggregate(c, lit(0.0), (a, b) => a + b)
+      ordered(t.select(col("vec_id"),
+        dec4S(col("scale")).as("scale_s"),
+        array_max(col("qv")).cast("long").as("q_max"),
+        array_min(col("qv")).cast("long").as("q_min"),
+        dec4S(sqrt(sqSum(zip_with(col("e"), col("qv"),
+            (x, q) => (x - q * col("scale")) * (x - q * col("scale"))))) /
+          sqrt(sqSum(transform(col("e"), x => x * x)))).as("rel_err")))
+    }),
+
     // ---- SKT-1: count-min-sketch frequency estimation, expressed
     //      RELATIONALLY — the mergeable-sketch shape behind streaming
     //      heavy-hitter detection, spelled as what it really is: d=2 rows
@@ -1645,6 +1670,23 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "vec_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM b),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> floor(x / scale + 0.5)) AS qv FROM s)
+        |SELECT vec_id,
+        |  CAST(CAST(floor((scale)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS scale_s,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max, CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(CAST(floor((sqrt(list_sum(list_transform(list_zip(e, qv), p -> (p[1] - p[2]*scale)*(p[1] - p[2]*scale))))
+        |    / sqrt(list_sum(list_transform(e, x -> x*x))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rel_err
+        |FROM q
+        |ORDER BY vec_id NULLS FIRST, scale_s NULLS FIRST, q_max NULLS FIRST, q_min NULLS FIRST, rel_err NULLS FIRST""".stripMargin,
 
     "freq_cms" ->
       """WITH cnt AS (

@@ -194,6 +194,19 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_quant: codes stay in int8 range and reconstruction error is small") {
+    val rows = SparkEntry.queries("vec_quant")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_max") <= 127 && r.getAs[Long]("q_min") >= -127,
+        s"code out of int8 range: $r")
+      // Max-abs scaling over 64 dims keeps relative L2 error ~0.5%; 5% is
+      // a loose ceiling that still catches a broken scale or rounding.
+      assert(BigDecimal(r.getAs[String]("rel_err")) < BigDecimal("0.05"),
+        s"reconstruction error too high: $r")
+    }
+  }
+
   test("resample: hourly grid interpolates linearly between bracketing events") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("resample_edge").toString
