@@ -154,6 +154,42 @@ case class MortonCode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bloom_contains(long)` → boolean: membership probe against a
+  * pre-built Bloom filter shipped with the expression.
+  *
+  * The scale lever for filter-by-set when the set is too big to broadcast
+  * as a relation but its bitmap fits anywhere (~1.2 bytes/item at 1% fpp —
+  * a 100M-shingle benchmark suite is ~120 MB of postings but a ~115 MB
+  * bitmap COMPRESSES the join: the probe side never shuffles non-members).
+  * No false negatives, so an exact verify step downstream restores exact
+  * semantics; false positives only cost wasted verify work.
+  *
+  * The filter is held as its serialized form (`bytes`) so the expression
+  * tree stays serializable regardless of sketch implementation details;
+  * each JVM deserializes once (transient lazy). Codegen pins the
+  * deserialized filter in the references array — one virtual call per row,
+  * no per-row allocation (probes are `mightContainLong`). Not registered
+  * for SQL: the filter bytes are runtime state, not a literal a SQL text
+  * could carry. */
+case class BloomMightContain(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_contains"
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -163,6 +199,8 @@ object GraftFunctions {
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def morton_code(x: Column, y: Column): Column = c(MortonCode(e(x), e(y)))
+  def bloom_might_contain(x: Column, filterBytes: Array[Byte]): Column =
+    c(BloomMightContain(e(x), filterBytes))
 }
 
 /** SQL registration via SparkSessionExtensions (the declared extension

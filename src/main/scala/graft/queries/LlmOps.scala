@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
-import graft.functions.GraftFunctions.{dot_product, poly_hash}
+import graft.functions.GraftFunctions.{bloom_might_contain, dot_product, poly_hash}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -900,6 +900,90 @@ object LlmOps {
         .select(col("doc_id"), col("bench_id"), dec4S(col("cont")).as("containment")))
     }),
 
+    // ---- DCN-2: Bloom-prefiltered decontamination — dcn1's shape when the
+    //      benchmark side outgrows a broadcast. dcn1 broadcasts the raw
+    //      benchmark postings; a full benchmark SUITE at production scale
+    //      (100M+ shingles) is too wide for that, but its Bloom bitmap
+    //      (~1.2 bytes/shingle at 1% fpp) ships to every executor as part
+    //      of the probe expression. Corpus postings that fail the probe —
+    //      the overwhelming majority — never enter the exchange, so the
+    //      shuffle join (SHUFFLE_HASH-hinted: neither side broadcasts in
+    //      the declared regime) moves ≈ matching postings only. Bloom has
+    //      NO false negatives and the exact posting join discards false
+    //      positives, so the output — and the oracle — is identical to the
+    //      unfiltered join. Build cost: two actions over the 1% benchmark
+    //      slice (count to size the filter, then the filter aggregation) —
+    //      driver holds one bitmap, never the postings. ----
+    "dcn_bloom" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val sh = doc.select(col("doc_id"), shingles(col("text")).as("sh"))
+        .localCheckpoint()
+      val bpost = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
+          explode(col("sh")).as("tok"))
+      val bhash = bpost.select(polyHash(col("tok")).as("th"))
+      // Size the filter from the TOTAL benchmark-posting count — an upper
+      // bound on the distinct count that needs no shuffle (distinct().count()
+      // would); oversizing a Bloom filter only lowers its fpp. A production
+      // pipeline reads this from a table statistic instead.
+      val nTok = bhash.count()
+      val cpostAll = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+      // Empty benchmark set: stat.bloomFilter has no rows to size from
+      // (returns a null buffer) and the exact join is empty regardless —
+      // skip the probe, keep the (empty-result) plan shape.
+      val cpost = if (nTok == 0L) cpostAll else {
+        val bloom = bhash.stat.bloomFilter("th", nTok, 0.01)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos); bos.toByteArray
+        }
+        cpostAll.filter(bloom_might_contain(polyHash(col("tok")), bytes))
+      }
+      ordered(cpost.join(bpost.hint("shuffle_hash"), Seq("tok"))
+        .groupBy(col("doc_id"), col("bench_id"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        .withColumn("cont", col("ni").cast("double") / col("nb").cast("double"))
+        .filter(col("cont") >= 0.2)
+        .select(col("doc_id"), col("bench_id"), dec4S(col("cont")).as("containment")))
+    }),
+
+    // ---- DDP-SEG: corpus-wide duplicated-SEGMENT ratio — line-level dedup
+    //      (the C4/RefinedWeb step between whole-doc dedup and within-doc
+    //      repetition): boilerplate sentences repeat ACROSS documents that
+    //      are not near-duplicates of each other, so doc-granular Jaccard
+    //      never sees them. Each doc is cut into consecutive 8-word
+    //      segments (the "line" stand-in for a corpus with no line breaks);
+    //      a segment is duplicated if it occurs in ≥2 docs. Output is one
+    //      row per doc — its distinct-segment count and duplicated
+    //      fraction, the direct input to a strip-or-drop cleaning rule.
+    //      Scale: shuffle ∝ segments (segment-keyed count + one
+    //      posting-proportional join back); partial aggregation absorbs
+    //      hot boilerplate segments map-side, and output is linear in
+    //      docs — never pair-quadratic. ----
+    "ddp_segment" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val words = split(col("text"), " ")
+      // sequence(0, -1) is DESCENDING in Spark ([0, -1]) — guard docs
+      // shorter than one segment to the empty list (DuckDB's exclusive-end
+      // range(0, 0) natively), same trap as [[shingles]].
+      val nseg = (size(words) / lit(8)).cast("int")
+      val segs = transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val perDoc = doc.select(col("doc_id"),
+        explode(array_distinct(when(nseg >= 1, segs)
+          .otherwise(array().cast("array<string>")))).as("seg"))
+      // Segments are distinct within a doc, so count(1) == distinct docs.
+      val segDocs = perDoc.groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
+      ordered(perDoc.join(segDocs, Seq("seg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_segs"), col("n_dup"),
+          dec4S(col("n_dup").cast("double") / col("n_segs").cast("double"))
+            .as("dup_ratio")))
+    }),
+
     // ---- TXT-1: per-language document stats ----
     "txt1" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -1514,6 +1598,48 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS containment
         |FROM ov WHERE CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.2
         |ORDER BY doc_id NULLS FIRST, bench_id NULLS FIRST, containment NULLS FIRST""".stripMargin,
+
+    // Identical to dcn1's twin BY DESIGN: the Bloom prefilter has no false
+    // negatives and the exact join removes its false positives, so the
+    // declared output is the unfiltered join's (same certification pattern
+    // as join2_salted / agg1_salted: twin certifies result-identity, the
+    // engine-side shape is the scale lever).
+    "dcn_bloom" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, $duckGrams AS sh FROM documents
+        |), bpost AS (
+        |  SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS tok
+        |  FROM sh WHERE doc_id % 100 = 0
+        |), cpost AS (
+        |  SELECT doc_id, unnest(sh) AS tok FROM sh WHERE doc_id % 100 <> 0
+        |), ov AS (
+        |  SELECT doc_id, bench_id, nb, count(*) AS ni
+        |  FROM cpost JOIN bpost USING (tok)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, bench_id,
+        |  CAST(CAST(floor((CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS containment
+        |FROM ov WHERE CAST(ni AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.2
+        |ORDER BY doc_id NULLS FIRST, bench_id NULLS FIRST, containment NULLS FIRST""".stripMargin,
+
+    "ddp_segment" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(0, CAST(floor(len(string_split(text, ' '))/8) AS INT)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i*8+1, i*8+8), ' ')))) AS seg
+        |  FROM documents
+        |), sc AS (
+        |  SELECT seg, COUNT(1) AS ndocs FROM segs GROUP BY 1
+        |), agg AS (
+        |  SELECT s.doc_id, COUNT(1) AS n_segs,
+        |    CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM segs s JOIN sc c USING (seg)
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_segs, n_dup,
+        |  CAST(CAST(floor((CAST(n_dup AS DOUBLE)/CAST(n_segs AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
+        |FROM agg
+        |ORDER BY doc_id NULLS FIRST, n_segs NULLS FIRST, n_dup NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
 
     "smp1" ->
       """WITH h AS (

@@ -244,6 +244,63 @@ object Relational {
           col("n")))
     }),
 
+    // ---- AGG-12: incremental aggregate maintenance — merge PARTIAL
+    //      aggregates instead of recomputing history. The nightly-pipeline
+    //      shape at 100 TB: yesterday's summary table plus today's delta
+    //      partials, combined by re-aggregating the mergeable states
+    //      (sum-of-counts, sum-of-decimal-sums, max-of-maxes; avg DERIVED
+    //      from merged sum/count, never averaged-of-averages). Cost is
+    //      ∝ |delta| + |summary|, not ∝ history — the whole point of
+    //      keeping summaries. Decimal addition is associative, so the
+    //      merged result is bit-identical to a full recompute: the oracle
+    //      IS the single-pass aggregation over the whole table. ----
+    "inc_agg" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      // Partial state per (priority, month): the mergeable trio.
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("pn"),
+          dsum(col("o_totalprice")).as("psum"),
+          max(dec(col("o_totalprice"))).as("pmax"))
+      val base  = partial(o.filter(col("o_orderdate") < cutoff))
+      val delta = partial(o.filter(col("o_orderdate") >= cutoff))
+      ordered(base.unionByName(delta)
+        .groupBy(col("o_orderpriority"), col("month"))
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("psum")).cast(dt).as("msum"),
+          max(col("pmax")).as("mmax"))
+        .select(col("o_orderpriority"), col("month"), col("n_orders"),
+          cstr(col("msum")).as("sum_price"),
+          cstr(col("mmax")).as("max_price"),
+          // avg from MERGED partials: merged decimal sum / merged count —
+          // exactly the davg twin the full recompute produces.
+          dec4S(col("msum").cast("double") / col("n_orders")).as("avg_price")))
+    }),
+
+    // ---- AGG-13: re-aggregatable distinct-count sketches — the cube /
+    //      rollup answer to COUNT(DISTINCT) at 100 TB. Fine-grained HLL
+    //      sketches (here per priority×month) are stored ONCE, then any
+    //      coarser grouping is a cheap sketch UNION — no rescan of the
+    //      fact table per rollup level, which is what makes precomputed
+    //      distinct-count cubes possible at all (exact distinct states
+    //      don't merge without carrying the full value set). Like
+    //      agg_approx this cannot be oracle-hashed (DataSketches HLL vs
+    //      DuckDB's sketch differ within error bounds); ApproxSpec asserts
+    //      the union estimate against the exact distinct per group, and
+    //      that sketch-of-union == union-of-sketches. ----
+    "agg_hll_merge" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val partials = o
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      ordered(partials.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_custkeys"),
+          count(lit(1)).as("n_months")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -852,6 +909,19 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST, total NULLS FIRST""".stripMargin,
+
+    // The incremental merge must hash-match the FULL single-pass recompute —
+    // the twin deliberately contains no base/delta split: it certifies that
+    // merging partial states loses nothing (decimal-sum associativity).
+    "inc_agg" ->
+      """SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS max_price,
+        |  CAST(CAST(floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_orderpriority NULLS FIRST, month NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, max_price NULLS FIRST, avg_price NULLS FIRST""".stripMargin,
 
     "agg2" ->
       """SELECT l_returnflag,

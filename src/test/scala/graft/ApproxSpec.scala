@@ -64,4 +64,33 @@ class ApproxSpec extends AnyFunSuite {
       }
     } finally li.unpersist()
   }
+
+  test("agg_hll_merge: union of monthly sketches matches exact distinct and the direct sketch") {
+    val merged = graft.queries.Relational.all("agg_hll_merge")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val o = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("nd"),
+        countDistinct(date_trunc("month", col("o_orderdate"))).as("nm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Direct single-pass sketch over the same rows: union-of-partials must
+    // agree with sketch-of-everything, or the re-aggregation path would
+    // give rollups a different answer than a flat query.
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(merged.keySet == exact.keySet, "group sets differ")
+    for ((prio, (nd, nm)) <- exact) {
+      val (est, nMonths) = merged(prio)
+      // Default lgConfigK=12 → RSE ≈ 1.04/√2^12 ≈ 1.6%; 5σ ≈ 8% can't flake
+      // while still catching a broken sketch or a lossy merge.
+      assert(math.abs(est - nd) <= math.max(1L, (0.08 * nd).round),
+        s"$prio: HLL union estimate $est vs exact $nd exceeds 8% bound")
+      assert(nMonths == nm, s"$prio: month partial count mismatch")
+      assert(est == direct(prio),
+        s"$prio: union-of-partials $est != direct sketch ${direct(prio)} — merge is lossy")
+    }
+  }
 }

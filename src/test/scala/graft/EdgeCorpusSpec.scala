@@ -51,6 +51,16 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(pairs("dcn1") == Set((6L, 100L, "1.0000")))
   }
 
+  test("dcn_bloom: identical rows to dcn1 — the prefilter is invisible in the output") {
+    assert(pairs("dcn_bloom") == pairs("dcn1"))
+  }
+
+  test("ddp_segment: only docs with >=1 segment appear; sub-8-word docs are silent") {
+    // Every doc in the edge corpus is shorter than 8 words — no segments,
+    // no rows, no crash (the sequence(0,-1) guard path).
+    assert(SparkEntry.queries("ddp_segment")(spark, dir).count() == 0)
+  }
+
   test("smp1: splits partition the corpus (8 docs)") {
     val n = SparkEntry.queries("smp1")(spark, dir)
       .collect().map(_.getLong(2)).sum
@@ -63,7 +73,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
     Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "smp1", "smp2",
+    for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "dcn_bloom",
+        "ddp_segment", "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))

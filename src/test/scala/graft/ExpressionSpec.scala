@@ -135,6 +135,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getLong(3) == 147L)
   }
 
+  test("bloom_might_contain: no false negatives, bounded false positives, parity") {
+    import graft.functions.GraftFunctions.bloom_might_contain
+    // Build a filter over 10k longs the way dcn_bloom does.
+    val members = spark.range(10000).select((col("id") * 2654435761L).as("v"))
+    val bloom = members.stat.bloomFilter("v", 10000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    // NO false negatives: every inserted value must probe true — this is
+    // what lets the exact join downstream restore exact semantics.
+    val misses = members
+      .filter(!bloom_might_contain(col("v"), bytes)).count()
+    assert(misses == 0, s"$misses false negatives — bloom contract broken")
+    // False-positive rate on 100k disjoint values stays near the declared
+    // 1% (generous 3% ceiling: fpp is a design target, not a bound).
+    val nonMembers = spark.range(100000).select((col("id") * 2654435761L + 13L).as("v"))
+    val fps = nonMembers.filter(bloom_might_contain(col("v"), bytes)).count()
+    assert(fps < 3000, s"$fps/100000 false positives — filter is useless")
+    // Codegen and interpreted evaluation agree row-for-row.
+    def probes() = members.limit(200)
+      .select(col("v"), bloom_might_contain(col("v"), bytes).as("p"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val withCodegen = probes()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(withCodegen == probes())
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+  }
+
   test("morton_code equals the bit-by-bit interleave reference") {
     import graft.functions.GraftFunctions.morton_code
     def ref(x: Long, y: Long): Long = {

@@ -145,6 +145,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 5-row dim should broadcast")
   }
 
+  test("dcn_bloom: probe filters the corpus side; the posting join stays a shuffle join") {
+    val p = plan("dcn_bloom")
+    // The membership probe must sit on the corpus-posting side BEFORE the
+    // exchange — that is the whole point: non-members never shuffle.
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom probe absent from the physical plan:\n${p.take(800)}")
+    // The declared regime is "benchmark too big to broadcast": the
+    // SHUFFLE_HASH hint must hold against the tiny test-scale side sizes.
+    assert(p.contains("ShuffledHashJoin"),
+      s"posting join did not honor the SHUFFLE_HASH hint:\n${p.take(800)}")
+  }
+
   test("ddp_embed: the sign bucket is a join key, not a post-filter") {
     val p = plan("ddp_embed")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
