@@ -172,10 +172,9 @@ object LlmOps {
     * explode) and are persisted so the token-explode + per-token-hash +
     * sketch aggregation runs exactly once — not once per band branch per
     * join side. The shuffle carries one 8-slot signature per doc. */
-  /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
-    * candidate pipeline — shared by the pair queries and ddp_cluster. */
-  private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
-    val doc = spread(doc0)
+  /** LSH band table (doc_id, band_idx, bh) for [[minhashPairs]] and the
+    * incremental variant — unpersisted; callers own caching. */
+  private def minhashBands(doc: DataFrame, useUdaf: Boolean): DataFrame = {
     val tok = doc.select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
     val sigs =
@@ -187,7 +186,7 @@ object LlmOps {
         // groups are a few hundred MB per task at most: raise the
         // threshold so the sketch aggregates hash-style like its builtin
         // twin instead of paying a full sort of the token stream.
-        doc0.sparkSession.conf.set(
+        doc.sparkSession.conf.set(
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         tok.groupBy(col("doc_id"))
           .agg(graft.functions.MinHashSketch.minhash_sketch(col("h")).as("sig"))
@@ -205,9 +204,15 @@ object LlmOps {
     val bandArr = array((0 until 2).map { bi =>
       struct(lit(bi).as("band_idx"), foldSlots(bi).as("bh"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
+    sigs.select(col("doc_id"), explode(bandArr).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
-      .persist()
+  }
+
+  /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
+    * candidate pipeline — shared by the pair queries and ddp_cluster. */
+  private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
+    val doc = spread(doc0)
+    val bands = minhashBands(doc, useUdaf).persist()
     val cand = bands.as("x").join(bands.as("y"),
       col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -633,6 +638,46 @@ object LlmOps {
     // TypedImperativeAggregate (SURVEY §2.6) — one mutable 8-slot buffer per
     // doc instead of 8 builtin min aggregates. Identical oracle SQL.
     "ddp_minhash_udaf" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = true)),
+
+    // ---- DDP-INCR: incremental near-dup admission — dedup a NEW batch
+    //      against the standing corpus without re-pairing the corpus with
+    //      itself. The daily-ingest shape: at 100 TB the corpus band table
+    //      is a persisted, bucketed index (one-time build, appended each
+    //      day); the daily job sketches ONLY the batch and probes
+    //      newBands ⋈ allBands — shuffle ∝ batch bands + matching index
+    //      buckets, never corpus². Here both sides derive from the same
+    //      table (no cross-run state in a gated query), but the join
+    //      asymmetry IS the plan: corpus∖batch docs never pair with each
+    //      other. Batch = doc_id % 10 == 7 (a deterministic ~10% stand-in).
+    //      Output: each verified pair touching a new doc, with vs_corpus
+    //      marking dup-of-existing (drop the new doc) vs dup-within-batch
+    //      (keep one of them) — the two actions an admission gate takes. ----
+    "ddp_incr" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val isNew = (c: Column) => c % 10 === 7
+      val bands = minhashBands(doc, useUdaf = false).persist()
+      val cand = bands.filter(isNew(col("doc_id"))).as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        // Batch-batch pairs arrive twice (both sides probe); canonicalize
+        // to d1 < d2 before the distinct so they count once.
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("d2")).distinct()
+      val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
+      val verified = cand
+        .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+        // Intersection staged in its own projection (see verifyJaccardPairs).
+        .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
+        .withColumn("jac", col("ni").cast("double") /
+          (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
+        .filter(col("jac") >= 0.95)
+        .localCheckpoint()
+      bands.unpersist()
+      ordered(verified.select(col("d1"), col("d2"), dec4S(col("jac")).as("jac"),
+        (!(isNew(col("d1")) && isNew(col("d2")))).as("vs_corpus")))
+    }),
 
     // DDP-CLUSTER: one row per doc — connected component over the verified
     // near-dup graph + keeper election (see clusterAssign).
@@ -1480,6 +1525,17 @@ object LlmOps {
     "ddp_minhash" -> duckMinhashSql,
     // The UDAF variant computes the identical signature; same oracle.
     "ddp_minhash_udaf" -> duckMinhashSql,
+
+    // The incremental join generates exactly the banding-verified pairs
+    // with >=1 batch-side doc: the twin restricts the full pair set.
+    "ddp_incr" ->
+      s"""WITH $duckMinhashCtes
+        |SELECT d1, d2,
+        |  CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac,
+        |  NOT (d1 % 10 = 7 AND d2 % 10 = 7) AS vs_corpus
+        |FROM verified
+        |WHERE d1 % 10 = 7 OR d2 % 10 = 7
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST, vs_corpus NULLS FIRST""".stripMargin,
     "ddp_cluster" -> duckClusterSql,
     "pipeline_clean" -> duckPipelineSql,
 

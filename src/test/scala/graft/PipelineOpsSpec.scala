@@ -50,6 +50,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keepers == entity.values.toSet, "keepers != entity ids")
   }
 
+  test("ddp_incr: exactly the full pair set restricted to batch-touching pairs") {
+    // The asymmetric newBands ⋈ allBands probe must lose nothing and add
+    // nothing versus the full self-join: its verified pairs are precisely
+    // ddp_minhash's with >=1 batch (doc_id % 10 == 7) side, and vs_corpus
+    // marks the pairs with a standing-corpus side.
+    val full = SparkEntry.queries("ddp_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val incr = SparkEntry.queries("ddp_incr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val expected = full.filter { case (d1, d2, _) => d1 % 10 == 7 || d2 % 10 == 7 }
+    assert(incr.map(t => (t._1, t._2, t._3)).toSet == expected,
+      s"incr=${incr.length} expected=${expected.size}")
+    incr.foreach { case (d1, d2, _, vsCorpus) =>
+      assert(vsCorpus == !(d1 % 10 == 7 && d2 % 10 == 7),
+        s"vs_corpus wrong for ($d1,$d2)")
+    }
+  }
+
   test("ddp_cluster: reliable-checkpoint mode matches localCheckpoint and writes to the dir") {
     // At 1000-executor scale, losing an executor mid-iteration is routine;
     // localCheckpoint blocks die with it. The reliable mode must produce
