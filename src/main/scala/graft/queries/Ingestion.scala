@@ -108,6 +108,28 @@ object Ingestion {
           max(col("o_orderdate")).as("last_order")))
     }),
 
+    // ---- XML sink + scan: the document-structured partner-feed format
+    //      (Spark 4 ships the former spark-xml as a native source). Same
+    //      roundtrip certification as ORC/Avro: write orders as
+    //      <order> rows once per (JVM, sfDir), read back with the PINNED
+    //      original schema (inference on a 100 TB feed is a full extra
+    //      pass — production ingests declare their schema), aggregate,
+    //      and compare to the oracle's aggregate of the original parquet.
+    //      XML serializes every value as text; equality across the
+    //      long/double/string/timestamp columns certifies the
+    //      format-and-parse cycle is value-lossless under the pinned UTC
+    //      session. ----
+    "ingest_xml" -> ((s, d) => {
+      val dir = xmlOrders(s, d)
+      ordered(s.read.format("xml").option("rowTag", "order")
+        .schema(load(s, d, "orders").schema)
+        .load(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("last_order")))
+    }),
+
     // ---- JDBC sink + read-back ([REF] dual relational sinks, Redshift
     //      `:79-87` / PostgreSQL `:88-98`): the SAME JdbcWarehouseWriter /
     //      jdbcRead code paths production would point at a network
@@ -147,6 +169,17 @@ object Ingestion {
   def avroOrders(s: SparkSession, d: String): String =
     graft.core.Warehouse.once(d, "orders_avro") { out =>
       load(s, d, "orders").write.mode("overwrite").format(avroFormat).save(out)
+    }
+
+  /** XML copy of orders (<order> row tags), built once per (process, sfDir).
+    * A ~10% keyslice: XML is a verbose row-tag-per-field text format — the
+    * roundtrip certification doesn't need the full table's serialization
+    * throughput, just every column type crossing the format. */
+  def xmlOrders(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "orders_xml") { out =>
+      load(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .write.mode("overwrite").format("xml")
+        .option("rootTag", "orders").option("rowTag", "order").save(out)
     }
 
   /** Embedded-Derby copy of a deterministic orders keyslice
@@ -207,6 +240,18 @@ object Ingestion {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
         |  max(o_orderdate) AS last_order
         |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
+
+    // DuckDB can't read Spark's row-tag XML; same original-parquet twin
+    // pattern, restricted to the written keyslice — equality certifies the
+    // XML text-serialize-and-parse cycle is value-lossless.
+    "ingest_xml" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
 
