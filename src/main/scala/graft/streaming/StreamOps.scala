@@ -86,6 +86,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** STR-SJOIN: stream-STATIC enrichment join — attach a dimension row
+    * (per-user segment derived from user_id here; a customer/catalog table
+    * in production) to every event as it arrives. The static side needs no
+    * watermark and holds no state: Spark re-plans the dim per micro-batch,
+    * broadcasting it when small — the standard enrichment shape. At 100 TB
+    * of DIM the broadcast stops fitting and the answer is a shuffle join
+    * against a bucketed dim table (exchange-free on the dim side) or a
+    * key-value store lookup inside mapGroupsWithState; the streaming side
+    * of this op is unchanged either way. Left join: an event whose user is
+    * missing from the dim must survive with a NULL segment (an enrichment
+    * gate that silently DROPS unmatched facts corrupts downstream counts). */
+  def dimEnrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("value"))
+
   /** STR-JOIN: stream-stream inner join — correlate each click with the
     * same user's purchases in the following 10 minutes. Both sides carry
     * watermarks and the join condition bounds purchase_ts to a range of

@@ -285,6 +285,25 @@ class StreamingSpec extends AnyFunSuite {
       "post-crash sink must equal the batch input exactly once")
   }
 
+  test("STR-SJOIN stream-static enrichment equals batch; unmatched users survive with NULL") {
+    // Dimension: a per-user segment covering only ~half the users, so the
+    // left-join NULL path is exercised on real rows.
+    val dim = eventsBatch.select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", when(col("user_id") % 4 === 0, "gold").otherwise("silver"))
+      .cache()
+    try {
+      val streamed = StreamOps.drainToMemory(
+        StreamOps.dimEnrichJoin(replayStream, dim), "sjoin_stream", complete = false)
+      val batch = StreamOps.dimEnrichJoin(eventsBatch, dim)
+      assertSameRows(streamed, batch, "stream-static enrichment")
+      // Every event must survive: enrichment never drops unmatched facts.
+      assert(batch.count() == eventsBatch.count(), "left enrichment lost rows")
+      assert(batch.filter(col("segment").isNull).count() > 0,
+        "expected some unmatched users carrying NULL segment")
+    } finally dim.unpersist()
+  }
+
   test("STR-JOIN stream-stream join equals batch join under time-ordered replay") {
     // Time-ordered slices: watermark advances monotonically, so no click's
     // match window closes before its possible purchases arrive (a randomly
