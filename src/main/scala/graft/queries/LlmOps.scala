@@ -208,6 +208,39 @@ object LlmOps {
       .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
   }
 
+  /** Batch membership predicate for the incremental-admission queries:
+    * doc_id % 10 == 7 is the deterministic ~10% "new batch" stand-in. */
+  private def incrIsNew(c: Column): Column = c % 10 === 7
+
+  /** Verified near-dup pairs touching the new batch (d1 < d2, jac double),
+    * from the asymmetric newBands ⋈ allBands probe — shared by ddp_incr
+    * (pair list) and ddp_incr_best (per-new-doc top-1 reduction). */
+  private def incrPairs(s: SparkSession, d: String): DataFrame = {
+    val doc = spread(load(s, d, "documents"))
+    val bands = minhashBands(doc, useUdaf = false).persist()
+    val cand = bands.filter(incrIsNew(col("doc_id"))).as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      // Batch-batch pairs arrive twice (both sides probe); canonicalize
+      // to d1 < d2 before the distinct so they count once.
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2")).distinct()
+    val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
+    val verified = cand
+      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+      // Intersection staged in its own projection (see verifyJaccardPairs).
+      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
+      .filter(col("jac") >= 0.95)
+      .select(col("d1"), col("d2"), col("jac"))
+      .localCheckpoint()
+    bands.unpersist()
+    verified
+  }
+
   /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
     * candidate pipeline — shared by the pair queries and ddp_cluster. */
   private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
@@ -653,30 +686,35 @@ object LlmOps {
     //      marking dup-of-existing (drop the new doc) vs dup-within-batch
     //      (keep one of them) — the two actions an admission gate takes. ----
     "ddp_incr" -> ((s, d) => {
-      val doc = spread(load(s, d, "documents"))
-      val isNew = (c: Column) => c % 10 === 7
-      val bands = minhashBands(doc, useUdaf = false).persist()
-      val cand = bands.filter(isNew(col("doc_id"))).as("x")
-        .join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") =!= col("y.doc_id"))
-        // Batch-batch pairs arrive twice (both sides probe); canonicalize
-        // to d1 < d2 before the distinct so they count once.
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("d2")).distinct()
-      val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
-      val verified = cand
-        .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
-        .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
-        // Intersection staged in its own projection (see verifyJaccardPairs).
-        .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
-        .withColumn("jac", col("ni").cast("double") /
-          (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
-        .filter(col("jac") >= 0.95)
-        .localCheckpoint()
-      bands.unpersist()
+      val verified = incrPairs(s, d)
       ordered(verified.select(col("d1"), col("d2"), dec4S(col("jac")).as("jac"),
-        (!(isNew(col("d1")) && isNew(col("d2")))).as("vs_corpus")))
+        (!(incrIsNew(col("d1")) && incrIsNew(col("d2")))).as("vs_corpus")))
+    }),
+
+    // ---- DDP-INCR-BEST: the LINEAR-output admission gate — one row per
+    //      new doc that matched anything: its single best existing match
+    //      (max Jaccard, ties to the smallest doc_id). This is the
+    //      production reduction of ddp_incr's pair list (measured ×579
+    //      output amplification on the ×10 clique probe, SURVEY §4.4.8):
+    //      the gate decides admit/reject PER NEW DOC, so the emitted
+    //      relation is bounded by the batch size no matter how big the
+    //      dup cliques get. Per-group top-1 plans as WindowGroupLimit —
+    //      map-side one-row-per-new-doc state, same as cdc_latest. ----
+    "ddp_incr_best" -> ((s, d) => {
+      val verified = incrPairs(s, d)
+      // Orient every pair around its new side(s): a batch-batch pair is an
+      // admission candidate for BOTH of its docs.
+      val oriented = verified
+        .filter(incrIsNew(col("d1")))
+        .select(col("d1").as("doc_id"), col("d2").as("match_id"), col("jac"))
+        .unionByName(verified.filter(incrIsNew(col("d2")))
+          .select(col("d2").as("doc_id"), col("d1").as("match_id"), col("jac")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("jac").desc, col("match_id").asc)
+      ordered(oriented.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("match_id"), dec4S(col("jac")).as("jac"),
+          (!incrIsNew(col("match_id"))).as("vs_corpus")))
     }),
 
     // DDP-CLUSTER: one row per doc — connected component over the verified
@@ -1073,6 +1111,33 @@ object LlmOps {
         dec4S(avgTokLen).as("avg_tok_len"),
         dec4S(size(array_distinct(words)).cast("double") / nTok).as("ttr"),
         (col("n_chars") >= 100 && col("n_chars") <= 500).as("len_ok")))
+    }),
+
+    // ---- TXT-8: word-entropy quality signal — Shannon entropy of the
+    //      doc's unigram distribution, the standard low-entropy filter for
+    //      template/garbage text (a doc repeating one phrase scores near
+    //      0; diverse prose scores near ln(n_distinct)). Float discipline:
+    //      entropy is a SUM of p·ln p terms, and float addition does not
+    //      commute — so the fold runs over the SORTED distinct-word list
+    //      (one declared order, spelled identically in the DuckDB twin),
+    //      making the double bit-identical across engines before the dec4
+    //      render (the DotProduct/§5.3 in-order-fold rule). Per-doc cost
+    //      is O(distinct × tokens) array scanning — fine for documents
+    //      (tens of words); a token-exploded groupBy formulation is the
+    //      switch for book-length docs. Scan-proportional, zero shuffle. ----
+    "txt_entropy" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words = split(col("text"), " ")
+      val n = size(words).cast("double")
+      val ent = aggregate(array_sort(array_distinct(words)), lit(0.0),
+        (acc, w) => {
+          val p = size(filter(words, x => x === w)).cast("double") / n
+          acc - p * log(p)
+        })
+      ordered(doc.select(col("doc_id"),
+        size(words).as("n_tokens"),
+        size(array_distinct(words)).as("n_distinct"),
+        dec4S(ent).as("entropy")))
     }),
 
     // ---- TXT-5: token counting (whitespace + regex tokenizers) ----
@@ -1536,6 +1601,26 @@ object LlmOps {
         |FROM verified
         |WHERE d1 % 10 = 7 OR d2 % 10 = 7
         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST, vs_corpus NULLS FIRST""".stripMargin,
+
+    // Per-new-doc top-1 reduction of the same restricted pair set: both
+    // orientations of each batch-touching pair, then row_number over
+    // (jac DESC, match_id ASC) — identical tie discipline to the Spark
+    // window, on the identically-computed double jac.
+    "ddp_incr_best" ->
+      s"""WITH $duckMinhashCtes, oriented AS (
+        |  SELECT d1 AS doc_id, d2 AS match_id, jac FROM verified WHERE d1 % 10 = 7
+        |  UNION ALL
+        |  SELECT d2 AS doc_id, d1 AS match_id, jac FROM verified WHERE d2 % 10 = 7
+        |), ranked AS (
+        |  SELECT doc_id, match_id, jac,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, match_id ASC) AS rn
+        |  FROM oriented
+        |)
+        |SELECT doc_id, match_id,
+        |  CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac,
+        |  NOT (match_id % 10 = 7) AS vs_corpus
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id NULLS FIRST, match_id NULLS FIRST, jac NULLS FIRST, vs_corpus NULLS FIRST""".stripMargin,
     "ddp_cluster" -> duckClusterSql,
     "pipeline_clean" -> duckPipelineSql,
 
@@ -1756,6 +1841,25 @@ object LlmOps {
         |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,
+
+    // The entropy fold mirrors the Spark side exactly: terms generated in
+    // sorted-distinct-word order, left-folded from 0.0 — the same IEEE sum.
+    "txt_entropy" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(words)) AS INT) AS n_distinct,
+        |  CAST(CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list_distinct(words)),
+        |      w -> -(CAST(len(list_filter(words, x -> x = w)) AS DOUBLE) / n) *
+        |           ln(CAST(len(list_filter(words, x -> x = w)) AS DOUBLE) / n))),
+        |    (acc, x) -> acc + x))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS entropy
+        |FROM base
+        |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST, n_distinct NULLS FIRST, entropy NULLS FIRST""".stripMargin,
 
     "txt_tokens" ->
       """SELECT doc_id,

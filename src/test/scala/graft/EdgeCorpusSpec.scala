@@ -61,6 +61,15 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(SparkEntry.queries("ddp_segment")(spark, dir).count() == 0)
   }
 
+  test("txt_entropy: repeated-word doc scores 0; uniform doc scores ln(k)") {
+    val rows = SparkEntry.queries("txt_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(2L) == ((5, 1, "0.0000")), s"repeated word: ${rows(2L)}")
+    // 5 distinct words, p=0.2 each: entropy = ln 5 = 1.6094...
+    assert(rows(3L) == ((5, 5, "1.6094")), s"uniform: ${rows(3L)}")
+    assert(rows(1L) == ((1, 1, "0.0000")), s"single word: ${rows(1L)}")
+  }
+
   test("smp1: splits partition the corpus (8 docs)") {
     val n = SparkEntry.queries("smp1")(spark, dir)
       .collect().map(_.getLong(2)).sum
@@ -74,7 +83,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "dcn_bloom",
-        "ddp_segment", "ddp_incr", "smp1", "smp2",
+        "ddp_segment", "ddp_incr", "ddp_incr_best", "txt_entropy", "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))
