@@ -484,6 +484,23 @@ object Relational {
         dec4S(percent_rank().over(w)).as("pr")))
     }),
 
+    // ---- WIN-6: bucketed ranking — ntile quartiles (equal-count buckets
+    //      per partition, the spend-tier segmentation every report uses)
+    //      and nth_value (the "second-cheapest" reference row visible to
+    //      every row of its partition once seen). Ties broken by the
+    //      unique key so both engines' standard-SQL bucket arithmetic and
+    //      default nth_value frame (RANGE unbounded-preceding..current)
+    //      agree row-for-row. ----
+    "win6" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      ordered(o.select(
+        col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        decS(nth_value(col("o_totalprice"), 2).over(w)).as("second_price")))
+    }),
+
     // ---- JOIN-11: per-event as-of join, certified against DuckDB's
     //      NATIVE `ASOF JOIN` operator. The engine formulation is the
     //      100 TB one: tag both streams, ONE sort per user, and carry the
@@ -1110,6 +1127,14 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, cd NULLS FIRST, pr NULLS FIRST""".stripMargin,
+
+    "win6" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST, quartile NULLS FIRST, second_price NULLS FIRST""".stripMargin,
 
     "join11" ->
       """WITH e AS (
