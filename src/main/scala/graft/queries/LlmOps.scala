@@ -1053,9 +1053,14 @@ object LlmOps {
       val nseg = (size(words) / lit(8)).cast("int")
       val segs = transform(sequence(lit(0), nseg - 1),
         i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      // Materialized once: the segment-count aggregation and the join back
+      // both read this posting table — without the checkpoint Spark
+      // re-runs the scan + segmentation for each side (2× the dominant
+      // cost; the dcn1/ddp_ngram pattern).
       val perDoc = doc.select(col("doc_id"),
         explode(array_distinct(when(nseg >= 1, segs)
           .otherwise(array().cast("array<string>")))).as("seg"))
+        .localCheckpoint()
       // Segments are distinct within a doc, so count(1) == distinct docs.
       val segDocs = perDoc.groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
       ordered(perDoc.join(segDocs, Seq("seg"))
