@@ -1126,23 +1126,21 @@ object LlmOps {
     //      commute — so the fold runs over the SORTED distinct-word list
     //      (one declared order, spelled identically in the DuckDB twin),
     //      making the double bit-identical across engines before the dec4
-    //      render (the DotProduct/§5.3 in-order-fold rule). Per-doc cost
-    //      is O(distinct × tokens) array scanning — fine for documents
-    //      (tens of words); a token-exploded groupBy formulation is the
-    //      switch for book-length docs. Scan-proportional, zero shuffle. ----
+    //      render (the DotProduct/§5.3 in-order-fold rule). Computed by
+    //      the codegen'd [[graft.functions.WordEntropy]] expression — the
+    //      equivalent HOF (aggregate over sorted distinct words with a
+    //      nested filter) costs O(distinct×tokens) boxed lambda calls per
+    //      doc, ~0.8 ms/doc, and was the entire query's runtime (measured
+    //      39 s on the ×10 probe); the expression is one hash+sorted-sum
+    //      pass, bit-parity asserted in ExpressionSpec. Scan-proportional,
+    //      zero shuffle. ----
     "txt_entropy" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val words = split(col("text"), " ")
-      val n = size(words).cast("double")
-      val ent = aggregate(array_sort(array_distinct(words)), lit(0.0),
-        (acc, w) => {
-          val p = size(filter(words, x => x === w)).cast("double") / n
-          acc - p * log(p)
-        })
       ordered(doc.select(col("doc_id"),
         size(words).as("n_tokens"),
         size(array_distinct(words)).as("n_distinct"),
-        dec4S(ent).as("entropy")))
+        dec4S(graft.functions.GraftFunctions.word_entropy(col("text"))).as("entropy")))
     }),
 
     // ---- TXT-5: token counting (whitespace + regex tokenizers) ----

@@ -133,6 +133,25 @@ class ExpressionSpec extends AnyFunSuite {
     // x=5 (0101) in even bit positions -> z0+z4 = 17; y=9 (1001) in odd
     // positions -> z1+z7 = 130; 17+130 = 147.
     assert(r.getLong(3) == 147L)
+    // Uniform two-word doc: entropy = ln 2.
+    val ent = spark.sql("SELECT graft_word_entropy('a b') AS e").head.getDouble(0)
+    assert(math.abs(ent - math.log(2.0)) < 1e-12)
+  }
+
+  test("word_entropy is bit-identical to the sorted-fold HOF on every document") {
+    import graft.functions.GraftFunctions.word_entropy
+    val doc = Tables.load(spark, sfDir, "documents")
+    val words = split(col("text"), " ")
+    val n = size(words).cast("double")
+    // The formulation word_entropy replaced (and the DuckDB twin mirrors):
+    // left fold over SORTED distinct words, term = -p·ln(p).
+    val hof = aggregate(array_sort(array_distinct(words)), lit(0.0),
+      (acc, w) => {
+        val p = size(filter(words, x => x === w)).cast("double") / n
+        acc - p * log(p)
+      })
+    val bad = doc.filter(!(word_entropy(col("text")) <=> hof)).count()
+    assert(bad == 0, "word_entropy must be bit-identical to the sorted HOF fold")
   }
 
   test("bloom_might_contain: no false negatives, bounded false positives, parity") {
