@@ -161,6 +161,17 @@ object StreamOps {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** STR-DDP2: `dropDuplicatesWithinWatermark` — dedup on the BUSINESS key
+    * alone (event_id, no ts in the key), tolerating duplicates whose event
+    * times differ (retries/producer replays re-stamp the time, so the
+    * (event_id, ts) key above would pass them through). State per key is
+    * still evicted one watermark interval after first sight — the engine
+    * guarantees collapse only for dups arriving within the watermark delay,
+    * which is exactly the at-least-once-producer contract this op exists
+    * for. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   // ---- STR-ST: arbitrary stateful processing ----
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

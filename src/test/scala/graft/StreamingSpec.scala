@@ -165,6 +165,31 @@ class StreamingSpec extends AnyFunSuite {
       batch.select("event_id", "ts", "user_id"), "stream vs batch dedup")
   }
 
+  test("STR-DDP2 dropDuplicatesWithinWatermark collapses re-stamped duplicates") {
+    val d = tempDir("ddpw_replay")
+    writeSlice(ev(
+      (1L, "2024-06-01 10:00:00", 1L, "c", 1.0),
+      (2L, "2024-06-01 10:01:00", 1L, "c", 1.0)), d, "a", 1700000000000L)
+    writeSlice(ev(
+      // Same event_id, DIFFERENT ts (producer retry re-stamped the time):
+      // the (event_id, ts)-keyed dedup would pass this through; the
+      // within-watermark business-key dedup must collapse it.
+      (2L, "2024-06-01 10:05:00", 1L, "c", 1.0),
+      (3L, "2024-06-01 10:02:00", 2L, "d", 2.0)), d, "b", 1700000060000L)
+    val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val out = tempDir("ddpw_out").toString
+    StreamOps.runToParquetSink(
+      StreamOps.dedupWithinWatermark(stream), out, tempDir("ddpw_ckpt").toString)
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == 3L, "re-stamped duplicate must collapse")
+    assert(streamed.select("event_id").distinct().count() == 3L)
+    // First-seen row wins: event 2 keeps its original 10:01 stamp.
+    val t2 = streamed.filter(col("event_id") === 2L)
+      .head.getTimestamp(1).toString
+    assert(t2.startsWith("2024-06-01 10:01"), s"kept wrong copy: $t2")
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
