@@ -1143,6 +1143,43 @@ object LlmOps {
         dec4S(graft.functions.GraftFunctions.word_entropy(col("text"))).as("entropy")))
     }),
 
+    // ---- LM-1: corpus-LM quality scoring (CCNet shape) — score every doc
+    //      by its average bigram surprisal −(1/n)Σ ln P(gram) under the
+    //      corpus's own bigram distribution (P = count/total per lang).
+    //      Low surprisal = templated/boilerplate text, high = unusual —
+    //      the two tails a statistical quality filter trims. This is the
+    //      count-based stand-in for CCNet's KenLM perplexity bucketing:
+    //      the count relation IS the language model, built and applied in
+    //      one job. Float discipline: each doc's log-probs are summed in
+    //      POSITION order (collect (pos, logp) → array_sort → left fold —
+    //      a join's row order is not deterministic, a sorted fold is,
+    //      §5.3). Scale: counts are vocabulary-sized (broadcast at test
+    //      scale, shuffle join at corpus scale — no plan hint pins it);
+    //      totals are |langs| rows, broadcast; the posting join is
+    //      posting-proportional; per-doc state bounded by doc length. ----
+    "lm_score" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val words = split(col("text"), " ")
+      // POSITIONAL bigrams — the sequence the doc is, not the distinct set.
+      val grams = when(size(words) >= 2,
+        transform(sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      // Materialized once: the count build and the scoring join both read it.
+      val pos = doc.select(col("doc_id"), col("lang"), posexplode(grams).as(Seq("pos", "gram")))
+        .localCheckpoint()
+      val counts = pos.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c2"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c2")).as("n_lang"))
+      val scored = pos.join(counts, Seq("lang", "gram"))
+        .join(broadcast(totals), Seq("lang"))
+        .withColumn("logp", log(col("c2").cast("double") / col("n_lang").cast("double")))
+      ordered(scored.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("ps"))
+        .select(col("doc_id"), size(col("ps")).as("n_bigrams"),
+          dec4S(negate(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("logp"))) /
+            size(col("ps")).cast("double")).as("avg_surprisal")))
+    }),
+
     // ---- TXT-5: token counting (whitespace + regex tokenizers) ----
     "txt_tokens" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -1844,6 +1881,34 @@ object LlmOps {
         |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,
+
+    // Positional-bigram twin of the Spark pipeline; per-doc log-probs are
+    // aggregated with list(logp ORDER BY pos) then left-folded — the same
+    // IEEE sum order as the array_sort + aggregate fold.
+    "lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), pos AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, len(ws))) AS pos,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w
+        |), counts AS (
+        |  SELECT lang, gram, COUNT(1) AS c2 FROM pos GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT lang, CAST(SUM(c2) AS BIGINT) AS n_lang FROM counts GROUP BY 1
+        |), scored AS (
+        |  SELECT p.doc_id, p.pos,
+        |    ln(CAST(c.c2 AS DOUBLE) / CAST(t.n_lang AS DOUBLE)) AS logp
+        |  FROM pos p JOIN counts c USING (lang, gram) JOIN totals t USING (lang)
+        |), agg AS (
+        |  SELECT doc_id, list(logp ORDER BY pos ASC) AS ls FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(len(ls) AS INT) AS n_bigrams,
+        |  CAST(CAST(floor(((-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls), (acc, x) -> acc + x))) /
+        |    CAST(len(ls) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_surprisal
+        |FROM agg
+        |ORDER BY doc_id NULLS FIRST, n_bigrams NULLS FIRST, avg_surprisal NULLS FIRST""".stripMargin,
 
     // The entropy fold mirrors the Spark side exactly: terms generated in
     // sorted-distinct-word order, left-folded from 0.0 — the same IEEE sum.

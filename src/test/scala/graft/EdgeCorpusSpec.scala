@@ -70,6 +70,16 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(rows(1L) == ((1, 1, "0.0000")), s"single word: ${rows(1L)}")
   }
 
+  test("lm_score: repeated-template doc scores lower surprisal than diverse prose") {
+    val rows = SparkEntry.queries("lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2).toDouble).toMap
+    // doc 1 ("solo") has no bigrams — absent, not crashed.
+    assert(!rows.contains(1L), "bigram-less doc must be absent")
+    // "a a a a a" repeats one bigram 4x — its surprisal must sit below the
+    // diverse 5-word docs' (the low tail a template filter trims).
+    assert(rows(2L) < rows(3L), s"template ${rows(2L)} !< prose ${rows(3L)}")
+  }
+
   test("smp1: splits partition the corpus (8 docs)") {
     val n = SparkEntry.queries("smp1")(spark, dir)
       .collect().map(_.getLong(2)).sum
@@ -83,7 +93,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "dcn_bloom",
-        "ddp_segment", "ddp_incr", "ddp_incr_best", "txt_entropy", "smp1", "smp2",
+        "ddp_segment", "ddp_incr", "ddp_incr_best", "txt_entropy", "lm_score",
+        "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))
