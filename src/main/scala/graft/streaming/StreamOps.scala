@@ -274,6 +274,41 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-WH2: stream → JDBC warehouse with an IDEMPOTENT batch-keyed load —
+    * the missing half of the at-least-once contract in [[runToWarehouse]]'s
+    * scaladoc, made concrete: every row lands with its `batch_id`, and the
+    * loader DELETEs that batch's rows before re-inserting. A redelivered
+    * micro-batch (writer crash after partial insert, checkpoint loss, full
+    * source replay) then converges to exactly one copy — the
+    * delete-then-insert upsert every warehouse loader (Redshift COPY
+    * staging, JDBC) implements; tested against embedded Derby including a
+    * full re-replay from a FRESH checkpoint. */
+  def runToJdbcWarehouse(df: DataFrame, target: graft.sources.Ingest.JdbcTarget,
+                         checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Scrub any prior (possibly partial) copy of this batch. First-ever
+        // batch: the table doesn't exist yet — the write below creates it.
+        val conn = java.sql.DriverManager.getConnection(target.url)
+        try {
+          // Spark's JDBC writer creates COLUMNS as quoted (case-sensitive)
+          // identifiers but the table unquoted — mirror that here, or the
+          // predicate resolves to a non-existent BATCH_ID.
+          try conn.createStatement()
+            .executeUpdate(s"""DELETE FROM ${target.table} WHERE "batch_id" = $batchId""")
+          catch { case _: java.sql.SQLException => () /* first batch: no table yet */ }
+        } finally conn.close()
+        new graft.sources.Ingest.JdbcWarehouseWriter(target)
+          .write(batch.withColumn("batch_id", lit(batchId)),
+            org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming frame into an in-memory table and return the result
     * (test/verification harness; Complete mode for aggregations, Update for
     * flatMapGroupsWithState, Append otherwise). */

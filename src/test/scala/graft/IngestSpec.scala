@@ -168,6 +168,35 @@ class IngestSpec extends AnyFunSuite {
       "warehouse content vs batch read")
   }
 
+  test("streaming JDBC warehouse load is idempotent under full re-replay") {
+    import graft.streaming.StreamOps
+    val d = tempDir("wh_jdbc_src")
+    Files.writeString(d.resolve("f1.csv"), (header +: goodRows).mkString("", "\n", "\n"))
+    val dbDir = tempDir("wh_jdbc_db").toString
+    sys.props.getOrElseUpdate("derby.stream.error.file", s"$dbDir/derby.log")
+    val target = Ingest.JdbcTarget(
+      url = s"jdbc:derby:$dbDir/whdb;create=true",
+      table = "events_wh",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    def run(ckpt: String): Unit = StreamOps.runToJdbcWarehouse(
+      StreamOps.csvFileSource(spark, d.toString, Ingestion.csvSchema), target, ckpt)
+    val ckpt1 = tempDir("wh_jdbc_ckpt1").toString
+    run(ckpt1)
+    def loaded() = Ingest.jdbcRead(spark, target).load()
+    assert(loaded().count() == 2)
+    // Same checkpoint: batches already committed, nothing re-runs.
+    run(ckpt1)
+    assert(loaded().count() == 2, "checkpointed rerun must add nothing")
+    // FRESH checkpoint = every batch redelivered: the batch-keyed
+    // delete-then-insert must converge to one copy, not append a second.
+    run(tempDir("wh_jdbc_ckpt2").toString)
+    assert(loaded().count() == 2, "full re-replay must be idempotent")
+    assertSameRows(
+      loaded().drop("batch_id"),
+      Ingest.readCsv(spark, d.toString, Ingestion.csvSchema, Ingest.FailFast),
+      "warehouse content vs source")
+  }
+
   test("compact: small files collapse toward the target size, content-identical") {
     val src = tempDir("compact_src").toString
     val orders = Tables.load(spark, sfDir, "orders")
