@@ -1252,6 +1252,36 @@ object LlmOps {
           element_at(col("ch"), size(col("ch"))).as("last_tok")))
     }),
 
+    // ---- PACK-2: cross-doc sequence packing — assign whole docs to fixed
+    //      token-budget bins (B=512) by deterministic ordered fill: docs
+    //      ordered by content hash (rerun-stable, shuffles short/long docs
+    //      together), running token sum, bin = starting-offset div B — the
+    //      step that turns a cleaned corpus into dense training sequences
+    //      (pack1 chunks WITHIN a doc; this packs ACROSS docs). A global
+    //      ordered fill is a single-threaded window, so packing is
+    //      partitioned into 8 independent hash groups (pack_group), each
+    //      filled in parallel — exactly how a 1000-executor packer shards:
+    //      more groups = more parallelism, same density guarantee per
+    //      group. Output: one row per bin with fill stats (the packer's
+    //      manifest); avg fill ≈ B except each group's last bin. ----
+    "pack_bins" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val B = 512
+      val t = doc.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        polyHash(col("text")).as("h"))
+        .withColumn("pack_group", pmod(col("h"), lit(8L)).cast("int"))
+      val w = Window.partitionBy(col("pack_group"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", ((col("cum") - col("n_tok")) / lit(B)).cast("long"))
+      ordered(binned.groupBy(col("pack_group"), col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc")))
+    }),
+
     // ---- TFIDF-1: per-doc top-3 terms by tf-idf. The global document-
     //      frequency relation is vocabulary-sized — broadcast, like the
     //      idf table any 100 TB featurizer ships to executors — so the
@@ -1881,6 +1911,28 @@ object LlmOps {
         |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,
+
+    "pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT CAST(h % 8 AS INT) AS pack_group, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT pack_group,
+        |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS bin,
+        |  COUNT(1) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY pack_group NULLS FIRST, bin NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, first_doc NULLS FIRST""".stripMargin,
 
     // Positional-bigram twin of the Spark pipeline; per-doc log-probs are
     // aggregated with list(logp ORDER BY pos) then left-folded — the same

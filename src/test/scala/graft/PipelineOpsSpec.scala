@@ -68,6 +68,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_bins: packing conserves tokens, bins are contiguous and dense") {
+    val rows = SparkEntry.queries("pack_bins")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_._4).sum == totalTokens, "tokens lost or duplicated in packing")
+    for ((g, bins) <- rows.groupBy(_._1)) {
+      val ids = bins.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"group $g bins not contiguous from 0: ${ids.take(5)}")
+      // Ordered fill density: every bin except the group's last one spans a
+      // full 512-token boundary, so only the tail bin can be sparse.
+      val nonLast = bins.filter(_._2 < ids.last)
+      if (nonLast.nonEmpty)
+        assert(nonLast.map(_._4).sum >= 512L * nonLast.length * 9 / 10,
+          s"group $g non-tail bins too sparse")
+    }
+  }
+
   test("ddp_cluster: reliable-checkpoint mode matches localCheckpoint and writes to the dir") {
     // At 1000-executor scale, losing an executor mid-iteration is routine;
     // localCheckpoint blocks die with it. The reliable mode must produce
