@@ -201,6 +201,64 @@ object StreamOps {
         })
   }
 
+  case class SessSt(start: Timestamp, end: Timestamp, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        last_ts: Timestamp, n_events: Long)
+
+  /** STR-ST2: event-time-timeout sessionizer — the custom-state session
+    * close `session_window` cannot express (per-session side effects,
+    * custom merge rules, enrichment on close all hang off this shape).
+    * Per user: events extend the open session while within the 30-min
+    * gap; a farther event closes-and-emits it and opens a new one; and
+    * the WATERMARK closes the last session via
+    * `GroupState.setTimeoutTimestamp(end + gap)` — sessions are emitted
+    * exactly when no earlier event can still arrive, which is the only
+    * correct close signal under late data (a processing-time timeout
+    * fires on wall-clock luck). State per user = one (start, end, n)
+    * triple, bounded regardless of volume; timeout eviction bounds total
+    * state by ACTIVE users. Append mode: each session emitted once, when
+    * closed. Equivalence with the batch lag-gap/session_window semantics
+    * under time-ordered replay is pinned in StreamingSpec (a sentinel
+    * batch advances the watermark so the final sessions flush). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessSt]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.end, s.n))
+          } else {
+            // Apply the batch's events in event-time order; under the
+            // time-ordered replay contract cross-batch order is monotone.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime <= s.end.getTime + gapMs =>
+                  cur = Some(SessSt(s.start,
+                    if (e.ts.getTime > s.end.getTime) e.ts else s.end, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.end, s.n)
+                  cur = Some(SessSt(e.ts, e.ts, 1L))
+                case None =>
+                  cur = Some(SessSt(e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close when the watermark proves no in-gap event can arrive.
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
   case class FunnelSt(user_id: Long, first_view: Option[Timestamp],
                       first_click: Option[Timestamp],
                       first_purchase: Option[Timestamp], stage: Int)

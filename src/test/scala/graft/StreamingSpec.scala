@@ -190,6 +190,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(t2.startsWith("2024-06-01 10:01"), s"kept wrong copy: $t2")
   }
 
+  test("STR-ST2 event-time-timeout sessionizer: gap closes and watermark closes") {
+    // user 1: 10:00 + 10:10 (one session), 11:30 (new session after the
+    // 30-min gap). The 15:00 sentinel (user 99) advances the watermark to
+    // 14:00 in a second micro-batch — past both user-1 session timeouts —
+    // so BOTH close: the first by the in-stream gap rule, the second by
+    // the event-time timeout. The sentinel's own session stays open
+    // (watermark 14:00 < its 15:30 timeout) and must NOT be emitted.
+    val d = tempDir("sess_replay")
+    writeSlice(ev(
+      (1L, "2024-06-01 10:00:00", 1L, "c", 0.0),
+      (2L, "2024-06-01 10:10:00", 1L, "c", 0.0),
+      (3L, "2024-06-01 11:30:00", 1L, "c", 0.0)), d, "a", 1700000000000L)
+    writeSlice(ev(
+      (4L, "2024-06-01 15:00:00", 99L, "c", 0.0)), d, "b", 1700000060000L)
+    val stream = spark.readStream.schema(ev((0L, "2024-06-01 00:00:00", 0L, "x", 0.0)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .as[StreamOps.Ev]
+    val out = StreamOps.drainToMemory(
+      StreamOps.sessionize(stream).toDF(), "sess_stream", complete = false)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(0, 16),
+        r.getLong(3))).toSet
+    assert(out == Set((1L, "2024-06-01 10:00", 2L), (1L, "2024-06-01 11:30", 1L)),
+      s"got $out")
+  }
+
+  test("STR-ST2 sessionizer equals batch session_window under time-ordered replay") {
+    // Time-ordered slices (watermark advances monotonically) + a sentinel
+    // 3h past the corpus max so every real session's timeout fires.
+    val d = tempDir("sess_eq_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val sentinelTs = new java.sql.Timestamp(
+      eventsBatch.agg(max(col("ts"))).head.getTimestamp(0).getTime + 3 * 3600 * 1000L)
+    writeSlice(ev((999999L, sentinelTs.toString.substring(0, 19), 999999L, "c", 0.0)),
+      d, "slice_99", 1700000300000L)
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.sessionize(stream).toDF(), "sess_eq_stream", complete = false)
+      .filter(col("user_id") =!= 999999L)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    val batch = StreamOps.sessionWindow(eventsBatch)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assertSameRows(streamed, batch, "custom sessionizer vs native session_window")
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
