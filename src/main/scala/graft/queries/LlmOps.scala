@@ -208,6 +208,33 @@ object LlmOps {
       .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bh").as("bh"))
   }
 
+  /** Per-doc average bigram surprisal under the corpus's own per-lang
+    * bigram distribution (LM-1's core, shared with the curation pipeline):
+    * returns (doc_id, n_bigrams, surp double). Per-doc log-probs are
+    * summed in POSITION order (collect → sort → fold) so the double is
+    * deterministic; input should be [[spread]] already. */
+  private def lmSurprisal(doc: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    // POSITIONAL bigrams — the sequence the doc is, not the distinct set.
+    val grams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // Materialized once: the count build and the scoring join both read it.
+    val pos = doc.select(col("doc_id"), col("lang"), posexplode(grams).as(Seq("pos", "gram")))
+      .localCheckpoint()
+    val counts = pos.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c2"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c2")).as("n_lang"))
+    val scored = pos.join(counts, Seq("lang", "gram"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("logp", log(col("c2").cast("double") / col("n_lang").cast("double")))
+    scored.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).as("n_bigrams"),
+        (negate(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("logp"))) /
+          size(col("ps")).cast("double")).as("surp"))
+  }
+
   /** Batch membership predicate for the incremental-admission queries:
     * doc_id % 10 == 7 is the deterministic ~10% "new batch" stand-in. */
   private def incrIsNew(c: Column): Column = c % 10 === 7
@@ -1158,26 +1185,9 @@ object LlmOps {
     //      totals are |langs| rows, broadcast; the posting join is
     //      posting-proportional; per-doc state bounded by doc length. ----
     "lm_score" -> ((s, d) => {
-      val doc = spread(load(s, d, "documents"))
-      val words = split(col("text"), " ")
-      // POSITIONAL bigrams — the sequence the doc is, not the distinct set.
-      val grams = when(size(words) >= 2,
-        transform(sequence(lit(1), size(words) - 1),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      // Materialized once: the count build and the scoring join both read it.
-      val pos = doc.select(col("doc_id"), col("lang"), posexplode(grams).as(Seq("pos", "gram")))
-        .localCheckpoint()
-      val counts = pos.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c2"))
-      val totals = counts.groupBy(col("lang")).agg(sum(col("c2")).as("n_lang"))
-      val scored = pos.join(counts, Seq("lang", "gram"))
-        .join(broadcast(totals), Seq("lang"))
-        .withColumn("logp", log(col("c2").cast("double") / col("n_lang").cast("double")))
-      ordered(scored.groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("ps"))
-        .select(col("doc_id"), size(col("ps")).as("n_bigrams"),
-          dec4S(negate(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("logp"))) /
-            size(col("ps")).cast("double")).as("avg_surprisal")))
+      val sc = lmSurprisal(spread(load(s, d, "documents")))
+      ordered(sc.select(col("doc_id"), col("n_bigrams"),
+        dec4S(col("surp")).as("avg_surprisal")))
     }),
 
     // ---- TXT-5: token counting (whitespace + regex tokenizers) ----
@@ -1280,6 +1290,33 @@ object LlmOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc")))
+    }),
+
+    // ---- PIPELINE-2: statistical curation — the round-6 composition of
+    //      the quality-signal family, in the order a production corpus
+    //      pipeline runs them: (1) cheap length gate (n_tok ≥ 20);
+    //      (2) entropy gate (ent ≥ 2.5 — drops template/repetitive docs);
+    //      (3) LM surprisal BAND 6.5–7.0 (the CCNet move: trim BOTH tails,
+    //      boilerplate below, garbage above); (4) exact-dedup keeper
+    //      election among survivors; (5) per-lang retention report. The
+    //      float gates compare raw doubles — legal across engines only
+    //      because WordEntropy and the sorted lm fold are bit-identical
+    //      (§5.3); any order-nondeterministic sum here would flip rows at
+    //      the thresholds. Filters run scan-side before the dedup
+    //      shuffle, so the expensive stages see only survivors. ----
+    "pipeline_curate" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val words = split(col("text"), " ")
+      val m = doc.select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          size(words).as("n_tok"),
+          graft.functions.GraftFunctions.word_entropy(col("text")).as("ent"))
+        .join(lmSurprisal(doc).select(col("doc_id"), col("surp")), Seq("doc_id"))
+      val q = m.filter(col("n_tok") >= 20 && col("ent") >= 2.5 &&
+        col("surp").between(6.5, 7.0))
+      val keepers = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      ordered(q.join(keepers, Seq("text", "doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_chars")))
     }),
 
     // ---- TFIDF-1: per-doc top-3 terms by tf-idf. The global document-
@@ -1911,6 +1948,51 @@ object LlmOps {
         |  (n_chars >= 100 AND n_chars <= 500) AS len_ok
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, stop_ratio NULLS FIRST, avg_tok_len NULLS FIRST, ttr NULLS FIRST, len_ok NULLS FIRST""".stripMargin,
+
+    // The curation twin recomputes both float signals with the identical
+    // fold orders, so the raw-double threshold gates agree row-for-row.
+    "pipeline_curate" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), pos AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, len(ws))) AS pos,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w
+        |), counts AS (
+        |  SELECT lang, gram, COUNT(1) AS c2 FROM pos GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT lang, CAST(SUM(c2) AS BIGINT) AS n_lang FROM counts GROUP BY 1
+        |), scored AS (
+        |  SELECT p.doc_id, p.pos,
+        |    ln(CAST(c.c2 AS DOUBLE) / CAST(t.n_lang AS DOUBLE)) AS logp
+        |  FROM pos p JOIN counts c USING (lang, gram) JOIN totals t USING (lang)
+        |), lm AS (
+        |  SELECT doc_id,
+        |    (-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos ASC)),
+        |      (acc, x) -> acc + x))) / CAST(COUNT(1) AS DOUBLE) AS surp
+        |  FROM scored GROUP BY doc_id
+        |), ent AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list_distinct(ws)),
+        |        x -> -(CAST(len(list_filter(ws, y -> y = x)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) *
+        |             ln(CAST(len(list_filter(ws, y -> y = x)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS e
+        |  FROM w
+        |), q AS (
+        |  SELECT d.doc_id, d.lang, d.text, d.n_chars
+        |  FROM documents d JOIN ent USING (doc_id) JOIN lm USING (doc_id)
+        |  WHERE len(string_split(d.text, ' ')) >= 20 AND ent.e >= 2.5
+        |    AND lm.surp BETWEEN 6.5 AND 7.0
+        |), keepers AS (
+        |  SELECT text, MIN(doc_id) AS doc_id FROM q GROUP BY text
+        |)
+        |SELECT q.lang, COUNT(1) AS n_kept,
+        |  CAST(CAST(floor((CAST(SUM(CAST(q.n_chars AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars
+        |FROM q JOIN keepers USING (text, doc_id)
+        |GROUP BY q.lang
+        |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST, avg_chars NULLS FIRST""".stripMargin,
 
     "pack_bins" ->
       """WITH t AS (

@@ -94,7 +94,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     for (q <- Seq("ddp_minhash", "ddp_ngram", "sim2", "dcn1", "dcn_bloom",
         "ddp_segment", "ddp_incr", "ddp_incr_best", "txt_entropy", "lm_score",
-        "pack_bins", "smp1", "smp2",
+        "pack_bins", "pipeline_curate", "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))
