@@ -50,6 +50,40 @@ object StreamOps {
       .option("maxFilesPerTrigger", 1)
       .csv(dir)
 
+  /** Documents-schema streaming source over a directory of parquet files —
+    * incremental corpus ingestion: each arriving file is a micro-batch of
+    * new documents. */
+  def documentsFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** STR-DOC: the document-cleaning projection as a stream — the LLM-corpus
+    * twin of the [REF] ingestion flow: new document files land, every
+    * micro-batch runs the SAME stateless quality/redaction projection the
+    * batch pipeline uses (codegen'd WordEntropy, token metrics, PII
+    * redaction, admit flag), and cleaned rows append to the corpus store.
+    * Stateless ⇒ exactly-once per row under the checkpointed file source,
+    * and batch/stream equivalence is structural (one code path — the same
+    * function IS the batch projection; asserted in StreamingSpec). At
+    * scale this is how a corpus grows: the expensive corpus-WIDE passes
+    * (dedup, LM scoring) run as periodic batch jobs over the accumulated
+    * store, while per-doc signals attach at ingest. */
+  def docCleanProjection(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val ent = graft.functions.GraftFunctions.word_entropy(col("text"))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+    val red = regexp_replace(
+      regexp_replace(col("text"), emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      size(words).as("n_tokens"), ent.as("entropy"),
+      md5(red).as("redacted_md5"),
+      (size(words) >= 20 && ent >= 2.5).as("admit"))
+  }
+
   /** STR-W1: tumbling 10-minute window × event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events

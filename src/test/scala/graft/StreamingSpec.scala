@@ -190,6 +190,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(t2.startsWith("2024-06-01 10:01"), s"kept wrong copy: $t2")
   }
 
+  test("STR-DOC streaming document cleaning equals the batch projection") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d = tempDir("doc_replay")
+    (0 until 2).foreach { i =>
+      writeSlice(docs.filter(col("doc_id") % 2 === i), d, f"slice_$i",
+        1700000000000L + i * 60000)
+    }
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.docCleanProjection(StreamOps.documentsFileSource(spark, d.toString)),
+      "doc_stream", complete = false)
+    val batch = StreamOps.docCleanProjection(docs)
+    assertSameRows(streamed, batch, "streamed document cleaning vs batch")
+    assert(batch.filter(col("admit")).count() > 0, "some docs must pass the gate")
+  }
+
   test("STR-ST2 event-time-timeout sessionizer: gap closes and watermark closes") {
     // user 1: 10:00 + 10:10 (one session), 11:30 (new session after the
     // 30-min gap). The 15:00 sentinel (user 99) advances the watermark to
