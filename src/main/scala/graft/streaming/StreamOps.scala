@@ -366,6 +366,33 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-QR: streaming clean/quarantine split — the [REF] bad-record
+    * policy as a stream: each arriving partner file parses PERMISSIVE,
+    * clean rows append to the warehouse, malformed raw lines append to a
+    * quarantine store for repair/replay — one rotten file never stops the
+    * feed, and nothing is silently dropped. The batch is cached before
+    * the split: the two filters otherwise re-parse the file, and Spark
+    * only materializes the corrupt-record column through a cache. */
+  def runQuarantineSplit(parsed: DataFrame, corruptCol: String,
+                         cleanDir: String, quarantineDir: String,
+                         checkpointDir: String): Unit = {
+    val q = parsed.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val c = batch.cache()
+        try {
+          c.filter(col(corruptCol).isNull).drop(corruptCol)
+            .write.mode("append").parquet(cleanDir)
+          c.filter(col(corruptCol).isNotNull).select(col(corruptCol))
+            .write.mode("append").parquet(quarantineDir)
+        } finally c.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STR-WH2: stream → JDBC warehouse with an IDEMPOTENT batch-keyed load —
     * the missing half of the at-least-once contract in [[runToWarehouse]]'s
     * scaladoc, made concrete: every row lands with its `batch_id`, and the

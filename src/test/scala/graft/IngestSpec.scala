@@ -197,6 +197,36 @@ class IngestSpec extends AnyFunSuite {
       "warehouse content vs source")
   }
 
+  test("streaming clean/quarantine split: bad rows quarantined, clean rows load, rerun adds nothing") {
+    import graft.streaming.StreamOps
+    val d = tempDir("qr_src")
+    Files.writeString(d.resolve("f1.csv"), (header +: goodRows).mkString("", "\n", "\n"))
+    Files.writeString(d.resolve("f2.csv"),
+      (header +: Seq(badRow, "9,Rivet,2,0.10,2024-04-01")).mkString("", "\n", "\n"))
+    val corruptCol = "_corrupt_record"
+    val schema = org.apache.spark.sql.types.StructType(
+      Ingestion.csvSchema.fields :+
+        org.apache.spark.sql.types.StructField(corruptCol,
+          org.apache.spark.sql.types.StringType))
+    def stream = spark.readStream.schema(schema)
+      .option("header", true).option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("maxFilesPerTrigger", 1)
+      .csv(d.toString)
+    val clean = tempDir("qr_clean").toString
+    val quar = tempDir("qr_quar").toString
+    val ckpt = tempDir("qr_ckpt").toString
+    def run(): Unit = StreamOps.runQuarantineSplit(stream, corruptCol, clean, quar, ckpt)
+    run()
+    assert(spark.read.parquet(clean).count() == 3, "three parseable rows load")
+    val quarantined = spark.read.parquet(quar).collect().map(_.getString(0))
+    assert(quarantined.toSeq == Seq(badRow), "exactly the malformed raw line quarantined")
+    run() // checkpointed rerun: nothing new arrives, nothing re-loads
+    assert(spark.read.parquet(clean).count() == 3, "rerun must not reload")
+    assert(spark.read.parquet(quar).count() == 1, "rerun must not re-quarantine")
+  }
+
   test("compact: small files collapse toward the target size, content-identical") {
     val src = tempDir("compact_src").toString
     val orders = Tables.load(spark, sfDir, "orders")
