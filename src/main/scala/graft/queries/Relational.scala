@@ -869,6 +869,22 @@ object Relational {
           count(lit(1)).as("n_orders"),
           dsumS(col("o_totalprice")).as("sum_price"))
         .withColumn("bucket_lo", (col("bucket").cast("long") * 30000L)))
+    }),
+
+    // ---- MAN-1: publish manifest — the artifact a pipeline emits (and a
+    //      downstream consumer validates) when a dataset version ships:
+    //      one row per table with its row count and column count. Column
+    //      counts come from the ACTUAL loaded schema, so the oracle's
+    //      hardcoded expectations double as a schema-drift tripwire. At
+    //      100 TB the counts come from table metadata / commit stats, not
+    //      a scan — here each count is one metadata-cheap aggregate. ----
+    "manifest" -> ((s, d) => {
+      ordered(graft.core.Tables.names.map { n =>
+        val df = load(s, d, n)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows"),
+            lit(df.columns.length).as("n_cols"))
+      }.reduce(_ unionByName _))
     })
   )
 
@@ -1379,6 +1395,21 @@ object Relational {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_totalprice,
         |  CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price
         |FROM orders""".stripMargin,
+
+    "manifest" ->
+      """SELECT * FROM (
+        |  SELECT 'region' AS table_name, COUNT(1) AS n_rows, 2 AS n_cols FROM region
+        |  UNION ALL SELECT 'nation', COUNT(1), 3 FROM nation
+        |  UNION ALL SELECT 'customer', COUNT(1), 5 FROM customer
+        |  UNION ALL SELECT 'supplier', COUNT(1), 4 FROM supplier
+        |  UNION ALL SELECT 'part', COUNT(1), 6 FROM part
+        |  UNION ALL SELECT 'orders', COUNT(1), 6 FROM orders
+        |  UNION ALL SELECT 'lineitem', COUNT(1), 11 FROM lineitem
+        |  UNION ALL SELECT 'events', COUNT(1), 6 FROM events
+        |  UNION ALL SELECT 'documents', COUNT(1), 5 FROM documents
+        |  UNION ALL SELECT 'embeddings', COUNT(1), 3 FROM embeddings
+        |)
+        |ORDER BY table_name NULLS FIRST, n_rows NULLS FIRST, n_cols NULLS FIRST""".stripMargin,
 
     "recon" ->
       """WITH base AS (
