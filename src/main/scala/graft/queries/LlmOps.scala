@@ -169,11 +169,11 @@ object LlmOps {
     * adds a false candidate that exact verify rejects.
     *
     * Bands come from ONE pass over the signature table (array-of-structs
-    * explode) and are persisted so the token-explode + per-token-hash +
-    * sketch aggregation runs exactly once — not once per band branch per
-    * join side. The shuffle carries one 8-slot signature per doc. */
-  /** LSH band table (doc_id, band_idx, bh) for [[minhashPairs]] and the
-    * incremental variant — unpersisted; callers own caching. */
+    * explode); this helper returns them UNPERSISTED — each caller
+    * ([[minhashPairs]], [[incrPairs]]) persists for the duration of its
+    * self-join so the token-explode + per-token-hash + sketch aggregation
+    * runs exactly once, not once per band branch per join side, then
+    * unpersists. The shuffle carries one 8-slot signature per doc. */
   private def minhashBands(doc: DataFrame, useUdaf: Boolean): DataFrame = {
     val tok = doc.select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .withColumn("h", polyHash(col("tok")))
@@ -239,6 +239,23 @@ object LlmOps {
     * doc_id % 10 == 7 is the deterministic ~10% "new batch" stand-in. */
   private def incrIsNew(c: Column): Column = c % 10 === 7
 
+  /** Exact τ=0.95 shingle-Jaccard verification of candidate (d1, d2)
+    * pairs — THE one copy of the minhash family's verify tail (formula
+    * and threshold), shared by [[minhashPairs]] and [[incrPairs]] so the
+    * full and incremental pipelines cannot drift apart. Intersection
+    * staged in its own projection (see verifyJaccardPairs). */
+  private def minhashVerify(cand: DataFrame, doc: DataFrame): DataFrame = {
+    val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
+      .filter(col("jac") >= 0.95)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   /** Verified near-dup pairs touching the new batch (d1 < d2, jac double),
     * from the asymmetric newBands ⋈ allBands probe — shared by ddp_incr
     * (pair list) and ddp_incr_best (per-new-doc top-1 reduction). */
@@ -253,17 +270,7 @@ object LlmOps {
       // to d1 < d2 before the distinct so they count once.
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2")).distinct()
-    val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
-    val verified = cand
-      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
-      // Intersection staged in its own projection (see verifyJaccardPairs).
-      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
-      .withColumn("jac", col("ni").cast("double") /
-        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
-      .filter(col("jac") >= 0.95)
-      .select(col("d1"), col("d2"), col("jac"))
-      .localCheckpoint()
+    val verified = minhashVerify(cand, doc).localCheckpoint()
     bands.unpersist()
     verified
   }
@@ -277,16 +284,7 @@ object LlmOps {
       col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val sets = doc.select(col("doc_id"), shingles(col("text")).as("toks"))
-    // Intersection staged in its own projection (see verifyJaccardPairs).
-    val verified = cand
-      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
-      .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
-      .withColumn("jac", col("ni").cast("double") /
-        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"))
-      .filter(col("jac") >= 0.95)
-      .select(col("d1"), col("d2"), col("jac"))
+    val verified = minhashVerify(cand, doc)
       // Eagerly materialize the (small) verified edge set, then release the
       // band cache — callers (pair queries, ddp_cluster, pipeline_clean,
       // tests) no longer leak persisted blocks across the session.

@@ -256,7 +256,12 @@ object Relational {
     //      IS the single-pass aggregation over the whole table. ----
     "inc_agg" -> ((s, d) => {
       val o = load(s, d, "orders")
-      val cutoff = lit("1998-01-01").cast("timestamp")
+      // Mid-MONTH cutoff, deliberately: groups are keyed by month, so a
+      // month-aligned cutoff would put every group entirely in one
+      // partial and the merge would never combine two states — the
+      // January-1998 groups must straddle base and delta for the oracle
+      // match to actually certify the merge.
+      val cutoff = lit("1998-01-15").cast("timestamp")
       // Partial state per (priority, month): the mergeable trio.
       def partial(df: DataFrame): DataFrame = df
         .groupBy(col("o_orderpriority"),

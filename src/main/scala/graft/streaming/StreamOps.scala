@@ -378,14 +378,26 @@ object StreamOps {
                          checkpointDir: String): Unit = {
     val q = parsed.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val c = batch.cache()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        // Batch-keyed DYNAMIC partition overwrite, not a plain append: a
+        // writer crash between the clean append and the checkpoint commit
+        // replays this batch, and overwrite of ONLY its batch_id=N
+        // partition converges to one copy (the file-sink analog of
+        // runToJdbcWarehouse's delete-then-insert).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val c = batch.withColumn("batch_id", lit(batchId)).cache()
         try {
           c.filter(col(corruptCol).isNull).drop(corruptCol)
-            .write.mode("append").parquet(cleanDir)
-          c.filter(col(corruptCol).isNotNull).select(col(corruptCol))
-            .write.mode("append").parquet(quarantineDir)
-        } finally c.unpersist()
+            .write.partitionBy("batch_id").mode("overwrite").parquet(cleanDir)
+          c.filter(col(corruptCol).isNotNull).select(col(corruptCol), col("batch_id"))
+            .write.partitionBy("batch_id").mode("overwrite").parquet(quarantineDir)
+        } finally {
+          c.unpersist()
+          prior.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -411,12 +423,20 @@ object StreamOps {
         // batch: the table doesn't exist yet — the write below creates it.
         val conn = java.sql.DriverManager.getConnection(target.url)
         try {
+          // Existence check via metadata, NOT a swallowed SQLException: a
+          // transient DELETE failure (lock timeout, dropped connection)
+          // must abort the batch — silently proceeding to the append
+          // would double-load the rows the delete was there to scrub.
+          val exists = {
+            val rs = conn.getMetaData.getTables(
+              null, null, target.table.toUpperCase, Array("TABLE"))
+            try rs.next() finally rs.close()
+          }
           // Spark's JDBC writer creates COLUMNS as quoted (case-sensitive)
           // identifiers but the table unquoted — mirror that here, or the
           // predicate resolves to a non-existent BATCH_ID.
-          try conn.createStatement()
+          if (exists) conn.createStatement()
             .executeUpdate(s"""DELETE FROM ${target.table} WHERE "batch_id" = $batchId""")
-          catch { case _: java.sql.SQLException => () /* first batch: no table yet */ }
         } finally conn.close()
         new graft.sources.Ingest.JdbcWarehouseWriter(target)
           .write(batch.withColumn("batch_id", lit(batchId)),

@@ -59,16 +59,24 @@ class ExpressionSpec extends AnyFunSuite {
     assert(bad == 0, "expression results must be bit-identical to the HOFs")
   }
 
+  /** Run `body` with codegen forced off, restoring the session's PRIOR
+    * factoryMode (not a hardcoded value — the default is FALLBACK, and
+    * pinning CODEGEN_ONLY here would disable interpreter fallback for
+    * every later test in the shared session). */
+  private def interpretedOnly[A](body: => A): A = {
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally prior.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+      spark.conf.set("spark.sql.codegen.factoryMode", _))
+  }
+
   test("expressions evaluate identically under codegen and interpreted modes") {
     val doc = Tables.load(spark, sfDir, "documents").limit(50)
     def result() = doc.select(col("doc_id"), poly_hash(col("text")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val withCodegen = result()
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
-      val interpreted = result()
-      assert(withCodegen == interpreted)
-    } finally spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    assert(withCodegen == interpretedOnly(result()))
   }
 
   test("projection over poly_hash stays inside whole-stage codegen") {
@@ -178,9 +186,7 @@ class ExpressionSpec extends AnyFunSuite {
       .select(col("v"), bloom_might_contain(col("v"), bytes).as("p"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
     val withCodegen = probes()
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(withCodegen == probes())
-    finally spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    assert(withCodegen == interpretedOnly(probes()))
   }
 
   test("morton_code equals the bit-by-bit interleave reference") {

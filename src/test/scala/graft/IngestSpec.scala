@@ -216,15 +216,21 @@ class IngestSpec extends AnyFunSuite {
       .csv(d.toString)
     val clean = tempDir("qr_clean").toString
     val quar = tempDir("qr_quar").toString
-    val ckpt = tempDir("qr_ckpt").toString
-    def run(): Unit = StreamOps.runQuarantineSplit(stream, corruptCol, clean, quar, ckpt)
-    run()
+    def run(ckpt: String): Unit = StreamOps.runQuarantineSplit(stream, corruptCol, clean, quar, ckpt)
+    val ckpt1 = tempDir("qr_ckpt1").toString
+    run(ckpt1)
     assert(spark.read.parquet(clean).count() == 3, "three parseable rows load")
-    val quarantined = spark.read.parquet(quar).collect().map(_.getString(0))
+    val quarantined = spark.read.parquet(quar).select(corruptCol)
+      .collect().map(_.getString(0))
     assert(quarantined.toSeq == Seq(badRow), "exactly the malformed raw line quarantined")
-    run() // checkpointed rerun: nothing new arrives, nothing re-loads
+    run(ckpt1) // checkpointed rerun: nothing new arrives, nothing re-loads
     assert(spark.read.parquet(clean).count() == 3, "rerun must not reload")
     assert(spark.read.parquet(quar).count() == 1, "rerun must not re-quarantine")
+    // FRESH checkpoint = every batch redelivered: the batch-keyed dynamic
+    // partition overwrite must converge to one copy of each side.
+    run(tempDir("qr_ckpt2").toString)
+    assert(spark.read.parquet(clean).count() == 3, "full re-replay must be idempotent")
+    assert(spark.read.parquet(quar).count() == 1, "full re-replay must not duplicate quarantine")
   }
 
   test("compact: small files collapse toward the target size, content-identical") {
