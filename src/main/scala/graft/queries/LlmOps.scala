@@ -1260,6 +1260,35 @@ object LlmOps {
           element_at(col("ch"), size(col("ch"))).as("last_tok")))
     }),
 
+    // ---- CHNK-1: sliding-window chunking WITH OVERLAP — the RAG/context-
+    //      window shape (pack1 tiles disjoint chunks; retrieval chunking
+    //      strides by S < C so every boundary sentence appears in two
+    //      chunks and no query can fall into a seam). Window C=32, stride
+    //      S=24 (8-token overlap). Chunk count per doc is
+    //      1 + ceil((n-C)/S) for n > C (last chunk may be short but every
+    //      start offset stays < n), else exactly 1 — the guard matters
+    //      because sequence(0, -1) would EMIT [0,-1] (Spark infers a
+    //      negative step), not an empty array. Same scale shape as pack1:
+    //      explode(sequence) is bounded fan-out ∝ n/S per row, no shuffle,
+    //      parallelizes by input split. ----
+    "chunk_overlap" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val C = 32; val S = 24
+      val t = doc.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("nc", when(col("n") <= C, lit(1)).otherwise(
+          ceil((col("n") - C).cast("double") / S).cast("int") + 1))
+      ordered(t
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+        .withColumn("ch", slice(col("w"), col("chunk_idx") * S + 1, lit(C)))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).as("start_tok"),
+          size(col("ch")).as("n_toks"),
+          element_at(col("ch"), 1).as("first_tok"),
+          element_at(col("ch"), size(col("ch"))).as("last_tok")))
+    }),
+
     // ---- PACK-2: cross-doc sequence packing — assign whole docs to fixed
     //      token-budget bins (B=512) by deterministic ordered fill: docs
     //      ordered by content hash (rerun-stable, shuffles short/long docs
@@ -1470,6 +1499,33 @@ object LlmOps {
         nKept.as("n_kept"),
         cstr(avgAll).as("avg_w_all"),
         cstr(avgKept).as("avg_w_kept")))
+    }),
+
+    // ---- MIX-1: dataset mixing PLAN — the step before smp_rate/
+    //      smp_weighted can run: given per-language token inventories,
+    //      compute the per-stratum keep rates for the LARGEST uniform-mix
+    //      corpus that needs no upsampling. Feasibility pins the budget:
+    //      every lang must reach the same token count with rate ≤ 1, so
+    //      target_tokens = min over langs of actual tokens, and
+    //      rate_lang = target / actual (the scarcest language keeps
+    //      everything, dominant ones downsample). One groupBy(lang) agg
+    //      (map-side combined token sum) + a 1-row broadcast scalar
+    //      attach — no window, no second shuffle; at 100 TB the plan is
+    //      a handful of rows feeding the scan-level rate filters. ----
+    "mix_plan" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val inv = doc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val target = inv.agg(min(col("n_tokens")).as("target_tokens"),
+        sum(col("n_tokens")).as("all_tokens"))
+      ordered(inv.crossJoin(broadcast(target)).select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        dec4S(col("n_tokens").cast("double") / col("all_tokens").cast("double"))
+          .as("share_actual"),
+        col("target_tokens"),
+        dec4S(col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("keep_rate")))
     }),
 
     // ---- TXT-NORM: text normalization — the canonicalization pass that
@@ -2105,6 +2161,25 @@ object LlmOps {
         |FROM s
         |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST, n_toks NULLS FIRST, first_tok NULLS FIRST, last_tok NULLS FIRST""".stripMargin,
 
+    "chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) <= 32 THEN 1
+        |         ELSE CAST(ceil(CAST(len(w) - 32 AS DOUBLE) / 24.0) AS INT) + 1 END AS nc
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, w, CAST(unnest(range(0, nc)) AS INT) AS chunk_idx FROM n),
+        |s AS (
+        |  SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |    list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32) AS ch
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, CAST(start_tok AS INT) AS start_tok,
+        |  CAST(len(ch) AS INT) AS n_toks,
+        |  ch[1] AS first_tok, ch[len(ch)] AS last_tok
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST, start_tok NULLS FIRST, n_toks NULLS FIRST, first_tok NULLS FIRST, last_tok NULLS FIRST""".stripMargin,
+
     "tfidf1" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -2156,6 +2231,22 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "mix_plan" ->
+      """WITH inv AS (
+        |  SELECT lang, COUNT(1) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT CAST(MIN(n_tokens) AS BIGINT) AS target_tokens,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS all_tokens
+        |  FROM inv)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(CAST(floor((CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS share_actual,
+        |  target_tokens,
+        |  CAST(CAST(floor((CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS keep_rate
+        |FROM inv CROSS JOIN t
+        |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, share_actual NULLS FIRST, target_tokens NULLS FIRST, keep_rate NULLS FIRST""".stripMargin,
 
     "vec_quant" ->
       """WITH b AS (

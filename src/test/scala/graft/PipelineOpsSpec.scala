@@ -88,6 +88,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_overlap: sliding windows cover every token and overlap by exactly C-S") {
+    val C = 32; val S = 24
+    val out = SparkEntry.queries("chunk_overlap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    // Brute-force twin: starts 0, S, 2S, … with the last start below n.
+    val expected = docs.flatMap { case (id, w) =>
+      val n = w.length
+      val nc = if (n <= C) 1 else math.ceil((n - C).toDouble / S).toInt + 1
+      (0 until nc).map { i =>
+        val ch = w.slice(i * S, math.min(i * S + C, n))
+        (id, i, i * S, ch.length, ch.head, ch.last)
+      }
+    }.toSet
+    assert(out.toSet == expected, s"out=${out.length} expected=${expected.size}")
+    // The overlap law: consecutive chunks of the same doc share C-S tokens
+    // (except a short tail chunk, which may overlap more of the previous
+    // window but still starts exactly S later).
+    for ((_, chunks) <- out.groupBy(_._1); ch <- chunks.sortBy(_._2).sliding(2)
+         if ch.length == 2)
+      assert(ch(1)._3 - ch(0)._3 == S, s"stride broken: $ch")
+  }
+
+  test("mix_plan: scarcest language keeps everything, others downsample to its token count") {
+    val rows = SparkEntry.queries("mix_plan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getString(5)))
+    val inv = graft.core.Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("d"), sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val minTok = inv.values.map(_._2).min
+    assert(rows.length == inv.size)
+    for ((lang, nDocs, nTok, _, target, rate) <- rows) {
+      assert((nDocs, nTok) == inv(lang), s"$lang inventory mismatch")
+      assert(target == minTok, s"$lang target $target != min $minTok")
+      assert(rate.toDouble <= 1.0 + 1e-9, s"$lang upsamples: $rate")
+      if (nTok == minTok) assert(rate == "1.0000", s"scarcest lang rate $rate")
+    }
+  }
+
   test("ddp_cluster: reliable-checkpoint mode matches localCheckpoint and writes to the dir") {
     // At 1000-executor scale, losing an executor mid-iteration is routine;
     // localCheckpoint blocks die with it. The reliable mode must produce

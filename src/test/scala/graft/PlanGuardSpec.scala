@@ -65,6 +65,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p3.contains("BroadcastHashJoin"), "nation/region/supplier should broadcast")
   }
 
+  test("chunk_overlap: pure narrow fan-out — the only exchange is the output order") {
+    // The chunker must stay scan-parallel at any scale: explode + slice
+    // with NO shuffle before the (harness-only) total-order sort. One
+    // Exchange (the final orderBy's range partitioning) is the ceiling;
+    // a groupBy/window sneaking in would add a hash exchange.
+    val p = plan("chunk_overlap")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunker shuffles beyond the output sort ($exchanges):\n${p.take(1200)}")
+    assert(p.contains("Generate explode"), "fan-out should be a Generate node")
+  }
+
+  test("mix_plan: inventory aggregates map-side, scalar attaches by broadcast") {
+    // One partial+final aggregate pair over lang (map-side combine =
+    // partial_count/partial_sum below the exchange) and a broadcast
+    // nested-loop attach of the 1-row target — never a sort-merge join
+    // or a second hash exchange of the inventory.
+    val p = plan("mix_plan")
+    assert(p.contains("partial_"), s"no map-side partial aggregate:\n${p.take(1200)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"target scalar should broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), "scalar attach degraded to a sort-merge join")
+  }
+
   test("srt1: global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("srt1").contains("TakeOrderedAndProject"))
   }
