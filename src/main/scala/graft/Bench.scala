@@ -84,6 +84,16 @@ object Bench {
       // Queries may persist() intermediates (e.g. minhash band tables);
       // drop them so measurements stay independent across queries.
       spark.catalog.clearCache()
+      // clearCache() does NOT reach localCheckpoint blocks (they are not
+      // catalog entries) — those are reclaimed by ContextCleaner only
+      // after the driver GCs the referencing RDD objects, which a mostly-
+      // idle driver heap may not do for many queries. Left alone, ~100
+      // queries' worth of checkpoint blocks pile up in the block manager
+      // and squeeze execution memory for late-running queries (measured:
+      // resample 13.3s late in the board vs 5.9s steady in a fresh JVM).
+      // An explicit GC here is untimed and keeps every query's memory
+      // budget independent of board position.
+      System.gc()
       (elapsed, ok)
     }
     val results: Seq[(String, Double)] = selected.toSeq.flatMap { case (name, fn) =>
