@@ -30,8 +30,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "tfidf1",     // global doc count attached via crossJoin(broadcast(1-row
                   // aggregate)): a single-row scalar side — the BNLJ probes
                   // one row, it cannot amplify
-    "smp_weighted" // w_max scalar attach: same 1-row broadcast crossJoin
+    "smp_weighted", // w_max scalar attach: same 1-row broadcast crossJoin
                   // shape as tfidf1
+    "mix_plan"    // target-tokens scalar attach: 1-row broadcast
+                  // crossJoin of the global min/sum aggregate
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
