@@ -1105,6 +1105,45 @@ object LlmOps {
             .as("dup_ratio")))
     }),
 
+    // ---- DDP-SCRUB: boilerplate segment REMOVAL — the C4/CCNet transform
+    //      that DDP-SEG only measures: rebuild each doc with its corpus-
+    //      duplicated segments dropped (a segment is boilerplate iff it
+    //      appears in >= 2 docs). Differences from ddp_segment, both
+    //      deliberate: segments are POSITIONAL (no per-doc distinct — the
+    //      rebuild needs every occurrence back in order) and the tail
+    //      keeps its short segment (ceil(n/8), not floor — scrubbing must
+    //      not eat the end of a document). Output stays narrow-linear:
+    //      one row per surviving doc with kept counts and the md5 of the
+    //      rebuilt text (pins the exact reconstruction without shipping
+    //      it); fully-boilerplate docs vanish — exactly C4's behavior.
+    //      Scale shape: segment-keyed count (map-side combine absorbs hot
+    //      boilerplate), left-semi back-join, one order-restoring
+    //      group-by; the collect_list buffers ONE doc's segments, never a
+    //      partition. ----
+    "scrub_segments" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val words = split(col("text"), " ")
+      val nseg = ceil(size(words).cast("double") / 8).cast("int")
+      // Positional segment table, materialized once — the df-count and the
+      // rebuild join both read it (the ddp_segment/dcn1 pattern).
+      val segs = doc.select(col("doc_id"), nseg.as("ns"),
+          posexplode(transform(sequence(lit(0), nseg - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " "))))
+        .select(col("doc_id"), col("ns"), col("pos"), col("col").as("seg"))
+        .localCheckpoint()
+      val segDocs = segs.select(col("seg"), col("doc_id")).distinct()
+        .groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
+      val kept = segs.join(segDocs.filter(col("ndocs") < 2).select(col("seg")),
+        Seq("seg"), "left_semi")
+      ordered(kept.groupBy(col("doc_id"))
+        .agg(max(col("ns")).as("n_segs"),
+          count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ")).as("scrub_md5"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"), col("scrub_md5")))
+    }),
+
     // ---- TXT-1: per-language document stats ----
     "txt1" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -1950,6 +1989,27 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(n_dup AS DOUBLE)/CAST(n_segs AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
         |FROM agg
         |ORDER BY doc_id NULLS FIRST, n_segs NULLS FIRST, n_dup NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
+
+    "scrub_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS ns
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, ns, CAST(unnest(range(0, ns)) AS INT) AS pos, w FROM t),
+        |s2 AS (
+        |  SELECT doc_id, ns, pos,
+        |    array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ') AS seg
+        |  FROM p),
+        |df AS (
+        |  SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM s2 GROUP BY 1),
+        |kept AS (
+        |  SELECT s2.doc_id, s2.ns, s2.pos, s2.seg
+        |  FROM s2 JOIN df USING (seg) WHERE df.ndocs < 2)
+        |SELECT doc_id, CAST(MAX(ns) AS INT) AS n_segs, COUNT(1) AS n_kept,
+        |  md5(string_agg(seg, ' ' ORDER BY pos)) AS scrub_md5
+        |FROM kept GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_segs NULLS FIRST, n_kept NULLS FIRST, scrub_md5 NULLS FIRST""".stripMargin,
 
     "smp1" ->
       """WITH h AS (

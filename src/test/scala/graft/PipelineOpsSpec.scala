@@ -114,6 +114,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ch(1)._3 - ch(0)._3 == S, s"stride broken: $ch")
   }
 
+  test("scrub_segments: rebuild equals brute-force C4 scrub, order preserved") {
+    val out = SparkEntry.queries("scrub_segments")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def segsOf(w: Array[String]): Vector[String] =
+      (0 until math.ceil(w.length / 8.0).toInt)
+        .map(i => w.slice(i * 8, math.min(i * 8 + 8, w.length)).mkString(" ")).toVector
+    val dfCount = docs.values.flatMap(w => segsOf(w).distinct).toSeq
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val expected = docs.flatMap { case (id, w) =>
+      val all = segsOf(w)
+      val kept = all.filter(s => dfCount(s) < 2) // order-preserving
+      if (kept.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        Some(id -> ((all.length, kept.length.toLong, md)))
+      }
+    }
+    assert(out == expected,
+      s"out=${out.size} expected=${expected.size} " +
+        s"first_diff=${(expected.toSet -- out.toSet).take(1)}")
+  }
+
   test("mix_plan: scarcest language keeps everything, others downsample to its token count") {
     val rows = SparkEntry.queries("mix_plan")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
