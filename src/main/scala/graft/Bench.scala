@@ -17,6 +17,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // STATIC conf, default 100: the whole-stage-codegen class cache.
+      // A 140+-query board generates ~1000 distinct codegen classes, so
+      // at the default size every best-of-2 rerun has been fully evicted
+      // and pays Janino compilation again — which is why a rerun inside
+      // the board stayed at its first-sample time while the same query's
+      // second iteration in a fresh 1-query JVM dropped 2x. Long-running
+      // drivers serving many distinct queries want the same bump at
+      // cluster scale.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

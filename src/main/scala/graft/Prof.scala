@@ -20,6 +20,9 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Match Bench: codegen class cache sized for a many-query session
+      // (static conf, default 100 entries).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val spark = extra.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

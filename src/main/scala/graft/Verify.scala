@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf; see Bench — the 140-query sequential dump generates
+      // far more codegen classes than the default 100-entry cache holds.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
