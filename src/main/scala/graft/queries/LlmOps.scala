@@ -1417,6 +1417,58 @@ object LlmOps {
           dec4S(col("tfidf_raw")).as("tfidf")))
     }),
 
+    // ---- BM25-1: sparse lexical retrieval — the term-match counterpart
+    //      of SIM-1's dense ANN (a retrieval stack ships BOTH: BM25
+    //      recall + embedding rerank). Query set = docs with
+    //      doc_id % 100 == 7 truncated to their first 5 distinct tokens
+    //      (deterministic, corpus-derived); score = Lucene BM25
+    //      (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/(df+.5))), top-3 corpus
+    //      docs per query (self-match excluded, ties by doc_id). Shape =
+    //      tfidf1's scale recipe: the only corpus-sized shuffles are the
+    //      tf group-by (map-side combined) and the per-query top-k
+    //      window; query terms, df table, and the 1-row (N, avgdl)
+    //      scalar all broadcast. `dl` broadcasts HERE (one short row per
+    //      doc); at 100 TB doc length rides inside the tf relation
+    //      (a sum-over-terms window at tf-build time) instead of a
+    //      broadcast. Determinism: each term's double score is tie-safe
+    //      rounded (dec4) then summed as exact DECIMAL (dsum4), and
+    //      avgdl is itself dec4'd, so both engines rank identical
+    //      numbers. ----
+    "bm25" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val words = split(col("text"), " ")
+      val toks = doc.select(col("doc_id"), explode(words).as("t"))
+      // Materialized once: probed by the query join AND aggregated for df.
+      val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val dl = doc.select(col("doc_id"), size(words).cast("double").as("dl"))
+      val stats = doc.agg(count(lit(1)).cast("double").as("n_docs"),
+        dec4(sum(dec(size(words))).cast("double") / count(lit(1)))
+          .cast("double").as("avgdl"))
+      val q = doc.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(words, 1, 5))).as("t"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfc = col("tf").cast("double") * lit(2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val cand = broadcast(q).join(tf, Seq("t"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(broadcast(dl), Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), Seq("t"))
+      val scored = cand.groupBy(col("q_id"), col("doc_id"))
+        .agg(dsum4(idf * tfc).as("score"), count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      ordered(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("doc_id"), col("n_terms"),
+          cstr(col("score")).as("score")))
+    }),
+
     // ---- SRC-1: per-source document cap — the domain-cap stage of a web
     //      pipeline (no single domain may dominate the corpus). Keeps ≤10
     //      docs per source, selected by content hash (uniform-ish,
@@ -2266,6 +2318,43 @@ object LlmOps {
         |  CAST(CAST(floor((tfidf_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS tfidf
         |FROM r WHERE rn <= 3
         |ORDER BY doc_id NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, tfidf NULLS FIRST""".stripMargin,
+
+    "bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(1) AS DOUBLE) AS n_docs,
+        |    CAST(CAST(floor((CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS avgdl
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id AS q_id,
+        |    unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS t
+        |  FROM documents WHERE doc_id % 100 = 7),
+        |cand AS (
+        |  SELECT q.q_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.avgdl
+        |  FROM q JOIN tf USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+        |    JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats s
+        |  WHERE tf.doc_id <> q.q_id),
+        |term AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(floor((ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+        |      (CAST(tf AS DOUBLE)*2.2 /
+        |       (CAST(tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS ts
+        |  FROM cand),
+        |scored AS (
+        |  SELECT q_id, doc_id, CAST(SUM(ts) AS DECIMAL(38,4)) AS score,
+        |    COUNT(1) AS n_terms
+        |  FROM term GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_id, doc_id, score, n_terms,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS rn
+        |  FROM scored)
+        |SELECT q_id, rn, doc_id, n_terms, CAST(score AS VARCHAR) AS score
+        |FROM r WHERE rn <= 3
+        |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, n_terms NULLS FIRST, score NULLS FIRST""".stripMargin,
 
     "src1" ->
       """WITH h AS (

@@ -32,8 +32,10 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // one row, it cannot amplify
     "smp_weighted", // w_max scalar attach: same 1-row broadcast crossJoin
                   // shape as tfidf1
-    "mix_plan"    // target-tokens scalar attach: 1-row broadcast
+    "mix_plan",   // target-tokens scalar attach: 1-row broadcast
                   // crossJoin of the global min/sum aggregate
+    "bm25"        // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
+                  // the tfidf1 shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

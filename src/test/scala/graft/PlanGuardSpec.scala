@@ -124,6 +124,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rn<=3 filter should push a group limit below the window")
   }
 
+  test("bm25: query terms / df / dl / stats all broadcast; top-k is group-limited") {
+    // The only corpus-sized shuffles allowed are the tf group-by and the
+    // per-query ranking window — every other relation (query terms, the
+    // vocab-sized df table, per-doc lengths at this SF, the 1-row stats)
+    // must reach the probe side as a broadcast, and the rn<=3 filter must
+    // push a WindowGroupLimit so the rank shuffle carries top-k per
+    // partition, not every candidate.
+    val p = plan("bm25")
+    assert(p.contains("BroadcastHashJoin"), "broadcast joins missing")
+    assert(!p.contains("SortMergeJoin"),
+      s"a broadcastable side degraded to sort-merge:\n${p.take(1200)}")
+    assert(p.contains("WindowGroupLimit"), "rn<=3 should push a group limit")
+  }
+
   test("agg1_salted: two-phase salt rewrite — pre-combine keyed by (key, _salt)") {
     val p = plan("agg1_salted")
     // First aggregation level groups by (key, _salt): the hot key's stream
