@@ -487,6 +487,77 @@ object LlmOps {
       |  FROM (SELECT doc_id, lang, unnest($duckGrams) AS tok
       |        FROM documents)""".stripMargin
 
+  /** Shared BM25 scorer (BM25-1/BM25-2): Lucene BM25 (k1=1.2, b=0.75)
+    * of the corpus-derived query set (doc_id % 100 == 7, first 5 distinct
+    * tokens) against every corpus doc sharing a term, self-matches
+    * excluded. Returns `(q_id, doc_id, score DECIMAL(38,4), n_terms)` —
+    * un-ranked, so recall-stage callers pick their own k. Per-term double
+    * scores are tie-safe dec4-rounded then summed as exact DECIMAL
+    * (dsum4) and avgdl is dec4'd, keeping engine and oracle rank-stable.
+    * Scale shape: the tf group-by (map-side combined) is the only
+    * corpus-sized shuffle; query terms, the vocab-sized df table, per-doc
+    * lengths (at this SF), and the 1-row (N, avgdl) scalar broadcast. */
+  private def bm25Scored(doc: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val toks = doc.select(col("doc_id"), explode(words).as("t"))
+    // Materialized once: probed by the query join AND aggregated for df.
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dl = doc.select(col("doc_id"), size(words).cast("double").as("dl"))
+    val stats = doc.agg(count(lit(1)).cast("double").as("n_docs"),
+      dec4(sum(dec(size(words))).cast("double") / count(lit(1)))
+        .cast("double").as("avgdl"))
+    val q = doc.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(words, 1, 5))).as("t"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    broadcast(q).join(tf, Seq("t"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dl), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("t"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(dsum4(idf * tfc).as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB twin of [[bm25Scored]] — CTE block ending in
+    * `scored(q_id, doc_id, score, n_terms)`, shared by the bm25 and
+    * retrieve_rerank oracles. */
+  private val duckBm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(1) AS DOUBLE) AS n_docs,
+      |    CAST(CAST(floor((CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS avgdl
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id AS q_id,
+      |    unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS t
+      |  FROM documents WHERE doc_id % 100 = 7),
+      |cand AS (
+      |  SELECT q.q_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.avgdl
+      |  FROM q JOIN tf USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+      |    JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats s
+      |  WHERE tf.doc_id <> q.q_id),
+      |term AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(floor((ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+      |      (CAST(tf AS DOUBLE)*2.2 /
+      |       (CAST(tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS ts
+      |  FROM cand),
+      |scored AS (
+      |  SELECT q_id, doc_id, CAST(SUM(ts) AS DECIMAL(38,4)) AS score,
+      |    COUNT(1) AS n_terms
+      |  FROM term GROUP BY 1, 2)""".stripMargin
+
   val all: Map[String, Q] = Map(
     // ---- MM-1: multimodal carry — vector columns survive joins ----
     "mm1" -> ((s, d) => {
@@ -1435,38 +1506,48 @@ object LlmOps {
     //      avgdl is itself dec4'd, so both engines rank identical
     //      numbers. ----
     "bm25" -> ((s, d) => {
-      val doc = spread(load(s, d, "documents"))
-      val words = split(col("text"), " ")
-      val toks = doc.select(col("doc_id"), explode(words).as("t"))
-      // Materialized once: probed by the query join AND aggregated for df.
-      val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val dl = doc.select(col("doc_id"), size(words).cast("double").as("dl"))
-      val stats = doc.agg(count(lit(1)).cast("double").as("n_docs"),
-        dec4(sum(dec(size(words))).cast("double") / count(lit(1)))
-          .cast("double").as("avgdl"))
-      val q = doc.filter(col("doc_id") % 100 === 7)
-        .select(col("doc_id").as("q_id"),
-          explode(array_distinct(slice(words, 1, 5))).as("t"))
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val tfc = col("tf").cast("double") * lit(2.2) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val cand = broadcast(q).join(tf, Seq("t"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(broadcast(dl), Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .join(broadcast(dfreq), Seq("t"))
-      val scored = cand.groupBy(col("q_id"), col("doc_id"))
-        .agg(dsum4(idf * tfc).as("score"), count(lit(1)).as("n_terms"))
+      val scored = bm25Scored(spread(load(s, d, "documents")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("doc_id").asc)
       ordered(scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("doc_id"), col("n_terms"),
           cstr(col("score")).as("score")))
+    }),
+
+    // ---- BM25-2: the full retrieval STACK — BM25 recall (top-10 per
+    //      query) re-ranked by embedding cosine (top-3) — the two-stage
+    //      lexical-recall + dense-rerank architecture every production
+    //      retrieval system runs. The rerank never scores the corpus:
+    //      only the 10 recalled candidates per query join their
+    //      embeddings, so the expensive dense math is bounded by the
+    //      recall budget regardless of corpus size. Embedding sides
+    //      broadcast at this SF; at 100 TB the candidate→embedding join
+    //      is doc-keyed (embeddings bucketed by vec_id) and still touches
+    //      only recall×queries rows. bm25_rank is carried through so the
+    //      output shows the re-ordering the dense stage actually did. ----
+    "retrieve_rerank" -> ((s, d) => {
+      val recall = bm25Scored(spread(load(s, d, "documents")))
+      val wb = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val top10 = recall.withColumn("bm25_rank", row_number().over(wb))
+        .filter(col("bm25_rank") <= 10)
+        .select(col("q_id"), col("doc_id"), col("bm25_rank"))
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val qe = base.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val de = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("doc_id").asc)
+      ordered(top10.join(broadcast(qe), Seq("q_id")).join(broadcast(de), Seq("doc_id"))
+        .withColumn("cos_raw",
+          dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("doc_id"), col("bm25_rank"),
+          dec4S(col("cos_raw")).as("cos")))
     }),
 
     // ---- SRC-1: per-source document cap — the domain-cap stage of a web
@@ -2320,34 +2401,7 @@ object LlmOps {
         |ORDER BY doc_id NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, tfidf NULLS FIRST""".stripMargin,
 
     "bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
-        |stats AS (
-        |  SELECT CAST(COUNT(1) AS DOUBLE) AS n_docs,
-        |    CAST(CAST(floor((CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS avgdl
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id AS q_id,
-        |    unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS t
-        |  FROM documents WHERE doc_id % 100 = 7),
-        |cand AS (
-        |  SELECT q.q_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.avgdl
-        |  FROM q JOIN tf USING (t) JOIN dl ON tf.doc_id = dl.doc_id
-        |    JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats s
-        |  WHERE tf.doc_id <> q.q_id),
-        |term AS (
-        |  SELECT q_id, doc_id,
-        |    CAST(floor((ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
-        |      (CAST(tf AS DOUBLE)*2.2 /
-        |       (CAST(tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS ts
-        |  FROM cand),
-        |scored AS (
-        |  SELECT q_id, doc_id, CAST(SUM(ts) AS DECIMAL(38,4)) AS score,
-        |    COUNT(1) AS n_terms
-        |  FROM term GROUP BY 1, 2),
+      s"""WITH $duckBm25Ctes,
         |r AS (
         |  SELECT q_id, doc_id, score, n_terms,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS rn
@@ -2355,6 +2409,31 @@ object LlmOps {
         |SELECT q_id, rn, doc_id, n_terms, CAST(score AS VARCHAR) AS score
         |FROM r WHERE rn <= 3
         |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, n_terms NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "retrieve_rerank" ->
+      s"""WITH $duckBm25Ctes,
+        |rb AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS bm25_rank
+        |  FROM scored),
+        |t10 AS (SELECT q_id, doc_id, bm25_rank FROM rb WHERE bm25_rank <= 10),
+        |eb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cosd AS (
+        |  SELECT t10.q_id, t10.doc_id, t10.bm25_rank,
+        |    list_sum(list_transform(list_zip(qv.e, cv.e), p -> p[1] * p[2])) / (qv.nrm * cv.nrm) AS cos_raw
+        |  FROM t10 JOIN eb qv ON t10.q_id = qv.vec_id
+        |    JOIN eb cv ON t10.doc_id = cv.vec_id),
+        |rr AS (
+        |  SELECT q_id, doc_id, bm25_rank, cos_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS rn
+        |  FROM cosd)
+        |SELECT q_id, rn, doc_id, bm25_rank,
+        |  CAST(CAST(floor((cos_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cos
+        |FROM rr WHERE rn <= 3
+        |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, bm25_rank NULLS FIRST, cos NULLS FIRST""".stripMargin,
 
     "src1" ->
       """WITH h AS (

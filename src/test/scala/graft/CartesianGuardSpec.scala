@@ -34,8 +34,9 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // shape as tfidf1
     "mix_plan",   // target-tokens scalar attach: 1-row broadcast
                   // crossJoin of the global min/sum aggregate
-    "bm25"        // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
+    "bm25",       // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
                   // the tfidf1 shape
+    "retrieve_rerank" // same scalar attach inside its BM25 recall stage
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
