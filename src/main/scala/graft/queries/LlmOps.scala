@@ -488,8 +488,9 @@ object LlmOps {
       |        FROM documents)""".stripMargin
 
   /** Shared BM25 scorer (BM25-1/BM25-2): Lucene BM25 (k1=1.2, b=0.75)
-    * of the corpus-derived query set (doc_id % 100 == 7, first 5 distinct
-    * tokens) against every corpus doc sharing a term, self-matches
+    * of the corpus-derived query set (doc_id % 100 == 7; terms = the
+    * distinct set of the doc's first 5 tokens, so repeats shrink the
+    * query) against every corpus doc sharing a term, self-matches
     * excluded. Returns `(q_id, doc_id, score DECIMAL(38,4), n_terms)` —
     * un-ranked, so recall-stage callers pick their own k. Per-term double
     * scores are tie-safe dec4-rounded then summed as exact DECIMAL
@@ -1491,8 +1492,8 @@ object LlmOps {
     // ---- BM25-1: sparse lexical retrieval — the term-match counterpart
     //      of SIM-1's dense ANN (a retrieval stack ships BOTH: BM25
     //      recall + embedding rerank). Query set = docs with
-    //      doc_id % 100 == 7 truncated to their first 5 distinct tokens
-    //      (deterministic, corpus-derived); score = Lucene BM25
+    //      doc_id % 100 == 7, terms = the distinct set of each doc's
+    //      first 5 tokens (deterministic, corpus-derived); score = Lucene BM25
     //      (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/(df+.5))), top-3 corpus
     //      docs per query (self-match excluded, ties by doc_id). Shape =
     //      tfidf1's scale recipe: the only corpus-sized shuffles are the
@@ -1537,7 +1538,11 @@ object LlmOps {
       val dbl = transform(col("embedding"), x => x.cast("double"))
       val base = emb.select(col("vec_id"), dbl.as("e"),
         sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val qe = base.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      // Only query-id embeddings can match top10's q_id — filter before
+      // broadcasting (the sim1 pattern) so the query-side broadcast ships
+      // ~1% of the table, not all of it.
+      val qe = base.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       val de = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
       val wr = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("doc_id").asc)
