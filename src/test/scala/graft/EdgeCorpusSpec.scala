@@ -86,6 +86,28 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("scrub_segments: identical-pair docs vanish whole, unique docs survive intact") {
+    // Every edge doc is shorter than 8 words, so each is exactly ONE
+    // segment = its whole text. The byte-identical pairs (3,4) and
+    // (6,100) make their single segment df=2 -> both docs scrub to
+    // nothing and VANISH (C4 semantics); the unique docs survive with
+    // their text unchanged (md5 of the original).
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("scrub_segments")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 5L, 7L), s"survivors: ${rows.keySet}")
+    assert(rows(1L) == ((1, 1L, md5hex("solo"))))
+    assert(rows(5L) == ((1, 1L, md5hex("the quick brown fox jumped"))))
+  }
+
+  test("bm25: a query sharing no terms with any other doc retrieves nothing") {
+    // The only query-set doc (doc_id % 100 == 7) is the French row; its
+    // terms appear in no other document, so the posting join finds zero
+    // candidates — empty result, not a crash and not a self-match.
+    assert(SparkEntry.queries("bm25")(spark, dir).count() == 0)
+  }
+
   test("empty corpus: document operators return empty, never throw") {
     val d = Files.createTempDirectory("empty_corpus").toString
     import spark.implicits._
@@ -97,7 +119,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
         "pack_bins", "pipeline_curate", "smp1", "smp2",
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
-        "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms"))
+        "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms",
+        "scrub_segments", "bm25", "chunk_overlap", "mix_plan"))
       assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
   }
 
