@@ -927,7 +927,17 @@ object LlmOps {
       // bigrams and 99.98% of postings are df>=2, so the extra agg +
       // semi-join + materialization bought nothing and cost 8% (8.8s vs
       // 8.2s steady at sf0.1). At 100 TB on real text, reinstate it.
+      // Explicit (lang, gram) repartition BEFORE the checkpoint — the sim2
+      // pattern: the checkpointed partitioning is the join key's, so the
+      // self-join adds no exchange AND the 7M-row probe fan-out runs on
+      // all 64 partitions instead of whatever AQE coalesces a ~20 MB
+      // posting shuffle down to (§4.4.3: AQE sizes post-shuffle partitions
+      // by INPUT bytes and cannot see the fan-out behind them). Neutral at
+      // sf0.1 (7.93 s vs 8.01 s steady — 32 cores absorb the narrow plan);
+      // the width guarantee is what matters when the posting table is TBs.
       val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
+        .repartition(t.sparkSession.sparkContext.defaultParallelism * 2,
+          col("lang"), col("gram"))
         .localCheckpoint()
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("ng").as("n1"), col("gram").as("gr1"))
