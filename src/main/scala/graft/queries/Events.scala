@@ -119,12 +119,13 @@ object Events {
     // ---- RSM-1: time-series resampling to a regular grid with linear
     //      interpolation — the regularization step before any ML
     //      featurization of irregular event streams. Formulation is the
-    //      single-sort resample: union the hourly grid points (spine
-    //      bounded per user by min/max event time) with the events, ONE
-    //      per-user (ts, tag, event_id) sort, then a forward running
-    //      last-known (prev) and a backward running first-known (next)
-    //      window over that same sort — NOT a per-grid-point as-of join,
-    //      which would re-shuffle per boundary. Interpolation arithmetic
+    //      one-shuffle resample: union the hourly grid points (spine
+    //      bounded per user by min/max event time) with the events, hash
+    //      once on user_id, then a forward running last-known (prev) over
+    //      the (ts, tag, event_id) sort and a backward running first-known
+    //      (next) as a running window over the REVERSED sort — two
+    //      in-partition sorts, one exchange, every frame O(1)/row — NOT a
+    //      per-grid-point as-of join, which would re-shuffle per boundary. Interpolation arithmetic
     //      is µs-epoch longs → one double ratio, spelled identically in
     //      the oracle so the doubles are bit-equal. Events tagged 0 sort
     //      before a same-instant grid point (tag 1), so a grid point
@@ -148,15 +149,26 @@ object Events {
       val byU = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc_nulls_first)
       val fwd = byU.rowsBetween(Window.unboundedPreceding, 0)
-      val bwd = byU.rowsBetween(0, Window.unboundedFollowing)
-      // One select so Catalyst groups the four window columns into TWO
-      // Window operators (one per frame) over the shared sort — chained
-      // withColumn produced four sequential Window passes.
+      // The backward fill ("first known value at-or-after this row") is NOT
+      // an unboundedFollowing frame: Spark's UnboundedFollowingWindowFrame
+      // re-evaluates the aggregate from scratch per row — O(n²) in rows per
+      // user, quadratic for a 100 TB power user with 10k events. The same
+      // semantics as a RUNNING (unboundedPreceding → current, O(1)/row)
+      // `last` over the REVERSED sort: same partition keys, so Catalyst
+      // adds one in-partition sort (O(n log n)) and no exchange. Tie order
+      // reversed exactly (tag desc: a grid point at an event's instant still
+      // excludes that event from its "next" — it takes it as prev, ratio 0).
+      val bwdAsRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // One select so Catalyst groups the window columns into TWO Window
+      // operators (one per sort order) — chained withColumn produced four
+      // sequential Window passes.
       val all = ev.unionAll(grid).select(col("*"),
         last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(fwd).as("pv"),
         last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd).as("pt"),
-        first(when(col("tag") === 0, col("value")), ignoreNulls = true).over(bwd).as("nv"),
-        first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(bwd).as("nt"))
+        last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(bwdAsRun).as("nv"),
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(bwdAsRun).as("nt"))
       val gUs = unix_micros(col("ts")); val pUs = unix_micros(col("pt"))
       val nUs = unix_micros(col("nt"))
       val ratio = (gUs - pUs).cast("double") / (nUs - pUs).cast("double")
