@@ -1469,8 +1469,16 @@ object LlmOps {
         .join(lmSurprisal(doc).select(col("doc_id"), col("surp")), Seq("doc_id"))
       val q = m.filter(col("n_tok") >= 20 && col("ent") >= 2.5 &&
         col("surp").between(6.5, 7.0))
-      val keepers = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      ordered(q.join(keepers, Seq("text", "doc_id"))
+      // Keeper election as a per-text top-1 window, not groupBy(text) +
+      // join-back. The join formulation references the expensive upstream
+      // (entropy + surprisal posting joins) twice; ReusedExchange does
+      // deduplicate it (measured: only 4.55→4.36 s steady at sf0.1), but
+      // it still shuffles the text-carrying relation by (text) AND by
+      // (text, doc_id) for both join sides. The window is ONE shuffle by
+      // text with WindowGroupLimit pruning non-keepers sort-side, and the
+      // plan no longer depends on exchange-reuse firing.
+      val wKeep = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+      ordered(q.withColumn("rn", row_number().over(wKeep)).filter(col("rn") === 1)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_chars")))
     }),
