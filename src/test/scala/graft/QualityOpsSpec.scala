@@ -225,6 +225,33 @@ class QualityOpsSpec extends AnyFunSuite {
       "2024-01-01 02:00:00.0" -> "17.5000"), s"got ${rows.toSeq}")
   }
 
+  test("resample: grid point on an event instant takes that event's value exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("resample_tie").toString
+    // The 02:00 grid point coincides with the 02:00 event: tie order must
+    // make it the PREV (ratio 0 → exact value), never the NEXT — the
+    // property the reversed-sort backward fill has to preserve. A second
+    // user entirely inside one hour must produce no grid rows at all.
+    Seq((1L, "2024-01-01 00:30:00", 7L, "view", 10.0, "{}"),
+        (2L, "2024-01-01 02:00:00", 7L, "view", 14.0, "{}"),
+        (3L, "2024-01-01 03:30:00", 7L, "view", 20.0, "{}"),
+        (4L, "2024-01-01 05:10:00", 8L, "view", 1.0, "{}"),
+        (5L, "2024-01-01 05:50:00", 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("resample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getString(2)))
+    assert(rows.toSeq.sorted == Seq(
+      // 01:00 interpolates 00:30(10)→02:00(14) at 30/90 of the way;
+      // 02:00 is the event instant (exactly 14, no interpolation);
+      // 03:00 interpolates 02:00(14)→03:30(20) at 60/90 of the way.
+      (7L, "2024-01-01 01:00:00.0", "11.3333"),
+      (7L, "2024-01-01 02:00:00.0", "14.0000"),
+      (7L, "2024-01-01 03:00:00.0", "18.0000")), s"got ${rows.toSeq.sorted}")
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
