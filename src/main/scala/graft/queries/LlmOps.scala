@@ -124,16 +124,18 @@ object LlmOps {
     val prefixLen = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1
     // Materialized once: both self-join sides read the same tiny prefix
     // relation instead of re-running the df-count join + rarity window.
-    // Repartitioned BY THE JOIN KEY (lang, tok), explicit count: the
-    // checkpointed partitioning then satisfies both sides' clustering
-    // requirement, so the self-join adds NO exchange — which is also the
-    // only robust guard against AQE coalescing a posting-sized exchange
-    // under a pair-sized fan-out (the §4.4.3 narrow-probe trap: this
-    // relation is ~1 MB by bytes, and letting the join reshuffle it let
-    // AQE run the quadratic probe on 2 of 32 cores — measured 6.7 s vs
-    // 4.9 s steady-state at sf0.1). Rare-token skew is bounded by the
-    // prefix-index construction itself (tokens are kept only while among
-    // a doc's rarest), so hashing by token keeps all cores loaded.
+    // The pre-checkpoint repartition's real job is WIDTH, not join
+    // clustering (under AQE a checkpoint drops outputPartitioning — the
+    // consumer sees a bare LogicalRDD): the ~1 MB prefix relation
+    // broadcast-joins, so the quadratic probe streams directly off the
+    // checkpointed RDD and runs at ITS partition count. Left to AQE, the
+    // upstream window exchange coalesces this ~1 MB relation to 2 of 32
+    // cores and the probe runs there — the §4.4.3 narrow-probe trap,
+    // measured 6.7 s vs 4.9 s steady-state at sf0.1; the explicit
+    // repartition pins the checkpoint (hence the probe) at full width.
+    // Rare-token skew is bounded by the prefix-index construction itself
+    // (tokens are kept only while among a doc's rarest), so hashing by
+    // token keeps all cores loaded.
     val prefix = g.join(dfreq, Seq("lang", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
@@ -927,17 +929,21 @@ object LlmOps {
       // bigrams and 99.98% of postings are df>=2, so the extra agg +
       // semi-join + materialization bought nothing and cost 8% (8.8s vs
       // 8.2s steady at sf0.1). At 100 TB on real text, reinstate it.
-      // Explicit (lang, gram) repartition BEFORE the checkpoint — the sim2
-      // pattern: the checkpointed partitioning is the join key's, so the
-      // self-join adds no exchange AND the 7M-row probe fan-out runs on
-      // all 64 partitions instead of whatever AQE coalesces a ~20 MB
-      // posting shuffle down to (§4.4.3: AQE sizes post-shuffle partitions
-      // by INPUT bytes and cannot see the fan-out behind them). Neutral at
-      // sf0.1 (7.93 s vs 8.01 s steady — 32 cores absorb the narrow plan);
-      // the width guarantee is what matters when the posting table is TBs.
+      // NO explicit repartition around this checkpoint — measured both
+      // placements and rejected both (steady sf0.1: plain 8.0 s, before
+      // the checkpoint 7.9 s, after it 9.0 s). Before: useless — under
+      // AQE a checkpoint drops outputPartitioning (the join sees a bare
+      // LogicalRDD), so the join re-exchanges anyway and the extra
+      // posting shuffle buys nothing. After: actively harmful — a
+      // user-specified repartition is ineligible for AQE skew splitting
+      // (OptimizeSkewedJoin requires ENSURE_REQUIREMENTS shuffles), and
+      // hot grams are THE hazard of a posting self-join on Zipf text.
+      // The plain shape leaves both join exchanges to AQE, which
+      // skew-splits and runtime-reuses them (both sides canonicalize
+      // identically). sim2's pre-checkpoint repartition is a different
+      // case: its prefix relation broadcast-joins, so the checkpoint's
+      // own width sets the probe parallelism there.
       val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
-        .repartition(t.sparkSession.sparkContext.defaultParallelism * 2,
-          col("lang"), col("gram"))
         .localCheckpoint()
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("ng").as("n1"), col("gram").as("gr1"))

@@ -111,6 +111,28 @@ class PlanGuardSpec extends AnyFunSuite {
       s"rate sampling must stay a pure scan+aggregate:\n${p.take(600)}")
   }
 
+  test("ddp_ngram: posting self-join shuffles stay AQE-skew-splittable") {
+    // Hot grams are THE hazard of a posting self-join on Zipf text, and
+    // OptimizeSkewedJoin only splits shuffles with ENSURE_REQUIREMENTS
+    // origin — a user-specified repartition on the join keys silently
+    // disables it (measured: 9.0 s vs 8.0 s steady at sf0.1). Also pins
+    // the checkpoint fact that makes such a repartition useless anyway:
+    // under AQE the checkpointed posting table surfaces as a bare
+    // LogicalRDD with no outputPartitioning, so the join plans its own
+    // exchanges regardless. Broadcast is disabled to surface the at-scale
+    // shuffle-join shape (at 100 TB neither posting side broadcasts).
+    val p = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      plan("ddp_ngram")
+    }
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"self-join missing with broadcast disabled:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"), "posting table no longer checkpointed")
+    assert(!p.contains("REPARTITION_BY"),
+      s"user repartition in the pair path disables AQE skew splitting:\n${p.take(2000)}")
+  }
+
   test("near-dup joins are equi-joins — no cartesian/nested-loop products") {
     for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_embed_multi", "ddp_simhash")) {
       val p = plan(q)
