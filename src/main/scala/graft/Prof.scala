@@ -45,6 +45,10 @@ object Prof {
           .write.format("noop").mode("overwrite").save()
         System.err.println(f"[prof] $name #$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         spark.catalog.clearCache()
+        // Same untimed cleanup as Bench: synchronously drop localCheckpoint
+        // blocks so iterations measure the query, not predecessors' leftovers.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
       if (wantCount) {
         System.err.println(s"[prof] $name rows=${SparkEntry.queries(name)(spark, sfDir).count()}")

@@ -32,6 +32,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // queries may persist() intermediates
+      // Synchronously drop localCheckpoint blocks too (they are persistent
+      // RDDs, not catalog entries) — 145 queries' worth otherwise
+      // accumulates in the block manager across the sweep.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
