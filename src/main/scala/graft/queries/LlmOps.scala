@@ -931,18 +931,17 @@ object LlmOps {
       // 8.2s steady at sf0.1). At 100 TB on real text, reinstate it.
       // NO explicit repartition around this checkpoint — measured both
       // placements and rejected both (steady sf0.1: plain 8.0 s, before
-      // the checkpoint 7.9 s, after it 9.0 s). Before: useless — under
-      // AQE a checkpoint drops outputPartitioning (the join sees a bare
-      // LogicalRDD), so the join re-exchanges anyway and the extra
-      // posting shuffle buys nothing. After: actively harmful — a
+      // the checkpoint 7.9 s, after it 9.0 s). At this SF one posting
+      // side broadcasts (SPARK_GRAFT_FINAL=1 Explain shows the BHJ), so
+      // either repartition is a pure extra shuffle in front of a
+      // broadcast join, and the probe already runs at the checkpoint's
+      // inherited spread() width — the useful-width property sim2 pins
+      // explicitly. At 100 TB (no broadcastable side, SMJ) the same
+      // repartition would ALSO be wrong for a second reason: a
       // user-specified repartition is ineligible for AQE skew splitting
       // (OptimizeSkewedJoin requires ENSURE_REQUIREMENTS shuffles), and
-      // hot grams are THE hazard of a posting self-join on Zipf text.
-      // The plain shape leaves both join exchanges to AQE, which
-      // skew-splits and runtime-reuses them (both sides canonicalize
-      // identically). sim2's pre-checkpoint repartition is a different
-      // case: its prefix relation broadcast-joins, so the checkpoint's
-      // own width sets the probe parallelism there.
+      // hot grams are THE hazard of a posting self-join on Zipf text —
+      // plan-guarded in PlanGuardSpec with broadcast disabled.
       val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
         .localCheckpoint()
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
