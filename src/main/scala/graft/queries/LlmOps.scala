@@ -1482,16 +1482,18 @@ object LlmOps {
         .join(lmSurprisal(doc).select(col("doc_id"), col("surp")), Seq("doc_id"))
       val q = m.filter(col("n_tok") >= 20 && col("ent") >= 2.5 &&
         col("surp").between(6.5, 7.0))
-      // Keeper election as a per-text top-1 window, not groupBy(text) +
-      // join-back. The join formulation references the expensive upstream
-      // (entropy + surprisal posting joins) twice; ReusedExchange does
-      // deduplicate it (measured: only 4.55→4.36 s steady at sf0.1), but
-      // it still shuffles the text-carrying relation by (text) AND by
-      // (text, doc_id) for both join sides. The window is ONE shuffle by
-      // text with WindowGroupLimit pruning non-keepers sort-side, and the
-      // plan no longer depends on exchange-reuse firing.
-      val wKeep = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
-      ordered(q.withColumn("rn", row_number().over(wKeep)).filter(col("rn") === 1)
+      // Keeper election stays groupBy(text).min + join-back, NOT a
+      // per-text top-1 window. The window variant looks cleaner (one
+      // shuffle, WindowGroupLimit) and ties at sf0.1 (4.36 vs 4.55 s
+      // steady), but it must shuffle EVERY full-text row; the groupBy
+      // collapses duplicate texts map-side (partial min) before any
+      // shuffle, so on the duplicate-heavy corpora dedup exists for, the
+      // shuffled bytes differ by the duplication factor. ×10 clique
+      // probe: window 29.5 s vs this formulation 12.1 s steady — a 2.4×
+      // scale regression the flat-SF bench could not see. The double
+      // upstream reference is deduplicated by ReusedExchange.
+      val keepers = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      ordered(q.join(keepers, Seq("text", "doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_chars")))
     }),
