@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
@@ -283,10 +283,101 @@ object Events {
         .select(col("user_id"), col("ts").as("last_ts"),
           col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value")))
+    }),
+
+    // ---- IVL-1: interval overlap join — for every lag-gap session
+    //      (evt2's 30-minute construction), how many OTHER USERS had a
+    //      session overlapping it in time: the concurrency/co-presence
+    //      query behind capacity planning and abuse detection. Spark has
+    //      no native interval join, and the direct formulation
+    //      (`a.st <= b.en AND b.st <= a.en`) is a pure theta join — a
+    //      BroadcastNestedLoop/cartesian O(n²) the CartesianGuard
+    //      tripwires. Scalable formulation: TIME-BUCKET the intervals —
+    //      explode each session into the 1-minute buckets it covers
+    //      (fan-out ∝ duration/B + 1; avg session here is 43 s, so ~1.7
+    //      buckets/session), equi-join on bucket, then the exact overlap
+    //      predicate. Each overlapping pair meets in EVERY shared bucket,
+    //      so it is counted ONCE by keeping only the bucket containing
+    //      the LATER session start (`bucket == floor(max(st1,st2)/B)` —
+    //      that instant lies inside both intervals by the definition of
+    //      overlap): no pair-distinct shuffle at all. B is the tuning
+    //      knob — smaller B = more fan-out rows but candidates → true
+    //      pairs (at B=60 s candidates ≈ answers on this corpus); a
+    //      flash-crowd hot bucket is a skewed join key, which AQE's
+    //      skew-join split handles. Shuffles: one by user (sessionize),
+    //      one by bucket (the join), one by session (the count) — all
+    //      key-proportional, never O(n²). ----
+    "ivl1" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
+      val sess = e
+        .withColumn("is_new", newSession)
+        .withColumn("sid", sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .select(col("user_id"), col("sid"), col("st"), col("en"),
+          unix_micros(col("st")).as("stu"), unix_micros(col("en")).as("enu"))
+      val BUS = 60L * 1000000L // 1-minute buckets, µs-exact arithmetic
+      def bkt(c: Column): Column = (c / lit(BUS)).cast("long")
+      val exploded = sess.select(col("user_id"), col("sid"), col("stu"), col("enu"),
+        explode(sequence(bkt(col("stu")), bkt(col("enu")))).as("bucket"))
+      val a = exploded.select(col("user_id").as("u1"), col("sid").as("s1"),
+        col("stu").as("st1"), col("enu").as("en1"), col("bucket"))
+      val b = exploded.select(col("user_id").as("u2"), col("sid").as("s2"),
+        col("stu").as("st2"), col("enu").as("en2"), col("bucket").as("bucket2"))
+      val pairs = a.join(b,
+        col("bucket") === col("bucket2") &&
+          col("u1") =!= col("u2") &&
+          col("st1") <= col("en2") && col("st2") <= col("en1") &&
+          col("bucket") === bkt(greatest(col("st1"), col("st2"))))
+      val counts = pairs.groupBy(col("u1"), col("s1"))
+        .agg(count(lit(1)).as("n_concurrent"))
+      ordered(sess.join(counts,
+          col("user_id") === col("u1") && col("sid") === col("s1"), "left")
+        .select(col("user_id"), col("sid").as("session_id"),
+          col("st").as("session_start"), col("en").as("session_end"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent")))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // The oracle spells the DECLARED semantics — the plain overlap
+    // theta-join count (DuckDB plans it as an IEJoin); the Spark side's
+    // time-bucket decomposition must reproduce it exactly.
+    "ivl1" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, sid, MIN(uts) AS st, MAX(uts) AS en
+        |  FROM numbered GROUP BY user_id, sid
+        |)
+        |, counted AS (
+        |  SELECT a.user_id AS user_id, a.sid AS session_id, a.st AS session_start,
+        |    a.en AS session_end, COUNT(b.user_id) AS n_concurrent
+        |  FROM sess a LEFT JOIN sess b
+        |    ON a.user_id <> b.user_id AND a.st <= b.en AND b.st <= a.en
+        |  GROUP BY a.user_id, a.sid, a.st, a.en
+        |)
+        |SELECT user_id, session_id, session_start, session_end, n_concurrent
+        |FROM counted
+        |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, session_start NULLS FIRST, session_end NULLS FIRST, n_concurrent NULLS FIRST""".stripMargin,
+
     "resample" ->
       """WITH o AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS uts FROM events),
         |b AS (SELECT user_id, MIN(uts) AS t0, MAX(uts) AS t1 FROM o GROUP BY 1),

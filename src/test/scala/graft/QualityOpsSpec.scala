@@ -252,6 +252,30 @@ class QualityOpsSpec extends AnyFunSuite {
       (7L, "2024-01-01 03:00:00.0", "18.0000")), s"got ${rows.toSeq.sorted}")
   }
 
+  test("ivl1: bucketed interval join equals the naive O(n^2) overlap count") {
+    // The time-bucket decomposition (explode -> equi-join -> count-once at
+    // the later start's bucket) must reproduce the declared theta-join
+    // semantics EXACTLY — certified here against an independent driver-side
+    // quadratic recount over the collected session list (fine at sf0.001,
+    // which is the whole point of not shipping the quadratic form).
+    val out = SparkEntry.queries("ivl1")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[Int]("session_id")),
+        r.getAs[Long]("n_concurrent"))).toMap
+    val sess = out.keySet // identity only; bounds recomputed below
+    val bounds = SparkEntry.queries("ivl1")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime))
+    assert(sess.size == bounds.length, "session identity must be unique")
+    for ((u, sid, st, en) <- bounds) {
+      val naive = bounds.count { case (u2, _, st2, en2) =>
+        u2 != u && st <= en2 && st2 <= en
+      }
+      assert(out((u, sid)) == naive.toLong,
+        s"session ($u,$sid): bucketed=${out((u, sid))} naive=$naive")
+    }
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
