@@ -286,9 +286,10 @@ object Events {
     }),
 
     // ---- IVL-1: interval overlap join — for every lag-gap session
-    //      (evt2's 30-minute construction), how many OTHER USERS had a
-    //      session overlapping it in time: the concurrency/co-presence
-    //      query behind capacity planning and abuse detection. Spark has
+    //      (evt2's 30-minute construction), how many sessions of OTHER
+    //      users overlapped it in time (a user with N overlapping sessions
+    //      contributes N): the concurrency/co-presence query behind
+    //      capacity planning and abuse detection. Spark has
     //      no native interval join, and the direct formulation
     //      (`a.st <= b.en AND b.st <= a.en`) is a pure theta join — a
     //      BroadcastNestedLoop/cartesian O(n²) the CartesianGuard
@@ -323,7 +324,11 @@ object Events {
         .select(col("user_id"), col("sid"), col("st"), col("en"),
           unix_micros(col("st")).as("stu"), unix_micros(col("en")).as("enu"))
       val BUS = 60L * 1000000L // 1-minute buckets, µs-exact arithmetic
-      def bkt(c: Column): Column = (c / lit(BUS)).cast("long")
+      // Integral `div` (IntegralDivide), not double `/` + cast: double
+      // division happens to be exact at µs-epoch magnitudes (< 2^53) but
+      // integer floor division is correct BY CONSTRUCTION and stays so if
+      // the bucket size ever changes.
+      def bkt(c: Column): Column = call_function("div", c, lit(BUS))
       val exploded = sess.select(col("user_id"), col("sid"), col("stu"), col("enu"),
         explode(sequence(bkt(col("stu")), bkt(col("enu")))).as("bucket"))
       val a = exploded.select(col("user_id").as("u1"), col("sid").as("s1"),

@@ -258,15 +258,21 @@ class QualityOpsSpec extends AnyFunSuite {
     // semantics EXACTLY — certified here against an independent driver-side
     // quadratic recount over the collected session list (fine at sf0.001,
     // which is the whole point of not shipping the quadratic form).
-    val out = SparkEntry.queries("ivl1")(spark, sfDir).collect()
+    // Bounds compared at MICROSECOND precision (getTime is ms-truncated;
+    // the query's overlap predicate is µs-exact and 999/1000 test rows
+    // carry sub-ms timestamps, so an oppositely-µs-ordered pair inside one
+    // millisecond would otherwise make this recount disagree spuriously).
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val rows = SparkEntry.queries("ivl1")(spark, sfDir).collect()
+    val out = rows
       .map(r => ((r.getAs[Long]("user_id"), r.getAs[Int]("session_id")),
         r.getAs[Long]("n_concurrent"))).toMap
-    val sess = out.keySet // identity only; bounds recomputed below
-    val bounds = SparkEntry.queries("ivl1")(spark, sfDir).collect()
+    val bounds = rows
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_id"),
-        r.getAs[java.sql.Timestamp]("session_start").getTime,
-        r.getAs[java.sql.Timestamp]("session_end").getTime))
-    assert(sess.size == bounds.length, "session identity must be unique")
+        micros(r.getAs[java.sql.Timestamp]("session_start")),
+        micros(r.getAs[java.sql.Timestamp]("session_end"))))
+    assert(out.size == bounds.length, "session identity must be unique")
     for ((u, sid, st, en) <- bounds) {
       val naive = bounds.count { case (u2, _, st2, en2) =>
         u2 != u && st <= en2 && st2 <= en
