@@ -29,5 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM sharing
+  // execution memory, storage (checkpointed posting tables), and codegen
+  // metaspace for a 140+-query board. At 8g the unified-memory pool
+  // (0.6 x heap ~ 4.8g) sat near its cap during the checkpoint-heavy
+  // queries, so storage evictions + old-gen GC dominated under board load
+  // (r6 driver board: those queries at 4-6x floor). The box has 128 GiB;
+  // 16g is still modest, and SPARK_DRIVER_MEM overrides either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

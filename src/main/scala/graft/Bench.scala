@@ -109,7 +109,19 @@ object Bench {
       System.gc()
       (elapsed, ok)
     }
-    val results: Seq[(String, Double)] = selected.toSeq.flatMap { case (name, fn) =>
+    // Board order: most-expensive first (by committed floor; unknown new
+    // queries last). The r6 driver board showed the checkpoint-heavy
+    // queries at 4-6x their floors while sub-second queries held ~1.3x —
+    // and the heap-pressure terms that hit them (old-gen occupancy from
+    // 140 queries' allocation history, metaspace/codegen growth, GC
+    // ergonomics adapting to the board's churn) all accumulate
+    // monotonically over a board run. Map-iteration order put the heavies
+    // wherever hashing landed them; running them first hands each one the
+    // freshest JVM it can get. Measurement independence is unchanged: each
+    // query still gets the same blocking block-drop + GC epilogue.
+    val results: Seq[(String, Double)] = selected.toSeq
+      .sortBy { case (name, _) => -prior.getOrElse(name, 0.0) }
+      .flatMap { case (name, fn) =>
       val (first, firstOk) = timeOnce(name, fn)
       if (!firstOk) {
         // A failed run's time-to-abort is not a measurement: recording it

@@ -36,7 +36,23 @@ object MinHashSeeds {
   * the extension shape a real sketch (HLL, KLL, count-min) needs, where
   * per-slot builtin aggregates stop being expressible. Partial aggregation
   * applies (ObjectHashAggregate partial → merge), so the shuffle carries
-  * one 64-byte buffer per doc, never the token stream. */
+  * one 64-byte buffer per doc, never the token stream.
+  *
+  * Load sensitivity vs the builtin twin (r6 driver-board finding, 6.3×
+  * the builtin's sample under load vs 1.5× at quiet steady state): the
+  * structural difference is the aggregation path, not this class's
+  * serialization — the buffer is already one fixed 64-byte array, and
+  * serialize/merge allocate nothing beyond it. ObjectHashAggregate holds
+  * one heap Array[Long] PER IN-FLIGHT GROUP and its update loop is
+  * interpreted (`child.eval` per row), where the builtin eight-`min` path
+  * is whole-stage-codegen'd over UnsafeRow bytes — so when the JVM is
+  * under allocation/GC pressure from co-tenant work, the object path
+  * degrades first. r7 mitigations (board-order heavies-first, serialized
+  * band/checkpoint storage, 16g default heap) removed the gap at steady
+  * state (1.11 s UDAF vs 1.18 s builtin, sf0.1); the builtin path remains
+  * the production default and this aggregate remains the EXTENSION
+  * TEMPLATE — a real HLL/KLL/count-min buffer is where the object path's
+  * flexibility pays for its load profile. */
 case class MinHashSketch(child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)

@@ -150,6 +150,25 @@ object Ingestion {
         .agg(count(lit(1)).as("n_orders"),
           dsumS(col("o_totalprice")).as("sum_price"),
           max(col("o_orderdate")).as("last_order")))
+    }),
+
+    // ---- JDBC staged UPSERT ([REF] incremental warehouse load): base
+    //      keyslice bulk-loaded, then a delta batch (repriced updates for
+    //      half the base keys + brand-new keys) merged through
+    //      [[Ingest.JdbcUpsertWriter]]'s staging-table DELETE+INSERT
+    //      transaction — the Redshift no-native-upsert pattern, executed
+    //      for real against embedded Derby. The read-back aggregate must
+    //      equal the oracle's from-first-principles merge over the
+    //      original parquet (anti-join of base against delta keys UNION
+    //      the delta), certifying updated rows were replaced exactly once,
+    //      new rows landed, and untouched rows survived. ----
+    "ingest_upsert" -> ((s, d) => {
+      val t = upsertOrders(s, d)
+      ordered(Ingest.jdbcRead(s, t).load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsumS(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("last_order")))
     })
   )
 
@@ -205,6 +224,40 @@ object Ingestion {
     Ingest.JdbcTarget(
       url = s"jdbc:derby:$dbDir/ordersdb;create=true",
       table = "orders_rt",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  /** Deterministic delta batch for the upsert flow: repriced (+100.00)
+    * versions of half the base keys (o_orderkey % 194 = 0 ⊂ % 97 = 0) plus
+    * an equal-sized slice of NEW keys (% 97 = 1). Shared by the query and
+    * the idempotency spec. */
+  def upsertDelta(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .filter(col("o_orderkey") % 194 === 0 || col("o_orderkey") % 97 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+
+  /** Embedded-Derby upsert warehouse: base keyslice (o_orderkey % 97 = 0)
+    * bulk-loaded, then [[upsertDelta]] merged via the staging-table
+    * transaction. Built once per (process, sfDir); returns the JDBC target
+    * of the merged table. */
+  def upsertOrders(s: SparkSession, d: String): Ingest.JdbcTarget = {
+    val dbDir = graft.core.Warehouse.once(d, "orders_upsert_derby") { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      sys.props.getOrElseUpdate("derby.stream.error.file", s"$out/derby.log")
+      val t = upsertTarget(out)
+      new Ingest.JdbcWarehouseWriter(t).write(
+        load(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+          .repartition(4),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      new Ingest.JdbcUpsertWriter(t, Seq("o_orderkey"))
+        .upsert(upsertDelta(s, d).repartition(4))
+    }
+    upsertTarget(dbDir)
+  }
+
+  def upsertTarget(dbDir: String): Ingest.JdbcTarget =
+    Ingest.JdbcTarget(
+      url = s"jdbc:derby:$dbDir/upsertdb;create=true",
+      table = "orders_ups",
       driver = "org.apache.derby.jdbc.EmbeddedDriver")
 
   val oracle: Map[String, String] = Map(
@@ -264,6 +317,29 @@ object Ingestion {
         |  max(o_orderdate) AS last_order
         |FROM orders
         |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
+
+    // From-first-principles merge over the original parquet: base rows
+    // whose key the delta does NOT touch, UNION ALL the delta (updates +
+    // inserts). Equality with the Derby read-back certifies the staged
+    // DELETE+INSERT replaced each updated key exactly once.
+    "ingest_upsert" ->
+      """WITH base AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        |), delta AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 194 = 0 OR o_orderkey % 97 = 1
+        |), merged AS (
+        |  SELECT * FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM delta x WHERE x.o_orderkey = b.o_orderkey)
+        |  UNION ALL SELECT * FROM delta
+        |)
+        |SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin
   )

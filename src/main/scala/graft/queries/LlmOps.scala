@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions.{bloom_might_contain, dot_product, poly_hash}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
@@ -142,7 +143,7 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n"), col("tok"))
       .repartition(t.sparkSession.sparkContext.defaultParallelism * 2,
         col("lang"), col("tok"))
-      .localCheckpoint()
+      .pinned
     val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
       col("n").as("n1"), col("tok").as("tk1"))
     val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
@@ -224,7 +225,7 @@ object LlmOps {
       .otherwise(array().cast("array<string>"))
     // Materialized once: the count build and the scoring join both read it.
     val pos = doc.select(col("doc_id"), col("lang"), posexplode(grams).as(Seq("pos", "gram")))
-      .localCheckpoint()
+      .pinned
     val counts = pos.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c2"))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c2")).as("n_lang"))
     // pos ⋈ counts stays UNHINTED deliberately. Locally Catalyst builds
@@ -271,7 +272,7 @@ object LlmOps {
     * (pair list) and ddp_incr_best (per-new-doc top-1 reduction). */
   private def incrPairs(s: SparkSession, d: String): DataFrame = {
     val doc = spread(load(s, d, "documents"))
-    val bands = minhashBands(doc, useUdaf = false).persist()
+    val bands = minhashBands(doc, useUdaf = false).persist(StorageLevel.MEMORY_AND_DISK_SER)
     val cand = bands.filter(incrIsNew(col("doc_id"))).as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
@@ -280,7 +281,7 @@ object LlmOps {
       // to d1 < d2 before the distinct so they count once.
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2")).distinct()
-    val verified = minhashVerify(cand, doc).localCheckpoint()
+    val verified = minhashVerify(cand, doc).pinned
     bands.unpersist()
     verified
   }
@@ -289,7 +290,7 @@ object LlmOps {
     * candidate pipeline — shared by the pair queries and ddp_cluster. */
   private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
     val doc = spread(doc0)
-    val bands = minhashBands(doc, useUdaf).persist()
+    val bands = minhashBands(doc, useUdaf).persist(StorageLevel.MEMORY_AND_DISK_SER)
     val cand = bands.as("x").join(bands.as("y"),
       col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -298,7 +299,7 @@ object LlmOps {
       // Eagerly materialize the (small) verified edge set, then release the
       // band cache — callers (pair queries, ddp_cluster, pipeline_clean,
       // tests) no longer leak persisted blocks across the session.
-      .localCheckpoint()
+      .pinned
     bands.unpersist()
     verified
   }
@@ -337,7 +338,8 @@ object LlmOps {
     // Eager checkpointing truncates lineage at every step — without it the
     // round-N plan chains through all prior rounds plus the whole minhash
     // pipeline and OOMs the driver. Two modes:
-    //  - default: `localCheckpoint` — blocks live on executors; fastest,
+    //  - default: serialized local checkpoint ([[Tables.pin]]) — blocks
+    //    live on executors; fastest,
     //    but an executor loss mid-iteration kills the job (acceptable on
     //    local[n], NOT on a 1000-executor cluster where some loss per hour
     //    is the norm).
@@ -352,7 +354,7 @@ object LlmOps {
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (reliableDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint()
+      else df.pinned
     val edges = ckpt(edges0.select(col("d1"), col("d2")))
     var sym = ckpt(edges.unionAll(edges.select(col("d2").as("d1"), col("d1").as("d2"))))
     var labels = ckpt(doc.select(col("doc_id"), col("doc_id").as("label")))
@@ -513,7 +515,7 @@ object LlmOps {
     val toks = doc.select(col("doc_id"), explode(words).as("t"))
     // Materialized once: probed by the query join AND aggregated for df.
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .pinned
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val dl = doc.select(col("doc_id"), size(words).cast("double").as("dl"))
     val stats = doc.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -891,7 +893,7 @@ object LlmOps {
         // Eager materialization instead of persist(): the 1-row-per-doc
         // signature table is tiny, both self-join sides read the same
         // blocks, and no CacheManager entry outlives the query.
-        .localCheckpoint()
+        .pinned
       val chunks = array((0 until 4).map { ci =>
         struct(lit(ci).as("ci"),
           shiftright(col("simhash"), 16 * ci).bitwiseAND(lit(0xFFFFL)).as("cv"))
@@ -951,7 +953,7 @@ object LlmOps {
       // hot grams are THE hazard of a posting self-join on Zipf text —
       // plan-guarded in PlanGuardSpec with broadcast disabled.
       val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
-        .localCheckpoint()
+        .pinned
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("ng").as("n1"), col("gram").as("gr1"))
       val b = g.select(col("doc_id").as("d2"), col("lang").as("l2"),
@@ -1033,7 +1035,7 @@ object LlmOps {
           sqrt(dot_product(dbl, dbl)).as("nrm"))
         .withColumn("b0", table(0)).withColumn("b1", table(1))
         .withColumn("b2", table(2)).withColumn("b3", table(3))
-        .localCheckpoint()
+        .pinned
       val pairs = (0 until 4).map { i =>
         val a = base.select(col("vec_id").as("v1"), col(s"b$i").as("ba"))
         val b = base.select(col("vec_id").as("v2"), col(s"b$i").as("bb"))
@@ -1095,7 +1097,7 @@ object LlmOps {
       val doc = spread(load(s, d, "documents"))
       // Materialized once: the benchmark and corpus branches both read it.
       val sh = doc.select(col("doc_id"), shingles(col("text")).as("sh"))
-        .localCheckpoint()
+        .pinned
       val bpost = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
           explode(col("sh")).as("tok"))
@@ -1128,7 +1130,7 @@ object LlmOps {
     "dcn_bloom" -> ((s, d) => {
       val doc = spread(load(s, d, "documents"))
       val sh = doc.select(col("doc_id"), shingles(col("text")).as("sh"))
-        .localCheckpoint()
+        .pinned
       val bpost = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
           explode(col("sh")).as("tok"))
@@ -1188,7 +1190,7 @@ object LlmOps {
       val perDoc = doc.select(col("doc_id"),
         explode(array_distinct(when(nseg >= 1, segs)
           .otherwise(array().cast("array<string>")))).as("seg"))
-        .localCheckpoint()
+        .pinned
       // Segments are distinct within a doc, so count(1) == distinct docs.
       val segDocs = perDoc.groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
       ordered(perDoc.join(segDocs, Seq("seg"))
@@ -1225,7 +1227,7 @@ object LlmOps {
           posexplode(transform(sequence(lit(0), nseg - 1),
             i => array_join(slice(words, i * 8 + 1, lit(8)), " "))))
         .select(col("doc_id"), col("ns"), col("pos"), col("col").as("seg"))
-        .localCheckpoint()
+        .pinned
       val segDocs = segs.select(col("seg"), col("doc_id")).distinct()
         .groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
       val kept = segs.join(segDocs.filter(col("ndocs") < 2).select(col("seg")),
@@ -1680,7 +1682,7 @@ object LlmOps {
       // consumers (two counter rows + the candidate top-k).
       val cnt = doc.select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .pinned
       val b1 = polyHash(col("tok")) % W
       val b2 = polyHash(concat(lit("#"), col("tok"))) % W
       val row1 = cnt.groupBy(b1.as("b")).agg(sum(col("n")).as("c1"))

@@ -150,6 +150,27 @@ class IngestSpec extends AnyFunSuite {
     assertSameRows(src, back, "derby round-trip")
   }
 
+  test("JDBC staged upsert merges updates+inserts and replaying the delta changes nothing") {
+    // The Redshift staging-table pattern against live Derby: after the
+    // gated flow (base load + one staged merge), the table must equal the
+    // from-first-principles merge — untouched base rows + the delta — and
+    // a SECOND upsert of the same delta must leave it bit-identical
+    // (delete-then-insert idempotency, the re-replay property).
+    val target = Ingestion.upsertOrders(spark, sfDir)
+    val base = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+    val delta = Ingestion.upsertDelta(spark, sfDir)
+    val expected = base.join(delta.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta)
+    def back() = Ingest.jdbcRead(spark, target).load()
+      .select(base.columns.map(col).toIndexedSeq: _*)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    assert(back().count() == expected.count() && expected.count() > base.count())
+    assertSameRows(expected, back(), "staged upsert")
+    new Ingest.JdbcUpsertWriter(target, Seq("o_orderkey")).upsert(delta.repartition(4))
+    assertSameRows(expected, back(), "staged upsert replay")
+  }
+
   test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {
     import graft.streaming.StreamOps
     val d = tempDir("wh_stream_src")

@@ -466,6 +466,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("maxFilesPerTrigger bounds per-micro-batch work; unbounded drains in one batch") {
+    // The file source's backpressure knob (SURVEY §2.1 object-store notes):
+    // an S3-triggered ingest that falls behind faces a directory of
+    // thousands of accumulated files, and without a per-trigger cap the
+    // next micro-batch swallows ALL of them — one giant batch, executor
+    // OOM risk, no incremental checkpoint progress. The cap must split the
+    // backlog into one micro-batch per file (bounded work, a commit after
+    // each), and removing it must produce the single-batch behavior.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def batchSizes(src: DataFrame): Map[Long, Long] = {
+      val sizes = scala.collection.concurrent.TrieMap[Long, Long]()
+      val q = src.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch((b: DataFrame, id: Long) => { sizes.put(id, b.count()); () })
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sizes.toMap
+    }
+    val capped = batchSizes(replayStream) // maxFilesPerTrigger=1 over 4 slices
+    val sliceSizes = (0 until 4)
+      .map(i => i.toLong -> eventsBatch.filter(col("event_id") % 4 === i).count()).toMap
+    assert(capped.size == 4, s"expected 4 file-sized micro-batches, got $capped")
+    assert(capped == sliceSizes,
+      s"each micro-batch must carry exactly one file: $capped vs $sliceSizes")
+    val unbounded = batchSizes(
+      spark.readStream.schema(eventsBatch.schema).parquet(replayDir.toString))
+    assert(unbounded == Map(0L -> eventsBatch.count()),
+      s"without the cap AvailableNow must drain the backlog in one batch: $unbounded")
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
