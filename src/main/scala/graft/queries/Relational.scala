@@ -57,6 +57,29 @@ object Relational {
       .filter(col("lev") <= 1 && length(col("n1")) === length(col("n2")))
   }
 
+  /** Bucketed+sorted orders/customer catalog tables for JOIN-13, written
+    * once per (process, sfDir): 8 buckets on the join key, parquet files
+    * under a [[graft.core.Warehouse]] dir (external tables — the catalog
+    * entry carries the bucket spec, which is what makes the join
+    * exchange-free). The catalog is per-session, so registration is
+    * guarded by tableExists rather than only by the once-block: a table
+    * written by this process but dropped from a fresh catalog would
+    * otherwise be invisible. Returns the two table names. */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val key = f"${d.hashCode}%08x"
+    val (to, tc) = (s"orders_bkt_$key", s"customer_bkt_$key")
+    if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+      val out = graft.core.Warehouse.once(d, "bucket_tables")(_ => ())
+      load(s, d, "orders").write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$out/orders").mode("overwrite").saveAsTable(to)
+      load(s, d, "customer").write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$out/customer").mode("overwrite").saveAsTable(tc)
+    }
+    (to, tc)
+  }
+
   val all: Map[String, Q] = Map(
     // ---- PRJ-1: projection + computed columns ----
     "prj1" -> ((s, d) => {
@@ -426,6 +449,35 @@ object Relational {
         "inner")
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_close"), davgS(col("c_acctbal")).as("avg_bal")))
+    }),
+
+    // ---- JOIN-13: bucketed co-located join — the EXCHANGE-FREE join the
+    //      SURVEY declares as the 100 TB answer for recurring key-joins
+    //      (mrg1/recon/retrieve_rerank notes), demonstrated instead of
+    //      just cited: both sides written ONCE as bucketed+sorted tables
+    //      (8 buckets on the join key), after which every join on that key
+    //      reads bucket i against bucket i — NO exchange on either side,
+    //      however many times the join runs. That trade (one organized
+    //      write amortized over every downstream join) is the bucketing
+    //      contract; the plan guard pins the exchange-free join. A cheap
+    //      per-bucket SMJ sort remains: Spark ≥3 stopped trusting sortBy
+    //      order at read (multi-file buckets can't guarantee it) — it
+    //      sorts already-clustered rows in memory, no exchange; the
+    //      shuffle elimination is the term that matters at 100 TB (the
+    //      sort is bucket-local CPU, the exchange it replaces is
+    //      all-to-all network over the fact table). The MERGE hint keeps the
+    //      demonstration honest at test SF, where the dim side would
+    //      otherwise broadcast — at production fact×fact scale SMJ is
+    //      what the optimizer picks unhinted. Oracle = the identical
+    //      aggregate from the plain parquet tables (bucketing is a
+    //      LAYOUT, it must change nothing about the result). ----
+    "join13_bucket" -> ((s, d) => {
+      val (to, tc) = bucketedTables(s, d)
+      val o = s.table(to)
+      val c = s.table(tc)
+      ordered(o.hint("merge").join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsumS(col("o_totalprice")).as("sum_price")))
     }),
 
     // ---- JOIN-10: as-of-style join (latest click at-or-before each
@@ -1034,6 +1086,15 @@ object Relational {
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, n_10min NULLS FIRST, sum_10min NULLS FIRST""".stripMargin,
 
     "join1" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
+
+    // Identical to join1's twin BY DESIGN: bucketing is a physical layout;
+    // the join result must be indistinguishable from the plain-parquet join.
+    "join13_bucket" ->
       """SELECT c_mktsegment, COUNT(1) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey

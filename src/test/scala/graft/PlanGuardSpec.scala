@@ -88,6 +88,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "scalar attach degraded to a sort-merge join")
   }
 
+  test("join13_bucket: both sides read pre-bucketed, join has no exchange") {
+    // The bucketed-layout contract: the only exchanges in the whole plan
+    // are AFTER the join (groupBy hash + output-order range) — a shuffle
+    // feeding the SortMergeJoin would make the bucketed write pointless
+    // (and show up as 2 extra Exchange lines). Scans must actually use
+    // the bucket layout, not fall back to a plain file read.
+    val p = plan("join13_bucket")
+    assert(p.contains("SortMergeJoin"), s"bucketed join should be SMJ:\n${p.take(1200)}")
+    assert(p.contains("Bucketed: true"), s"scan fell back to unbucketed read:\n${p.take(1200)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"join inputs must not shuffle — only aggregate + output sort may ($exchanges):\n${p.take(2000)}")
+  }
+
   test("srt1: global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("srt1").contains("TakeOrderedAndProject"))
   }
