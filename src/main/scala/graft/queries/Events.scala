@@ -347,10 +347,66 @@ object Events {
         .select(col("user_id"), col("sid").as("session_id"),
           col("st").as("session_start"), col("en").as("session_end"),
           coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent")))
+    }),
+
+    // ---- ZORD-1: Z-order (Morton) layout + 2-dim box scan — the
+    //      DATA-SKIPPING twin of JOIN-13's bucketing demo: the layout
+    //      lever for tables queried by MORE THAN ONE dimension, where any
+    //      single-column sort gives perfect skipping on that column and
+    //      none on the others. Events rewritten once, range-partitioned
+    //      and sorted by morton(user_id, hour(ts)) (the codegen'd
+    //      MortonCode expression, §2.6), so every output file covers a
+    //      NARROW RECTANGLE in (user, time) space; a (user range × time
+    //      range) box predicate then intersects few files, and parquet
+    //      min/max stats prune the rest at the reader (row-group level;
+    //      file level in IngestSpec's explicit count — z-layout touches
+    //      fewer files than the user-sorted layout for the same box).
+    //      The scan itself must be layout-blind in RESULTS: the oracle
+    //      runs the identical box filter on the original table. At 100 TB
+    //      this is the nightly-compaction upgrade: same rewrite pass as
+    //      `Ingest.compact`, plus a sort key — and the 16-bit dim buckets
+    //      come from range statistics a production table maintains. ----
+    "zorder_scan" -> ((s, d) => {
+      val dir = zorderEvents(s, d)
+      ordered(s.read.parquet(dir)
+        .filter(col("user_id").between(40, 79) &&
+          col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-12").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), decS(col("value")).as("value")))
     })
   )
 
+  /** Z-order copy of events, built once per (process, sfDir): 16 files,
+    * range-partitioned + sorted by the Morton interleave of user_id and
+    * epoch-hour (each masked to the expression's 16-bit dims — at test
+    * scale both fit; production buckets via range stats). Layout only:
+    * content is row-identical to the source (asserted in IngestSpec). */
+  def zorderEvents(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "events_zorder") { out =>
+      val e = load(s, d, "events")
+      val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val z = graft.functions.GraftFunctions.morton_code(
+        col("user_id").bitwiseAND(lit(0xFFFFL)), hour.bitwiseAND(lit(0xFFFFL)))
+      e.withColumn("_z", z)
+        .repartitionByRange(16, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(out)
+    }
+
   val oracle: Map[String, String] = Map(
+    // The box filter on the ORIGINAL table: a layout rewrite must be
+    // invisible to every query result.
+    "zorder_scan" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  CAST(CAST(value AS DECIMAL(38,4)) AS VARCHAR) AS value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 79
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST,
+        |  event_type NULLS FIRST, value NULLS FIRST""".stripMargin,
     // The oracle spells the DECLARED semantics — the plain overlap
     // theta-join count (DuckDB plans it as an IEJoin); the Spark side's
     // time-bucket decomposition must reproduce it exactly.

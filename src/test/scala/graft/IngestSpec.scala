@@ -171,6 +171,46 @@ class IngestSpec extends AnyFunSuite {
     assertSameRows(expected, back(), "staged upsert replay")
   }
 
+  test("z-order layout: a 2-dim box touches fewer files than the 1-dim sort, content identical") {
+    // The data-skipping claim behind ZORD-1, measured at FILE granularity
+    // (the unit min/max stats prune at): for a (user range x time range)
+    // box, the single-dim (user_id, ts)-sorted layout gives each file the
+    // FULL time span of its user range - every file in the user range
+    // intersects - while the morton layout's files cover narrow rectangles
+    // in both dims. Both layouts must be row-identical to the source.
+    import graft.queries.Events
+    val e = Tables.load(spark, sfDir, "events")
+    val zdir = Events.zorderEvents(spark, sfDir)
+    val ldir = tempDir("events_linear").toString
+    e.repartitionByRange(16, col("user_id"), col("ts"))
+      .sortWithinPartitions("user_id", "ts")
+      .write.mode("overwrite").parquet(ldir)
+    // sf0.001 box: users 4-7 of 0-14 (~1/4), two days of the 30-day span.
+    val (u1, u2) = (4L, 7L)
+    val (t1, t2) = (java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+    def touched(dir: String): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+          min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+        .collect()
+      val hit = stats.count { r =>
+        r.getAs[Long]("umax") >= u1 && r.getAs[Long]("umin") <= u2 &&
+          !r.getAs[java.sql.Timestamp]("tmax").before(t1) &&
+          r.getAs[java.sql.Timestamp]("tmin").before(t2)
+      }
+      (hit.toLong, stats.length.toLong)
+    }
+    val (zHit, zAll) = touched(zdir)
+    val (lHit, lAll) = touched(ldir)
+    assert(zAll == 16 && lAll == 16, s"expected 16 files per layout ($zAll, $lAll)")
+    assert(zHit < lHit,
+      s"z-order must touch fewer files than the 1-dim sort: z=$zHit linear=$lHit")
+    assertSameRows(spark.read.parquet(zdir), e, "z-order rewrite content")
+    assertSameRows(spark.read.parquet(ldir), e, "linear rewrite content")
+  }
+
   test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {
     import graft.streaming.StreamOps
     val d = tempDir("wh_stream_src")
