@@ -1590,6 +1590,56 @@ object LlmOps {
           dec4S(col("cos_raw")).as("cos")))
     }),
 
+    // ---- RRF-1: reciprocal-rank fusion of the lexical and dense
+    //      retrievers — the third standard retrieval composition next to
+    //      BM25-1 (one ranker) and BM25-2 (cascade): both rankers run
+    //      INDEPENDENTLY to top-10, and candidates are fused on RANK
+    //      alone, rrf = Σ 1/(60 + rank), over the UNION of the lists (a
+    //      doc absent from one list contributes 0 from it). Rank-only
+    //      fusion is what makes RRF robust in production: BM25 scores and
+    //      cosines live on incomparable scales, and rrf needs no
+    //      calibration between them. Determinism: rrf is a 2-term
+    //      fixed-order sum of exact small-integer reciprocals (bit-equal
+    //      anywhere); the cosine RANKS reuse the bit-identical dot/fold
+    //      discipline retrieve_rerank already certifies. Scale shape: the
+    //      bm25 side is BM25-1's (postings-proportional); the dense side
+    //      is the brute-force query×corpus probe at this SF (the sim1
+    //      shape — at 100 TB it swaps for the IVF/LSH candidate path,
+    //      same downstream fusion); the fusion join itself touches only
+    //      2×10 rows per query, and top-5 plans as WindowGroupLimit. ----
+    "retrieve_rrf" -> ((s, d) => {
+      val rbW = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val rb = bm25Scored(spread(load(s, d, "documents")))
+        .withColumn("r_bm25", row_number().over(rbW))
+        .filter(col("r_bm25") <= 10)
+        .select(col("q_id"), col("doc_id"), col("r_bm25"))
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val qe = base.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val rdW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("doc_id").asc)
+      val rd = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
+        .join(broadcast(qe), col("doc_id") =!= col("q_id"))
+        .withColumn("cos_raw", dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
+        .withColumn("r_cos", row_number().over(rdW))
+        .filter(col("r_cos") <= 10)
+        .select(col("q_id"), col("doc_id"), col("r_cos"))
+      val fused = rb.join(rd, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      ordered(fused.withColumn("rn", row_number().over(wf))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("doc_id"),
+          col("r_bm25"), col("r_cos"), dec4S(col("rrf")).as("rrf")))
+    }),
+
     // ---- SRC-1: per-source document cap — the domain-cap stage of a web
     //      pipeline (no single domain may dominate the corpus). Keeps ≤10
     //      docs per source, selected by content hash (uniform-ish,
@@ -2474,6 +2524,43 @@ object LlmOps {
         |  CAST(CAST(floor((cos_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cos
         |FROM rr WHERE rn <= 3
         |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, bm25_rank NULLS FIRST, cos NULLS FIRST""".stripMargin,
+
+    "retrieve_rrf" ->
+      s"""WITH $duckBm25Ctes,
+        |rb AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm25
+        |  FROM scored),
+        |rb10 AS (SELECT q_id, doc_id, r_bm25 FROM rb WHERE r_bm25 <= 10),
+        |eb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM eb WHERE vec_id % 100 = 7),
+        |cosall AS (
+        |  SELECT qv.q_id, eb.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv.qe, eb.e), p -> p[1] * p[2])) / (qv.qn * eb.nrm) AS cos_raw
+        |  FROM qv JOIN eb ON eb.vec_id <> qv.q_id),
+        |rd AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS r_cos
+        |  FROM cosall),
+        |rd10 AS (SELECT q_id, doc_id, r_cos FROM rd WHERE r_cos <= 10),
+        |fused AS (
+        |  SELECT COALESCE(rb10.q_id, rd10.q_id) AS q_id,
+        |    COALESCE(rb10.doc_id, rd10.doc_id) AS doc_id,
+        |    rb10.r_bm25 AS r_bm25, rd10.r_cos AS r_cos,
+        |    COALESCE(1.0 / (60 + rb10.r_bm25), 0.0) + COALESCE(1.0 / (60 + rd10.r_cos), 0.0) AS rrf
+        |  FROM rb10 FULL OUTER JOIN rd10
+        |    ON rb10.q_id = rd10.q_id AND rb10.doc_id = rd10.doc_id),
+        |rk AS (
+        |  SELECT q_id, doc_id, r_bm25, r_cos, rrf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rn
+        |  FROM fused)
+        |SELECT q_id, rn, doc_id, r_bm25, r_cos,
+        |  CAST(CAST(floor((rrf)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rrf
+        |FROM rk WHERE rn <= 5
+        |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, r_bm25 NULLS FIRST, r_cos NULLS FIRST, rrf NULLS FIRST""".stripMargin,
 
     "src1" ->
       """WITH h AS (

@@ -36,7 +36,10 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // crossJoin of the global min/sum aggregate
     "bm25",       // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
                   // the tfidf1 shape
-    "retrieve_rerank" // same scalar attach inside its BM25 recall stage
+    "retrieve_rerank", // same scalar attach inside its BM25 recall stage
+    "retrieve_rrf" // BM25 scalar attach + the sim1 brute-force dense stage
+                  // (broadcast query set × corpus by declared semantics;
+                  // the 100 TB dense stage swaps to the IVF/LSH candidates)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
