@@ -138,7 +138,7 @@ object Bench {
         // (1.5x let a 1.4x-inflated 10s query ship unrerun; the extra
         // reruns are untimed wall-clock, not artifact noise).
         val suspectVsPrior = prior.get(name).exists(p => first >= 1.35 * p)
-        val best =
+        val best0 =
           if (first < 5.0 || suspectVsPrior) {
             val (second, secondOk) = timeOnce(name, fn)
             if (!secondOk) {
@@ -148,6 +148,17 @@ object Bench {
               first
             } else math.min(first, second)
           } else first
+        // Both samples inflated — the r6 failure mode (a transient bad
+        // regime can outlast one rerun: ddp_incr_best sampled 7.15 s twice
+        // in one board, 1.25 s steady before and after it). One bounded
+        // third sample, only for a >=2x-floor outlier, is cheap insurance
+        // against shipping a number three consecutive seconds of bad luck
+        // produced; a GENUINE regression still ships (all three agree).
+        val best =
+          if (prior.get(name).exists(p => best0 >= 2.0 * p)) {
+            val (third, thirdOk) = timeOnce(name, fn)
+            if (thirdOk) math.min(best0, third) else { rerunFailed += name; best0 }
+          } else best0
         Some(name -> best)
       }
     }
