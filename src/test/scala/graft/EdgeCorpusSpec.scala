@@ -25,6 +25,13 @@ class EdgeCorpusSpec extends AnyFunSuite {
       (7L, "bonjour le monde entier", "fr", "t", 23L))
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // Embeddings for the retrieval-fusion edge: vec 7 is the only query
+    // (vec_id % 100 == 7) and its cosine to v_i = (1, 0.1i) is strictly
+    // decreasing in i, so the dense ranking is exactly 1,2,3,4,5,6,100.
+    val vecs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L).map(i => (i, Seq(1.0f, 0.1f * i))) :+
+      (7L, Seq(1.0f, 0.0f))
+    vecs.toDF("vec_id", "embedding")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -106,6 +113,22 @@ class EdgeCorpusSpec extends AnyFunSuite {
     // terms appear in no other document, so the posting join finds zero
     // candidates — empty result, not a crash and not a self-match.
     assert(SparkEntry.queries("bm25")(spark, dir).count() == 0)
+  }
+
+  test("retrieve_rrf: a query with no lexical matches ranks by the dense list alone") {
+    // Doc 7 is the only query (id % 100 == 7) and shares no tokens with
+    // any other doc (it's the French row), so its BM25 list is EMPTY —
+    // the fusion must come entirely from the dense side via the full
+    // outer join: r_bm25 null on every row, r_cos = rn, rrf = 1/(60+rn).
+    val rows = SparkEntry.queries("retrieve_rrf")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[Integer]("r_bm25")), r.getAs[Int]("r_cos"), r.getAs[String]("rrf")))
+    val expected = (1 to 5).map { rn =>
+      val rrf = f"${math.floor(1.0 / (60 + rn) * 10000 + 0.5) / 10000}%.4f"
+      (7L, rn, rn.toLong, None, rn, rrf)
+    }
+    assert(rows.sortBy(_._2).toSeq == expected,
+      s"got ${rows.sortBy(_._2).toSeq} expected $expected")
   }
 
   test("empty corpus: document operators return empty, never throw") {
