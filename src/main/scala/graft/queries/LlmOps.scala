@@ -1640,6 +1640,48 @@ object LlmOps {
           col("r_bm25"), col("r_cos"), dec4S(col("rrf")).as("rrf")))
     }),
 
+    // ---- HN-1: hard-negative mining — the contrastive-training-data op:
+    //      for each query, the docs most SIMILAR in embedding space that
+    //      are NOT lexically relevant (anti-join of the dense top-10
+    //      against the BM25 top-10). Those are exactly the negatives a
+    //      bi-encoder trains on — random negatives are trivially far and
+    //      teach nothing; lexically-relevant docs risk being unlabeled
+    //      positives, so both are excluded. Top-3 hardest per query.
+    //      Scale shape: both stages are the retrieval stack's (postings-
+    //      proportional BM25, candidate-bounded dense via IVF/LSH at
+    //      100 TB); the anti-join is left_anti on (q_id, doc_id) over two
+    //      top-10 lists — 10 rows per query each side; output is
+    //      rank-bounded at 3 rows per query regardless of corpus size. ----
+    "hard_negatives" -> ((s, d) => {
+      val rbW = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val rb = bm25Scored(spread(load(s, d, "documents")))
+        .withColumn("r_bm25", row_number().over(rbW))
+        .filter(col("r_bm25") <= 10)
+        .select(col("q_id"), col("doc_id"))
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val qe = base.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val rdW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("doc_id").asc)
+      val rd = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
+        .join(broadcast(qe), col("doc_id") =!= col("q_id"))
+        .withColumn("cos_raw", dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
+        .withColumn("r_cos", row_number().over(rdW))
+        .filter(col("r_cos") <= 10)
+        .select(col("q_id"), col("doc_id"), col("r_cos"), col("cos_raw"))
+      val negW = Window.partitionBy(col("q_id"))
+        .orderBy(col("r_cos").asc)
+      ordered(rd.join(rb, Seq("q_id", "doc_id"), "left_anti")
+        .withColumn("rn", row_number().over(negW))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("doc_id"), col("r_cos"),
+          dec4S(col("cos_raw")).as("cos")))
+    }),
+
     // ---- SRC-1: per-source document cap — the domain-cap stage of a web
     //      pipeline (no single domain may dominate the corpus). Keeps ≤10
     //      docs per source, selected by content hash (uniform-ish,
@@ -2561,6 +2603,36 @@ object LlmOps {
         |  CAST(CAST(floor((rrf)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rrf
         |FROM rk WHERE rn <= 5
         |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, r_bm25 NULLS FIRST, r_cos NULLS FIRST, rrf NULLS FIRST""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH $duckBm25Ctes,
+        |rb AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm25
+        |  FROM scored),
+        |rb10 AS (SELECT q_id, doc_id FROM rb WHERE r_bm25 <= 10),
+        |eb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM eb WHERE vec_id % 100 = 7),
+        |cosall AS (
+        |  SELECT qv.q_id, eb.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv.qe, eb.e), p -> p[1] * p[2])) / (qv.qn * eb.nrm) AS cos_raw
+        |  FROM qv JOIN eb ON eb.vec_id <> qv.q_id),
+        |rd AS (
+        |  SELECT q_id, doc_id, cos_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS r_cos
+        |  FROM cosall),
+        |rd10 AS (SELECT q_id, doc_id, r_cos, cos_raw FROM rd WHERE r_cos <= 10),
+        |neg AS (
+        |  SELECT rd10.q_id, rd10.doc_id, rd10.r_cos, rd10.cos_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY rd10.q_id ORDER BY rd10.r_cos ASC) AS INT) AS rn
+        |  FROM rd10 ANTI JOIN rb10 ON rd10.q_id = rb10.q_id AND rd10.doc_id = rb10.doc_id)
+        |SELECT q_id, rn, doc_id, r_cos,
+        |  CAST(CAST(floor((cos_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cos
+        |FROM neg WHERE rn <= 3
+        |ORDER BY q_id NULLS FIRST, rn NULLS FIRST, doc_id NULLS FIRST, r_cos NULLS FIRST, cos NULLS FIRST""".stripMargin,
 
     "src1" ->
       """WITH h AS (

@@ -37,9 +37,12 @@ class CartesianGuardSpec extends AnyFunSuite {
     "bm25",       // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
                   // the tfidf1 shape
     "retrieve_rerank", // same scalar attach inside its BM25 recall stage
-    "retrieve_rrf" // BM25 scalar attach + the sim1 brute-force dense stage
+    "retrieve_rrf", // BM25 scalar attach + the sim1 brute-force dense stage
                   // (broadcast query set × corpus by declared semantics;
                   // the 100 TB dense stage swaps to the IVF/LSH candidates)
+    "hard_negatives" // same two stages as retrieve_rrf (BM25 scalar attach
+                  // + brute-force dense probe); the mining anti-join
+                  // itself is equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
