@@ -16,7 +16,7 @@ object Skew {
     * bucket; mixing in the physical position (partition id + per-partition
     * row id) spreads them while staying rand()-free. */
   private def saltCol(df: DataFrame, buckets: Int): Column =
-    pmod(hash(struct(df.columns.map(col): _*),
+    pmod(hash(struct(df.columns.map(col).toIndexedSeq: _*),
       spark_partition_id(), monotonically_increasing_id()), lit(buckets))
 
   /** Two-phase salted aggregation: rows of one key spread over `buckets`

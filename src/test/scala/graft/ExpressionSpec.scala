@@ -35,7 +35,7 @@ class ExpressionSpec extends AnyFunSuite {
       poly_hash(lit("")).as("empty"),
       poly_hash(lit(null).cast("string")).as("n"),
       poly_hash(lit("abc")).as("abc"))
-    val r = df.head
+    val r = df.head()
     assert(r.getLong(0) == 0L)
     assert(r.isNullAt(1))
     val expected = ((0L * 31 + 'a') % P * 31 + 'b') % P * 31 + 'c'
@@ -133,7 +133,7 @@ class ExpressionSpec extends AnyFunSuite {
   test("SQL registration via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT graft_poly_hash('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, graft_morton(5L, 9L) AS z").head
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, graft_morton(5L, 9L) AS z").head()
     val expected = ((0L * 31 + 'a') % P * 31 + 'b') % P * 31 + 'c'
     assert(r.getLong(0) == expected % P)
     assert(r.getDouble(1) == 11.0)
@@ -142,7 +142,7 @@ class ExpressionSpec extends AnyFunSuite {
     // positions -> z1+z7 = 130; 17+130 = 147.
     assert(r.getLong(3) == 147L)
     // Uniform two-word doc: entropy = ln 2.
-    val ent = spark.sql("SELECT graft_word_entropy('a b') AS e").head.getDouble(0)
+    val ent = spark.sql("SELECT graft_word_entropy('a b') AS e").head().getDouble(0)
     assert(math.abs(ent - math.log(2.0)) < 1e-12)
   }
 

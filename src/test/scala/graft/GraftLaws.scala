@@ -63,7 +63,7 @@ object GraftLaws extends Properties("graft.laws") {
       def jac(a: String, b: String) =
         size(array_intersect(col(a), col(b))).cast("double") /
           (size(col(a)) + size(col(b)) - size(array_intersect(col(a), col(b)))).cast("double")
-      val r = df.select(jac("x", "y").as("j1"), jac("y", "x").as("j2"), jac("x", "x").as("js")).head
+      val r = df.select(jac("x", "y").as("j1"), jac("y", "x").as("j2"), jac("x", "x").as("js")).head()
       val (j1, j2, js) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
       j1 >= 0.0 && j1 <= 1.0 && j1 == j2 && js == 1.0
     }
@@ -76,7 +76,7 @@ object GraftLaws extends Properties("graft.laws") {
     val r = df.select(
       cosine_similarity(col("a"), col("b")).as("ab"),
       cosine_similarity(col("b"), col("a")).as("ba"),
-      cosine_similarity(col("a"), col("a")).as("aa")).head
+      cosine_similarity(col("a"), col("a")).as("aa")).head()
     r.getDouble(0) == r.getDouble(1) &&
       r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9 &&
       math.abs(r.getDouble(2) - 1.0) < 1e-9
@@ -109,7 +109,7 @@ object GraftLaws extends Properties("graft.laws") {
 
   property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>
     val df = Seq(s).toDF("s").select(poly_hash(col("s")).as("h1"), poly_hash(col("s")).as("h2"))
-    val r = df.head
+    val r = df.head()
     r.getLong(0) >= 0L && r.getLong(0) < graft.functions.GraftHashImpl.P &&
       r.getLong(0) == r.getLong(1)
   }

@@ -32,9 +32,9 @@ class IngestSpec extends AnyFunSuite {
     assert(df.count() == 3)
     val bad = df.filter(col("_bad").isNotNull)
     assert(bad.count() == 1)
-    assert(bad.head.getAs[String]("_bad").startsWith("oops,"))
+    assert(bad.head().getAs[String]("_bad").startsWith("oops,"))
     val clean = df.filter(col("_bad").isNull)
-    assert(clean.select(sum(col("qty"))).head.getLong(0) == 12L)
+    assert(clean.select(sum(col("qty"))).head().getLong(0) == 12L)
     df.unpersist()
   }
 

@@ -31,7 +31,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.decodeFeatures(blobs.repartition(13)).collect().sortBy(_.doc_id)
     assert(f1.toSeq == f2.toSeq)
     // Spot-check against a driver-side decode of the same bytes.
-    val sample = blobs.filter(col("doc_id") === f1.head.doc_id).head
+    val sample = blobs.filter(col("doc_id") === f1.head.doc_id).head()
     val (w, h, m) = Multimodal.DeterministicFakeDecoder.decode(sample.payload)
     assert((f1.head.width, f1.head.height, f1.head.mean_intensity) == (w, h, m))
   }
