@@ -131,6 +131,17 @@ class EdgeCorpusSpec extends AnyFunSuite {
       s"got ${rows.sortBy(_._2).toSeq} expected $expected")
   }
 
+  test("hard_negatives: with an empty BM25 list nothing is excluded — dense top-3 survive") {
+    // Degenerate mining input: the query's relevant set is empty (no
+    // shared tokens), so the anti-join must exclude NOTHING and the
+    // negatives are simply the 3 dense-nearest docs in cosine order.
+    val rows = SparkEntry.queries("hard_negatives")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("r_cos")))
+    assert(rows.sortBy(_._2).toSeq == Seq((7L, 1, 1L, 1), (7L, 2, 2L, 2), (7L, 3, 3L, 3)),
+      s"got ${rows.sortBy(_._2).toSeq}")
+  }
+
   test("empty corpus: document operators return empty, never throw") {
     val d = Files.createTempDirectory("empty_corpus").toString
     import spark.implicits._
