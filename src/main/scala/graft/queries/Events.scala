@@ -385,7 +385,16 @@ object Events {
   def zorderEvents(s: SparkSession, d: String): String =
     graft.core.Warehouse.once(d, "events_zorder") { out =>
       val e = load(s, d, "events")
-      val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      // Range-stat normalization: time buckets are hours since the
+      // DATASET's min hour, not raw epoch hours — a raw 16-bit mask wraps
+      // every 2^16 h (~7.5 years), and a corpus spanning a wrap boundary
+      // would interleave its two eras into the same files (results stay
+      // correct; the skipping property silently dies). The one tiny min()
+      // action per build is exactly the "range statistics a production
+      // table maintains".
+      val minHour = Option(e.agg(min(unix_micros(col("ts")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) / 3600000000L
+      val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long") - lit(minHour)
       val z = graft.functions.GraftFunctions.morton_code(
         col("user_id").bitwiseAND(lit(0xFFFFL)), hour.bitwiseAND(lit(0xFFFFL)))
       e.withColumn("_z", z)

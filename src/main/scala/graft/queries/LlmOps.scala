@@ -538,6 +538,67 @@ object LlmOps {
       .agg(dsum4(idf * tfc).as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** BM25 recall list shared by RRF-1 and HN-1: top-10 per query with
+    * rank — (q_id, doc_id, r_bm25). ONE copy of the lexical-stage
+    * scaffold (query predicate, tie-break, k), so the fusion and mining
+    * queries cannot drift from each other or their oracles. */
+  private def bm25Top10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25Scored(spread(load(s, d, "documents")))
+      .withColumn("r_bm25", row_number().over(w))
+      .filter(col("r_bm25") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r_bm25"))
+  }
+
+  /** Dense retrieval stage shared by RRF-1 and HN-1: per query (vec_id %
+    * 100 == 7), the cosine top-10 corpus vectors (self excluded) with
+    * rank — (q_id, doc_id, r_cos, cos_raw). The brute-force query×corpus
+    * probe (sim1 shape) at test SF; IVF/LSH candidates at 100 TB.
+    * retrieve_rerank's dense stage is deliberately NOT this — it scores
+    * only its recalled candidates. */
+  private def denseTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id"), dbl.as("e"),
+      sqrt(dot_product(dbl, dbl)).as("nrm"))
+    val qe = base.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("doc_id").asc)
+    base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
+      .join(broadcast(qe), col("doc_id") =!= col("q_id"))
+      .withColumn("cos_raw", dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
+      .withColumn("r_cos", row_number().over(w))
+      .filter(col("r_cos") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r_cos"), col("cos_raw"))
+  }
+
+  /** DuckDB twin of [[bm25Top10]] + [[denseTop10]] — CTE block (appended
+    * after `duckBm25Ctes`) ending in `rb10(q_id, doc_id, r_bm25)` and
+    * `rd10(q_id, doc_id, r_cos, cos_raw)`, shared by the retrieve_rrf and
+    * hard_negatives oracles. */
+  private lazy val duckTop10Ctes: String =
+    """rb AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm25
+      |  FROM scored),
+      |rb10 AS (SELECT q_id, doc_id, r_bm25 FROM rb WHERE r_bm25 <= 10),
+      |eb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM eb WHERE vec_id % 100 = 7),
+      |cosall AS (
+      |  SELECT qv.q_id, eb.vec_id AS doc_id,
+      |    list_sum(list_transform(list_zip(qv.qe, eb.e), p -> p[1] * p[2])) / (qv.qn * eb.nrm) AS cos_raw
+      |  FROM qv JOIN eb ON eb.vec_id <> qv.q_id),
+      |rd AS (
+      |  SELECT q_id, doc_id, cos_raw,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS r_cos
+      |  FROM cosall),
+      |rd10 AS (SELECT q_id, doc_id, r_cos, cos_raw FROM rd WHERE r_cos <= 10)""".stripMargin
+
   /** DuckDB twin of [[bm25Scored]] — CTE block ending in
     * `scored(q_id, doc_id, score, n_terms)`, shared by the bm25 and
     * retrieve_rerank oracles. */
@@ -1608,26 +1669,8 @@ object LlmOps {
     //      same downstream fusion); the fusion join itself touches only
     //      2×10 rows per query, and top-5 plans as WindowGroupLimit. ----
     "retrieve_rrf" -> ((s, d) => {
-      val rbW = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      val rb = bm25Scored(spread(load(s, d, "documents")))
-        .withColumn("r_bm25", row_number().over(rbW))
-        .filter(col("r_bm25") <= 10)
-        .select(col("q_id"), col("doc_id"), col("r_bm25"))
-      val emb = load(s, d, "embeddings")
-      val dbl = transform(col("embedding"), x => x.cast("double"))
-      val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val qe = base.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val rdW = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_raw").desc, col("doc_id").asc)
-      val rd = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
-        .join(broadcast(qe), col("doc_id") =!= col("q_id"))
-        .withColumn("cos_raw", dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
-        .withColumn("r_cos", row_number().over(rdW))
-        .filter(col("r_cos") <= 10)
-        .select(col("q_id"), col("doc_id"), col("r_cos"))
+      val rb = bm25Top10(s, d)
+      val rd = denseTop10(s, d).select(col("q_id"), col("doc_id"), col("r_cos"))
       val fused = rb.join(rd, Seq("q_id", "doc_id"), "full_outer")
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
@@ -1653,26 +1696,8 @@ object LlmOps {
     //      top-10 lists — 10 rows per query each side; output is
     //      rank-bounded at 3 rows per query regardless of corpus size. ----
     "hard_negatives" -> ((s, d) => {
-      val rbW = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      val rb = bm25Scored(spread(load(s, d, "documents")))
-        .withColumn("r_bm25", row_number().over(rbW))
-        .filter(col("r_bm25") <= 10)
-        .select(col("q_id"), col("doc_id"))
-      val emb = load(s, d, "embeddings")
-      val dbl = transform(col("embedding"), x => x.cast("double"))
-      val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val qe = base.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val rdW = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_raw").desc, col("doc_id").asc)
-      val rd = base.select(col("vec_id").as("doc_id"), col("e").as("de"), col("nrm").as("dn"))
-        .join(broadcast(qe), col("doc_id") =!= col("q_id"))
-        .withColumn("cos_raw", dot_product(col("qe"), col("de")) / (col("qn") * col("dn")))
-        .withColumn("r_cos", row_number().over(rdW))
-        .filter(col("r_cos") <= 10)
-        .select(col("q_id"), col("doc_id"), col("r_cos"), col("cos_raw"))
+      val rb = bm25Top10(s, d).select(col("q_id"), col("doc_id"))
+      val rd = denseTop10(s, d)
       val negW = Window.partitionBy(col("q_id"))
         .orderBy(col("r_cos").asc)
       ordered(rd.join(rb, Seq("q_id", "doc_id"), "left_anti")
@@ -2569,25 +2594,7 @@ object LlmOps {
 
     "retrieve_rrf" ->
       s"""WITH $duckBm25Ctes,
-        |rb AS (
-        |  SELECT q_id, doc_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm25
-        |  FROM scored),
-        |rb10 AS (SELECT q_id, doc_id, r_bm25 FROM rb WHERE r_bm25 <= 10),
-        |eb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM eb WHERE vec_id % 100 = 7),
-        |cosall AS (
-        |  SELECT qv.q_id, eb.vec_id AS doc_id,
-        |    list_sum(list_transform(list_zip(qv.qe, eb.e), p -> p[1] * p[2])) / (qv.qn * eb.nrm) AS cos_raw
-        |  FROM qv JOIN eb ON eb.vec_id <> qv.q_id),
-        |rd AS (
-        |  SELECT q_id, doc_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS r_cos
-        |  FROM cosall),
-        |rd10 AS (SELECT q_id, doc_id, r_cos FROM rd WHERE r_cos <= 10),
+        |$duckTop10Ctes,
         |fused AS (
         |  SELECT COALESCE(rb10.q_id, rd10.q_id) AS q_id,
         |    COALESCE(rb10.doc_id, rd10.doc_id) AS doc_id,
@@ -2606,25 +2613,7 @@ object LlmOps {
 
     "hard_negatives" ->
       s"""WITH $duckBm25Ctes,
-        |rb AS (
-        |  SELECT q_id, doc_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm25
-        |  FROM scored),
-        |rb10 AS (SELECT q_id, doc_id FROM rb WHERE r_bm25 <= 10),
-        |eb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM eb WHERE vec_id % 100 = 7),
-        |cosall AS (
-        |  SELECT qv.q_id, eb.vec_id AS doc_id,
-        |    list_sum(list_transform(list_zip(qv.qe, eb.e), p -> p[1] * p[2])) / (qv.qn * eb.nrm) AS cos_raw
-        |  FROM qv JOIN eb ON eb.vec_id <> qv.q_id),
-        |rd AS (
-        |  SELECT q_id, doc_id, cos_raw,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS r_cos
-        |  FROM cosall),
-        |rd10 AS (SELECT q_id, doc_id, r_cos, cos_raw FROM rd WHERE r_cos <= 10),
+        |$duckTop10Ctes,
         |neg AS (
         |  SELECT rd10.q_id, rd10.doc_id, rd10.r_cos, rd10.cos_raw,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY rd10.q_id ORDER BY rd10.r_cos ASC) AS INT) AS rn

@@ -66,7 +66,12 @@ object Relational {
     * written by this process but dropped from a fresh catalog would
     * otherwise be invisible. Returns the two table names. */
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val key = f"${d.hashCode}%08x"
+    // Same anti-collision recipe as Warehouse.once's output paths: a
+    // readable sanitized stem PLUS the exact string's hash — hash alone
+    // would let two distinct source dirs with colliding 32-bit hashCodes
+    // silently alias to one catalog table.
+    val stem = d.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
+    val key = f"${stem}_${d.hashCode}%08x"
     val (to, tc) = (s"orders_bkt_$key", s"customer_bkt_$key")
     if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
       val out = graft.core.Warehouse.once(d, "bucket_tables")(_ => ())

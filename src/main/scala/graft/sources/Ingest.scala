@@ -190,7 +190,14 @@ object Ingest {
             s"INSERT INTO ${target.table} ($cols) SELECT $cols FROM $stagingTable")
         } finally st.close()
         conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
+      } catch { case e: Throwable =>
+        // Rollback best-effort: if the MERGE failed because the connection
+        // died, rollback() throws too — that failure must not mask the
+        // original exception (it rides along as suppressed instead).
+        try conn.rollback()
+        catch { case rb: Throwable => e.addSuppressed(rb) }
+        throw e
+      }
       finally conn.close()
     }
   }
