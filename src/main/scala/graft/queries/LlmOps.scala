@@ -1838,6 +1838,34 @@ object LlmOps {
         cstr(avgKept).as("avg_w_kept")))
     }),
 
+    // ---- SMP-5: priority sampling (Duffield–Lund–Thorup) — weighted
+    //      sampling WITHOUT replacement, the missing quadrant of the
+    //      sampling family (SMP-3 rate = unweighted w/o quota, SMP-4 =
+    //      weighted rate, SMP-2 = unweighted top-k): per stratum, keep
+    //      the k=5 docs with the highest PRIORITY w/u (w = n_chars,
+    //      u uniform in (0,1] from the content hash) — the classic
+    //      bounded-size weighted sample whose (k+1)-th priority τ yields
+    //      unbiased subset-sum estimates via max(w, τ). Chosen over
+    //      Efraimidis–Spirakis keys (u^(1/w)) deliberately: w/u is ONE
+    //      IEEE division of exact dyadic doubles, bit-identical across
+    //      engines, where pow/ln route through libm and risk 1-ulp rank
+    //      flips (§5.3 determinism discipline). Scale shape: pure
+    //      projection + per-stratum top-k (WindowGroupLimit) — at 100 TB
+    //      a τ-threshold pre-filter bounds each stratum's window input
+    //      the same way SMP-2's note prescribes. ----
+    "smp_priority" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double") + lit(1.0)) / lit(16777217.0)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("prio").desc, col("doc_id").asc)
+      ordered(doc.withColumn("prio", col("n_chars").cast("double") / u)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+          dec4S(col("prio")).as("priority")))
+    }),
+
     // ---- MIX-1: dataset mixing PLAN — the step before smp_rate/
     //      smp_weighted can run: given per-language token inventories,
     //      compute the per-stratum keep rates for the LARGEST uniform-mix
@@ -2724,6 +2752,21 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_w_kept
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_w_all NULLS FIRST, avg_w_kept NULLS FIRST""".stripMargin,
+
+    "smp_priority" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) + 1.0) / 16777217.0) AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars, prio,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id ASC) AS INT) AS rk
+        |  FROM p)
+        |SELECT lang, rk, doc_id, n_chars,
+        |  CAST(CAST(floor((prio)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS priority
+        |FROM r WHERE rk <= 5
+        |ORDER BY lang NULLS FIRST, rk NULLS FIRST, doc_id NULLS FIRST, n_chars NULLS FIRST, priority NULLS FIRST""".stripMargin,
 
     "txt_norm" ->
       """WITH n AS (

@@ -145,6 +145,33 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("smp_priority: selection matches an independent driver-side recount") {
+    // Independent reimplementation of the whole priority pipeline (md5
+    // prefix -> uniform -> w/u -> per-stratum top-5 with the declared
+    // tie-break) over the collected documents table — certifies the
+    // engine-side conv/md5/division arithmetic, not just engine-vs-oracle
+    // agreement on it.
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def prio(docId: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val u = (java.lang.Long.parseLong(md, 16) + 1.0) / 16777217.0
+      w.toDouble / u
+    }
+    val expected = doc.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (id, _, w) => (id, prio(id, w)) }
+        .sortBy { case (id, p) => (-p, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (lang, i + 1, id) }
+    }.toSet
+    val got = SparkEntry.queries("smp_priority")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("scd2: per-user intervals are contiguous, non-overlapping, single-current") {
     val rows = SparkEntry.queries("scd2")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1),
