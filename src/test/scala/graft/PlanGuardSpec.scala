@@ -102,6 +102,18 @@ class PlanGuardSpec extends AnyFunSuite {
       s"join inputs must not shuffle — only aggregate + output sort may ($exchanges):\n${p.take(2000)}")
   }
 
+  test("retrieval family: every per-query top-k plans as WindowGroupLimit") {
+    // The recall-budget boundedness the 100 TB story rests on is a plan
+    // fact: rank<=k must push a group limit below the window's shuffle so
+    // map-side state is k rows per query, not the full candidate set —
+    // for the fusion (2 windows + fused top-5), the mining (dense window
+    // + final top-3), and the weighted sampler's per-stratum top-5.
+    Seq("retrieve_rrf", "hard_negatives", "smp_priority").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q: rank filter should push a group limit below its window")
+    }
+  }
+
   test("srt1: global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("srt1").contains("TakeOrderedAndProject"))
   }
