@@ -379,24 +379,31 @@ object Events {
 
   /** Z-order copy of events, built once per (process, sfDir): 16 files,
     * range-partitioned + sorted by the Morton interleave of user_id and
-    * epoch-hour (each masked to the expression's 16-bit dims — at test
-    * scale both fit; production buckets via range stats). Layout only:
-    * content is row-identical to the source (asserted in IngestSpec). */
+    * event-hour, both min/max-normalized to a shared 8-bit scale (see the
+    * bit-scale pitfall note below). Layout only: content is row-identical
+    * to the source (asserted in IngestSpec). */
   def zorderEvents(s: SparkSession, d: String): String =
     graft.core.Warehouse.once(d, "events_zorder") { out =>
       val e = load(s, d, "events")
-      // Range-stat normalization: time buckets are hours since the
-      // DATASET's min hour, not raw epoch hours — a raw 16-bit mask wraps
-      // every 2^16 h (~7.5 years), and a corpus spanning a wrap boundary
-      // would interleave its two eras into the same files (results stay
-      // correct; the skipping property silently dies). The one tiny min()
-      // action per build is exactly the "range statistics a production
-      // table maintains".
-      val minHour = Option(e.agg(min(unix_micros(col("ts")))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L) / 3600000000L
-      val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long") - lit(minHour)
+      // Both dims NORMALIZED to the same 8-bit width from their min/max
+      // range stats (the StorageSpec recipe, and its documented pitfall:
+      // interleaving raw values degenerates whenever the dims' bit-scales
+      // differ — the wider dim's high bits monopolize the code and the
+      // "z-order" collapses into a single-dim sort; raw epoch-hours would
+      // additionally wrap every 2^16 h). One tiny min/max action per
+      // build = the range statistics a production table maintains;
+      // per-dimension quantile ranks are the skew-immune upgrade.
+      val hourRaw = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val r = e.agg(min(col("user_id")), max(col("user_id")),
+        min(hourRaw), max(hourRaw)).head()
+      def lohi(i: Int): (Long, Long) =
+        (Option(r.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          Option(r.get(i + 1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      val ((uLo, uHi), (hLo, hHi)) = (lohi(0), lohi(2))
+      def norm8(c: Column, lo: Long, hi: Long): Column =
+        floor((c - lit(lo)) * 256L / lit(math.max(1L, hi - lo + 1))).cast("long")
       val z = graft.functions.GraftFunctions.morton_code(
-        col("user_id").bitwiseAND(lit(0xFFFFL)), hour.bitwiseAND(lit(0xFFFFL)))
+        norm8(col("user_id"), uLo, uHi), norm8(hourRaw, hLo, hHi))
       e.withColumn("_z", z)
         .repartitionByRange(16, col("_z"))
         .sortWithinPartitions("_z")
