@@ -105,6 +105,24 @@ object GraftLaws extends Properties("graft.laws") {
       (0L to 11L).forall(i => result(i) == find(i))
     }
 
+  property("minhash sketch is set-determined: order- and multiplicity-invariant") =
+    forAll(tokenArr) { xs0 =>
+      val xs = if (xs0.isEmpty) List("a") else xs0
+      // Same token SET presented three ways: as-is, reversed, and with
+      // every token duplicated — the sketch (8 slot-wise mins over the
+      // hashed stream) must be identical for all three, which is the
+      // property that lets LSH banding bucket exact-duplicate docs
+      // together regardless of row order or token repetition.
+      val docs = Seq((1L, xs), (2L, xs.reverse), (3L, xs ++ xs))
+        .toDF("doc_id", "toks")
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"), poly_hash(col("tok")).as("h"))
+      val sigs = docs.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSketch.minhash_sketch(col("h")).as("sig"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+      sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L) && sigs(1L).length == 8
+    }
+
   private val asciiStr = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
 
   property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>

@@ -47,6 +47,25 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.pin materializes at serialized MEMORY_AND_DISK storage") {
+    // The r7 GC-pressure contract (SURVEY §4.4.9): every pinned
+    // intermediate must be ONE serialized byte array per partition, never
+    // deserialized row objects — a refactor that reverts pin() to the
+    // localCheckpoint() default would resurrect the r6 board inflation.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Tables.pin(Tables.load(spark, sfDir, "region"))
+    assert(df.count() > 0)
+    val added = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }.values.toSeq
+    // exists (not forall): a concurrently-running suite may persist its
+    // own (also serialized) intermediates in the same instant.
+    assert(added.exists { r =>
+      val l = r.getStorageLevel
+      l.useMemory && l.useDisk && !l.deserialized
+    }, s"pin must store MEMORY_AND_DISK_SER, added levels: ${added.map(_.getStorageLevel)}")
+    added.foreach(_.unpersist(blocking = true))
+  }
+
   test("z-order clustered write: file min/max skipping works on BOTH dimensions") {
     // One sort order that localizes TWO dimensions: files written in
     // morton(custkey, day) range order get a narrow range in each
