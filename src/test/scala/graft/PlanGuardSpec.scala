@@ -102,6 +102,36 @@ class PlanGuardSpec extends AnyFunSuite {
       s"join inputs must not shuffle — only aggregate + output sort may ($exchanges):\n${p.take(2000)}")
   }
 
+  test("AQE splits a skewed join partition at runtime (the declared skew remedy, demonstrated)") {
+    // Every posting-self-join scale note leans on OptimizeSkewedJoin
+    // (ddp_ngram keeps its exchanges ENSURE_REQUIREMENTS for exactly this);
+    // here the remedy itself is demonstrated live: a 90%-hot key joined
+    // under scaled-down thresholds must show the skewed partition SPLIT in
+    // the final adaptive plan — and the split must not change the result.
+    // The plan must be read from the EXECUTED queryExecution (a sink write
+    // clones it; the clone's AQE decisions are invisible here).
+    import org.apache.spark.sql.functions._
+    withConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 50).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 51).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      j.queryExecution.toRdd.foreach(_ => ())
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"final adaptive plan shows no skew-join split:\n${p.take(1500)}")
+      assert(p.contains("skewed"),
+        s"AQEShuffleRead did not mark the hot partition skewed:\n${p.take(1500)}")
+      assert(j.count() == 200000L, "skew split must not change the join result")
+    }
+  }
+
   test("retrieval family: every per-query top-k plans as WindowGroupLimit") {
     // The recall-budget boundedness the 100 TB story rests on is a plan
     // fact: rank<=k must push a group limit below the window's shuffle so
