@@ -11,6 +11,9 @@ object Bench {
     // Pinning spark.sql.shuffle.partitions itself is the wrong knob to
     // carry to a 1000-executor cluster.
     val spark = SparkSession.builder()
+      // Same extension registration as TestSpark: GraftStrategy must be
+      // present to plan the seq_spine custom leaf (and graft_* SQL names).
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 4)

@@ -15,6 +15,9 @@ object Explain {
     val wantFinal = sys.env.get("SPARK_GRAFT_FINAL").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // Same extension registration as TestSpark: GraftStrategy must be
+      // present to plan the seq_spine custom leaf (and graft_* SQL names).
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 4)

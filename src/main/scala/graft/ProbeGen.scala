@@ -40,6 +40,9 @@ object ProbeGen {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      // Same extension registration as TestSpark: GraftStrategy must be
+      // present to plan the seq_spine custom leaf (and graft_* SQL names).
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")

@@ -16,6 +16,9 @@ object Prof {
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val builder = SparkSession.builder()
+      // Same extension registration as TestSpark: GraftStrategy must be
+      // present to plan the seq_spine custom leaf (and graft_* SQL names).
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")

@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // Same extension registration as TestSpark: GraftStrategy must be
+      // present to plan the seq_spine custom leaf (and graft_* SQL names).
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 4)

@@ -605,6 +605,28 @@ object Relational {
         .select(col("prio"), col("d"), coalesce(col("n"), lit(0L)).as("n")))
     }),
 
+    // ---- SEQ-1: custom-plan date spine (GAP-1's generator swapped for
+    //      the §4.3 extension chain, made oracle-gated): the spine rows
+    //      come from [[graft.plans.GraftSequence]] — custom LogicalPlan
+    //      leaf → PushFilterIntoGraftSequence folds the id bounds into
+    //      the leaf (source-level pushdown: pruned days are never
+    //      GENERATED, the DSv2-pushdown shape) → GraftStrategy →
+    //      GraftSequenceExec. January 1995's 31 days zero-filled against
+    //      daily order counts; the oracle builds the identical spine from
+    //      DuckDB's range(). Exercising the whole chain under the
+    //      driver's hash gate is the point — PlanSpec already guards the
+    //      rule/strategy seams in isolation. ----
+    "seq_spine" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val spine = graft.plans.GraftSequence.df(s, 0, 366)
+        .filter(col("id") < 31) // folded into the leaf by the rule
+        .select(date_add(lit("1995-01-01").cast("date"), col("id").cast("int")).as("d"))
+      val daily = o.groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      ordered(spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders")))
+    }),
+
     // ---- FZJ-1: fuzzy join / record linkage — name pairs within edit
     //      distance 1 (equal length ⟹ hamming ≤ 1), the typo-tolerant
     //      entity-matching op an ingestion pipeline runs against its OLTP
@@ -1249,6 +1271,17 @@ object Relational {
         |FROM spine s CROSS JOIN prios p
         |LEFT JOIN daily ON daily.prio = p.prio AND daily.d = s.d
         |ORDER BY p.prio NULLS FIRST, s.d NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "seq_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(DATE '1995-01-01' + CAST(r.range AS INT) AS DATE) AS d
+        |  FROM range(0, 31) r
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(1) AS n FROM orders GROUP BY 1
+        |)
+        |SELECT s.d AS d, COALESCE(daily.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily USING (d)
+        |ORDER BY s.d NULLS FIRST, n_orders NULLS FIRST""".stripMargin,
 
     "fzj1" ->
       """SELECT a.c_custkey AS c1, b.c_custkey AS c2,
