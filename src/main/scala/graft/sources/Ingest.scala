@@ -162,7 +162,14 @@ object Ingest {
     * exactly-once streaming sinks; certified for this writer in
     * IngestSpec). Works on any ANSI target with correlated-EXISTS DELETE
     * (Derby, PostgreSQL, Redshift); engines with MERGE can swap step 2 for
-    * it without changing the calling convention. */
+    * it without changing the calling convention.
+    *
+    * Contract: the delta must be KEY-UNIQUE (one row per key — the shape a
+    * CDC compaction like `cdc_latest`/MRG-1 emits). Delete-then-insert
+    * replaces a key with *all* delta rows carrying it, so a duplicated key
+    * would land twice; dedupe upstream where latest-wins is intended. A
+    * failed merge rolls the transaction back and leaves the target
+    * byte-identical (certified in IngestSpec). */
   final class JdbcUpsertWriter(target: JdbcTarget, keyCols: Seq[String]) {
     val stagingTable: String = target.table + "_stage"
     def upsert(df: DataFrame): Unit = {

@@ -211,6 +211,23 @@ class IngestSpec extends AnyFunSuite {
     assertSameRows(spark.read.parquet(ldir), e, "linear rewrite content")
   }
 
+  test("JDBC staged upsert: a failed merge rolls back, target unchanged") {
+    // The transactional half of the upsert contract: when the merge SQL
+    // fails (here: a key column that does not exist), the exception must
+    // surface AND the target table must be byte-identical to before —
+    // readers can never observe a half-merged state.
+    val target = Ingestion.upsertOrders(spark, sfDir)
+    def snapshot() = Ingest.jdbcRead(spark, target).load().collect()
+      .map(_.toString).sorted.toSeq
+    val before = snapshot()
+    val ex = intercept[Exception] {
+      new Ingest.JdbcUpsertWriter(target, Seq("no_such_key_col"))
+        .upsert(Ingestion.upsertDelta(spark, sfDir).repartition(2))
+    }
+    assert(ex.getMessage != null)
+    assert(snapshot() == before, "failed merge must leave the target unchanged")
+  }
+
   test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {
     import graft.streaming.StreamOps
     val d = tempDir("wh_stream_src")
