@@ -59,6 +59,46 @@ object Multimodal {
     }
   }
 
+  /** A resized media row: the transformed payload plus its new dims. */
+  final case class ResizedBlob(doc_id: Long, lang: String,
+                               width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize — the media TRANSFORM step (decode interprets, resize
+    * rewrites): each payload, viewed through the decoder's (width, height)
+    * grid, is nearest-neighbor-sampled to exactly `tw`×`th` bytes. The
+    * pixel math is part of the STUB boundary (a real deployment calls its
+    * codec's scaler); the engine plumbing is the production shape — typed
+    * per-partition map, one transformer init per partition, payload never
+    * leaves the executor, output size KNOWN (tw*th per row) so downstream
+    * memory/shuffle planning can rely on it. Deterministic in the payload:
+    * same bytes → same resized bytes, any partitioning (MultimodalSpec). */
+  def resizeTo(blobs: Dataset[Blob], tw: Int, th: Int): Dataset[ResizedBlob] = {
+    require(tw > 0 && th > 0)
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { rows =>
+      rows.map { b =>
+        val (w, h, _) = DeterministicFakeDecoder.decode(b.payload)
+        val out = new Array[Byte](tw * th)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * h / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * w / tw).toInt
+            // source "pixel" = payload byte at the grid position, wrapped —
+            // the stub's stand-in for plane indexing; empty payloads stay 0.
+            val idx = sy * w + sx
+            out(y * tw + x) =
+              if (b.payload.length == 0) 0 else b.payload(idx % b.payload.length)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedBlob(b.doc_id, b.lang, tw, th, out)
+      }
+    }
+  }
+
   /** Bounded frame sampling: split `payload` into fixed-size frames and
     * keep every `stride`-th, as (doc_id, frame_idx, frame_bytes) rows —
     * all builtin expressions (sequence/transform/explode), codegen-able,

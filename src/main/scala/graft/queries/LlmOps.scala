@@ -678,6 +678,28 @@ object LlmOps {
           dec4S(col("mean_intensity")).as("mean_intensity")))
     }),
 
+    // ---- MM-4: media resize — the TRANSFORM stage of the multimodal
+    //      pipeline (decode interprets, resize rewrites): every payload
+    //      nearest-neighbor-sampled through the decoder's (w, h) grid to a
+    //      fixed 8×8 byte grid via [[graft.operators.Multimodal.resizeTo]]
+    //      (typed per-partition map, payload never leaves the executor,
+    //      output size KNOWN per row). The pixel math is the stub
+    //      decoder's, which is integer-exact — so unlike most decode
+    //      stubs this one is fully ORACLE-HASHED: DuckDB recomputes the
+    //      same grid walk over the text bytes (ASCII corpus ⇒ byte
+    //      positions = char positions, the mm2_binary-certified premise)
+    //      and must md5-agree on every resized payload. ----
+    "mm_resize" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      import s.implicits._
+      val blobs = doc.select(col("doc_id"), col("lang"),
+        col("text").cast("binary").as("payload"))
+        .as[graft.operators.Multimodal.Blob]
+      ordered(graft.operators.Multimodal.resizeTo(blobs, 8, 8).toDF()
+        .select(col("doc_id"), col("lang"), col("width"), col("height"),
+          md5(col("payload")).as("resized_md5")))
+    }),
+
     // ---- SIM-1: brute-force cosine top-k (query set broadcast over corpus) ----
     "sim1" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
@@ -1981,6 +2003,25 @@ object LlmOps {
         |  CAST(CAST(floor((CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n_bytes END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_intensity
         |FROM f
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_bytes NULLS FIRST, width NULLS FIRST, height NULLS FIRST, mean_intensity NULLS FIRST""".stripMargin,
+
+    // The stub's grid walk recomputed exactly: w=16+(n%16), h=16+((n//16)%16),
+    // source index for output cell i (8x8 grid) is
+    // (((i//8)*h//8)*w + ((i%8)*w//8)) % n, 1-based char at that byte.
+    "mm_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(octet_length(encode(text)) AS INT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    16 + (n % 16) AS w, 16 + ((n // 16) % 16) AS h, n, text
+        |  FROM f)
+        |SELECT doc_id, lang,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  md5(array_to_string(list_transform(range(0, 64), i ->
+        |    substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % n) + 1 AS INT), 1)), '')) AS resized_md5
+        |FROM g
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, width NULLS FIRST, height NULLS FIRST, resized_md5 NULLS FIRST""".stripMargin,
 
     "sim1" ->
       """WITH base AS (

@@ -36,6 +36,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert((f1.head.width, f1.head.height, f1.head.mean_intensity) == (w, h, m))
   }
 
+  test("resizeTo yields exactly tw*th bytes, deterministic across partitionings") {
+    val r1 = Multimodal.resizeTo(blobs, 8, 8).collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resizeTo(blobs.repartition(13), 8, 8).collect().sortBy(_.doc_id)
+    assert(r1.length == blobs.count())
+    assert(r1.forall(b => b.width == 8 && b.height == 8 && b.payload.length == 64),
+      "every resized payload must be exactly the target grid")
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq,
+      "resize must not depend on partitioning")
+    // Resizing an already-target-shaped grid keeps the byte count stable
+    // (idempotence on SHAPE — the property a pipeline chaining resize
+    // stages relies on; content equality is not claimed for the stub).
+    val again = Multimodal.resizeTo(
+      spark.createDataset(r1.map(b =>
+        Multimodal.Blob(b.doc_id, b.lang, b.payload)).toSeq), 8, 8).collect()
+    assert(again.forall(_.payload.length == 64))
+  }
+
   test("sampleFrames is bounded and lossless at stride 1") {
     val df = blobs.toDF().limit(50)
     val framed = Multimodal.sampleFrames(df, col("payload"), frameBytes = 32, stride = 1)
