@@ -700,6 +700,23 @@ object LlmOps {
           md5(col("payload")).as("resized_md5")))
     }),
 
+    // ---- MM-5: bounded frame sampling, gated — every `stride`-th
+    //      fixed-size frame of each payload as its own row (the video/
+    //      audio frame-extraction shape). Output per input row is bounded
+    //      by ceil(n/frameBytes/stride), builtin codegen'd expressions
+    //      only, no shuffle; md5 pins each frame's exact bytes without
+    //      shipping them through the comparator. ----
+    "mm_frames" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val withPayload = doc.select(col("doc_id"), col("lang"),
+        col("text").cast("binary").as("payload"))
+      ordered(graft.operators.Multimodal
+        .sampleFrames(withPayload, col("payload"), frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("lang"), col("frame_idx"),
+          length(col("frame")).as("n_bytes"),
+          md5(col("frame")).as("frame_md5")))
+    }),
+
     // ---- SIM-1: brute-force cosine top-k (query set broadcast over corpus) ----
     "sim1" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
@@ -2022,6 +2039,22 @@ object LlmOps {
         |    substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % n) + 1 AS INT), 1)), '')) AS resized_md5
         |FROM g
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, width NULLS FIRST, height NULLS FIRST, resized_md5 NULLS FIRST""".stripMargin,
+
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(octet_length(encode(text)) AS INT) AS n
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, lang, text,
+        |    unnest(list_filter(range(0, CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT)),
+        |      i -> i % 2 = 0)) AS frame_idx
+        |  FROM f WHERE n > 0)
+        |SELECT doc_id, lang, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS INT) AS n_bytes,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM idx
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, frame_idx NULLS FIRST, n_bytes NULLS FIRST, frame_md5 NULLS FIRST""".stripMargin,
 
     "sim1" ->
       """WITH base AS (
