@@ -34,10 +34,15 @@ object Multimodal {
     * pixel array, WAV → samples). The fake is pure and deterministic in
     * the payload so tests and reruns agree. */
   object DeterministicFakeDecoder {
+    /** Header-only decode: dims are O(1) in the payload (a real decoder
+      * reads them from the container header without scanning the media). */
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val n = payload.length
+      (16 + (n % 16), 16 + ((n / 16) % 16))
+    }
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val n = payload.length
-      val width = 16 + (n % 16)
-      val height = 16 + ((n / 16) % 16)
+      val (width, height) = dims(payload)
       val mean =
         if (n == 0) 0.0
         else payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / n
@@ -77,7 +82,9 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { rows =>
       rows.map { b =>
-        val (w, h, _) = DeterministicFakeDecoder.decode(b.payload)
+        // dims only — the full decode's O(payload) intensity fold would be
+        // a wasted second byte scan per row at media sizes.
+        val (w, h) = DeterministicFakeDecoder.dims(b.payload)
         val out = new Array[Byte](tw * th)
         var y = 0
         while (y < th) {

@@ -692,8 +692,14 @@ object LlmOps {
     "mm_resize" -> ((s, d) => {
       val doc = load(s, d, "documents")
       import s.implicits._
-      val blobs = doc.select(col("doc_id"), col("lang"),
-        col("text").cast("binary").as("payload"))
+      // Empty payloads are excluded from the GATED scope (the mm_frames
+      // convention): the operator zero-fills them (MultimodalSpec), but
+      // the oracle's grid walk has no NUL-byte string to md5 against
+      // (DuckDB varchar can't hold chr(0)), so the declared query is
+      // non-empty media only.
+      val blobs = doc.filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("payload"))
         .as[graft.operators.Multimodal.Blob]
       ordered(graft.operators.Multimodal.resizeTo(blobs, 8, 8).toDF()
         .select(col("doc_id"), col("lang"), col("width"), col("height"),
@@ -2028,7 +2034,7 @@ object LlmOps {
       """WITH f AS (
         |  SELECT doc_id, lang, text,
         |    CAST(octet_length(encode(text)) AS INT) AS n
-        |  FROM documents),
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
         |g AS (
         |  SELECT doc_id, lang,
         |    16 + (n % 16) AS w, 16 + ((n // 16) % 16) AS h, n, text

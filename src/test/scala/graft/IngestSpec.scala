@@ -211,21 +211,27 @@ class IngestSpec extends AnyFunSuite {
     assertSameRows(spark.read.parquet(ldir), e, "linear rewrite content")
   }
 
-  test("JDBC staged upsert: a failed merge rolls back, target unchanged") {
-    // The transactional half of the upsert contract: when the merge SQL
-    // fails (here: a key column that does not exist), the exception must
-    // surface AND the target table must be byte-identical to before —
-    // readers can never observe a half-merged state.
+  test("JDBC staged upsert: a failed merge rolls back the applied DELETE, target unchanged") {
+    // The transactional half of the upsert contract, exercised on a
+    // HALF-APPLIED merge: the delta's keys are valid so the DELETE
+    // executes and removes matching target rows, then the INSERT fails
+    // (a non-key column renamed → no such column in the target). Only a
+    // real rollback can restore the deleted rows — with autoCommit or a
+    // dropped rollback this test fails, unlike a bad-key variant whose
+    // DELETE aborts before mutating anything.
     val target = Ingestion.upsertOrders(spark, sfDir)
     def snapshot() = Ingest.jdbcRead(spark, target).load().collect()
       .map(_.toString).sorted.toSeq
     val before = snapshot()
     val ex = intercept[Exception] {
-      new Ingest.JdbcUpsertWriter(target, Seq("no_such_key_col"))
-        .upsert(Ingestion.upsertDelta(spark, sfDir).repartition(2))
+      new Ingest.JdbcUpsertWriter(target, Seq("o_orderkey"))
+        .upsert(Ingestion.upsertDelta(spark, sfDir)
+          .withColumnRenamed("o_orderpriority", "o_mislabeled")
+          .repartition(2))
     }
     assert(ex.getMessage != null)
-    assert(snapshot() == before, "failed merge must leave the target unchanged")
+    assert(snapshot() == before,
+      "the rolled-back transaction must restore the rows its DELETE removed")
   }
 
   test("streaming CSV arrivals load the warehouse via foreachBatch, rerun adds nothing") {

@@ -63,7 +63,11 @@ class StorageSpec extends AnyFunSuite {
       val l = r.getStorageLevel
       l.useMemory && l.useDisk && !l.deserialized
     }, s"pin must store MEMORY_AND_DISK_SER, added levels: ${added.map(_.getStorageLevel)}")
-    added.foreach(_.unpersist(blocking = true))
+    // Deliberately NOT unpersisted: `added` could include a concurrent
+    // suite's localCheckpoint RDD (same race the exists() above tolerates),
+    // and unpersisting a checkpoint block destroys its ONLY copy — the
+    // owner's next action would fail. One region-sized block leaking for
+    // the rest of the test JVM is the cheaper side of that trade.
   }
 
   test("z-order clustered write: file min/max skipping works on BOTH dimensions") {
