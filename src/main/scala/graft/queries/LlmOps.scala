@@ -365,18 +365,27 @@ object LlmOps {
       //    doc-level join: min neighbor label per label node...
       val neighborMin = sym.groupBy(col("d1")).agg(min(col("d2")).as("nl"))
       //    ...applied to every doc through its current label.
+      // The round's ORIGINAL label rides along as `old_label` so the
+      // convergence test below is a FILTER over the round's own
+      // checkpointed blocks instead of a doc-level join back to `labels`
+      // — one fewer shuffle join per round. At sf0.1's 2-3 rounds the
+      // steady-state delta is within noise (2.28 s vs the 2.29 s floor);
+      // the term scales with round count × label-relation size, which is
+      // what matters on a 100 TB corpus where CC runs O(log n) rounds
+      // over a doc-sized relation.
       val stepped = ckpt(labels.as("l")
         .join(neighborMin.as("n"), col("l.label") === col("n.d1"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label")))
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
+          col("l.label").as("old_label")))
       // 2. Pointer jump (labels are doc_ids, so the lookup is a self-join).
       val next = ckpt(stepped.as("x")
         .join(stepped.select(col("doc_id").as("ld"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ld"), "left")
         .select(col("x.doc_id").as("doc_id"),
-          least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label")))
-      converged = next.as("a").join(labels.as("b"), "doc_id")
-        .filter(col("a.label") =!= col("b.label")).isEmpty
+          least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"),
+          col("x.old_label").as("old_label")))
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
       // 3. Contract the graph under the new labels.
       if (!converged) {
         sym = ckpt(sym
@@ -388,7 +397,7 @@ object LlmOps {
           .filter(col("d1") =!= col("d2"))
           .distinct())
       }
-      labels = next
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     System.err.println(s"[ddp_cluster] converged after $rounds rounds")
