@@ -374,6 +374,82 @@ object Events {
           col("ts") < lit("2024-01-12").cast("timestamp"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), decS(col("value")).as("value")))
+    }),
+
+    // ---- CDC-2: changelog APPLY — CDC-1 compacts a log to its latest
+    //      records; this applies a multi-generation I/U/D changelog to a
+    //      base snapshot, producing the next snapshot (the core of every
+    //      warehouse merge/refresh job, and the general case of MRG-1's
+    //      latest-wins upsert: deletes actually remove rows). Changelog
+    //      derived deterministically from orders so the oracle sees
+    //      identical inputs; generations exercise every op interaction:
+    //      update-then-delete (k%10=3 → gone), insert-then-update (8 →
+    //      updated insert), delete-then-reinsert (4 → re-inserted at 2×),
+    //      plain update (2), plain insert (9), untouched base (0,1,5,6,7).
+    //      Latest-op-wins per key = row_number over seq DESC, which plans
+    //      as WindowGroupLimit (one row of map-side state per key — the
+    //      cdc_latest shape); the apply itself is ONE full-outer join by
+    //      key. At 100 TB both sides are bucketed by the merge key (the
+    //      JOIN-13 layout), making the join exchange-free, and the
+    //      changelog is typically ≪ base, so the real cost is one base
+    //      rewrite — the same I/O floor any snapshot refresh pays. ----
+    "cdc_apply" -> ((s, d) => {
+      val o = load(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
+      val m = pmod(col("k"), lit(10))
+      val base = o.filter(m < 8)
+        .select(col("k"), dec(col("p")).as("price"), col("st").as("status"))
+      val g1 = o.select(col("k"), lit(1).as("seq"),
+          when(m.isin(2, 3), lit("U"))
+            .when(m.isin(8, 9), lit("I"))
+            .when(m === 4, lit("D")).as("op"),
+          when(m.isin(2, 3), dec4(col("p") * lit(1.05)))
+            .when(m.isin(8, 9), dec(col("p"))).as("price"),
+          col("st").as("status"))
+        .filter(col("op").isNotNull)
+      val g2 = o.select(col("k"), lit(2).as("seq"),
+          when(m === 3, lit("D"))
+            .when(m === 8, lit("U"))
+            .when(m === 4, lit("I")).as("op"),
+          when(m === 8, dec4(col("p") * lit(1.10)))
+            .when(m === 4, dec4(col("p") * lit(2.0))).as("price"),
+          col("st").as("status"))
+        .filter(col("op").isNotNull)
+      val latest = g1.unionByName(g2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k").as("ck"), col("op"),
+          col("price").as("cp"), col("status").as("cst"))
+      ordered(base.join(latest, col("k") === col("ck"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("k"), col("ck")).as("o_orderkey"),
+          cstr(coalesce(col("cp"), col("price"))).as("price"),
+          coalesce(col("cst"), col("status")).as("status"),
+          coalesce(col("op"), lit("unchanged")).as("last_op")))
+    }),
+
+    // ---- MKV-1: first-order Markov transition matrix over per-user event
+    //      sequences — the aggregate model behind PTH-1's raw journeys
+    //      (next-step prediction, funnel leak detection, bot detection via
+    //      improbable transitions). One `lag` over the per-user (ts,
+    //      event_id) sort = ONE full-data shuffle by user; the transition
+    //      counts then collapse to |types|² rows, so the row-probability
+    //      normalization window runs on a 25-row relation — free at any
+    //      corpus size. Probabilities are exact-integer-count divisions
+    //      (bit-identical doubles in both engines), dec4-rendered. ----
+    "evt_markov" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      ordered(trans.withColumn("p", dec4S(col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"))))
     })
   )
 
@@ -412,6 +488,53 @@ object Events {
     }
 
   val oracle: Map[String, String] = Map(
+    // Same deterministic changelog derivation; latest-op-wins via QUALIFY,
+    // apply via FULL OUTER join, deletes filtered.
+    "cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    o_orderstatus AS st, o_orderkey % 10 AS m FROM orders),
+        |base AS (SELECT k, CAST(p AS DECIMAL(38,4)) AS price, st AS status
+        |  FROM o WHERE m < 8),
+        |g1 AS (SELECT k, 1 AS seq,
+        |    CASE WHEN m IN (2,3) THEN 'U' WHEN m IN (8,9) THEN 'I'
+        |         WHEN m = 4 THEN 'D' END AS op,
+        |    CASE WHEN m IN (2,3) THEN CAST(floor((p*1.05)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |         WHEN m IN (8,9) THEN CAST(p AS DECIMAL(38,4)) END AS price,
+        |    st AS status
+        |  FROM o WHERE m IN (2,3,4,8,9)),
+        |g2 AS (SELECT k, 2 AS seq,
+        |    CASE WHEN m = 3 THEN 'D' WHEN m = 8 THEN 'U'
+        |         WHEN m = 4 THEN 'I' END AS op,
+        |    CASE WHEN m = 8 THEN CAST(floor((p*1.10)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |         WHEN m = 4 THEN CAST(floor((p*2.0)*10000+0.5)/10000 AS DECIMAL(38,4)) END AS price,
+        |    st AS status
+        |  FROM o WHERE m IN (3,4,8)),
+        |cl AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |latest AS (SELECT k AS ck, op, price AS cp, status AS cst FROM cl
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+        |SELECT COALESCE(b.k, l.ck) AS o_orderkey,
+        |  CAST(COALESCE(l.cp, b.price) AS VARCHAR) AS price,
+        |  COALESCE(l.cst, b.status) AS status,
+        |  COALESCE(l.op, 'unchanged') AS last_op
+        |FROM base b FULL OUTER JOIN latest l ON b.k = l.ck
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey NULLS FIRST, price NULLS FIRST, status NULLS FIRST, last_op NULLS FIRST""".stripMargin,
+
+    "evt_markov" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(1) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(CAST(floor((CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE))*10000+0.5)/10000
+        |    AS DECIMAL(38,4)) AS VARCHAR) AS p
+        |FROM c
+        |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST, n NULLS FIRST, p NULLS FIRST""".stripMargin,
+
     // The box filter on the ORIGINAL table: a layout rewrite must be
     // invisible to every query result.
     "zorder_scan" ->

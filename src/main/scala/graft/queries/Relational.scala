@@ -969,6 +969,92 @@ object Relational {
           .select(lit(n).as("table_name"), col("n_rows"),
             lit(df.columns.length).as("n_cols"))
       }.reduce(_ unionByName _))
+    }),
+
+    // ---- ANOM-1: robust outlier detection (median/MAD) — the per-group
+    //      anomaly gate a data-quality pipeline runs on every numeric
+    //      measure. Mean/stddev z-scores break on the very outliers they
+    //      hunt (one huge value inflates σ until nothing is 3σ out);
+    //      median + MAD have a 50% breakdown point. Modified z-score
+    //      |x−med| > 3·1.4826·MAD (1.4826 = 1/Φ⁻¹(3/4) makes MAD a
+    //      consistent σ estimator under normality). Three scan-level
+    //      aggregations + two BROADCAST joins of a |groups|-row relation —
+    //      no window over the fact table, so the shape survives any group
+    //      cardinality; exact percentile switches to approx_percentile at
+    //      100 TB per-group value volume (AGG-11's declared trade). Both
+    //      comparison sides dec4-rounded so the flag threshold can never
+    //      sit on an engine-dependent double tie (§5.3). ----
+    "anomaly_mad" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
+      val med = o.groupBy(col("prio"))
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      val mad = o.join(broadcast(med), Seq("prio"))
+        .withColumn("adev", abs(col("x") - col("med")))
+        .groupBy(col("prio"))
+        .agg(min(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+      val out = (dec4(abs(col("x") - col("med"))) >
+        dec4(lit(4.4478) * col("mad")))
+      ordered(o.join(broadcast(mad), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          dec4S(min(col("med"))).as("med"),
+          dec4S(min(col("mad"))).as("mad"),
+          count(when(out, 1)).as("n_out"),
+          count(when(out && col("x") < col("med"), 1)).as("n_low"),
+          count(when(out && col("x") > col("med"), 1)).as("n_high")))
+    }),
+
+    // ---- GRPH-1: trade-flow PageRank — iterative graph analytics beyond
+    //      connectivity (DDP-CLUSTER/FZJ-CLUSTER are Hash-Min components;
+    //      this is the importance-propagation loop): nodes = nations,
+    //      directed edges supplier-nation → customer-nation weighted by
+    //      lineitem count (a 4-table join distills the 600k-row fact table
+    //      into a ≤625-row edge list — the standard graph-FROM-relational
+    //      extraction), 3 fixed power iterations, damping 0.85. All
+    //      arithmetic is FIXED-POINT INTEGER (ranks in units of 10⁻¹²,
+    //      contribution = r·w div W, damping = 17·Σ div 20): exact int64,
+    //      order-independent sums, bit-equal in any engine — no float
+    //      accumulation to make iteration results order-dependent (§5.3;
+    //      r·w ≤ 10¹²·|edges per node| stays far under 2⁶³). Per
+    //      iteration: one edge⋈rank join + one groupBy — state is
+    //      node-sized, work is edge-sized, exactly how a 1000-executor
+    //      power iteration distributes (edges bucketed by src reuse one
+    //      layout every iteration); rank mass lost to floor truncation and
+    //      dangling nodes is declared semantics (no redistribution), as in
+    //      most production implementations. Edge build pinned once;
+    //      3 unrolled iterations keep lineage shallow — the checkpoint-per-
+    //      round discipline of DDP-CLUSTER applies beyond ~10 rounds. ----
+    "graph_pagerank" -> ((s, d) => {
+      val li = load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("dst"))
+      val su = load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("src"))
+      val n = load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .pinned
+      val e = edges.join(
+        edges.groupBy(col("src")).agg(sum(col("w")).as("tot")), Seq("src"))
+      val N = 25L // nation table cardinality; 10^12 div N exact
+      var r = n.select(col("node"), lit(1000000000000L / N).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = e.join(r, col("src") === col("node"))
+          .select(col("dst"),
+            call_function("div", col("r") * col("w"), col("tot")).as("cn"))
+          .groupBy(col("dst")).agg(sum(col("cn")).as("m"))
+        r = n.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(150000000000L / N) +
+            call_function("div", lit(17L) * coalesce(col("m"), lit(0L)), lit(20L))).as("r"))
+      }
+      ordered(r.join(broadcast(n), Seq("node"))
+        .select(col("n_name"), col("r").as("rank_units")))
     })
   )
 
@@ -985,6 +1071,63 @@ object Relational {
       |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont ≡ Spark percentile (both type-7 interpolation, agg7
+    // precedent); flag threshold dec4-rounded on BOTH sides like the Spark
+    // build so no row can sit on an engine-dependent double tie.
+    "anomaly_mad" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS x FROM orders),
+        |med AS (SELECT prio, quantile_cont(x, 0.5) AS med FROM o GROUP BY 1),
+        |mad AS (SELECT o.prio, MIN(m.med) AS med,
+        |    quantile_cont(abs(o.x - m.med), 0.5) AS mad
+        |  FROM o JOIN med m ON o.prio = m.prio GROUP BY o.prio)
+        |SELECT o.prio, COUNT(1) AS n,
+        |  CAST(CAST(floor(MIN(g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS med,
+        |  CAST(CAST(floor(MIN(g.mad)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mad,
+        |  COUNT(CASE WHEN CAST(floor(abs(o.x - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4)) THEN 1 END) AS n_out,
+        |  COUNT(CASE WHEN CAST(floor(abs(o.x - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |    AND o.x < g.med THEN 1 END) AS n_low,
+        |  COUNT(CASE WHEN CAST(floor(abs(o.x - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |    AND o.x > g.med THEN 1 END) AS n_high
+        |FROM o JOIN mad g ON o.prio = g.prio
+        |GROUP BY o.prio
+        |ORDER BY o.prio NULLS FIRST, n NULLS FIRST, med NULLS FIRST, mad NULLS FIRST,
+        |  n_out NULLS FIRST, n_low NULLS FIRST, n_high NULLS FIRST""".stripMargin,
+
+    // Integer fixed-point power iteration unrolled as CTEs; `//` is
+    // DuckDB's integer floor division ≡ Spark's `div` on positive values.
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+        |    CAST(c.c_nationkey AS BIGINT) AS dst, COUNT(1) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tot FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, CAST(e0.w AS BIGINT) AS w, ow.tot
+        |  FROM e0 JOIN ow ON e0.src = ow.src),
+        |n0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+        |r0 AS (SELECT node, CAST(40000000000 AS BIGINT) AS r FROM n0),
+        |c1 AS (SELECT e.dst, CAST(SUM((r.r * e.w) // e.tot) AS BIGINT) AS m
+        |  FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        |r1 AS (SELECT n0.node, CAST(6000000000 + ((17 * COALESCE(c.m, 0)) // 20) AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c1 c ON n0.node = c.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM((r.r * e.w) // e.tot) AS BIGINT) AS m
+        |  FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        |r2 AS (SELECT n0.node, CAST(6000000000 + ((17 * COALESCE(c.m, 0)) // 20) AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c2 c ON n0.node = c.dst),
+        |c3 AS (SELECT e.dst, CAST(SUM((r.r * e.w) // e.tot) AS BIGINT) AS m
+        |  FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+        |r3 AS (SELECT n0.node, CAST(6000000000 + ((17 * COALESCE(c.m, 0)) // 20) AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c3 c ON n0.node = c.dst)
+        |SELECT n.n_name, r3.r AS rank_units
+        |FROM r3 JOIN nation n ON r3.node = CAST(n.n_nationkey AS BIGINT)
+        |ORDER BY n_name NULLS FIRST, rank_units NULLS FIRST""".stripMargin,
+
     "prj1" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(floor((l_extendedprice*(1.0-l_discount))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS disc_price,

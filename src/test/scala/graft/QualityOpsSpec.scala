@@ -319,4 +319,76 @@ class QualityOpsSpec extends AnyFunSuite {
     val n = doc.filter(norm(col("text")) =!= norm(norm(col("text")))).count()
     assert(n == 0, s"$n documents not at fixpoint after one pass")
   }
+
+  test("cdc_apply: per-generation op semantics land in the final snapshot") {
+    val out = SparkEntry.queries("cdc_apply")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        (BigDecimal(r.getAs[String]("price")), r.getAs[String]("last_op")))).toMap
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def dec4(x: Double) = BigDecimal(math.floor(x * 10000 + 0.5) / 10000)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    orders.foreach { case (k, p) =>
+      (k % 10, out.get(k)) match {
+        case (3, v) => assert(v.isEmpty, s"key $k: update-then-delete must vanish")
+        case (4, Some((price, op))) => // delete-then-reinsert at 2x
+          assert(op == "I" && price == dec4(p * 2.0), s"key $k reinsert: $price")
+        case (8, Some((price, op))) => // insert-then-update
+          assert(op == "U" && price == dec4(p * 1.10), s"key $k upd-insert: $price")
+        case (2, Some((price, op))) =>
+          assert(op == "U" && price == dec4(p * 1.05), s"key $k update: $price")
+        case (9, Some((_, op))) => assert(op == "I")
+        case (m, Some((price, op))) if m <= 7 =>
+          assert(op == "unchanged" && price == BigDecimal(p).setScale(4))
+        case (m, v) => fail(s"key $k (m=$m): unexpected $v")
+      }
+    }
+    assert(out.size == orders.count { case (k, _) => k % 10 != 3 })
+  }
+
+  test("evt_markov: transition matrix is row-stochastic and count-conserving") {
+    val rows = SparkEntry.queries("evt_markov")(spark, sfDir).collect()
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val nTrans = events.count() -
+      events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nTrans,
+      "every consecutive pair contributes exactly one transition")
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (prev, grp) =>
+      val psum = grp.map(r => BigDecimal(r.getAs[String]("p"))).sum
+      // each of ≤5 cells dec4-rounded half-up: |Σp − 1| ≤ 5 · 5e-5
+      assert((psum - 1).abs <= BigDecimal("0.00025"),
+        s"row $prev: Σp = $psum")
+    }
+  }
+
+  test("anomaly_mad: tallies are consistent and the threshold actually separates") {
+    val rows = SparkEntry.queries("anomaly_mad")(spark, sfDir).collect()
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    assert(rows.map(_.getAs[Long]("n")).sum == o.count())
+    rows.foreach { r =>
+      val (nOut, nLow, nHigh) = (r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))
+      // strict > on |x−med| means no flagged row can sit AT the median,
+      // so the low/high split partitions the outliers exactly
+      assert(nOut == nLow + nHigh, s"${r.getAs[String]("prio")}: $nOut != $nLow+$nHigh")
+      assert(nOut < r.getAs[Long]("n") / 4,
+        "a robust gate must not flag a quarter of the data")
+      val med = BigDecimal(r.getAs[String]("med"))
+      val mad = BigDecimal(r.getAs[String]("mad"))
+      assert(med > 0 && mad > 0)
+    }
+  }
+
+  test("graph_pagerank: fixed-point mass conservation and floor bounds") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 25, "one rank row per nation")
+    val total = rows.map(_.getAs[Long]("rank_units")).sum
+    // Base (teleport) mass alone is 25 · 6e9 = 0.15e12; full mass is 1e12.
+    // Floor truncation and dangling nodes only ever LOSE mass.
+    assert(total <= 1000000000000L, s"mass created: $total")
+    assert(total >= 150000000000L, s"even the teleport floor lost: $total")
+    assert(rows.forall(_.getAs[Long]("rank_units") >= 6000000000L),
+      "every node keeps at least the teleport term")
+  }
 }
