@@ -169,8 +169,44 @@ object Ingestion {
         .agg(count(lit(1)).as("n_orders"),
           dsumS(col("o_totalprice")).as("sum_price"),
           max(col("o_orderdate")).as("last_order")))
+    }),
+
+    // ---- Schema-evolution scan: a table whose schema GREW between
+    //      generations — v1 files written before a column existed, v2
+    //      files after — read back as ONE relation via mergeSchema, v1
+    //      rows surfacing the new column as NULL (additive evolution,
+    //      the only kind parquet supports without rewrite; renames/type
+    //      changes need a table format's mapping metadata). The scan
+    //      stays columnar and pushdown-capable on the union schema.
+    //      100 TB note: option("mergeSchema") reconciles EVERY file's
+    //      footer per scan — O(files) driver work each query; production
+    //      pins the merged schema once in the catalog/table format and
+    //      scans with the declared schema (one footer read per FILE per
+    //      scan is unavoidable; per-QUERY reconciliation is not). The
+    //      oracle recomputes the union from the original table: the
+    //      layout split must be invisible to results. ----
+    "ingest_evolve" -> ((s, d) => {
+      val dir = evolveOrders(s, d)
+      ordered(s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .select(col("o_orderkey"), decS(col("o_totalprice")).as("price"),
+          col("o_orderstatus").as("status")))
     })
   )
+
+  /** Two-generation orders layout for the schema-evolution scan, built
+    * once per (process, sfDir): v1 = even keys WITHOUT o_orderstatus
+    * (the column does not exist yet), v2 = odd keys with it. */
+  private def evolveOrders(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "orders_evolve") { out =>
+      val o = load(s, d, "orders")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+    }
 
   /** ORC copy of orders, built once per (process, sfDir) via
     * [[graft.core.Warehouse.once]]. */
@@ -261,6 +297,15 @@ object Ingestion {
       driver = "org.apache.derby.jdbc.EmbeddedDriver")
 
   val oracle: Map[String, String] = Map(
+    // The union the merged scan must reconstruct: even keys never had a
+    // status (NULL), odd keys carry it.
+    "ingest_evolve" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS price,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST, price NULLS FIRST, status NULLS FIRST""".stripMargin,
+
     "ingest_csv" ->
       s"""SELECT id, name, qty, CAST(CAST(price AS DECIMAL(38,4)) AS VARCHAR) AS price, ship_date
         |FROM read_csv('$csvPath', header=true,

@@ -1992,10 +1992,76 @@ object LlmOps {
         regexp_count(aug, lit(phonePat)).cast("int").as("n_phone"),
         md5(red).as("redacted_md5"),
         (length(aug) - length(red)).cast("int").as("chars_removed")))
+    }),
+
+    // ---- TXT-LID2: character-trigram language ID — the textcat/CLD
+    //      n-gram family, complementing txt_langid's stopword marker
+    //      (which needs a per-language word list; trigram profiles are
+    //      LEARNED from the corpus itself and work on languages with no
+    //      curated stopwords). Profile = each language's top-20 trigrams
+    //      by corpus frequency (ties by trigram — engine-stable);
+    //      prediction = the language whose profile shares the most
+    //      trigram TYPES with the doc (ties by language asc), 'und' when
+    //      nothing overlaps. Everything is integer counting — no float
+    //      scores to drift. Scale shape: the trigram explode is the
+    //      corpus-sized cost (∝ total chars, the same order as reading
+    //      the text), pinned once and read twice (profile build + doc
+    //      scoring); profiles collapse to |langs|·20 rows → BROADCAST to
+    //      the scoring join, so scoring shuffles only (doc, cand) count
+    //      rows; argmax is a WindowGroupLimit top-1. At 100 TB the
+    //      profile would be trained once on a sample and shipped as a
+    //      literal — the scoring pass alone is scan-proportional. ----
+    "txt_langid_ngram" -> ((s, d) => {
+      val d3 = load(s, d, "documents").filter(length(col("text")) >= 3)
+      val tris = d3.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3)))).as("tri"))
+        .pinned
+      val prof = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("cand"), col("tri"))
+      val docTris = tris.select(col("doc_id"), col("tri")).distinct()
+      val best = docTris.join(broadcast(prof), Seq("tri"))
+        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("ov"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("ov").desc, col("cand").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand"), col("ov"))
+      ordered(load(s, d, "documents").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cand"), lit("und")).as("pred_lang"),
+          coalesce(col("ov"), lit(0L)).as("overlap"),
+          when(coalesce(col("cand"), lit("und")) === col("lang"), 1)
+            .otherwise(0).cast("int").as("hit")))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "txt_langid_ngram" ->
+      """WITH d3 AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+        |  FROM d3, UNNEST(generate_series(1, length(text) - 2)) AS t(i)),
+        |prof AS (SELECT lang AS cand, tri FROM (
+        |    SELECT lang, tri, COUNT(1) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(1) DESC, tri ASC) AS rn
+        |    FROM tri GROUP BY lang, tri) WHERE rn <= 20),
+        |dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+        |best AS (SELECT doc_id, cand, ov FROM (
+        |    SELECT dt.doc_id, prof.cand, COUNT(1) AS ov
+        |    FROM dt JOIN prof ON dt.tri = prof.tri GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY ov DESC, cand ASC) = 1)
+        |SELECT doc.doc_id, doc.lang,
+        |  COALESCE(b.cand, 'und') AS pred_lang,
+        |  COALESCE(b.ov, 0) AS overlap,
+        |  CAST(CASE WHEN COALESCE(b.cand, 'und') = doc.lang THEN 1 ELSE 0 END AS INT) AS hit
+        |FROM documents doc LEFT JOIN best b ON doc.doc_id = b.doc_id
+        |ORDER BY doc.doc_id NULLS FIRST, doc.lang NULLS FIRST, pred_lang NULLS FIRST,
+        |  overlap NULLS FIRST, hit NULLS FIRST""".stripMargin,
+
     "mm1" ->
       """SELECT doc_id, lang, label, n_chars,
         |  array_to_string(list_transform(embedding[1:2], x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS head2

@@ -249,10 +249,46 @@ object Scalars {
         lit("2024-01-15 10:30:00").cast("timestamp").as("const_ts"),
         col("value").cast("int").as("value_trunc"),
         floor(col("value")).cast("long").as("value_floor")))
+    }),
+
+    // ---- JSN-2: VARIANT semi-structured path (Spark 4 native) — the
+    //      props payload re-shaped into a nested JSON document (object,
+    //      nested object, array), parsed ONCE to the binary VARIANT
+    //      encoding, then typed path extraction: nested-object path,
+    //      0-based array index, and a missing path that must yield NULL
+    //      (try_variant_get, not a parse error). Vs JSN-1's
+    //      get_json_object: variant parses each row once and serves every
+    //      path from the binary encoding — at 100 TB of semi-structured
+    //      payloads repeated per-path JSON re-parsing is the scan
+    //      bottleneck, and shredded variant storage pushes paths into the
+    //      scan itself. The oracle recomputes each field from the SOURCE
+    //      columns: extraction must return exactly what was packed. ----
+    "jsn2_variant" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val js = to_json(struct(
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        struct(col("user_id").as("id"), col("event_type").as("t")).as("u"),
+        array(col("user_id"), col("user_id") * 2).as("arr")))
+      val v = parse_json(js)
+      ordered(e.select(col("event_id"),
+        try_variant_get(v, "$.k", "int").as("k_int"),
+        try_variant_get(v, "$.u.t", "string").as("etype"),
+        try_variant_get(v, "$.arr[1]", "bigint").as("arr1"),
+        try_variant_get(v, "$.missing", "int").as("missing")))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "jsn2_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  event_type AS etype,
+        |  user_id * 2 AS arr1,
+        |  CAST(NULL AS INT) AS missing
+        |FROM events
+        |ORDER BY event_id NULLS FIRST, k_int NULLS FIRST, etype NULLS FIRST,
+        |  arr1 NULLS FIRST, missing NULLS FIRST""".stripMargin,
+
     "str1" ->
       """SELECT c_custkey,
         |  CAST(length(c_name) AS INT) AS name_len,

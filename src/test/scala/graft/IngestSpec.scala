@@ -361,4 +361,23 @@ class IngestSpec extends AnyFunSuite {
     assert(report.statuses.nonEmpty, "completion listener must record statuses")
     assert(report.statuses.forall(_.contains("\"success\"")))
   }
+
+  test("ingest_evolve: v1 files genuinely lack the evolved column; merged scan unions both generations") {
+    val out = SparkEntry.queries("ingest_evolve")(spark, sfDir)
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+    assert(out.count() == orders.count(), "merged scan must see every row")
+    // Null exactly on the v1 (even-key) generation.
+    assert(out.filter(col("status").isNull) .filter(col("o_orderkey") % 2 =!= 0).count() == 0)
+    assert(out.filter(col("status").isNotNull).filter(col("o_orderkey") % 2 =!= 1).count() == 0)
+    // The v1 files must NOT contain the column at all — the NULLs come
+    // from schema reconciliation, not from a written all-null column.
+    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+    val evolveDir = new java.io.File(warehouse).listFiles()
+      .filter(f => f.getName.startsWith("orders_evolve") &&
+        f.getName.contains(s"_${ProcessHandle.current().pid()}"))
+      .maxBy(_.lastModified).toString
+    val v1Schema = spark.read.parquet(s"$evolveDir/v1").schema
+    assert(!v1Schema.fieldNames.contains("o_orderstatus"),
+      s"v1 generation must predate the column: ${v1Schema.fieldNames.mkString(",")}")
+  }
 }

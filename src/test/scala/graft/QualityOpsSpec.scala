@@ -380,6 +380,32 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_langid_ngram: profile-bounded overlap, closed prediction domain") {
+    val rows = SparkEntry.queries("txt_langid_ngram")(spark, sfDir).collect()
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    assert(rows.length == doc.count(), "one prediction per document")
+    val langs = doc.select(col("lang")).distinct().collect()
+      .map(_.getString(0)).toSet + "und"
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("overlap")
+      assert(ov >= 0 && ov <= 20, s"overlap $ov exceeds the 20-trigram profile")
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert((r.getAs[Int]("hit") == 1) ==
+        (r.getAs[String]("pred_lang") == r.getAs[String]("lang")))
+    }
+  }
+
+  test("jsn2_variant: typed extraction returns what was packed; missing path is NULL, not an error") {
+    val out = SparkEntry.queries("jsn2_variant")(spark, sfDir)
+    assert(out.filter(col("missing").isNotNull).count() == 0)
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    assert(out.filter(col("etype").isNull || col("arr1").isNull).count() == 0)
+    // Array index extraction: arr[1] was packed as user_id * 2.
+    val bad = out.join(events, Seq("event_id"))
+      .filter(col("arr1") =!= col("user_id") * 2).count()
+    assert(bad == 0, s"$bad rows where variant arr[1] != packed value")
+  }
+
   test("graph_pagerank: fixed-point mass conservation and floor bounds") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
     assert(rows.length == 25, "one rank row per nation")
