@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions.{bloom_might_contain, dot_product, poly_hash}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.4 + north star):
@@ -1832,6 +1833,78 @@ object LlmOps {
           sqrt(sqSum(transform(col("e"), x => x * x)))).as("rel_err")))
     }),
 
+    // ---- PQ-1: product quantization — the CODEBOOK compression path
+    //      complementing VQ-1's scalar int8: the 64-d vector splits into
+    //      8 contiguous 8-d subvectors, each assigned to its nearest
+    //      centroid in a per-subspace codebook of ≤16 entries, so a
+    //      vector stores as 8 nibble codes (≈64× vs float32; ANN then
+    //      scores against codebook entries via lookup tables — the
+    //      IVF-PQ layout every billion-vector index uses). Codebooks are
+    //      data-derived and DETERMINISTIC: cells seeded by the sign
+    //      pattern of the subvector's first 4 dims (the one-step
+    //      quantizer standing in for k-means, whose iteration count —
+    //      not the relational shape — is the only production delta;
+    //      sim1_ivf precedent), centroids = dec4-quantized per-dim
+    //      means. Float discipline (§5.3): every element dec4-quantized
+    //      FIRST, distances then accumulate as exact DECIMAL(38,8)
+    //      products — order-independent sums, argmin comparisons on
+    //      exact decimals (ties by cell id), bit-equal across engines
+    //      by construction, no double accumulation anywhere. Scale
+    //      shape: the long-form explode is ∝ corpus dims (the scan
+    //      itself); codebooks collapse to ≤ 8·16·8 = 1024 rows →
+    //      broadcast to the assignment join; per-vector state after
+    //      assignment is 8 rows. decimal→double for the relative error
+    //      is safe here: unscaled values < 2⁵³ make the cast one
+    //      correct rounding in both engines. ----
+    "vec_pq" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val long = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("p0", "xf")))
+        .select(col("vec_id"),
+          (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
+          (pmod(col("p0"), lit(8)) + 1).as("p"),
+          // DECIMAL(18,4), not the canonical (38,4): the distance terms
+          // below multiply two of these, and Spark reduces the RESULT
+          // SCALE when p1+p2+1 overflows 38 (scale-6 terms != DuckDB's
+          // exact scale-8) — 18+18+1 fits, so the product keeps scale 8
+          // exactly in both engines.
+          dec4(col("xf").cast("double")).cast(DecimalType(18, 4)).as("xq"))
+        .pinned
+      val cells = long.groupBy(col("vec_id"), col("sp"))
+        .agg(sum(when(col("xq") > 0,
+            when(col("p") === 1, 8).when(col("p") === 2, 4)
+              .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
+          .otherwise(0)).cast("int").as("cell"))
+      val cent = long.join(cells, Seq("vec_id", "sp"))
+        .groupBy(col("sp"), col("cell"), col("p"))
+        .agg(dec4(sum(col("xq")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 4)).as("c"))
+      val cand = long.join(broadcast(cent), Seq("sp", "p"))
+        // The diff widens to (19,4) and its square would overflow 38
+        // again — cast back to (18,4) (exact: |xq−c| < 10¹⁴) so the
+        // product keeps scale 8.
+        .withColumn("dd", (col("xq") - col("c")).cast(DecimalType(18, 4)))
+        .withColumn("t", col("dd") * col("dd"))
+        .groupBy(col("vec_id"), col("sp"), col("cell"))
+        .agg(sum(col("t")).as("dist"))
+      val wsp = Window.partitionBy(col("vec_id"), col("sp"))
+        .orderBy(col("dist").asc, col("cell").asc)
+      val chosen = cand.withColumn("rn", row_number().over(wsp))
+        .filter(col("rn") === 1)
+      val err = chosen.groupBy(col("vec_id"))
+        .agg(sum(col("dist")).cast(DecimalType(38, 8)).as("errsq"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("sp"), col("cell")))),
+            x => x.getField("cell").cast("string")), "-").as("code"))
+      val tot = long.groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("xq")).cast(DecimalType(38, 8)).as("totsq"))
+      ordered(err.join(tot, Seq("vec_id"))
+        .select(col("vec_id"), col("code"),
+          cstr(col("errsq")).as("err_sq"),
+          dec4S(col("errsq").cast("double") / col("totsq").cast("double"))
+            .as("err_rel")))
+    }),
+
     // ---- SKT-1: count-min-sketch frequency estimation, expressed
     //      RELATIONALLY — the mergeable-sketch shape behind streaming
     //      heavy-hitter detection, spelled as what it really is: d=2 rows
@@ -2012,18 +2085,35 @@ object LlmOps {
     //      profile would be trained once on a sample and shipped as a
     //      literal — the scoring pass alone is scan-proportional. ----
     "txt_langid_ngram" -> ((s, d) => {
+      // The doc table arrives as ONE split at bench SF (a single small
+      // parquet file), which would run the ×300 trigram fan-out on one
+      // core — repartition the SKINNY side before exploding (measured
+      // 1.4 → 0.4 s on the explode stage; at 100 TB the scan has
+      // thousands of splits and this reshuffle of doc-sized rows is
+      // noise vs the explode it parallelizes).
       val d3 = load(s, d, "documents").filter(length(col("text")) >= 3)
-      val tris = d3.select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3)))).as("tri"))
+        .repartition(s.sparkContext.defaultParallelism)
+      // Explode POSITIONS (an int array), not a per-doc array of trigram
+      // strings — the substr projection runs inside the same codegen stage
+      // so the duplicated text column never reaches an exchange. One
+      // map-side-combined aggregation to per-doc trigram counts serves
+      // BOTH downstream reads (profile totals via sum, per-doc distinct
+      // trigram types for free — the group keys ARE distinct): measured
+      // 4.9 → 1.9 s vs the pin + groupBy + distinct double-pass.
+      val tris = d3.select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(col("doc_id"), col("lang"),
+          col("text").substr(col("i"), lit(3)).as("tri"))
+        .groupBy(col("doc_id"), col("lang"), col("tri"))
+        .agg(count(lit(1)).as("c"))
         .pinned
-      val prof = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+      val prof = tris.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("n"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri").asc)))
         .filter(col("rn") <= 20)
         .select(col("lang").as("cand"), col("tri"))
-      val docTris = tris.select(col("doc_id"), col("tri")).distinct()
-      val best = docTris.join(broadcast(prof), Seq("tri"))
+      val best = tris.select(col("doc_id"), col("tri"))
+        .join(broadcast(prof), Seq("tri"))
         .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("ov"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("ov").desc, col("cand").asc)))
@@ -2039,6 +2129,47 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Long-form PQ: parallel unnests zip values with 1-based positions;
+    // every element dec4-quantized before any arithmetic, distances as
+    // exact DECIMAL sums, `//`/% ≡ Spark div/pmod on positives.
+    "vec_pq" ->
+      """WITH lf AS (
+        |  SELECT vec_id, CAST(dim AS INT) AS dim, CAST(x AS DOUBLE) AS xd
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          unnest(generate_series(1, len(embedding))) AS dim
+        |        FROM embeddings)),
+        |lq AS (SELECT vec_id,
+        |    ((dim - 1) // 8) + 1 AS sp, ((dim - 1) % 8) + 1 AS p,
+        |    CAST(floor(xd*10000+0.5)/10000 AS DECIMAL(18,4)) AS xq
+        |  FROM lf),
+        |cells AS (SELECT vec_id, sp,
+        |    CAST(SUM(CASE WHEN xq > 0 AND p = 1 THEN 8 WHEN xq > 0 AND p = 2 THEN 4
+        |      WHEN xq > 0 AND p = 3 THEN 2 WHEN xq > 0 AND p = 4 THEN 1
+        |      ELSE 0 END) AS INT) AS cell
+        |  FROM lq GROUP BY 1, 2),
+        |cent AS (SELECT lq.sp, cells.cell, lq.p,
+        |    CAST(floor((CAST(SUM(lq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
+        |  FROM lq JOIN cells ON lq.vec_id = cells.vec_id AND lq.sp = cells.sp
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT lq.vec_id, lq.sp, cent.cell,
+        |    SUM((lq.xq - cent.c) * (lq.xq - cent.c)) AS dist
+        |  FROM lq JOIN cent ON lq.sp = cent.sp AND lq.p = cent.p
+        |  GROUP BY 1, 2, 3),
+        |chosen AS (SELECT vec_id, sp, cell, dist FROM cand
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+        |    ORDER BY dist ASC, cell ASC) = 1),
+        |err AS (SELECT vec_id, CAST(SUM(dist) AS DECIMAL(38,8)) AS errsq,
+        |    array_to_string(list(CAST(cell AS VARCHAR) ORDER BY sp), '-') AS code
+        |  FROM chosen GROUP BY 1),
+        |tot AS (SELECT vec_id, CAST(SUM(xq * xq) AS DECIMAL(38,8)) AS totsq
+        |  FROM lq GROUP BY 1)
+        |SELECT e.vec_id, e.code,
+        |  CAST(e.errsq AS VARCHAR) AS err_sq,
+        |  CAST(CAST(floor((CAST(e.errsq AS DOUBLE)/CAST(t.totsq AS DOUBLE))*10000+0.5)/10000
+        |    AS DECIMAL(38,4)) AS VARCHAR) AS err_rel
+        |FROM err e JOIN tot t ON e.vec_id = t.vec_id
+        |ORDER BY e.vec_id NULLS FIRST, e.code NULLS FIRST, err_sq NULLS FIRST, err_rel NULLS FIRST""".stripMargin,
+
     "txt_langid_ngram" ->
       """WITH d3 AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
         |tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri

@@ -269,12 +269,15 @@ object Scalars {
         from_json(col("props"), lit("k INT")).getField("k").as("k"),
         struct(col("user_id").as("id"), col("event_type").as("t")).as("u"),
         array(col("user_id"), col("user_id") * 2).as("arr")))
-      val v = parse_json(js)
-      ordered(e.select(col("event_id"),
-        try_variant_get(v, "$.k", "int").as("k_int"),
-        try_variant_get(v, "$.u.t", "string").as("etype"),
-        try_variant_get(v, "$.arr[1]", "bigint").as("arr1"),
-        try_variant_get(v, "$.missing", "int").as("missing")))
+      // Parse materialized ONCE per row in its own projection — four
+      // path extractions then read the same binary variant value instead
+      // of relying on codegen subexpression elimination across them.
+      val parsed = e.select(col("event_id"), parse_json(js).as("v"))
+      ordered(parsed.select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "int").as("k_int"),
+        try_variant_get(col("v"), "$.u.t", "string").as("etype"),
+        try_variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing")))
     })
   )
 

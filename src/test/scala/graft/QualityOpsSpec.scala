@@ -406,6 +406,27 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where variant arr[1] != packed value")
   }
 
+  test("vec_pq: 8 nibble codes per vector, errors nonneg and beating the zero-codebook") {
+    val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    assert(rows.length == emb.count(), "one code row per vector")
+    rows.foreach { r =>
+      val parts = r.getAs[String]("code").split("-")
+      assert(parts.length == 8, s"code must have 8 subspace entries: ${r.getAs[String]("code")}")
+      assert(parts.forall(p => p.toInt >= 0 && p.toInt <= 15), "nibble range")
+      val errSq = BigDecimal(r.getAs[String]("err_sq"))
+      val errRel = BigDecimal(r.getAs[String]("err_rel"))
+      assert(errSq >= 0 && errRel >= 0)
+      // A codebook whose centroids are per-cell means must beat quantizing
+      // everything to zero: relative reconstruction error strictly < 1.
+      assert(errRel < 1, s"vec ${r.getAs[Long]("vec_id")}: err_rel=$errRel")
+    }
+    // Corpus-level sanity: mean-centroid codebooks on clustered data
+    // should reconstruct most of the mass.
+    val meanRel = rows.map(r => BigDecimal(r.getAs[String]("err_rel"))).sum / rows.length
+    assert(meanRel < BigDecimal("0.9"), s"mean relative error $meanRel")
+  }
+
   test("graph_pagerank: fixed-point mass conservation and floor bounds") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
     assert(rows.length == 25, "one rank row per nation")
