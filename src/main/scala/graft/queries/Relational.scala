@@ -971,6 +971,108 @@ object Relational {
       }.reduce(_ unionByName _))
     }),
 
+    // ---- AGG-14: mode / most-frequent value per group — the categorical
+    //      profile statistic (imputation default, dominant-category
+    //      detection). Deterministic tie-break: smallest value wins.
+    //      Counts collapse to |groups|×|domain| rows before the top-1
+    //      window, so the WindowGroupLimit runs on a ~15-row relation —
+    //      the shuffle is the map-side-combined count, nothing else. ----
+    "agg_mode" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val counts = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("n").desc, col("o_orderstatus").asc)
+      ordered(counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("n").as("mode_n")))
+    }),
+
+    // ---- AGG-15: incremental aggregate maintenance WITH RETRACTIONS —
+    //      AGG-12 handles insert-only deltas; real CDC deltas also DELETE,
+    //      and that splits the aggregate family in two: counts and sums
+    //      are groups under subtraction (maintained exactly from signed
+    //      partials, cost ∝ |delta|), but MAX is only a monoid — a
+    //      retraction of the current max cannot be repaired from the
+    //      summary, so delete-affected groups recompute max from the new
+    //      snapshot (DIFFERENTIAL REPAIR: the recompute is scoped to
+    //      affected groups — at 100 TB that is a partition-pruned scan of
+    //      the few groups with deletes, not a full rebuild; insert-only
+    //      groups stay fully incremental via greatest(base, delta)). The
+    //      shipped `repair_path` column makes the plan's choice visible.
+    //      Oracle = the plain full aggregate over the new snapshot: the
+    //      merge must be indistinguishable from recomputation (AGG-12's
+    //      certification pattern). ----
+    "inc_agg_del" -> ((s, d) => {
+      val o = load(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"), col("o_totalprice").as("p"))
+      val delPrios = Seq("1-URGENT", "2-HIGH")
+      val isIns = pmod(col("k"), lit(20)) === 0
+      val isDel = pmod(col("k"), lit(20)) === 5 && col("prio").isin(delPrios: _*)
+      val oldSnap = o.filter(!isIns)
+      val newSnap = o.filter(!isDel)
+      val base = oldSnap.groupBy(col("prio")).agg(
+        count(lit(1)).as("n0"), sum(dec(col("p"))).as("s0"), max(col("p")).as("m0"))
+      val delta = o.filter(isIns).select(col("prio"), col("p"), lit(1).as("sgn"))
+        .unionByName(o.filter(isDel).select(col("prio"), col("p"), lit(-1).as("sgn")))
+      val dAgg = delta.groupBy(col("prio")).agg(
+        sum(col("sgn")).cast("long").as("dn"),
+        sum(when(col("sgn") === 1, dec(col("p"))).otherwise(-dec(col("p")))).as("ds"),
+        max(when(col("sgn") === 1, col("p"))).as("mi"),
+        max(when(col("sgn") === -1, lit(1)).otherwise(0)).as("has_del"))
+      // Differential repair relation: new-snapshot max for ONLY the
+      // delete-affected groups (broadcast both tiny sides).
+      val repair = newSnap.join(
+          broadcast(dAgg.filter(col("has_del") === 1).select(col("prio"))), Seq("prio"))
+        .groupBy(col("prio")).agg(max(col("p")).as("mr"))
+      ordered(base.join(dAgg, Seq("prio"), "full_outer")
+        .join(broadcast(repair), Seq("prio"), "left")
+        .select(col("prio"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          cstr((coalesce(col("s0"), lit(0).cast(dt)) +
+            coalesce(col("ds"), lit(0).cast(dt))).cast(dt)).as("sum_price"),
+          decS(when(coalesce(col("has_del"), lit(0)) === 1, col("mr"))
+            .otherwise(greatest(col("m0"), coalesce(col("mi"), col("m0")))))
+            .as("max_price"),
+          when(coalesce(col("has_del"), lit(0)) === 1, lit("repair"))
+            .otherwise(lit("incremental")).as("repair_path")))
+    }),
+
+    // ---- GDPR-1: deletion-list propagation (right-to-be-forgotten) —
+    //      the governance op every training-data pipeline must run: a
+    //      deterministic deletion list (entity_id % 17 == 3, the ~6%
+    //      erasure-request stand-in) anti-joined out of every fact table
+    //      that carries the entity, with a per-table audit row (before /
+    //      after / removed) — the evidence record a compliance process
+    //      files. The scrub itself is a BROADCAST left_anti per table:
+    //      scan-proportional, no shuffle of the fact side — exactly how
+    //      a deletion sweep runs inside the nightly compaction rewrite.
+    //      At 100 TB the alternatives are (a) this anti-join folded into
+    //      the next compaction pass (pay one rewrite you were paying
+    //      anyway) or (b) table-format deletion vectors (logical delete
+    //      now, physical at compaction) — both use this same anti-join
+    //      shape, only the materialization timing differs. ----
+    "forget_user" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val or = load(s, d, "orders")
+      def audit(name: String, df: DataFrame, keyName: String): DataFrame = {
+        // A materialized deletion-request list (distinct entity ids), not
+        // a predicate: the scrub must be the list-driven anti-join shape,
+        // because real erasure requests arrive as a list.
+        val dl = df.select(col(keyName).as("del_id"))
+          .filter(pmod(col("del_id"), lit(17)) === 3).distinct()
+        val scrubbed = df.join(broadcast(dl),
+          col(keyName) === col("del_id"), "left_anti")
+        df.agg(count(lit(1)).as("n_before"))
+          .crossJoin(scrubbed.agg(count(lit(1)).as("n_after")))
+          .select(lit(name).as("table_name"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_removed"))
+      }
+      ordered(audit("events", ev, "user_id")
+        .unionByName(audit("orders", or, "o_custkey")))
+    }),
+
     // ---- ANOM-1: robust outlier detection (median/MAD) — the per-group
     //      anomaly gate a data-quality pipeline runs on every numeric
     //      measure. Mean/stddev z-scores break on the very outliers they
@@ -1071,6 +1173,43 @@ object Relational {
       |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderpriority, o_orderstatus AS mode_status, COUNT(1) AS mode_n
+        |FROM orders
+        |GROUP BY o_orderpriority, o_orderstatus
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY COUNT(1) DESC, o_orderstatus ASC) = 1
+        |ORDER BY o_orderpriority NULLS FIRST, mode_status NULLS FIRST, mode_n NULLS FIRST""".stripMargin,
+
+    // The merge must be indistinguishable from full recomputation over
+    // the new snapshot (AGG-12's certification pattern) — the oracle IS
+    // that recomputation, plus the declared repair-path label.
+    "inc_agg_del" ->
+      """SELECT o_orderpriority AS prio, COUNT(1) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(38,4)) AS VARCHAR) AS max_price,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 'repair' ELSE 'incremental' END AS repair_path
+        |FROM orders
+        |WHERE NOT (o_orderkey % 20 = 5 AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |GROUP BY o_orderpriority
+        |ORDER BY prio NULLS FIRST, n NULLS FIRST, sum_price NULLS FIRST,
+        |  max_price NULLS FIRST, repair_path NULLS FIRST""".stripMargin,
+
+    "forget_user" ->
+      """WITH a AS (
+        |  SELECT 'events' AS table_name, COUNT(1) AS n_before,
+        |    COUNT(CASE WHEN user_id % 17 <> 3 THEN 1 END) AS n_after
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(1),
+        |    COUNT(CASE WHEN o_custkey % 17 <> 3 THEN 1 END)
+        |  FROM orders)
+        |SELECT table_name, n_before, n_after, n_before - n_after AS n_removed
+        |FROM a
+        |ORDER BY table_name NULLS FIRST, n_before NULLS FIRST,
+        |  n_after NULLS FIRST, n_removed NULLS FIRST""".stripMargin,
+
     // quantile_cont ≡ Spark percentile (both type-7 interpolation, agg7
     // precedent); flag threshold dec4-rounded on BOTH sides like the Spark
     // build so no row can sit on an engine-dependent double tie.

@@ -406,6 +406,43 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where variant arr[1] != packed value")
   }
 
+  test("inc_agg_del: signed-partial merge equals full recompute; both repair paths exercised") {
+    val out = SparkEntry.queries("inc_agg_del")(spark, sfDir).collect()
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    val newSnap = o.filter(!(col("o_orderkey") % 20 === 5 &&
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+    val direct = newSnap.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val paths = out.map(_.getAs[String]("repair_path")).toSet
+    assert(paths == Set("repair", "incremental"),
+      s"both maintenance paths must be exercised, got $paths")
+    out.foreach { r =>
+      val prio = r.getAs[String]("prio")
+      assert(r.getAs[Long]("n") == direct(prio)._1, s"$prio count")
+      assert(BigDecimal(r.getAs[String]("max_price")) ==
+        BigDecimal(direct(prio)._2).setScale(4), s"$prio max")
+    }
+  }
+
+  test("forget_user: audit arithmetic matches direct scrub counts") {
+    val rows = SparkEntry.queries("forget_user")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val or = graft.core.Tables.load(spark, sfDir, "orders")
+    def check(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val r = rows(name)
+      assert(r.getAs[Long]("n_before") == df.count())
+      assert(r.getAs[Long]("n_after") == df.filter(col(key) % 17 =!= 3).count())
+      assert(r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_after"))
+      assert(r.getAs[Long]("n_removed") > 0,
+        s"$name: the deletion list must actually remove rows at this SF")
+    }
+    check("events", ev, "user_id")
+    check("orders", or, "o_custkey")
+  }
+
   test("vec_pq: 8 nibble codes per vector, errors nonneg and beating the zero-codebook") {
     val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
