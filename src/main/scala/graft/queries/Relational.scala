@@ -1141,24 +1141,37 @@ object Relational {
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
         .pinned
-      val e = edges.join(
-        edges.groupBy(col("src")).agg(sum(col("w")).as("tot")), Seq("src"))
       val N = 25L // nation table cardinality; 10^12 div N exact
-      var r = n.select(col("node"), lit(1000000000000L / N).as("r"))
-      for (_ <- 1 to 3) {
-        val contrib = e.join(r, col("src") === col("node"))
-          .select(col("dst"),
-            call_function("div", col("r") * col("w"), col("tot")).as("cn"))
-          .groupBy(col("dst")).agg(sum(col("cn")).as("m"))
-        r = n.select(col("node"))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), (lit(150000000000L / N) +
-            call_function("div", lit(17L) * coalesce(col("m"), lit(0L)), lit(20L))).as("r"))
-      }
+      val r = pagerankFixedPoint(n.select(col("node")), edges,
+        iters = 3, base = 1000000000000L / N, teleport = 150000000000L / N)
       ordered(r.join(broadcast(n), Seq("node"))
         .select(col("n_name"), col("r").as("rank_units")))
     })
   )
+
+  /** Fixed-point integer power iteration (GRPH-1's engine, shared with the
+    * GraftLaws random-graph property): nodes (node LONG), edges (src, dst,
+    * w LONG) → (node, r) after `iters` rounds of
+    * r'(v) = teleport + (17 · Σ_{u→v} (r(u)·w(u,v) div W(u))) div 20,
+    * starting from r = base. All int64: order-independent sums, bit-equal
+    * on any engine/partitioning; mass only ever LOST (floor + dangling). */
+  def pagerankFixedPoint(nodes: DataFrame, edges: DataFrame, iters: Int,
+      base: Long, teleport: Long): DataFrame = {
+    val e = edges.join(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("tot")), Seq("src"))
+    var r = nodes.select(col("node"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("src") === col("node"))
+        .select(col("dst"),
+          call_function("div", col("r") * col("w"), col("tot")).as("cn"))
+        .groupBy(col("dst")).agg(sum(col("cn")).as("m"))
+      r = nodes.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(teleport) +
+          call_function("div", lit(17L) * coalesce(col("m"), lit(0L)), lit(20L))).as("r"))
+    }
+    r
+  }
 
   /** DuckDB SQL twins — same column names, same ordering, same decimal
     * discipline (SURVEY §5.3). NULLS FIRST is spelled out because DuckDB

@@ -226,4 +226,40 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(rows(6L) == rows(100L) && rows(6L) == 6L)
     assert(rows(1L) == 1L && rows(2L) == 2L)
   }
+
+  test("txt_langid_ngram: sub-trigram docs predict 'und' with zero overlap, one row each") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("edge_lid").toString
+    Seq(
+      (1L, "", "en", "t", 0L),            // empty: no trigrams at all
+      (2L, "ab", "en", "t", 2L),          // below trigram length
+      (3L, "the quick brown fox and the lazy dog", "en", "t", 37L),
+      (4L, "bonjour le monde entier mon ami", "fr", "t", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("txt_langid_ngram")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("pred_lang"), r.getAs[Long]("overlap"))).toMap
+    assert(rows.size == 4, "every doc gets exactly one prediction row")
+    assert(rows(1L) == ("und", 0L) && rows(2L) == ("und", 0L),
+      "docs shorter than a trigram must fall out as 'und', not crash the sequence()")
+    // With full-corpus-sized profiles (≤20 per lang covers every trigram
+    // here), each long doc overlaps its own language's profile most.
+    assert(rows(3L)._1 == "en" && rows(4L)._1 == "fr")
+  }
+
+  test("vec_pq: code length follows the dimensionality — 2-d vectors get one subspace") {
+    // The edge embeddings are 2-dimensional: the subspace split must yield
+    // ceil(2/8) = 1 code, not pad to 8 or crash on missing positions.
+    val rows = SparkEntry.queries("vec_pq")(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val code = r.getAs[String]("code").split("-")
+      assert(code.length == 1, s"2-d vector must quantize to one subspace code: ${code.mkString("-")}")
+      // Only dims 1-2 exist, so the sign-seeded cell uses bits 8 and 4.
+      assert(Set(0, 4, 8, 12).contains(code.head.toInt),
+        s"cell ${code.head} impossible from 2 sign bits")
+      assert(BigDecimal(r.getAs[String]("err_rel")) < 1)
+    }
+  }
 }

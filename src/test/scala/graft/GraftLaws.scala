@@ -131,4 +131,31 @@ object GraftLaws extends Properties("graft.laws") {
     r.getLong(0) >= 0L && r.getLong(0) < graft.functions.GraftHashImpl.P &&
       r.getLong(0) == r.getLong(1)
   }
+
+  private val edgeGen = Gen.listOfN(15,
+    Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L), Gen.choose(1L, 5L)))
+
+  property("pagerankFixedPoint equals the driver-side integer reference on random graphs") =
+    forAll(edgeGen) { raw =>
+      // Deduplicate parallel edges by summing weights (the groupBy the
+      // query's edge extraction performs).
+      val es = raw.groupBy(t => (t._1, t._2))
+        .map { case ((s0, d0), g) => (s0, d0, g.map(_._3).sum) }.toSeq
+      val nodes = (0L to 7L)
+      val (base, tele) = (1000000000000L / 8, 150000000000L / 8)
+      // Driver-side reference: same fixed-point arithmetic in plain Scala.
+      val tot = es.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._3).sum }
+      var ref = nodes.map(_ -> base).toMap
+      for (_ <- 1 to 3) {
+        val m = es.groupBy(_._2).map { case (d0, g) =>
+          d0 -> g.map { case (s0, _, w) => ref(s0) * w / tot(s0) }.sum
+        }
+        ref = nodes.map(v => v -> (tele + 17L * m.getOrElse(v, 0L) / 20L)).toMap
+      }
+      val got = graft.queries.Relational.pagerankFixedPoint(
+          nodes.toDF("node"),
+          es.toDF("src", "dst", "w"), iters = 3, base = base, teleport = tele)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == ref
+    }
 }

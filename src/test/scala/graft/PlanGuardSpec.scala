@@ -277,4 +277,46 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"expected a hash-keyed join:\n${p.take(600)}")
   }
+
+  test("cdc_apply/agg_mode: latest-op-wins and mode top-1 plan as WindowGroupLimit") {
+    assert(plan("cdc_apply").contains("WindowGroupLimit"),
+      "changelog latest-op-wins must push the per-key top-1 below the shuffle")
+    assert(plan("agg_mode").contains("WindowGroupLimit"),
+      "mode election must group-limit the collapsed count relation")
+  }
+
+  test("forget_user: the deletion list broadcasts; the fact side never shuffles for the scrub") {
+    val p = plan("forget_user")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"scrub must be a broadcast left_anti:\n${p.take(1000)}")
+    // Counting aggregates collapse to 1-row relations; the only exchanges
+    // are their single-partition gathers plus the output sort — no
+    // fact-sized hash exchange may appear.
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ here means a fact-side shuffle snuck into the anti-join")
+  }
+
+  test("inc_agg_del: differential repair and delta merge join by broadcast") {
+    val p = plan("inc_agg_del")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-summary joins should broadcast their tiny sides:\n${p.take(800)}")
+  }
+
+  test("txt_langid_ngram/vec_pq: codebook/profile sides broadcast to the scoring join") {
+    assert(plan("txt_langid_ngram").contains("BroadcastHashJoin"),
+      "the 100-row trigram profile must broadcast")
+    assert(plan("vec_pq").contains("BroadcastHashJoin"),
+      "the <=1024-row codebook must broadcast")
+  }
+
+  test("graph_pagerank: every iteration joins rank state by key — no cartesian, edges built once") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must stay equi-keyed:\n${p.take(800)}")
+    // The pinned edge relation appears as a reused/scan leaf, not as three
+    // repeated 4-table join subtrees: at most one lineitem scan survives.
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"edge extraction replans per iteration ($liScans lineitem scans)")
+  }
 }
