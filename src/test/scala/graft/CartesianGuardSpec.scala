@@ -40,9 +40,12 @@ class CartesianGuardSpec extends AnyFunSuite {
     "retrieve_rrf", // BM25 scalar attach + the sim1 brute-force dense stage
                   // (broadcast query set × corpus by declared semantics;
                   // the 100 TB dense stage swaps to the IVF/LSH candidates)
-    "hard_negatives" // same two stages as retrieve_rrf (BM25 scalar attach
+    "hard_negatives", // same two stages as retrieve_rrf (BM25 scalar attach
                   // + brute-force dense probe); the mining anti-join
                   // itself is equi-keyed
+    "forget_user" // per-table audit row = crossJoin of two 1-row counting
+                  // aggregates (the tfidf1 scalar-attach shape); the scrub
+                  // anti-join itself is equi-keyed and plan-guarded
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
