@@ -866,6 +866,12 @@ object Relational {
     //      shuffle; the oracle spells it as the portable UNION ALL. ----
     "pvt2_unpivot" -> ((s, d) => {
       val li = load(s, d, "lineitem")
+      // NOT pinned before the harness total-order, unlike jsn2_variant:
+      // measured 5.9 s pinned vs 3.0 s recomputed — this projection is
+      // cheap per row and its OUTPUT is 1.8 M fat rendered strings, so
+      // serializing it costs more than the sort-sampling recompute. The
+      // pin-before-sort lever pays only when per-row compute dominates
+      // output bytes.
       ordered(li.select(col("l_orderkey"), col("l_linenumber"),
           decS(col("l_quantity")).as("quantity"),
           decS(col("l_extendedprice")).as("extendedprice"),

@@ -273,11 +273,17 @@ object Scalars {
       // path extractions then read the same binary variant value instead
       // of relying on codegen subexpression elimination across them.
       val parsed = e.select(col("event_id"), parse_json(js).as("v"))
+      // Pin the extracted projection BEFORE the harness total-order: a
+      // global sort's range-partitioning SAMPLING pass recomputes its
+      // child, and at ~9 µs/row of json+variant work per row that doubles
+      // the query (measured 18 → 11 s at ×10 events). Cheap projections
+      // don't care; this is the one scan-shape query whose projection is
+      // the whole cost.
       ordered(parsed.select(col("event_id"),
         try_variant_get(col("v"), "$.k", "int").as("k_int"),
         try_variant_get(col("v"), "$.u.t", "string").as("etype"),
         try_variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
-        try_variant_get(col("v"), "$.missing", "int").as("missing")))
+        try_variant_get(col("v"), "$.missing", "int").as("missing")).pinned)
     })
   )
 
