@@ -394,27 +394,7 @@ object Events {
     //      changelog is typically ≪ base, so the real cost is one base
     //      rewrite — the same I/O floor any snapshot refresh pays. ----
     "cdc_apply" -> ((s, d) => {
-      val o = load(s, d, "orders").select(col("o_orderkey").as("k"),
-        col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
-      val m = pmod(col("k"), lit(10))
-      val base = o.filter(m < 8)
-        .select(col("k"), dec(col("p")).as("price"), col("st").as("status"))
-      val g1 = o.select(col("k"), lit(1).as("seq"),
-          when(m.isin(2, 3), lit("U"))
-            .when(m.isin(8, 9), lit("I"))
-            .when(m === 4, lit("D")).as("op"),
-          when(m.isin(2, 3), dec4(col("p") * lit(1.05)))
-            .when(m.isin(8, 9), dec(col("p"))).as("price"),
-          col("st").as("status"))
-        .filter(col("op").isNotNull)
-      val g2 = o.select(col("k"), lit(2).as("seq"),
-          when(m === 3, lit("D"))
-            .when(m === 8, lit("U"))
-            .when(m === 4, lit("I")).as("op"),
-          when(m === 8, dec4(col("p") * lit(1.10)))
-            .when(m === 4, dec4(col("p") * lit(2.0))).as("price"),
-          col("st").as("status"))
-        .filter(col("op").isNotNull)
+      val (base, g1, g2) = cdcGenerations(load(s, d, "orders"))
       val latest = g1.unionByName(g2)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("k")).orderBy(col("seq").desc)))
@@ -452,6 +432,36 @@ object Events {
         sum(col("n")).over(wp).cast("double"))))
     })
   )
+
+  /** CDC-2's deterministic derivation, shared with StreamingSpec's
+    * STR-CDC replay: (base snapshot, changelog generation 1, generation
+    * 2). Each generation is internally key-unique, which is exactly the
+    * property that makes sequential per-generation apply (the stream)
+    * equal to global latest-op-wins (the batch query). */
+  def cdcGenerations(orders: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val o = orders.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
+    val m = pmod(col("k"), lit(10))
+    val base = o.filter(m < 8)
+      .select(col("k"), dec(col("p")).as("price"), col("st").as("status"))
+    val g1 = o.select(col("k"), lit(1).as("seq"),
+        when(m.isin(2, 3), lit("U"))
+          .when(m.isin(8, 9), lit("I"))
+          .when(m === 4, lit("D")).as("op"),
+        when(m.isin(2, 3), dec4(col("p") * lit(1.05)))
+          .when(m.isin(8, 9), dec(col("p"))).as("price"),
+        col("st").as("status"))
+      .filter(col("op").isNotNull)
+    val g2 = o.select(col("k"), lit(2).as("seq"),
+        when(m === 3, lit("D"))
+          .when(m === 8, lit("U"))
+          .when(m === 4, lit("I")).as("op"),
+        when(m === 8, dec4(col("p") * lit(1.10)))
+          .when(m === 4, dec4(col("p") * lit(2.0))).as("price"),
+        col("st").as("status"))
+      .filter(col("op").isNotNull)
+    (base, g1, g2)
+  }
 
   /** Z-order copy of events, built once per (process, sfDir): 16 files,
     * range-partitioned + sorted by the Morton interleave of user_id and

@@ -448,6 +448,75 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-CDC: streaming changelog APPLY — CDC-2 as incremental snapshot
+    * maintenance. Each arriving changelog micro-batch merges into a keyed
+    * parquet snapshot through foreachBatch read-modify-write: latest op
+    * per key WITHIN the batch wins (seq DESC — arriving files may carry
+    * several ops for a key), then one full-outer apply against the
+    * current snapshot (D removes, I/U replace, untouched keys carry
+    * over). Batches apply in arrival order (foreachBatch serializes), so
+    * cross-batch conflicts resolve later-batch-wins — the semantics a
+    * transaction-ordered changelog consumer expects, and per-batch
+    * key-uniqueness makes sequential apply ≡ the batch query's global
+    * latest-op-wins (pinned in StreamingSpec against `cdc_apply`).
+    * State is the SNAPSHOT ITSELF, not a state store: the materialized
+    * view lives on disk, so recovery = checkpointed source offsets +
+    * the last committed snapshot, and snapshot size is bounded by keys,
+    * not stream length. The new snapshot is written to a temp dir and
+    * swapped in whole — the local stand-in for a table format's atomic
+    * commit (§2.1 object-store notes); at warehouse scale the same
+    * merge runs as MERGE INTO / the staged DELETE+INSERT of
+    * [[graft.sources.Ingest.JdbcUpsertWriter]], which STR-WH2 proves. */
+  def runChangelogApply(changelog: DataFrame, snapshotDir: String,
+                        checkpointDir: String): Unit = {
+    val q = changelog.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("seq").desc)
+          val latest = batch
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("k").as("ck"), col("op"),
+              col("price").as("cp"), col("status").as("cst"))
+          val curDir = new java.io.File(snapshotDir)
+          val cur =
+            if (curDir.exists()) s.read.parquet(snapshotDir)
+            else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("price",
+                  org.apache.spark.sql.types.DecimalType(38, 4)),
+                org.apache.spark.sql.types.StructField("status",
+                  org.apache.spark.sql.types.StringType))))
+          val merged = cur.join(latest, col("k") === col("ck"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(coalesce(col("k"), col("ck")).as("k"),
+              coalesce(col("cp"), col("price")).cast(
+                org.apache.spark.sql.types.DecimalType(38, 4)).as("price"),
+              coalesce(col("cst"), col("status")).as("status"))
+          // Write the next version FIRST (the current snapshot is still
+          // being read lazily during this write), then swap directories —
+          // readers never see a half-merged snapshot.
+          val tmp = snapshotDir + ".next"
+          merged.write.mode("overwrite").parquet(tmp)
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          if (curDir.exists()) rm(curDir)
+          if (!new java.io.File(tmp).renameTo(curDir))
+            throw new java.io.IOException(s"snapshot swap failed: $tmp -> $snapshotDir")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming frame into an in-memory table and return the result
     * (test/verification harness; Complete mode for aggregations, Update for
     * flatMapGroupsWithState, Append otherwise). */

@@ -497,6 +497,47 @@ class StreamingSpec extends AnyFunSuite {
       s"without the cap AvailableNow must drain the backlog in one batch: $unbounded")
   }
 
+  test("STR-CDC streaming changelog apply converges to the batch cdc_apply snapshot") {
+    import graft.queries.Events
+    val orders = Tables.load(spark, sfDir, "orders")
+    val (base, g1, g2) = Events.cdcGenerations(orders)
+    // Seed the materialized snapshot with the base, then stream the two
+    // changelog generations as ordered file arrivals.
+    val snapDir = tempDir("cdc_snap").resolve("snapshot").toString
+    base.write.mode("overwrite").parquet(snapDir)
+    val logDir = tempDir("cdc_log")
+    val t0 = 1700000000000L
+    writeSlice(g1, logDir, "gen_1", t0)
+    writeSlice(g2, logDir, "gen_2", t0 + 60000)
+    val changelog = spark.readStream.schema(g1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(logDir.toString)
+    StreamOps.runChangelogApply(changelog, snapDir,
+      tempDir("cdc_ckpt").toString)
+    // Sequential per-generation apply must equal the batch query's global
+    // latest-op-wins (each generation is key-unique — the declared
+    // precondition); compare on the snapshot columns.
+    val streamed = spark.read.parquet(snapDir)
+      .select(col("k").as("o_orderkey"),
+        col("price").cast("string").as("price"), col("status"))
+    val batch = SparkEntry.queries("cdc_apply")(spark, sfDir)
+      .select(col("o_orderkey"), col("price"), col("status"))
+    assertSameRows(streamed, batch, "STR-CDC final snapshot vs batch cdc_apply")
+    // Replaying the same arrivals against the converged snapshot from a
+    // FRESH checkpoint must CONVERGE BACK to the same snapshot: each
+    // key's final state is re-derived by the full sequence (I/U replace
+    // with identical values, D-then-I re-creates, U-then-D removes) —
+    // the at-least-once redelivery contract for a changelog consumer.
+    StreamOps.runChangelogApply(
+      spark.readStream.schema(g1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(logDir.toString),
+      snapDir, tempDir("cdc_ckpt2").toString)
+    val replayed = spark.read.parquet(snapDir)
+      .select(col("k").as("o_orderkey"),
+        col("price").cast("string").as("price"), col("status"))
+    assertSameRows(replayed, batch, "STR-CDC re-replay idempotence")
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
