@@ -889,6 +889,58 @@ object LlmOps {
         .select(col("keeper"), col("n_copies"), length(col("text")).as("text_len")))
     }),
 
+    // ---- DDP-EVAL: sketch-quality audit — measured recall/precision of
+    //      the MinHash-LSH CANDIDATE set against exact-Jaccard ground
+    //      truth (τ=0.95 on word-bigram shingles, the predicate the
+    //      verify stage enforces — deliberately NOT language-blocked,
+    //      because the band join isn't either). This is the audit a
+    //      dedup pipeline ships alongside its sketch: banding trades
+    //      recall for candidate volume (2 bands × 4 rows here), and the
+    //      trade must be MEASURED, not assumed — a recall regression
+    //      after a shingling change is invisible in the pair list itself.
+    //      Truth = the prefix-filtered AllPairs exact join (sim2's
+    //      machinery over shingle sets, lang-blocking disabled via a
+    //      constant key); candidates = the raw band-bucket pairs BEFORE
+    //      verification. At 100 TB the exact-truth side is the expensive
+    //      leg, so the audit runs on a SAMPLED slice (the standard
+    //      methodology: measure recall on a sample, tune bands/rows,
+    //      sketch fleet-wide) — the query shape is unchanged, only the
+    //      input is. Outputs are exact integer counts + exact-ratio
+    //      dec4 metrics: fully oracle-hashable. ----
+    "ddp_eval" -> ((s, d) => {
+      // The audit runs on a deterministic 1/3 document sample — not an
+      // optimization shortcut but the methodology itself (see the scale
+      // note above): the exact-truth AllPairs leg is the expensive part
+      // everywhere, and band recall measured on a sample estimates fleet
+      // recall. On this low-bigram-diversity synthetic corpus the full
+      // prefix index degenerates toward the naive join (rarity can't
+      // shrink prefixes when the shingle vocabulary is tiny), measured
+      // 17 s full / 8.4 s half / ~4 s third at sf0.1 — pair work falls
+      // quadratically in the rate while the recall estimate stays
+      // populated (3 truth pairs at sf0.01, ~25 at sf0.1).
+      val doc = load(s, d, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+      val bands = minhashBands(spread(doc), useUdaf = false)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        .withColumn("is_cand", lit(1))
+        .pinned
+      bands.unpersist()
+      val truth = prefixJaccardPairs(doc.select(col("doc_id"),
+          lit("x").as("lang"), shingles(col("text")).as("set"))
+          .withColumn("n", size(col("set"))), 19, 20)
+        .select(col("d1"), col("d2")).withColumn("is_true", lit(1))
+      ordered(truth.join(cand, Seq("d1", "d2"), "full_outer").agg(
+          count(when(col("is_true") === 1, 1)).as("n_true"),
+          count(when(col("is_cand") === 1, 1)).as("n_cand"),
+          count(when(col("is_true") === 1 && col("is_cand") === 1, 1)).as("n_hit"))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          dec4S(col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"),
+          dec4S(col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision")))
+    }),
+
     // ---- SIM-3 / DDP-3: MinHash + LSH banding near-dup (the sketch path) ----
     "ddp_minhash" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = false)),
 
@@ -2129,6 +2181,32 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Candidates (band buckets, pre-verify) from the shared minhash CTEs;
+    // truth = the naive exact pair join the prefix-filtered Spark plan is
+    // theorem-equal to; metrics are exact-integer ratios.
+    "ddp_eval" ->
+      s"""WITH sampled AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |${duckMinhashCtes.replace("FROM documents", "FROM sampled")}, truth AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |  WHERE len(a.toks) >= 1 AND len(b.toks) >= 1 AND
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.95
+        |), j AS (
+        |  SELECT (t.d1 IS NOT NULL) AS is_true, (c.d1 IS NOT NULL) AS is_cand
+        |  FROM truth t FULL OUTER JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+        |)
+        |SELECT COUNT(CASE WHEN is_true THEN 1 END) AS n_true,
+        |  COUNT(CASE WHEN is_cand THEN 1 END) AS n_cand,
+        |  COUNT(CASE WHEN is_true AND is_cand THEN 1 END) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(CASE WHEN is_true AND is_cand THEN 1 END) AS DOUBLE) /
+        |    CAST(COUNT(CASE WHEN is_true THEN 1 END) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall,
+        |  CAST(CAST(floor((CAST(COUNT(CASE WHEN is_true AND is_cand THEN 1 END) AS DOUBLE) /
+        |    CAST(COUNT(CASE WHEN is_cand THEN 1 END) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS precision
+        |FROM j
+        |ORDER BY n_true NULLS FIRST, n_cand NULLS FIRST, n_hit NULLS FIRST,
+        |  recall NULLS FIRST, precision NULLS FIRST""".stripMargin,
+
     // Long-form PQ: parallel unnests zip values with 1-based positions;
     // every element dec4-quantized before any arithmetic, distances as
     // exact DECIMAL sums, `//`/% ≡ Spark div/pmod on positives.

@@ -443,6 +443,23 @@ class QualityOpsSpec extends AnyFunSuite {
     check("orders", or, "o_custkey")
   }
 
+  test("ddp_eval: hits are exactly the verified pair set; metrics bounded") {
+    val r = SparkEntry.queries("ddp_eval")(spark, sfDir).collect().head
+    val (nTrue, nCand, nHit) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(BigDecimal(r.getAs[String]("recall")) <= 1 &&
+      BigDecimal(r.getAs[String]("precision")) <= 1)
+    // verified = candidates ∩ truth by definition, and per-doc sketches
+    // don't depend on the rest of the corpus — so the audit's sampled
+    // hits must be exactly the shipped ddp_minhash pairs with BOTH
+    // endpoints inside the 1/3 sample.
+    val verifiedInSample = SparkEntry.queries("ddp_minhash")(spark, sfDir)
+      .filter(col("d1") % 3 === 0 && col("d2") % 3 === 0).count()
+    assert(verifiedInSample == nHit,
+      s"verify-stage pairs in sample ($verifiedInSample) != audited hits ($nHit)")
+  }
+
   test("vec_pq: 8 nibble codes per vector, errors nonneg and beating the zero-codebook") {
     val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
