@@ -141,6 +141,7 @@ object Bench {
         // (1.5x let a 1.4x-inflated 10s query ship unrerun; the extra
         // reruns are untimed wall-clock, not artifact noise).
         val suspectVsPrior = prior.get(name).exists(p => first >= 1.35 * p)
+        var rerunFlaked = false
         val best0 =
           if (first < 5.0 || suspectVsPrior) {
             val (second, secondOk) = timeOnce(name, fn)
@@ -148,6 +149,7 @@ object Bench {
               // The RERUN failed after a clean measured run: keep the valid
               // first sample but record the flake in rerun_failed.
               rerunFailed += name
+              rerunFlaked = true
               first
             } else math.min(first, second)
           } else first
@@ -157,8 +159,11 @@ object Bench {
         // third sample, only for a >=2x-floor outlier, is cheap insurance
         // against shipping a number three consecutive seconds of bad luck
         // produced; a GENUINE regression still ships (all three agree).
+        // (Skipped when the second sample ERRORED rather than inflated —
+        // the "both samples inflated" premise never held, and a third run
+        // of a flaking query is more flake exposure, not insurance.)
         val best =
-          if (prior.get(name).exists(p => best0 >= 2.0 * p)) {
+          if (!rerunFlaked && prior.get(name).exists(p => best0 >= 2.0 * p)) {
             val (third, thirdOk) = timeOnce(name, fn)
             if (thirdOk) math.min(best0, third) else { rerunFailed += name; best0 }
           } else best0

@@ -479,7 +479,10 @@ object Events {
       // additionally wrap every 2^16 h). One tiny min/max action per
       // build = the range statistics a production table maintains;
       // per-dimension quantile ranks are the skew-immune upgrade.
-      val hourRaw = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      // Integral `div`, not double `/`+floor: same reasoning as ivl1's
+      // bucketing — double division is accidentally exact at µs-epoch
+      // magnitudes, integral division is exact by construction.
+      val hourRaw = call_function("div", unix_micros(col("ts")), lit(3600000000L))
       val r = e.agg(min(col("user_id")), max(col("user_id")),
         min(hourRaw), max(hourRaw)).head()
       def lohi(i: Int): (Long, Long) =

@@ -474,13 +474,28 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          val curDir = new java.io.File(snapshotDir)
+          val prevDir = new java.io.File(snapshotDir + ".prev")
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          // CRASH RECOVERY before reading: a death between the two renames
+          // below leaves the last committed snapshot parked at `.prev` and
+          // no live dir — restore it, never fall through to "empty". The
+          // empty fallback is reserved for a TRUE cold start (neither dir
+          // exists); reaching it with a parked .prev present would silently
+          // rebuild the view from one batch.
+          if (!curDir.exists() && prevDir.exists() &&
+              !prevDir.renameTo(curDir))
+            throw new java.io.IOException(
+              s"snapshot recovery failed: $prevDir -> $snapshotDir")
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("k")).orderBy(col("seq").desc)
           val latest = batch
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select(col("k").as("ck"), col("op"),
               col("price").as("cp"), col("status").as("cst"))
-          val curDir = new java.io.File(snapshotDir)
           val cur =
             if (curDir.exists()) s.read.parquet(snapshotDir)
             else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -498,17 +513,24 @@ object StreamOps {
                 org.apache.spark.sql.types.DecimalType(38, 4)).as("price"),
               coalesce(col("cst"), col("status")).as("status"))
           // Write the next version FIRST (the current snapshot is still
-          // being read lazily during this write), then swap directories —
-          // readers never see a half-merged snapshot.
+          // being read lazily during this write), then swap by RENAME-ASIDE
+          // (cur -> .prev, next -> cur, drop .prev): the last committed
+          // snapshot exists on disk at every instant, so a crash anywhere
+          // in the sequence recovers — either cur survives untouched, or
+          // the recovery block above restores it from .prev. A delete-
+          // before-rename swap would instead have a window where NO
+          // snapshot exists and recovery silently restarts empty.
           val tmp = snapshotDir + ".next"
           merged.write.mode("overwrite").parquet(tmp)
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-            f.delete(); ()
-          }
-          if (curDir.exists()) rm(curDir)
-          if (!new java.io.File(tmp).renameTo(curDir))
+          if (prevDir.exists()) rm(prevDir)
+          if (curDir.exists() && !curDir.renameTo(prevDir))
+            throw new java.io.IOException(
+              s"snapshot swap failed: $snapshotDir -> $prevDir")
+          if (!new java.io.File(tmp).renameTo(curDir)) {
+            prevDir.renameTo(curDir) // best-effort restore before failing
             throw new java.io.IOException(s"snapshot swap failed: $tmp -> $snapshotDir")
+          }
+          if (prevDir.exists()) rm(prevDir)
         }
       }
       .option("checkpointLocation", checkpointDir)

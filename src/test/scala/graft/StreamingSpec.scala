@@ -538,6 +538,37 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(replayed, batch, "STR-CDC re-replay idempotence")
   }
 
+  test("STR-CDC swap crash window: a snapshot parked at .prev is restored, not restarted empty") {
+    import graft.queries.Events
+    val orders = Tables.load(spark, sfDir, "orders")
+    val (base, g1, g2) = Events.cdcGenerations(orders)
+    val snapDir = tempDir("cdc_crash").resolve("snapshot").toString
+    base.write.mode("overwrite").parquet(snapDir)
+    // Simulate a death between the two swap renames: the committed
+    // snapshot sits at .prev and no live dir exists.
+    assert(new java.io.File(snapDir).renameTo(new java.io.File(snapDir + ".prev")))
+    val logDir = tempDir("cdc_crash_log")
+    val t0 = 1700000000000L
+    writeSlice(g1, logDir, "gen_1", t0)
+    writeSlice(g2, logDir, "gen_2", t0 + 60000)
+    StreamOps.runChangelogApply(
+      spark.readStream.schema(g1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(logDir.toString),
+      snapDir, tempDir("cdc_crash_ckpt").toString)
+    // Recovery must have restored the base before applying — the final
+    // snapshot equals the batch apply over base + both generations, and
+    // in particular contains the untouched base keys an empty restart
+    // would have dropped.
+    val streamed = spark.read.parquet(snapDir)
+      .select(col("k").as("o_orderkey"),
+        col("price").cast("string").as("price"), col("status"))
+    val batch = SparkEntry.queries("cdc_apply")(spark, sfDir)
+      .select(col("o_orderkey"), col("price"), col("status"))
+    assertSameRows(streamed, batch, "STR-CDC recovery from parked .prev")
+    assert(!new java.io.File(snapDir + ".prev").exists(),
+      "the parked dir must be consumed by the swap")
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
