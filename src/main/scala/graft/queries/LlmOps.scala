@@ -941,6 +941,53 @@ object LlmOps {
           dec4S(col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision")))
     }),
 
+    // ---- ASSOC-1: word co-occurrence association mining (`cooc_lift`) —
+    //      the market-basket/PMI family over documents: word pairs
+    //      co-occurring in the same doc, support-thresholded, ranked by
+    //      LIFT = N·c(ab)/(c(a)·c(b)). Lift is deliberately shipped
+    //      instead of PMI: PMI = ln(lift) is rank-equivalent, and a
+    //      single `ln` per row would hang cross-engine hashing on libm
+    //      1-ulp agreement (§5.3) — lift needs only exact-integer
+    //      products (< 2⁵³) and one correctly-rounded division, bit-equal
+    //      anywhere. Shape: distinct (doc, word) first (multiplicity is
+    //      presence, not frequency), per-doc pair explode bounded by
+    //      distinct-words-per-doc² (vocabulary-bounded, NOT doc-length-
+    //      bounded), map-side-combined pair counts, word counts broadcast
+    //      back, global top-k = TakeOrderedAndProject. At 100 TB the
+    //      per-doc pair fan-out is the declared cost — capped by keeping
+    //      only each doc's top-m distinct words (by global rarity) when
+    //      vocabularies are unbounded; this corpus's ~31-word vocabulary
+    //      needs no cap. ----
+    "cooc_lift" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val dw = doc.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+        .pinned
+      // Corpus size attached as a 1-row broadcast scalar (tfidf1's shape),
+      // never a driver action.
+      val nDocs = dw.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val a = dw.select(col("doc_id"), col("w").as("w1"))
+      val b = dw.select(col("doc_id"), col("w").as("w2"))
+      val pairs = a.join(b, Seq("doc_id")).filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 20)
+      ordered(pairs
+        .join(broadcast(wc.select(col("w").as("w1"), col("c1").as("ca"))), Seq("w1"))
+        .join(broadcast(wc.select(col("w").as("w2"), col("c1").as("cb"))), Seq("w2"))
+        .crossJoin(broadcast(nDocs))
+        // Ranked on the DECIMAL (numeric order — the rendered string would
+        // sort "9.x" above "12.x"), rendered after the top-k.
+        .withColumn("lift_d", dec4((col("n_docs") * col("cab")).cast("double") /
+          (col("ca") * col("cb")).cast("double")))
+        .orderBy(col("lift_d").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          cstr(col("lift_d")).as("lift")))
+    }),
+
     // ---- SIM-3 / DDP-3: MinHash + LSH banding near-dup (the sketch path) ----
     "ddp_minhash" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = false)),
 
@@ -2181,6 +2228,32 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "cooc_lift" ->
+      """WITH dw AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dw),
+        |wc AS (SELECT w, COUNT(1) AS c1 FROM dw GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, COUNT(1) AS cab
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(1) >= 20),
+        |top AS (
+        |  SELECT p.w1, p.w2, p.cab, ca.c1 AS ca, cb.c1 AS cb,
+        |    CAST(floor((CAST(nd.n_docs * p.cab AS DOUBLE) /
+        |      CAST(ca.c1 * cb.c1 AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS lift_d
+        |  FROM pairs p JOIN wc ca ON p.w1 = ca.w JOIN wc cb ON p.w2 = cb.w
+        |  CROSS JOIN nd
+        |  ORDER BY lift_d DESC, w1 ASC, w2 ASC
+        |  LIMIT 30)
+        |SELECT w1, w2, cab, ca, cb, CAST(lift_d AS VARCHAR) AS lift
+        |FROM top
+        |ORDER BY w1 NULLS FIRST, w2 NULLS FIRST, cab NULLS FIRST,
+        |  ca NULLS FIRST, cb NULLS FIRST, lift NULLS FIRST""".stripMargin,
+
     // Candidates (band buckets, pre-verify) from the shared minhash CTEs;
     // truth = the naive exact pair join the prefix-filtered Spark plan is
     // theorem-equal to; metrics are exact-integer ratios.

@@ -1045,6 +1045,41 @@ object Relational {
             .otherwise(lit("incremental")).as("repair_path")))
     }),
 
+    // ---- DQ-2: referential-integrity audit (`dq_refs`) — the
+    //      cross-table half of DQ-1's single-table gate: every declared
+    //      foreign key probed for orphans (child rows whose parent is
+    //      missing), one audit row per relationship. Each check is ONE
+    //      left join of the child's key column against the broadcast
+    //      parent key set + a counting aggregate — scan-proportional per
+    //      relationship, no child-side shuffle; at 100 TB the parent key
+    //      set rides as a bloom/bucketed probe and the whole audit folds
+    //      into the same pass as the DQ-1 profile (each extra pass is a
+    //      full table read). A healthy warehouse reports ZERO orphans —
+    //      the audit firing on injected corruption is spec-pinned. ----
+    "dq_refs" -> ((s, d) => {
+      def ref(rel: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame =
+        fact.select(col(fk)).join(
+            broadcast(dim.select(col(pk)).distinct()),
+            col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col(pk).isNull, 1)).as("n_orphan"))
+          .select(lit(rel).as("relationship"), col("n_child"), col("n_orphan"))
+      val li = load(s, d, "lineitem"); val o = load(s, d, "orders")
+      val c = load(s, d, "customer"); val su = load(s, d, "supplier")
+      val na = load(s, d, "nation"); val re = load(s, d, "region")
+      val pa = load(s, d, "part")
+      ordered(Seq(
+        ref("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ref("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"),
+        ref("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        ref("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ref("customer.c_nationkey->nation", c, "c_nationkey", na, "n_nationkey"),
+        ref("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"),
+        ref("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+        .reduce(_ unionByName _))
+    }),
+
     // ---- GDPR-1: deletion-list propagation (right-to-be-forgotten) —
     //      the governance op every training-data pipeline must run: a
     //      deterministic deletion list (entity_id % 17 == 3, the ~6%
@@ -1192,6 +1227,38 @@ object Relational {
       |ORDER BY l_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, revenue NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dq_refs" ->
+      """WITH a AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relationship, COUNT(1) AS n_child,
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END) AS n_orphan
+        |  FROM lineitem f LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON f.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem f LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON f.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem f LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON f.l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM orders f LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON f.o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM customer f LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON f.c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM supplier f LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON f.s_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', COUNT(1),
+        |    COUNT(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM nation f LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON f.n_regionkey = p.k)
+        |SELECT relationship, n_child, n_orphan FROM a
+        |ORDER BY relationship NULLS FIRST, n_child NULLS FIRST, n_orphan NULLS FIRST""".stripMargin,
+
     "agg_mode" ->
       """SELECT o_orderpriority, o_orderstatus AS mode_status, COUNT(1) AS mode_n
         |FROM orders

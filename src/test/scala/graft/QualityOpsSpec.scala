@@ -443,6 +443,45 @@ class QualityOpsSpec extends AnyFunSuite {
     check("orders", or, "o_custkey")
   }
 
+  test("dq_refs: a healthy warehouse audits clean, and injected orphans fire the audit") {
+    val healthy = SparkEntry.queries("dq_refs")(spark, sfDir).collect()
+    assert(healthy.length == 7)
+    assert(healthy.forall(_.getAs[Long]("n_orphan") == 0L),
+      "the synthetic warehouse has declared integrity — zero orphans expected")
+    // Corrupt a copy: drop half the orders (odd keys) so lineitem rows
+    // orphan on l_orderkey and the audit must FIRE on exactly that edge.
+    val d = TestSpark.tempDir("refs_corrupt").toString
+    graft.core.Tables.names.foreach { t =>
+      val df = graft.core.Tables.load(spark, sfDir, t)
+      val out = if (t == "orders") df.filter(col("o_orderkey") % 2 === 0) else df
+      out.write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    val rows = SparkEntry.queries("dq_refs")(spark, d)
+      .collect().map(r => r.getAs[String]("relationship") -> r.getAs[Long]("n_orphan")).toMap
+    val li = graft.core.Tables.load(spark, d, "lineitem")
+    val expect = li.filter(col("l_orderkey") % 2 =!= 0).count()
+    assert(rows("lineitem.l_orderkey->orders") == expect && expect > 0,
+      s"orphan count ${rows("lineitem.l_orderkey->orders")} != injected $expect")
+    assert(rows("orders.o_custkey->customer") == 0,
+      "uncorrupted edges must stay clean")
+  }
+
+  test("cooc_lift: support/lift arithmetic consistent and pair counts bounded by marginals") {
+    val rows = SparkEntry.queries("cooc_lift")(spark, sfDir).collect()
+    assert(rows.length <= 30)
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val n = doc.count().toDouble
+    rows.foreach { r =>
+      val (cab, ca, cb) = (r.getAs[Long]("cab"), r.getAs[Long]("ca"), r.getAs[Long]("cb"))
+      assert(cab >= 20 && cab <= math.min(ca, cb),
+        s"support must sit under both marginals: $r")
+      val expect = math.floor(n * cab / (ca.toDouble * cb) * 10000 + 0.5) / 10000
+      assert(BigDecimal(r.getAs[String]("lift")) ==
+        BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        s"lift mismatch on $r (expect $expect)")
+    }
+  }
+
   test("ddp_eval: hits are exactly the verified pair set; metrics bounded") {
     val r = SparkEntry.queries("ddp_eval")(spark, sfDir).collect().head
     val (nTrue, nCand, nHit) = (r.getAs[Long]("n_true"),
