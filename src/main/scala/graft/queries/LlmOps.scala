@@ -988,6 +988,39 @@ object LlmOps {
           cstr(col("lift_d")).as("lift")))
     }),
 
+    // ---- DDP-LEAK: split-leakage audit (`split_leakage`) — the eval-
+    //      integrity op: near-dup pairs that STRADDLE the train/val/test
+    //      boundary are silent eval contamination (the model has "seen"
+    //      a near-copy of the test doc). SMP-1's content-hash split
+    //      co-locates EXACT duplicates by construction, so exact-dup
+    //      leakage is zero by design — near-dups (jac ≥ 0.95 but not
+    //      byte-identical) are precisely what can still leak, and this
+    //      measures it: per canonical split pair (split_a ≤ split_b),
+    //      the straddling near-dup pair count and the distinct docs
+    //      involved. Composition of two certified pieces (minhash pair
+    //      relation + the content-hash split), so the audit costs one
+    //      tiny split join beyond the dedup pass a pipeline already
+    //      runs; at 100 TB it rides the same banding index. ----
+    "split_leakage" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val bucket = polyHash(col("text")) % lit(100L)
+      val split_ = when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val")).otherwise(lit("test"))
+      val splits = doc.select(col("doc_id"), split_.as("split"))
+      val canon = minhashPairs(doc, useUdaf = false)
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"), col("d1"), col("d2"))
+      val e = canon.groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val dv = canon.select(col("split_a"), col("split_b"),
+          explode(array(col("d1"), col("d2"))).as("doc"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(countDistinct(col("doc")).as("n_docs"))
+      ordered(e.join(dv, Seq("split_a", "split_b")))
+    }),
+
     // ---- SIM-3 / DDP-3: MinHash + LSH banding near-dup (the sketch path) ----
     "ddp_minhash" -> ((s, d) => minhashNearDup(load(s, d, "documents"), useUdaf = false)),
 
@@ -2228,6 +2261,27 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "split_leakage" ->
+      s"""WITH $duckMinhashCtes, spl AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 2147483647) % 100 AS b
+        |    FROM documents)),
+        |pv AS (SELECT v.d1, v.d2, a.split AS s1, b.split AS s2
+        |  FROM verified v JOIN spl a ON v.d1 = a.doc_id JOIN spl b ON v.d2 = b.doc_id),
+        |canon AS (SELECT LEAST(s1, s2) AS split_a, GREATEST(s1, s2) AS split_b, d1, d2 FROM pv),
+        |e AS (SELECT split_a, split_b, COUNT(1) AS n_pairs FROM canon GROUP BY 1, 2),
+        |dv AS (SELECT split_a, split_b, COUNT(DISTINCT doc) AS n_docs FROM (
+        |  SELECT split_a, split_b, d1 AS doc FROM canon
+        |  UNION ALL SELECT split_a, split_b, d2 FROM canon) GROUP BY 1, 2)
+        |SELECT e.split_a, e.split_b, e.n_pairs, dv.n_docs
+        |FROM e JOIN dv ON e.split_a = dv.split_a AND e.split_b = dv.split_b
+        |ORDER BY e.split_a NULLS FIRST, e.split_b NULLS FIRST,
+        |  n_pairs NULLS FIRST, n_docs NULLS FIRST""".stripMargin,
+
     "cooc_lift" ->
       """WITH dw AS (
         |  SELECT doc_id, w

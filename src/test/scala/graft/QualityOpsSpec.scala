@@ -482,6 +482,29 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("split_leakage: combination counts partition the near-dup pair set; exact dups cannot straddle") {
+    val rows = SparkEntry.queries("split_leakage")(spark, sfDir).collect()
+    val allPairs = SparkEntry.queries("ddp_minhash")(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == allPairs,
+      "every verified near-dup pair lands in exactly one split combination")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"), "canonical order")
+    }
+    // The content-hash split co-locates BYTE-IDENTICAL duplicates by
+    // construction: no straddling pair may have identical text.
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val bucket = graft.functions.GraftFunctions.poly_hash(col("text")) % lit(100L)
+    val split_ = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val s = doc.select(col("doc_id"), col("text"), split_.as("split"))
+    val straddlingIdentical = SparkEntry.queries("ddp_minhash")(spark, sfDir)
+      .join(s.select(col("doc_id").as("d1"), col("text").as("t1"), col("split").as("s1")), Seq("d1"))
+      .join(s.select(col("doc_id").as("d2"), col("text").as("t2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2") && col("t1") === col("t2")).count()
+    assert(straddlingIdentical == 0,
+      "byte-identical duplicates must co-split under the content-hash rule")
+  }
+
   test("ddp_eval: hits are exactly the verified pair set; metrics bounded") {
     val r = SparkEntry.queries("ddp_eval")(spark, sfDir).collect().head
     val (nTrue, nCand, nHit) = (r.getAs[Long]("n_true"),
