@@ -43,9 +43,12 @@ class CartesianGuardSpec extends AnyFunSuite {
     "hard_negatives", // same two stages as retrieve_rrf (BM25 scalar attach
                   // + brute-force dense probe); the mining anti-join
                   // itself is equi-keyed
-    "forget_user" // per-table audit row = crossJoin of two 1-row counting
+    "forget_user", // per-table audit row = crossJoin of two 1-row counting
                   // aggregates (the tfidf1 scalar-attach shape); the scrub
                   // anti-join itself is equi-keyed and plan-guarded
+    "cooc_lift"   // corpus-size scalar attach: 1-row broadcast crossJoin
+                  // (tfidf1's N shape); the pair join itself is equi-keyed
+                  // on doc_id
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
