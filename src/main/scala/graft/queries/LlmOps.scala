@@ -1012,6 +1012,10 @@ object LlmOps {
         .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
         .select(least(col("s1"), col("s2")).as("split_a"),
           greatest(col("s1"), col("s2")).as("split_b"), col("d1"), col("d2"))
+        // Pinned: both aggregates below read canon, and an unpinned canon
+        // re-runs the full-text polyHash split scan TWICE per branch (the
+        // multiply-read-intermediate rule; cost ∝ corpus text size).
+        .pinned
       val e = canon.groupBy(col("split_a"), col("split_b"))
         .agg(count(lit(1)).as("n_pairs"))
       val dv = canon.select(col("split_a"), col("split_b"),
