@@ -1085,6 +1085,37 @@ object LlmOps {
       clusterAssign(doc, minhashPairs(doc, useUdaf = true))
     }),
 
+    // ---- DDP-KEEPER: cross-source keeper election (`ddp_keeper_src`) —
+    //      WHICH copy survives dedup is a policy, not an accident:
+    //      production pipelines keep the copy from the most trusted
+    //      source among near-duplicates (wiki over CC, curated over
+    //      scraped), not the lowest id. Per near-dup cluster the keeper
+    //      is elected by (source, doc_id) — the source name IS the rank
+    //      here under binary collation; production supplies an explicit
+    //      priority table joined the same way. One row per doc with its
+    //      cluster, elected keeper + keeper's source, and survival flag.
+    //      Shape: DDP-CLUSTER's certified component assignment + one
+    //      source join + a WindowGroupLimit top-1 per cluster — the
+    //      election costs one window over the linear cluster relation,
+    //      never touching the quadratic pair space. ----
+    "ddp_keeper_src" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val clusters = clusterAssign(doc, minhashPairs(doc, useUdaf = false))
+        .select(col("doc_id"), col("cluster_id"))
+      val withSrc = clusters.join(
+        doc.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("source").asc, col("doc_id").asc)
+      val keepers = withSrc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id").as("kc"), col("doc_id").as("keeper_doc"),
+          col("source").as("keeper_src"))
+      ordered(withSrc.join(keepers, col("cluster_id") === col("kc"))
+        .select(col("doc_id"), col("source"), col("cluster_id"),
+          col("keeper_doc"), col("keeper_src"),
+          (col("doc_id") === col("keeper_doc")).as("is_keeper")))
+    }),
+
     // PIPELINE: the end-to-end training-data cleaning shape — quality
     // filter, then near-dup cluster assignment, then keep one doc per
     // cluster (the keeper among surviving docs), reporting per-lang
@@ -2643,6 +2674,20 @@ object LlmOps {
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id NULLS FIRST, match_id NULLS FIRST, jac NULLS FIRST, vs_corpus NULLS FIRST""".stripMargin,
     "ddp_cluster" -> duckClusterSql,
+    "ddp_keeper_src" ->
+      s"""WITH RECURSIVE $duckClusterCtes, withsrc AS (
+        |  SELECT c.doc_id, d.source, c.cluster_id
+        |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+        |keepers AS (
+        |  SELECT cluster_id AS kc, doc_id AS keeper_doc, source AS keeper_src
+        |  FROM withsrc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY source ASC, doc_id ASC) = 1)
+        |SELECT w.doc_id, w.source, w.cluster_id, k.keeper_doc, k.keeper_src,
+        |  (w.doc_id = k.keeper_doc) AS is_keeper
+        |FROM withsrc w JOIN keepers k ON w.cluster_id = k.kc
+        |ORDER BY w.doc_id NULLS FIRST, w.source NULLS FIRST, w.cluster_id NULLS FIRST,
+        |  k.keeper_doc NULLS FIRST, k.keeper_src NULLS FIRST, is_keeper NULLS FIRST""".stripMargin,
     "pipeline_clean" -> duckPipelineSql,
 
     "ddp_simhash" -> {

@@ -490,6 +490,30 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ddp_keeper_src: one keeper per cluster, elected by (source, doc_id), components unchanged") {
+    val rows = SparkEntry.queries("ddp_keeper_src")(spark, sfDir).collect()
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    assert(rows.length == doc.count(), "one assignment row per document")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.length == 1, s"cluster $cid: ${keepers.length} keepers")
+      val k = keepers.head
+      // The elected keeper carries the cluster-min (source, doc_id).
+      val best = members.map(m =>
+        (m.getAs[String]("source"), m.getAs[Long]("doc_id"))).min
+      assert((k.getAs[String]("source"), k.getAs[Long]("doc_id")) == best,
+        s"cluster $cid: keeper ${k} is not the (source, doc_id) minimum $best")
+      assert(members.forall(_.getAs[Long]("keeper_doc") == k.getAs[Long]("doc_id")))
+    }
+    // The components must be DDP-CLUSTER's own — the policy changes the
+    // keeper, never the clustering.
+    val base = SparkEntry.queries("ddp_cluster")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach(r => assert(
+      base(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
+  }
+
   test("split_leakage: combination counts partition the near-dup pair set; exact dups cannot straddle") {
     val rows = SparkEntry.queries("split_leakage")(spark, sfDir).collect()
     val allPairs = SparkEntry.queries("ddp_minhash")(spark, sfDir).count()
