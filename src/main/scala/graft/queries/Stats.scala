@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+
+/** Statistical-analysis / data-profiling operators (SURVEY.md §2.2 STAT/DQ
+  * families).
+  *
+  * The common thread: every statistic here is computed from EXACT decimal
+  * moment sums reduced in one scan, then finished with the deterministic
+  * double subset (+ - * / sqrt are IEEE-correctly-rounded, so identical
+  * inputs give bit-identical results in Spark and DuckDB — unlike ln/pow,
+  * which are libm-dependent and banned from oracle-hashed outputs; see
+  * SURVEY §5.3). That is also the 100 TB shape: a full-table statistic must
+  * be a map-side-combined aggregate to a TINY moment vector, never a
+  * multi-pass or sort-based computation — `corr()` called k² times is k²
+  * scans with engine-dependent double summation order; one moment reduce is
+  * one scan and exact.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact moment arithmetic: DECIMAL(18,4) inputs so a product is
+    * DECIMAL(37,8) in Spark / DECIMAL(36,8) in DuckDB — both EXACT (no
+    * precision-cap scale loss, which a (38,4)×(38,4) product would hit).
+    * The raw measures are ≤2-decimal doubles well inside (18,4). */
+  private val mdt = DecimalType(18, 4)
+  private def m(c: Column): Column = c.cast(mdt)
+
+  val all: Map[String, Q] = Map(
+    // ---- STAT-1: Pearson correlation matrix over the lineitem measures,
+    //      single-pass. One aggregate reduces the 60k-row (at 100 TB:
+    //      trillions-row) table to a 15-number moment vector (n, 4×Σx,
+    //      4×Σx², 6×Σxy) with map-side partial aggregation — the moment-
+    //      sketch pattern. The matrix itself is then driver-trivial
+    //      arithmetic on one row; no second scan, no per-pair corr() calls
+    //      (whose internal double accumulation order is engine- and
+    //      partitioning-dependent — the moments are DECIMAL-exact instead).
+    //      corr = (n·Σxy − ΣxΣy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)), finished
+    //      in the deterministic double subset. ----
+    "corr_matrix" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val vars = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- vars.indices; j <- vars.indices if i < j }
+        yield (vars(i), vars(j))
+      val aggs =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+        vars.map(v => sum(m(col(v))).cast("double").as(s"s_$v")) ++
+        vars.map(v => sum(m(col(v)) * m(col(v))).cast("double").as(s"ss_$v")) ++
+        pairs.map { case (a, b) =>
+          sum(m(col(a)) * m(col(b))).cast("double").as(s"sp_${a}_$b") }
+      def corr(a: String, b: String): Column =
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+               (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      ordered(one.select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("var_x"), lit(b).as("var_y"),
+            dec4S(corr(a, b)).as("corr"))
+        }: _*)).as("p"))
+        .select(col("p.var_x").as("var_x"), col("p.var_y").as("var_y"),
+          col("p.corr").as("corr")))
+    }),
+
+    // ---- STAT-2: two-proportion A/B test — the experimentation readout
+    //      every event platform ships. Variant = user_id % 2 (a stand-in
+    //      for the assignment column a real system lands with the event),
+    //      conversion = the user emitted more 'purchase' than 'error'
+    //      events (a ~50% base-rate outcome — every user in this corpus
+    //      has ≥1 purchase, so has-any-purchase would be the degenerate
+    //      p̄=1 case where the z denominator vanishes; the guard below
+    //      still NULLs z if a future corpus makes p̄∈{0,1}). Shape: one
+    //      user-keyed
+    //      aggregate (the only data-sized shuffle, map-side combined since
+    //      max() is partial-aggregable), then a 1-row conditional rollup;
+    //      z = (r₁−r₀)/√(p̄(1−p̄)(1/n₀+1/n₁)) on pooled p̄, all in the
+    //      deterministic double subset. 100 TB: per-user conversion flags
+    //      are the user-count-sized relation; everything after is one row. ----
+    "ab_lift" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) >
+              sum(when(col("event_type") === "error", 1).otherwise(0)))
+          .cast("int").as("conv"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val one = perUser.agg(
+        sum(when(col("variant") === 0, 1).otherwise(0)).as("n_ctl"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0)).as("conv_ctl"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).as("n_trt"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0)).as("conv_trt"))
+      val r0 = col("conv_ctl").cast("double") / col("n_ctl").cast("double")
+      val r1 = col("conv_trt").cast("double") / col("n_trt").cast("double")
+      val pPool = (col("conv_ctl") + col("conv_trt")).cast("double") /
+        (col("n_ctl") + col("n_trt")).cast("double")
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_ctl").cast("double") +
+         lit(1.0) / col("n_trt").cast("double")))
+      ordered(one.select(
+        col("n_ctl"), col("conv_ctl"), col("n_trt"), col("conv_trt"),
+        dec4S(r0).as("rate_ctl"), dec4S(r1).as("rate_trt"),
+        dec4S(r1 - r0).as("lift_abs"),
+        dec4S((r1 - r0) / when(se === 0.0, lit(null)).otherwise(se))
+          .as("z_score")))
+    }),
+
+    // ---- DQ-3: Benford first-digit audit — the classic fabricated-data /
+    //      unit-mixup tripwire for financial measure columns. First
+    //      significant digit is taken from the DECIMAL(18,2) string
+    //      rendering (regexp '[1-9]' first match) — NEVER from
+    //      10^floor(log10 x), whose libm log10 can land on the wrong side
+    //      of an integer at exact powers of ten. A 9-row literal digit
+    //      spine (with the 4-dec-rounded log10(1+1/d) expectations as
+    //      decimal literals, precomputed — no runtime log) LEFT-joins the
+    //      observed counts so absent digits still surface with n=0.
+    //      Shape: one scan → 9-group aggregate; at 100 TB this is the
+    //      cheapest possible full-column audit (map-side combine to 9
+    //      rows) and composes per-partition for incremental audits. ----
+    "dq_benford" -> ((s, d) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val counts = li.select(regexp_extract(
+          col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
+          "[1-9]", 0).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val spine = Seq(
+        ("1", 0.3010), ("2", 0.1761), ("3", 0.1249), ("4", 0.0969),
+        ("5", 0.0792), ("6", 0.0669), ("7", 0.0580), ("8", 0.0512),
+        ("9", 0.0458)).toDF("digit", "exp_freq_d")
+      val total = li.agg(count(lit(1)).cast("double").as("total"))
+      val obs = col("n").cast("double") / col("total")
+      ordered(spine.join(counts, Seq("digit"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n").as("n_obs"),
+          dec4S(obs).as("obs_freq"), dec4S(col("exp_freq_d")).as("exp_freq"),
+          dec4S(abs(obs - col("exp_freq_d"))).as("abs_dev")))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val vars = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- vars.indices; j <- vars.indices if i < j }
+      yield (vars(i), vars(j))
+    // DECIMAL(19,4), not (18,4): DuckDB stores p≤18 decimals in int64 and
+    // multiplies there — (price·10⁴)² overflows int64. Width 19 forces the
+    // hugeint path; the VALUES are identical to Spark's exact (18,4) side.
+    def dm(v: String) = s"CAST($v AS DECIMAL(19,4))"
+    val momentSelect =
+      (Seq("count(*)::DOUBLE AS n") ++
+       vars.map(v => s"CAST(SUM(${dm(v)}) AS DOUBLE) AS s_$v") ++
+       vars.map(v => s"CAST(SUM(${dm(v)} * ${dm(v)}) AS DOUBLE) AS ss_$v") ++
+       pairs.map { case (a, b) =>
+         s"CAST(SUM(${dm(a)} * ${dm(b)}) AS DOUBLE) AS sp_${a}_$b" }).mkString(",\n    ")
+    val pairRows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS var_x, '$b' AS var_y,
+         |    (n * sp_${a}_$b - s_$a * s_$b) /
+         |      sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)) AS c
+         |  FROM mo""".stripMargin }.mkString("\n  UNION ALL\n  ")
+    Map(
+      "corr_matrix" ->
+        s"""WITH mo AS (
+          |  SELECT $momentSelect
+          |  FROM lineitem),
+          |p AS (
+          |  $pairRows)
+          |SELECT var_x, var_y,
+          |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
+          |FROM p
+          |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "ab_lift" ->
+        """WITH pu AS (
+          |  SELECT user_id,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+          |         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INTEGER) AS conv,
+          |    CAST(user_id % 2 AS INTEGER) AS variant
+          |  FROM events GROUP BY user_id),
+          |o AS (
+          |  SELECT
+          |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_ctl,
+          |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_ctl,
+          |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_trt,
+          |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_trt
+          |  FROM pu),
+          |z AS (
+          |  SELECT n_ctl, conv_ctl, n_trt, conv_trt,
+          |    conv_ctl::DOUBLE / n_ctl::DOUBLE AS r0,
+          |    conv_trt::DOUBLE / n_trt::DOUBLE AS r1,
+          |    (conv_ctl + conv_trt)::DOUBLE / (n_ctl + n_trt)::DOUBLE AS pp
+          |  FROM o)
+          |SELECT CAST(n_ctl AS BIGINT) AS n_ctl, CAST(conv_ctl AS BIGINT) AS conv_ctl,
+          |  CAST(n_trt AS BIGINT) AS n_trt, CAST(conv_trt AS BIGINT) AS conv_trt,
+          |  CAST(CAST(floor((r0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rate_ctl,
+          |  CAST(CAST(floor((r1)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rate_trt,
+          |  CAST(CAST(floor((r1 - r0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS lift_abs,
+          |  CAST(CAST(floor(((r1 - r0) / NULLIF(sqrt(pp * (1.0 - pp) * (1.0 / n_ctl::DOUBLE + 1.0 / n_trt::DOUBLE)), 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS z_score
+          |FROM z
+          |ORDER BY n_ctl NULLS FIRST, conv_ctl NULLS FIRST, n_trt NULLS FIRST, conv_trt NULLS FIRST, rate_ctl NULLS FIRST, rate_trt NULLS FIRST, lift_abs NULLS FIRST, z_score NULLS FIRST""".stripMargin,
+
+      "dq_benford" ->
+        """WITH counts AS (
+          |  SELECT regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) AS digit,
+          |    COUNT(*) AS n
+          |  FROM lineitem GROUP BY 1),
+          |spine(digit, exp_freq_d) AS (
+          |  VALUES ('1', 0.3010), ('2', 0.1761), ('3', 0.1249), ('4', 0.0969),
+          |         ('5', 0.0792), ('6', 0.0669), ('7', 0.0580), ('8', 0.0512),
+          |         ('9', 0.0458)),
+          |total AS (SELECT count(*)::DOUBLE AS total FROM lineitem)
+          |SELECT spine.digit AS digit, COALESCE(n, 0) AS n_obs,
+          |  CAST(CAST(floor((COALESCE(n, 0)::DOUBLE / total)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS obs_freq,
+          |  CAST(CAST(floor((CAST(exp_freq_d AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS exp_freq,
+          |  CAST(CAST(floor((abs(COALESCE(n, 0)::DOUBLE / total - CAST(exp_freq_d AS DOUBLE)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS abs_dev
+          |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
+          |CROSS JOIN total
+          |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin
+    )
+  }
+}

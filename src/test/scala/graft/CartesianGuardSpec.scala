@@ -46,9 +46,11 @@ class CartesianGuardSpec extends AnyFunSuite {
     "forget_user", // per-table audit row = crossJoin of two 1-row counting
                   // aggregates (the tfidf1 scalar-attach shape); the scrub
                   // anti-join itself is equi-keyed and plan-guarded
-    "cooc_lift"   // corpus-size scalar attach: 1-row broadcast crossJoin
+    "cooc_lift",  // corpus-size scalar attach: 1-row broadcast crossJoin
                   // (tfidf1's N shape); the pair join itself is equi-keyed
                   // on doc_id
+    "dq_benford"  // table-total scalar attach: 1-row broadcast crossJoin
+                  // (tfidf1's N shape) feeding the 9-row spine's obs freq
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-engine invariants for the STAT/DQ statistics family
+  * (`queries/Stats.scala`). Cross-engine value equality is the oracle
+  * gate's job; these tests pin the semantics the oracle can't see:
+  * corr_matrix must agree with Spark's own `corr()`, ab_lift's z must be
+  * internally consistent, dq_benford must stay a total 9-digit spine.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("corr_matrix: moment-sum corr matches Spark's builtin corr per pair") {
+    val got = graft.queries.Stats.all("corr_matrix")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2).toDouble).toMap
+    assert(got.size == 6)
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    got.foreach { case ((a, b), c) =>
+      // builtin corr: different accumulation (co-moment streaming), same
+      // statistic. The query's output is tie-safe rounded to 4 decimals,
+      // so the bound is the half-ulp of that rounding (5e-5) plus algebra
+      // slack — anything structurally wrong is off by far more.
+      val ref = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(c - ref) < 6e-5, s"($a,$b): $c vs builtin $ref")
+      assert(math.abs(c) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ab_lift: z-score reconstructs from the reported counts") {
+    val r = graft.queries.Stats.all("ab_lift")(spark, TestSpark.sfDir).head
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 > 0 && n1 > 0 && c0 <= n0 && c1 <= n1)
+    val (r0, r1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val z = (r1 - r0) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r.getString(7).toDouble - z) < 1e-3,
+      s"z ${r.getString(7)} vs recomputed $z")
+    // sign consistency: z and lift point the same way
+    assert(math.signum(r.getString(6).toDouble) == math.signum(z) ||
+      r.getString(6).toDouble == 0.0)
+  }
+
+  test("dq_benford: total 9-digit spine whose counts sum to the table size") {
+    val rows = graft.queries.Stats.all("dq_benford")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2).toDouble))
+    assert(rows.map(_._1).sorted.toSeq == (1 to 9).map(_.toString))
+    val total = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem").count()
+    assert(rows.map(_._2).sum == total, "every row lands in exactly one digit bin")
+    // observed frequencies are a distribution (4-dec rounding slack)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+  }
+}
