@@ -49,8 +49,11 @@ class CartesianGuardSpec extends AnyFunSuite {
     "cooc_lift",  // corpus-size scalar attach: 1-row broadcast crossJoin
                   // (tfidf1's N shape); the pair join itself is equi-keyed
                   // on doc_id
-    "dq_benford"  // table-total scalar attach: 1-row broadcast crossJoin
+    "dq_benford", // table-total scalar attach: 1-row broadcast crossJoin
                   // (tfidf1's N shape) feeding the 9-row spine's obs freq
+    "graph_triangles" // the census output row = crossJoin of four 1-row
+                  // counting aggregates (forget_user's shape); the wedge
+                  // and closure joins themselves are equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
