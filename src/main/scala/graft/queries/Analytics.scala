@@ -119,6 +119,108 @@ object Analytics {
     //      running-max decomposition (per-shard prefix + broadcast shard
     //      offsets) applies verbatim. Frontier is tiny by nature →
     //      broadcast joined back to the fact. ----
+    // ---- TS-EWMA: per-user exponentially-weighted moving average of
+    //      event value (the smoothing baseline behind alerting and trend
+    //      lines), α=0.3, ADJUSTED form (pandas ewm adjust=True):
+    //      s_i = Σₖ wᵏ·v_{i-k} / Σₖ wᵏ, w=0.7, truncated at K=18 lags.
+    //      The truncation is what makes the recurrence DISTRIBUTABLE and
+    //      cross-engine exact: the dropped tail is < w^19 ≈ 0.11% of the
+    //      mass, and the kept weights are EXACT DECIMALS (0.7ᵏ =
+    //      7ᵏ/10ᵏ, scale 18) — no pow(), whose libm results the §5.3
+    //      float discipline bans from hashed outputs. The untruncated
+    //      sequential form needs per-user ordered state (the streaming
+    //      twin STR-ST's job); a window-frame product has no SQL
+    //      expression; and w^(-j) prefix tricks overflow at j≈700.
+    //      Shape: each row EXPLODES its own 19 (k, rn−k) probes and
+    //      equi-joins back to the per-user row-number relation — bounded
+    //      19× fan-out, NEVER the per-user² blowup of a user-keyed self
+    //      join with a band filter (667 events/user here → 440k pairs per
+    //      user that the probe form never materializes). One window sort
+    //      (rn), one 19× equi-join, one group-back: all key-proportional. ----
+    "ewma" -> ((s, d) => {
+      import s.implicits._
+      val K = 18
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val r = load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .pinned // feeds both the probe side and the value side
+      // 0.7^k as an EXACT scale-18 decimal literal table (7^k/10^k) —
+      // string-parsed, never pow()'d. The value factor is (10,4) so the
+      // product is DECIMAL(30,22): exact in Spark AND DuckDB (a (38,4)
+      // factor would trip Spark's precision-cap scale loss).
+      val wdt = org.apache.spark.sql.types.DecimalType(19, 18)
+      val weights = (0 to K).map { k =>
+        (k, new java.math.BigDecimal("0.7").pow(k).setScale(18).toPlainString)
+      }.toDF("k", "w_s").select(col("k"), col("w_s").cast(wdt).as("w"))
+      val probes = r.select(col("user_id"), col("event_id"), col("ts"), col("rn"),
+          explode(sequence(lit(0), lit(K))).as("k"))
+        .filter(col("rn") - col("k") >= 1)
+        .join(broadcast(weights), "k")
+        .withColumn("rnj", col("rn") - col("k"))
+      val j = probes.join(r.select(col("user_id").as("u2"), col("rn").as("rn2"),
+          col("value").as("v2")),
+        col("user_id") === col("u2") && col("rnj") === col("rn2"))
+      ordered(j.groupBy(col("user_id"), col("event_id"), col("ts"))
+        .agg(sum(col("w") *
+            col("v2").cast(org.apache.spark.sql.types.DecimalType(10, 4))).as("num"),
+          sum(col("w")).as("den"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          dec4S(col("num").cast("double") / col("den").cast("double")).as("ewma")))
+    }),
+
+    // ---- DRIFT-1: distribution-drift audit of event value, first half of
+    //      the time range vs second half — the data-drift gate every
+    //      production scoring pipeline runs before trusting a model or a
+    //      new ingest batch. 10 fixed-width bins over the GLOBAL [min,max]
+    //      (bin edges must come from one reference frame, or the two
+    //      halves aren't comparable); drift statistic = χ² (triangular)
+    //      divergence Σ (p−q)²/(p+q) — deliberately NOT the textbook PSI:
+    //      PSI's ln(p/q) factor is libm-dependent (banned from hashed
+    //      outputs by §5.3) and χ² is PSI's second-order approximation
+    //      with the same alarm behavior; empty-vs-empty bins contribute 0
+    //      by the p+q=0 guard. Output = the full 10-bin spine (absent
+    //      bins surface with zeros) + per-bin term + the total on every
+    //      row (a 10-row window sum — free). Shape: two 1-row scalar
+    //      attaches (global min/max/mid-ts) + ONE map-side-combined
+    //      10-group aggregate over the scan — the cheapest possible drift
+    //      audit at 100 TB, and the per-bin counts compose incrementally
+    //      across ingest batches. ----
+    "drift_psi" -> ((s, d) => {
+      import s.implicits._
+      val e = load(s, d, "events")
+      val bounds = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        call_function("div",
+          unix_micros(min(col("ts"))) + unix_micros(max(col("ts"))), lit(2L)).as("mid"))
+      val width = (col("vmax") - col("vmin")) / lit(10.0)
+      val binned = e.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(floor((col("value") - col("vmin")) / width), lit(9.0))
+          .cast("int"))
+        .withColumn("half", when(unix_micros(col("ts")) < col("mid"), 0).otherwise(1))
+      val counts = binned.groupBy(col("bin")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      val spine = (0 to 9).toDF("bin")
+      val tot = counts.agg(sum(col("n_a")).cast("double").as("ta"),
+        sum(col("n_b")).cast("double").as("tb"))
+      val p = col("n_a").cast("double") / col("ta")
+      val q = col("n_b").cast("double") / col("tb")
+      val term = when(p + q === 0.0, lit(0.0))
+        .otherwise((p - q) * (p - q) / (p + q))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      ordered(spine.join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_a", "n_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          dec4S(p).as("p_a"), dec4S(q).as("p_b"), dec4(term).as("term_d"))
+        .withColumn("chi2", cstr(sum(col("term_d")).over(wAll).cast(dt)))
+        .withColumn("term", cstr(col("term_d"))).drop("term_d"))
+    }),
+
     "skyline" -> ((s, d) => {
       val p = load(s, d, "part")
       val g = p.groupBy(col("p_retailprice").as("price"))
@@ -133,7 +235,63 @@ object Analytics {
     })
   )
 
+  private val ewmaWeightValues: String = (0 to 18).map { k =>
+    val w = new java.math.BigDecimal("0.7").pow(k).setScale(18).toPlainString
+    s"($k, CAST('$w' AS DECIMAL(19,18)))"
+  }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "ewma" ->
+      s"""WITH r AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |wt(k, w) AS (VALUES $ewmaWeightValues),
+        |p AS (
+        |  SELECT r.user_id, r.event_id, r.ts, r.rn - wt.k AS rnj, wt.w
+        |  FROM r CROSS JOIN wt WHERE r.rn - wt.k >= 1),
+        |j AS (
+        |  SELECT p.user_id, p.event_id, p.ts, p.w,
+        |    CAST(r2.value AS DECIMAL(10,4)) AS v2
+        |  FROM p JOIN r r2 ON p.user_id = r2.user_id AND p.rnj = r2.rn)
+        |SELECT user_id, event_id, ts,
+        |  CAST(CAST(floor((CAST(SUM(w * v2) AS DOUBLE) / CAST(SUM(w) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ewma
+        |FROM j GROUP BY user_id, event_id, ts
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, ts NULLS FIRST, ewma NULLS FIRST""".stripMargin,
+
+    "drift_psi" ->
+      """WITH b AS (
+        |  SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+        |    (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |bi AS (
+        |  SELECT CAST(LEAST(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9.0) AS INTEGER) AS bin,
+        |    CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half
+        |  FROM events CROSS JOIN b),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM bi GROUP BY 1),
+        |spine AS (SELECT CAST(UNNEST(range(0, 10)) AS INTEGER) AS bin),
+        |t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM c),
+        |f AS (
+        |  SELECT spine.bin AS bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, ta, tb
+        |  FROM spine LEFT JOIN c ON spine.bin = c.bin CROSS JOIN t),
+        |g AS (
+        |  SELECT bin, n_a, n_b, n_a::DOUBLE / ta AS p, n_b::DOUBLE / tb AS q FROM f),
+        |h AS (
+        |  SELECT bin, n_a, n_b, p, q,
+        |    CAST(floor((CASE WHEN p + q = 0 THEN 0.0 ELSE (p - q) * (p - q) / (p + q) END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS term_d
+        |  FROM g)
+        |SELECT bin, n_a, n_b,
+        |  CAST(CAST(floor((p)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p_a,
+        |  CAST(CAST(floor((q)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p_b,
+        |  CAST(CAST(SUM(term_d) OVER () AS DECIMAL(38,4)) AS VARCHAR) AS chi2,
+        |  CAST(term_d AS VARCHAR) AS term
+        |FROM h
+        |ORDER BY bin NULLS FIRST, n_a NULLS FIRST, n_b NULLS FIRST, p_a NULLS FIRST, p_b NULLS FIRST, chi2 NULLS FIRST, term NULLS FIRST""".stripMargin,
+
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b

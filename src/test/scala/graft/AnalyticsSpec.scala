@@ -32,6 +32,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(3 * tris <= wedges, s"3*$tris > $wedges")
   }
 
+  test("ewma: matches the per-user sequential recurrence; first event passes through") {
+    val rows = graft.queries.Analytics.all("ewma")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3).toDouble))
+    val byUser = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = rows.map(r => (r._1, r._2) -> r._3).toMap
+    byUser.foreach { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2)).map(e => (e._2, e._4))
+      ordered.zipWithIndex.foreach { case ((eid, _), i) =>
+        // naive truncated-adjusted recount in plain doubles: the query's
+        // decimal arithmetic must land within the output rounding of it
+        val window = ordered.slice(math.max(0, i - 18), i + 1).map(_._2).reverse
+        val num = window.zipWithIndex.map { case (v, k) => v * math.pow(0.7, k) }.sum
+        val den = window.indices.map(k => math.pow(0.7, k)).sum
+        val exp = num / den
+        assert(math.abs(got((u, eid)) - exp) < 1e-3,
+          s"user $u event $eid: ${got((u, eid))} vs naive $exp")
+      }
+      // first event in time order passes through exactly
+      val (firstEid, firstV) = ordered.head
+      assert(math.abs(got((u, firstEid)) - firstV) < 5.1e-5)
+    }
+  }
+
+  test("drift_psi: identical halves give zero drift; census conserves counts") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("drift_zero").toString
+    // two time-mirrored copies of the same value multiset: every bin has
+    // p == q, so every term and the chi2 total must be exactly zero
+    val vals = Seq(1.0, 2.0, 5.0, 7.5, 9.9, 3.3)
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, s"2024-01-01 00:0$i:00", 1L, "view", v, "{}"),
+          (100L + i, s"2024-01-01 02:0$i:00", 1L, "view", v, "{}"))
+    }
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.queries.Analytics.all("drift_psi")(spark, d).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).sum == vals.size && out.map(_.getLong(2)).sum == vals.size)
+    out.foreach { r =>
+      assert(r.getString(6).toDouble == 0.0, s"term nonzero: $r")
+      assert(r.getString(5).toDouble == 0.0, s"chi2 nonzero: $r")
+    }
+    // and on the real corpus the statistic is a finite non-negative number
+    val real = graft.queries.Analytics.all("drift_psi")(spark, TestSpark.sfDir)
+      .head.getString(5).toDouble
+    assert(real >= 0.0 && real < 2.0)
+  }
+
   test("skyline: frontier is mutually non-dominated and dominates every non-member") {
     val p = graft.core.Tables.load(spark, TestSpark.sfDir, "part")
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))

@@ -51,9 +51,12 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // on doc_id
     "dq_benford", // table-total scalar attach: 1-row broadcast crossJoin
                   // (tfidf1's N shape) feeding the 9-row spine's obs freq
-    "graph_triangles" // the census output row = crossJoin of four 1-row
+    "graph_triangles", // the census output row = crossJoin of four 1-row
                   // counting aggregates (forget_user's shape); the wedge
                   // and closure joins themselves are equi-keyed
+    "drift_psi"   // two 1-row scalar attaches (global min/max/mid bounds +
+                  // half totals), the tfidf1 shape; the bin aggregate and
+                  // spine join are equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
