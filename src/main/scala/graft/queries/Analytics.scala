@@ -101,6 +101,32 @@ object Analytics {
       ordered(nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(tri))
     }),
 
+    // ---- SPL-1: LEAKAGE-SAFE train/val/test assignment — the fix for
+    //      the failure mode DDP-LEAK (`split_leakage`) audits: a per-doc
+    //      hash split (SMP-1) puts two copies of the same document on
+    //      both sides of the train/test wall. Here the split key is the
+    //      DUP-GROUP REPRESENTATIVE (min doc_id over the exact-dup group,
+    //      md5-keyed like DDP-1), so every copy co-travels by
+    //      construction; near-dup-safe variants swap the group key for
+    //      DDP-CLUSTER's label — same shape. Bucket = exact integer LCG
+    //      on the rep (pre-reduced mod 2³¹−1 so the multiply never
+    //      overflows int64 for ANY id — ANSI mode throws on overflow),
+    //      800/100/100 per mille. Shape: ONE hash-keyed window min (the
+    //      only data-sized shuffle; at 100 TB keyed on the md5, never the
+    //      raw text) + a codegen'd projection; co-travel spec-pinned. ----
+    "split_assign" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val w = Window.partitionBy(col("h"))
+      val rep = doc.withColumn("h", md5(col("text")))
+        .withColumn("rep", min(col("doc_id")).over(w))
+      val bucket = pmod(
+        pmod(col("rep"), lit(2147483647L)) * lit(2654435761L) + lit(123456789L),
+        lit(1000L))
+      ordered(rep.select(col("doc_id"), col("rep"), bucket.as("bucket"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split")))
+    }),
+
     // ---- SKY-1: Pareto frontier (skyline) of part on (minimize
     //      p_retailprice, maximize p_size) — multi-objective shortlist
     //      queries (cheapest-but-biggest) that SQL has no native operator
@@ -308,6 +334,22 @@ object Analytics {
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM t
         |ORDER BY n_nodes NULLS FIRST, n_edges NULLS FIRST, n_wedges NULLS FIRST, n_triangles NULLS FIRST""".stripMargin,
+
+    "split_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, rep,
+        |    ((rep % 2147483647) * 2654435761 + 123456789) % 1000 AS bucket
+        |  FROM r)
+        |SELECT doc_id, rep, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id NULLS FIRST, rep NULLS FIRST, bucket NULLS FIRST, split NULLS FIRST""".stripMargin,
 
     "skyline" ->
       """SELECT p_partkey, p_retailprice, p_size

@@ -86,6 +86,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(real >= 0.0 && real < 2.0)
   }
 
+  test("split_assign: exact-dup copies co-travel; assignment is total and train-majority") {
+    val doc = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.queries.Analytics.all("split_assign")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == doc.size, "every doc gets exactly one assignment")
+    // leakage-safety: identical text => identical rep AND identical split
+    rows.groupBy(r => doc(r._1)).foreach { case (_, grp) =>
+      assert(grp.map(_._2).distinct.length == 1, s"reps differ: $grp")
+      assert(grp.map(_._4).distinct.length == 1, s"splits differ: $grp")
+    }
+    val bySplit = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > rows.length / 2, s"train not majority: $bySplit")
+    rows.foreach { case (_, _, b, sp) =>
+      val expect = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(sp == expect)
+    }
+  }
+
   test("skyline: frontier is mutually non-dominated and dominates every non-member") {
     val p = graft.core.Tables.load(spark, TestSpark.sfDir, "part")
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
