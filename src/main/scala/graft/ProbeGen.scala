@@ -31,7 +31,11 @@ object ProbeGen {
   private val keyOf = Map(
     "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
     "customer" -> "c_custkey", "documents" -> "doc_id",
-    "events" -> "event_id", "embeddings" -> "vec_id")
+    "events" -> "event_id", "embeddings" -> "vec_id",
+    // part fans like customer: same content under N distinct ids (price/
+    // size duplicated), which for SKY-1 means every frontier point gains
+    // N equal-tie copies — all must survive by the no-strict-dominator law.
+    "part" -> "p_partkey")
 
   def main(args: Array[String]): Unit = {
     val (baseDir, outDir, factor, fanTables) = args match {
