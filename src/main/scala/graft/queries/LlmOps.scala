@@ -2234,6 +2234,44 @@ object LlmOps {
         (length(aug) - length(red)).cast("int").as("chars_removed")))
     }),
 
+    // ---- MASK-1: deterministic pseudonymization — TXT-PII's remediation
+    //      sibling for the cases where dropping the VALUE breaks the
+    //      data: the same PII string maps to the same stable token
+    //      (<PII:md5-prefix>), so cross-document joins, frequency
+    //      analysis, and dedup keep working on the masked corpus while
+    //      the raw value never leaves the scan (tokenization, not
+    //      redaction — the GDPR-pseudonymization pattern). Token-level
+    //      transform (full-token anchored match → hash token), because
+    //      regexp_replace cannot compute a per-match hash in either
+    //      engine. The injected email appears TWICE per doc so the
+    //      stability law (2 masked occurrences, 1 distinct pseudonym
+    //      besides the phone) is data-visible, not just spec-asserted.
+    //      Per-row HOF projection: scan-bound, zero shuffle, trivially
+    //      parallel — the 100 TB shape; the lambda is the cost (no
+    //      whole-stage codegen inside HOFs), ~µs/token like txt_langid's
+    //      filters. Java∩RE2 anchored patterns, per txt_pii. ----
+    "txt_mask" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val emailPat = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+      val phonePat = "^\\d{3}-\\d{3}-\\d{4}$"
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com and again user"), col("doc_id").cast("string"),
+        lit("@example.com ph "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+      val toks = split(aug, " ")
+      def isPii(t: Column): Column = t.rlike(emailPat) || t.rlike(phonePat)
+      val piiToks = filter(toks, t => isPii(t))
+      val masked = transform(toks, t =>
+        when(isPii(t), concat(lit("<PII:"), substring(md5(t), 1, 8), lit(">")))
+          .otherwise(t))
+      ordered(doc.select(col("doc_id"), col("lang"),
+        size(piiToks).as("n_masked"),
+        size(array_distinct(piiToks)).as("n_distinct_pii"),
+        md5(array_join(masked, " ")).as("masked_md5")))
+    }),
+
     // ---- TXT-LID2: character-trigram language ID — the textcat/CLD
     //      n-gram family, complementing txt_langid's stopword marker
     //      (which needs a per-language word list; trigram profiles are
@@ -3338,6 +3376,33 @@ object LlmOps {
         |  md5(r) AS redacted_md5,
         |  CAST(length(t) - length(r) AS INT) AS chars_removed
         |FROM red
-        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_email NULLS FIRST, n_phone NULLS FIRST, redacted_md5 NULLS FIRST, chars_removed NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_email NULLS FIRST, n_phone NULLS FIRST, redacted_md5 NULLS FIRST, chars_removed NULLS FIRST""".stripMargin,
+
+    "txt_mask" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com and again user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com ph ' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+        |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, string_split(t, ' ') AS ts FROM aug),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(ts, x -> regexp_matches(x, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')
+        |                      OR regexp_matches(x, '^\d{3}-\d{3}-\d{4}$')) AS pii,
+        |    list_transform(ts, x ->
+        |      CASE WHEN regexp_matches(x, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')
+        |             OR regexp_matches(x, '^\d{3}-\d{3}-\d{4}$')
+        |           THEN '<PII:' || substr(md5(x), 1, 8) || '>' ELSE x END) AS masked
+        |  FROM tok)
+        |SELECT doc_id, lang,
+        |  CAST(len(pii) AS INT) AS n_masked,
+        |  CAST(len(list_distinct(pii)) AS INT) AS n_distinct_pii,
+        |  md5(array_to_string(masked, ' ')) AS masked_md5
+        |FROM m
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_masked NULLS FIRST, n_distinct_pii NULLS FIRST, masked_md5 NULLS FIRST""".stripMargin
   )
 }

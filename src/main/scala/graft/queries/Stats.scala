@@ -105,6 +105,37 @@ object Stats {
           .as("z_score")))
     }),
 
+    // ---- FE-1: exact-decile discretization (quantile binning) — the
+    //      feature transform behind equal-frequency bucketing, monotonic
+    //      binning for scorecards, and skew-immune histograms. Cut points
+    //      = the 9 interior deciles of l_extendedprice via the type-7
+    //      interpolated percentile (the AGG-7 precedent: Spark
+    //      `percentile` and DuckDB `quantile_cont` compute the identical
+    //      double), dec4-rounded so no row sits on an engine-dependent
+    //      comparison tie; bucket = 1 + Σᵢ [v > cutᵢ] spelled as 9
+    //      codegen'd whens, not an array HOF. Output = per-bucket census
+    //      (n, lo, hi, sum) — equal-frequency up to ties by construction.
+    //      Shape: ONE exact-percentile aggregate (the global value sort —
+    //      at 100 TB this switches to AGG-11's approx_percentile, same
+    //      declared trade as AGG-7) + a 1-row broadcast cut attach + one
+    //      map-side-combined 10-group aggregate. ----
+    "quantile_bin" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val cuts = li.agg(percentile(col("l_extendedprice"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+      val bucket = (1 to 9).map(i =>
+          when(dec(col("l_extendedprice")) > dec4(element_at(col("bs"), i)), 1)
+            .otherwise(0))
+        .reduce(_ + _) + 1
+      ordered(li.crossJoin(broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("n_rows"),
+          decS(min(dec(col("l_extendedprice")))).as("lo"),
+          decS(max(dec(col("l_extendedprice")))).as("hi"),
+          dsumS(col("l_extendedprice")).as("sum_price")))
+    }),
+
     // ---- DQ-3: Benford first-digit audit — the classic fabricated-data /
     //      unit-mixup tripwire for financial measure columns. First
     //      significant digit is taken from the DECIMAL(18,2) string
@@ -169,6 +200,25 @@ object Stats {
           |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
           |FROM p
           |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "quantile_bin" -> {
+        val caseSum = (1 to 9).map(i =>
+          s"CASE WHEN CAST(l_extendedprice AS DECIMAL(38,4)) > CAST(floor((bs[$i])*10000+0.5)/10000 AS DECIMAL(38,4)) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH c AS (
+          |  SELECT quantile_cont(l_extendedprice,
+          |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+          |  FROM lineitem),
+          |b AS (
+          |  SELECT 1 + $caseSum AS bucket, l_extendedprice
+          |  FROM lineitem CROSS JOIN c)
+          |SELECT bucket, COUNT(*) AS n_rows,
+          |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS lo,
+          |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS hi,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
+          |FROM b GROUP BY bucket
+          |ORDER BY bucket NULLS FIRST, n_rows NULLS FIRST, lo NULLS FIRST, hi NULLS FIRST, sum_price NULLS FIRST""".stripMargin
+      },
 
       "ab_lift" ->
         """WITH pu AS (

@@ -54,9 +54,11 @@ class CartesianGuardSpec extends AnyFunSuite {
     "graph_triangles", // the census output row = crossJoin of four 1-row
                   // counting aggregates (forget_user's shape); the wedge
                   // and closure joins themselves are equi-keyed
-    "drift_psi"   // two 1-row scalar attaches (global min/max/mid bounds +
+    "drift_psi",  // two 1-row scalar attaches (global min/max/mid bounds +
                   // half totals), the tfidf1 shape; the bin aggregate and
                   // spine join are equi-keyed
+    "quantile_bin" // decile-cut scalar attach: 1-row broadcast crossJoin
+                  // of the global percentile aggregate (tfidf1's N shape)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

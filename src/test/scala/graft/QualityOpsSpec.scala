@@ -83,6 +83,32 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(residual == 0, s"$residual unredacted PII matches remain")
   }
 
+  test("txt_mask: pseudonymization is stable (same value, same token) and total") {
+    val out = SparkEntry.queries("txt_mask")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4)))
+    out.foreach { case (id, nMasked, nDistinct, md5) =>
+      // 2 injected email copies + 1 phone = at least 3 masked tokens
+      assert(nMasked >= 3, s"doc $id masked only $nMasked")
+      // the repeated email collapses to ONE pseudonym: distinct < masked —
+      // the stability law that keeps joins working on the masked corpus
+      assert(nDistinct == nMasked - 1, s"doc $id: $nDistinct distinct of $nMasked")
+      assert(md5.length == 32)
+    }
+    // masking changed the text: the masked md5 never equals the raw-aug md5
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com and again user"), col("doc_id").cast("string"),
+      lit("@example.com ph "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+      lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+    val rawMd5 = doc.select(col("doc_id"), md5(aug).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, _, _, m) =>
+      assert(m != rawMd5(id), s"doc $id: mask was a no-op")
+    }
+  }
+
   test("funnel: window formulation equals a driver-side state-machine replay") {
     val out = SparkEntry.queries("funnel")(spark, sfDir)
       .collect().map { r =>

@@ -42,6 +42,26 @@ class StatsSpec extends AnyFunSuite {
       r.getString(6).toDouble == 0.0)
   }
 
+  test("quantile_bin: equal-frequency up to ties, ordered non-overlapping ranges, total census") {
+    val rows = graft.queries.Stats.all("quantile_bin")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        BigDecimal(r.getString(2)), BigDecimal(r.getString(3))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10), "all ten buckets present")
+    val total = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem").count()
+    assert(rows.map(_._2).sum == total, "every row lands in exactly one bucket")
+    // equal-frequency: each bucket within 2% of n/10 (slack = decile ties)
+    rows.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= total * 0.02, s"bucket $b count $n")
+    }
+    // ranges ordered and non-overlapping: hi(i) <= lo(i+1)
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (b2, _, lo2, _)) =>
+        assert(hi1 <= lo2, s"bucket ${b2 - 1} hi $hi1 > bucket $b2 lo $lo2")
+      case _ =>
+    }
+  }
+
   test("dq_benford: total 9-digit spine whose counts sum to the table size") {
     val rows = graft.queries.Stats.all("dq_benford")(spark, TestSpark.sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2).toDouble))
