@@ -235,6 +235,44 @@ object StreamOps {
         })
   }
 
+  case class EwmaSt(s: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** STR-EWMA: the UNTRUNCATED sequential EWMA recurrence
+    * (s₁ = v₁; sᵢ = α·vᵢ + (1−α)·sᵢ₋₁) as per-user ordered state — the
+    * streaming twin the batch TS-EWMA row declares: the batch side
+    * truncates at 18 lags precisely because the full recurrence needs
+    * per-key sequential state, which is THIS extension point's native
+    * shape (state = one double per user, bounded forever).
+    *
+    * Within a micro-batch, rows are folded in (ts, event_id) order;
+    * ACROSS batches correctness requires time-ordered replay (watermark-
+    * monotone slices), the same contract the STR-ST2 equivalence test
+    * replays under — an out-of-order late event would need the batch
+    * operator's reordering buffer, which is what the truncated batch twin
+    * is for. Emits every event's smoothed value once (Update mode). */
+  def ewmaStream(events: Dataset[Ev], alpha: Double = 0.3): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[EwmaSt]) => {
+          // (ms, nanos, id): nanos carries the sub-ms component getTime
+          // truncates, so the fold order is µs-exact like the batch twin's
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption
+          val out = sorted.map { e =>
+            val s = st match {
+              case None    => e.value
+              case Some(p) => alpha * e.value + (1 - alpha) * p.s
+            }
+            st = Some(EwmaSt(s))
+            EwmaOut(uid, e.event_id, s)
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+
   case class SessSt(start: Timestamp, end: Timestamp, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         last_ts: Timestamp, n_events: Long)

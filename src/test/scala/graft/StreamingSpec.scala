@@ -258,6 +258,43 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, batch, "custom sessionizer vs native session_window")
   }
 
+  test("STR-EWMA sequential state equals a single-fold recount under time-ordered replay") {
+    // Time-ordered quartile slices: the sequential recurrence is only
+    // replay-correct when micro-batches arrive in event-time order (the
+    // declared contract; out-of-order data is the truncated batch twin's
+    // territory).
+    val d = tempDir("ewma_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.ewmaStream(stream).toDF(), "ewma_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side single fold per user over the µs-exact total order —
+    // same arithmetic in the same order, so equality is EXACT, not ~=
+    val evs = eventsBatch.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.size == evs.length, "each event smoothed exactly once")
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      var s = 0.0; var first = true
+      rows.sortBy(e => (e._3, e._2)).foreach { case (_, eid, _, v) =>
+        s = if (first) v else 0.3 * v + 0.7 * s
+        first = false
+        assert(streamed((u, eid)) == s, s"user $u event $eid: ${streamed((u, eid))} vs $s")
+      }
+    }
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
