@@ -96,8 +96,8 @@ object Analytics {
         .agg(count(lit(1)).as("n_triangles"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
-      val nWedges = deg.agg(sum(call_function("div",
-        col("deg") * (col("deg") - 1), lit(2L))).as("n_wedges"))
+      val nWedges = deg.agg(coalesce(sum(call_function("div",
+        col("deg") * (col("deg") - 1), lit(2L))), lit(0L)).as("n_wedges"))
       ordered(nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(tri))
     }),
 
@@ -219,7 +219,11 @@ object Analytics {
       val bounds = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         call_function("div",
           unix_micros(min(col("ts"))) + unix_micros(max(col("ts"))), lit(2L)).as("mid"))
-      val width = (col("vmax") - col("vmin")) / lit(10.0)
+      // width-0 guard: a constant-value column otherwise yields NaN bins
+      // (0/0) and an ANSI cast error — with width 1 every row lands in
+      // bin 0 and the audit degenerates gracefully to "no drift"
+      val width = when(col("vmax") === col("vmin"), lit(1.0))
+        .otherwise((col("vmax") - col("vmin")) / lit(10.0))
       val binned = e.crossJoin(broadcast(bounds))
         .withColumn("bin", least(floor((col("value") - col("vmin")) / width), lit(9.0))
           .cast("int"))
@@ -291,7 +295,8 @@ object Analytics {
         |    (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
         |  FROM events),
         |bi AS (
-        |  SELECT CAST(LEAST(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9.0) AS INTEGER) AS bin,
+        |  SELECT CAST(LEAST(floor((value - vmin) /
+        |    (CASE WHEN vmax = vmin THEN 1.0 ELSE (vmax - vmin) / 10.0 END)), 9.0) AS INTEGER) AS bin,
         |    CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half
         |  FROM events CROSS JOIN b),
         |c AS (
@@ -330,7 +335,7 @@ object Analytics {
         |           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
         |       (SELECT COUNT(*) FROM e) AS n_edges,
-        |       (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM t
         |ORDER BY n_nodes NULLS FIRST, n_edges NULLS FIRST, n_wedges NULLS FIRST, n_triangles NULLS FIRST""".stripMargin,

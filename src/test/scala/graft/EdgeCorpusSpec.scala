@@ -154,8 +154,43 @@ class EdgeCorpusSpec extends AnyFunSuite {
         "txt1", "txt_langid", "ddp_cluster", "pipeline_clean",
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms",
-        "scrub_segments", "bm25", "chunk_overlap", "mix_plan"))
+        "scrub_segments", "bm25", "chunk_overlap", "mix_plan",
+        "txt_mask", "split_assign"))
       assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
+  }
+
+  test("drift_psi: constant-value corpus degrades to zero drift, never NaN-bins") {
+    // width-0 edge: every value identical — without the guard the bin
+    // expression is (v-vmin)/0 = NaN and the ANSI int cast throws.
+    val d = Files.createTempDirectory("drift_const").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-01 01:00:00", 1L, "view", 5.0, "{}"),
+        (2L, "2024-01-01 02:00:00", 2L, "view", 5.0, "{}"),
+        (3L, "2024-01-01 03:00:00", 1L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+      .drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("drift_psi")(spark, d).collect()
+    assert(out.length == 10)
+    // mid = 02:00 -> halves split 1 / 2; all rows land in bin 0
+    assert(out.map(_.getLong(1)).sum == 1 && out.map(_.getLong(2)).sum == 2)
+    // p = 1/1, q = 2/2 in bin 0: equal distributions, zero drift
+    out.foreach(r => assert(r.getString(5).toDouble == 0.0, s"chi2 nonzero: $r"))
+  }
+
+  test("graph_triangles: empty fact table yields the all-zero census, never null") {
+    val d = Files.createTempDirectory("tri_empty").toString
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Int, Double, Double, Double, Double,
+        String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, d).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 0L, 0L)))
   }
 
   test("txt_norm: punctuation-only and empty docs normalize to the empty fixpoint") {
