@@ -319,4 +319,33 @@ class PlanGuardSpec extends AnyFunSuite {
       l.contains("Scan parquet") && l.contains("lineitem"))
     assert(liScans <= 1, s"edge extraction replans per iteration ($liScans lineitem scans)")
   }
+
+  test("graph_triangles: the closure probe is a broadcast hash join on the packed key") {
+    // The 41M-row wedge stream must pipeline into a map-side hash probe;
+    // if the edge-list broadcast silently degrades to a shuffle join the
+    // wedges pay a full exchange (measured +2.5 s at sf0.1).
+    val p = plan("graph_triangles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"closure must broadcast the edge list:\n${p.take(1000)}")
+    // (the census 1-row crossJoins are the whitelisted BNLJ scalar
+    // attaches; CartesianProduct itself is banned fleet-wide)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("skyline: the prefix-max relation broadcasts back; no fact-sized sort") {
+    val p = plan("skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-price prefix-max relation must broadcast:\n${p.take(1000)}")
+    // the single-partition window runs over the GROUPED (distinct-price)
+    // relation — the part scan itself must aggregate before any window
+    assert(p.contains("HashAggregate"), "price-group collapse missing")
+  }
+
+  test("ewma: the weight table broadcasts; the probe join stays equi-keyed") {
+    val p = plan("ewma")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 19-row weight table must broadcast:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the (user, rn-k) probe join must stay an equi-join")
+  }
 }
