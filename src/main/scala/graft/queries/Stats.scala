@@ -138,10 +138,14 @@ object Stats {
 
     // ---- DQ-3: Benford first-digit audit — the classic fabricated-data /
     //      unit-mixup tripwire for financial measure columns. First
-    //      significant digit is taken from the DECIMAL(18,2) string
-    //      rendering (regexp '[1-9]' first match) — NEVER from
+    //      significant digit via the codegen'd FirstSigDigit expression —
+    //      integer division on exact cents (round(v·100)), NEVER
     //      10^floor(log10 x), whose libm log10 can land on the wrong side
-    //      of an integer at exact powers of ten. A 9-row literal digit
+    //      of an integer at exact powers of ten. (The DuckDB twin keeps
+    //      the DECIMAL-string '[1-9]' regexp form — identical digits on
+    //      ≤2-decimal measures, equality spec-pinned in ExpressionSpec;
+    //      the Spark string form measured 5.0 s at the ×10 probe vs
+    //      1.3 s for the expression, ×3.9.) A 9-row literal digit
     //      spine (with the 4-dec-rounded log10(1+1/d) expectations as
     //      decimal literals, precomputed — no runtime log) LEFT-joins the
     //      observed counts so absent digits still surface with n=0.
@@ -151,9 +155,9 @@ object Stats {
     "dq_benford" -> ((s, d) => {
       import s.implicits._
       val li = load(s, d, "lineitem")
-      val counts = li.select(regexp_extract(
-          col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
-          "[1-9]", 0).as("digit"))
+      val counts = li.select(
+          graft.functions.GraftFunctions.first_sig_digit(col("l_extendedprice"))
+            .cast("string").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       val spine = Seq(
         ("1", 0.3010), ("2", 0.1761), ("3", 0.1249), ("4", 0.0969),

@@ -189,6 +189,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(withCodegen == interpretedOnly(probes()))
   }
 
+  test("first_sig_digit equals the decimal-string regexp form; codegen parity; edges") {
+    import graft.functions.GraftFunctions.first_sig_digit
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // the expression replaced this exact string path in dq_benford — the
+    // two must agree on every ≤2-decimal measure value
+    val stringForm = regexp_extract(
+      col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string"), "[1-9]", 0)
+    val mismatches = li.filter(
+      first_sig_digit(col("l_extendedprice")).cast("string") =!= stringForm).count()
+    assert(mismatches == 0)
+    // codegen/interpreted parity on the corpus
+    def digits() = li.limit(200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        first_sig_digit(col("l_extendedprice")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val withCodegen = digits()
+    assert(withCodegen == interpretedOnly(digits()))
+    // edges: powers of ten (the log10 hazard), sub-1 values, zero, null
+    val r = spark.range(1).select(
+      first_sig_digit(lit(1000.0)).as("a"), first_sig_digit(lit(999.99)).as("b"),
+      first_sig_digit(lit(0.05)).as("c"), first_sig_digit(lit(0.0)).as("d"),
+      first_sig_digit(lit(null).cast("double")).as("e")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 9, 5, 0)))
+    assert(r.isNullAt(4))
+  }
+
   test("morton_code equals the bit-by-bit interleave reference") {
     import graft.functions.GraftFunctions.morton_code
     def ref(x: Long, y: Long): Long = {
