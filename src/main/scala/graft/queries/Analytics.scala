@@ -101,6 +101,29 @@ object Analytics {
       ordered(nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(tri))
     }),
 
+    // ---- TS-2: seasonal profile — per hour-of-day mean of event value
+    //      with a seasonal index (hour mean / global mean), the
+    //      decomposition step behind seasonality-aware anomaly detection
+    //      and load forecasting (ANOM-1 on deseasonalized residuals is
+    //      the standard composition). Means finished from exact decimal
+    //      sums (order-free), index in the deterministic double subset.
+    //      Shape: ONE map-side-combined 24-group aggregate over the scan
+    //      + a 1-row global-mean broadcast attach — profiles compose
+    //      incrementally across ingest batches like DRIFT-1's bins. ----
+    "seasonal_profile" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byHour = e.groupBy(hour(col("ts")).as("hh")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("sv"))
+      val g = e.agg((sum(dec(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("gmean"))
+      val hmean = col("sv").cast("double") / col("n").cast("double")
+      ordered(byHour.crossJoin(broadcast(g))
+        .select(col("hh"), col("n"),
+          dec4S(hmean).as("mean_value"),
+          dec4S(hmean / col("gmean")).as("seasonal_idx")))
+    }),
+
     // ---- SPL-1: LEAKAGE-SAFE train/val/test assignment — the fix for
     //      the failure mode DDP-LEAK (`split_leakage`) audits: a per-doc
     //      hash split (SMP-1) puts two copies of the same document on
@@ -339,6 +362,21 @@ object Analytics {
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM t
         |ORDER BY n_nodes NULLS FIRST, n_edges NULLS FIRST, n_wedges NULLS FIRST, n_triangles NULLS FIRST""".stripMargin,
+
+    "seasonal_profile" ->
+      """WITH h AS (
+        |  SELECT hour(ts) AS hh, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(38,4))) AS sv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS gmean
+        |  FROM events)
+        |SELECT hh, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_value,
+        |  CAST(CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / gmean)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS seasonal_idx
+        |FROM h CROSS JOIN g
+        |ORDER BY hh NULLS FIRST, n NULLS FIRST, mean_value NULLS FIRST, seasonal_idx NULLS FIRST""".stripMargin,
 
     "split_assign" ->
       """WITH r AS (

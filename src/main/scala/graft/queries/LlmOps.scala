@@ -1557,6 +1557,42 @@ object LlmOps {
     }),
 
     // ---- TXT-4: quality scoring (length / stopword / token-size ratios) ----
+    // ---- CUR-1: curriculum manifest — the corpus staged into 5 equal-
+    //      frequency QUALITY PHASES (phase 1 = lowest type-token ratio …
+    //      phase 5 = highest), the ordering curriculum-learning schedules
+    //      train on (easy/templated text first or last, diverse prose at
+    //      the other end). Phase cuts are FE-1's percentile mechanism
+    //      (type-7 quartile cuts of the dec4'd score, cut values
+    //      dec4-rounded before comparison), NOT a global row_number rank:
+    //      the rank form needs one total sort of the corpus, the cut form
+    //      needs one percentile aggregate + a scan — the 100 TB shape,
+    //      and phases stay reproducible under any partitioning. Output =
+    //      the 5-row manifest (n_docs, mean score, char volume) a
+    //      training scheduler consumes. ----
+    "curriculum" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words = split(col("text"), " ")
+      // score as a 4-decimal DOUBLE: dec4 for the tie-safe value, double
+      // so percentile/quantile_cont agree across engines (DuckDB's
+      // quantile over DECIMAL stays decimal; over DOUBLE both engines
+      // interpolate the identical type-7 double)
+      val scored = doc.select(col("doc_id"), col("n_chars"),
+        dec4(size(array_distinct(words)).cast("double") /
+          size(words).cast("double")).cast("double").as("score"))
+      val cuts = scored.agg(percentile(col("score"),
+        array((1 to 4).map(i => lit(i / 5.0)): _*)).as("bs"))
+      val phase = (1 to 4).map(i =>
+          when(col("score") > dec4(element_at(col("bs"), i)).cast("double"), 1)
+            .otherwise(0))
+        .reduce(_ + _) + 1
+      ordered(scored.crossJoin(broadcast(cuts))
+        .withColumn("phase", phase)
+        .groupBy(col("phase")).agg(
+          count(lit(1)).as("n_docs"),
+          davgS(col("score")).as("avg_score"),
+          sum(col("n_chars")).as("sum_chars")))
+    }),
+
     "txt_quality" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val words = split(col("text"), " ")
@@ -2954,6 +2990,26 @@ object LlmOps {
         |  THEN 'en' ELSE 'unknown' END) = lang AS is_match
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, pred_lang NULLS FIRST, is_match NULLS FIRST""".stripMargin,
+
+    "curriculum" -> {
+      val phaseSum = (1 to 4).map(i =>
+        s"CASE WHEN score > CAST(CAST(floor((bs[$i])*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS score
+        |  FROM documents),
+        |c AS (SELECT quantile_cont(score, [0.2, 0.4, 0.6, 0.8]) AS bs FROM scored),
+        |p AS (
+        |  SELECT n_chars, score, 1 + $phaseSum AS phase
+        |  FROM scored CROSS JOIN c)
+        |SELECT phase, COUNT(*) AS n_docs,
+        |  CAST(CAST(floor((CAST(SUM(CAST(score AS DECIMAL(38,4))) AS DOUBLE) / COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_score,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM p GROUP BY phase
+        |ORDER BY phase NULLS FIRST, n_docs NULLS FIRST, avg_score NULLS FIRST, sum_chars NULLS FIRST""".stripMargin
+    },
 
     "txt_quality" ->
       """SELECT doc_id, lang,

@@ -86,6 +86,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(real >= 0.0 && real < 2.0)
   }
 
+  test("curriculum: 5 equal-frequency phases with monotone quality") {
+    val rows = SparkEntry.queries("curriculum")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2).toDouble))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 5))
+    val total = graft.core.Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(rows.map(_._2).sum == total)
+    // equal frequency up to quantile ties (score domain is 4-decimal, so
+    // ties can shift a few docs between phases)
+    rows.foreach { case (p, n, _) =>
+      assert(math.abs(n - total / 5.0) <= math.max(2.0, total * 0.06), s"phase $p n=$n")
+    }
+    // the schedule property: mean score strictly rises phase over phase
+    rows.sliding(2).foreach {
+      case Array((_, _, a), (p, _, b)) => assert(a < b, s"phase $p not above ${p - 1}")
+      case _ =>
+    }
+  }
+
+  test("seasonal_profile: census conserves events; indices average to 1 under count weights") {
+    val rows = SparkEntry.queries("seasonal_profile")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getString(2).toDouble, r.getString(3).toDouble))
+    val total = graft.core.Tables.load(spark, TestSpark.sfDir, "events").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 23))
+    // Σ n_h·idx_h / N == 1: the definition of a seasonal index (up to the
+    // 4-decimal rounding of each idx)
+    val weighted = rows.map(r => r._2 * r._4).sum / total
+    assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
+  }
+
   test("split_assign: exact-dup copies co-travel; assignment is total and train-majority") {
     val doc = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), col("text"))

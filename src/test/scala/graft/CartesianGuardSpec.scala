@@ -57,8 +57,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "drift_psi",  // two 1-row scalar attaches (global min/max/mid bounds +
                   // half totals), the tfidf1 shape; the bin aggregate and
                   // spine join are equi-keyed
-    "quantile_bin" // decile-cut scalar attach: 1-row broadcast crossJoin
+    "quantile_bin", // decile-cut scalar attach: 1-row broadcast crossJoin
                   // of the global percentile aggregate (tfidf1's N shape)
+    "curriculum", // quintile-cut scalar attach, same shape as quantile_bin
+    "seasonal_profile" // global-mean scalar attach onto the 24-row profile
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -155,7 +155,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
         "txt_repetition", "pack1", "tfidf1", "src1",
         "txt_norm", "txt_pii", "smp_rate", "smp_weighted", "freq_cms",
         "scrub_segments", "bm25", "chunk_overlap", "mix_plan",
-        "txt_mask", "split_assign"))
+        "txt_mask", "split_assign", "curriculum"))
       assert(SparkEntry.queries(q)(spark, d).count() == 0, s"$q not empty")
   }
 
