@@ -484,6 +484,50 @@ object LlmOps {
       |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST, avg_chars NULLS FIRST""".stripMargin
 
   // Shared DuckDB CTE fragments (token sets + portable token hash).
+  /** The SIM-1 IVF oracle pipeline through its `ranked` CTE, shared by
+    * `sim1_ivf` and `ivf_eval` (mirrors the shared [[ivfRanked]]). */
+  private lazy val duckIvfCtes: String = {
+    val centCols = (1 to 64).map { i =>
+      s"CAST(CAST(floor((CAST(SUM(CAST(floor((CAST(embedding[$i] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS c$i"
+    }.mkString(",\n    ")
+    val ceList = (1 to 64).map(i => s"c$i").mkString("[", ", ", "]")
+    // NOTE: the cent0 body must stay alias-free — DuckDB 1.0's binder
+    // loses CTE-internal table aliases when the CTE feeds a later cross
+    // join ("Referenced table d not found ... Candidate tables: v").
+    s"""cent0 AS (
+      |  SELECT label,
+      |    $centCols
+      |  FROM documents JOIN embeddings ON doc_id = vec_id
+      |  GROUP BY label
+      |), cent AS (
+      |  SELECT label AS cell_label, $ceList AS ce FROM cent0
+      |), centn AS (
+      |  SELECT cell_label, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cent
+      |), vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+      |  FROM embeddings
+      |), assigned AS (
+      |  SELECT v.vec_id, v.e, v.vn, c.cell_label,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2])) / (v.vn * c.cn) DESC,
+      |      c.cell_label ASC) AS INT) AS crn
+      |  FROM vecs v CROSS JOIN centn c
+      |), cells AS (
+      |  SELECT vec_id, e, vn, cell_label AS cell FROM assigned WHERE crn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
+      |  FROM assigned WHERE vec_id < 10 AND crn <= 2
+      |), ranked AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) AS score_raw,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+      |      list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) DESC,
+      |      c.vec_id ASC) AS INT) AS rn
+      |  FROM probes p JOIN cells c ON p.pcell = c.cell AND p.query_id <> c.vec_id
+      |)""".stripMargin
+  }
+
   private val duckToks =
     "SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents"
   private val duckTokHash =
@@ -641,6 +685,53 @@ object LlmOps {
       |  SELECT q_id, doc_id, CAST(SUM(ts) AS DECIMAL(38,4)) AS score,
       |    COUNT(1) AS n_terms
       |  FROM term GROUP BY 1, 2)""".stripMargin
+
+  /** The certified SIM-1 IVF pipeline (label-centroid cells, 2-probe
+    * search), shared verbatim by `sim1_ivf` (rounded/rendered output) and
+    * `ivf_eval` (the recall audit joins its raw (query, neighbor) pairs
+    * against brute-force truth). Returns the per-query top-3 as
+    * (query_id, rn, neighbor_id, score_raw). */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val doc = load(s, d, "documents")
+    val emb = load(s, d, "embeddings")
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val joined = doc.join(emb, doc("doc_id") === emb("vec_id"))
+      .select(col("label"), col("vec_id"), dbl.as("e"))
+    val centCols = (1 to 64).map { i =>
+      dec4(dsum4(element_at(col("e"), i)).cast("double") / count(lit(1)))
+        .cast("double").as(s"c$i")
+    }
+    val cent = joined.groupBy(col("label")).agg(centCols.head, centCols.tail: _*)
+      .select(col("label").as("cell_label"),
+        array((1 to 64).map(i => col(s"c$i")): _*).as("ce"))
+      .withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
+    // Searchable set = ALL embeddings (documents are joined only to label
+    // the centroids above); an embedding without a document row is still
+    // assigned to a cell and searchable, matching the oracle's vecs CTE.
+    val vecs = emb.select(col("vec_id"), dbl.as("e"))
+      .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell_label").asc)
+    val assigned = vecs.crossJoin(broadcast(cent))
+      .withColumn("cscore", dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
+      .withColumn("crn", row_number().over(byVec))
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("vn"), col("cell_label").as("cell"))
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("vn").as("qn"), col("cell_label").as("pcell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+        col("vn").as("cn2"), col("cell")),
+        col("pcell") === col("cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_raw",
+        dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("score_raw"))
+  }
 
   val all: Map[String, Q] = Map(
     // ---- MM-1: multimodal carry — vector columns survive joins ----
@@ -802,47 +893,44 @@ object LlmOps {
     //      there. The IVF shape at 100 TB: the corpus is partitioned by
     //      cell (inverted lists), a probe touches nprobe/ncells of the
     //      data, and the centroid table is a broadcast. ----
-    "sim1_ivf" -> ((s, d) => {
-      val doc = load(s, d, "documents")
+    "sim1_ivf" -> ((s, d) =>
+      ordered(ivfRanked(s, d)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("score_raw")).as("score")))),
+
+    // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
+    //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
+    //      against brute-force cosine ground truth, per query + the
+    //      audit a retrieval stack ships next to its index. Truth is the
+    //      declared worst-case-exact leg (broadcast query set × corpus —
+    //      sim1's own shape, query-count-bounded); the IVF leg reuses the
+    //      certified sim1_ivf pipeline verbatim. At 100 TB the truth leg
+    //      runs on a SAMPLED query set (ddp_eval's rate² lever) — recall
+    //      estimates need tens of queries, not the corpus. ----
+    "ivf_eval" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val dbl = transform(col("embedding"), x => x.cast("double"))
-      val joined = doc.join(emb, doc("doc_id") === emb("vec_id"))
-        .select(col("label"), col("vec_id"), dbl.as("e"))
-      val centCols = (1 to 64).map { i =>
-        dec4(dsum4(element_at(col("e"), i)).cast("double") / count(lit(1)))
-          .cast("double").as(s"c$i")
-      }
-      val cent = joined.groupBy(col("label")).agg(centCols.head, centCols.tail: _*)
-        .select(col("label").as("cell_label"),
-          array((1 to 64).map(i => col(s"c$i")): _*).as("ce"))
-        .withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
-      // Searchable set = ALL embeddings (documents are joined only to label
-      // the centroids above); an embedding without a document row is still
-      // assigned to a cell and searchable, matching the oracle's vecs CTE.
-      val vecs = emb.select(col("vec_id"), dbl.as("e"))
-        .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cell_label").asc)
-      val assigned = vecs.crossJoin(broadcast(cent))
-        .withColumn("cscore", dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
-        .withColumn("crn", row_number().over(byVec))
-      val cells = assigned.filter(col("crn") === 1)
-        .select(col("vec_id"), col("e"), col("vn"), col("cell_label").as("cell"))
-      val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("vn").as("qn"), col("cell_label").as("pcell"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      ordered(broadcast(probes)
-        .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
-          col("vn").as("cn2"), col("cell")),
-          col("pcell") === col("cell") && col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_raw",
-          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+      val truth = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          dec4S(col("score_raw")).as("score")))
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = ivfRanked(s, d).select(col("query_id").as("iq"),
+        col("neighbor_id").as("in_"))
+      ordered(truth.join(ivf,
+          col("query_id") === col("iq") && col("neighbor_id") === col("in_"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("iq")).cast("int").as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
     }),
 
     // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
@@ -2601,50 +2689,32 @@ object LlmOps {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
 
-    "sim1_ivf" -> {
-      val centCols = (1 to 64).map { i =>
-        s"CAST(CAST(floor((CAST(SUM(CAST(floor((CAST(embedding[$i] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS c$i"
-      }.mkString(",\n        |    ")
-      val ceList = (1 to 64).map(i => s"c$i").mkString("[", ", ", "]")
-      // NOTE: the cent0 body must stay alias-free — DuckDB 1.0's binder
-      // loses CTE-internal table aliases when the CTE feeds a later cross
-      // join ("Referenced table d not found ... Candidate tables: v").
-      s"""WITH cent0 AS (
-        |  SELECT label,
-        |    $centCols
-        |  FROM documents JOIN embeddings ON doc_id = vec_id
-        |  GROUP BY label
-        |), cent AS (
-        |  SELECT label AS cell_label, $ceList AS ce FROM cent0
-        |), centn AS (
-        |  SELECT cell_label, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cent
-        |), vecs AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
-        |  FROM embeddings
-        |), assigned AS (
-        |  SELECT v.vec_id, v.e, v.vn, c.cell_label,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2])) / (v.vn * c.cn) DESC,
-        |      c.cell_label ASC) AS INT) AS crn
-        |  FROM vecs v CROSS JOIN centn c
-        |), cells AS (
-        |  SELECT vec_id, e, vn, cell_label AS cell FROM assigned WHERE crn = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
-        |  FROM assigned WHERE vec_id < 10 AND crn <= 2
-        |), ranked AS (
-        |  SELECT p.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) AS score_raw,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-        |      list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) DESC,
-        |      c.vec_id ASC) AS INT) AS rn
-        |  FROM probes p JOIN cells c ON p.pcell = c.cell AND p.query_id <> c.vec_id
-        |)
+    "sim1_ivf" ->
+      s"""WITH $duckIvfCtes
         |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 3
-        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin
-    },
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_eval" ->
+      s"""WITH $duckIvfCtes, ivf AS (
+        |  SELECT query_id, neighbor_id FROM ranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN ivf i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
 
     "sim1_lsh_multi" ->
       """WITH base AS (

@@ -60,7 +60,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "quantile_bin", // decile-cut scalar attach: 1-row broadcast crossJoin
                   // of the global percentile aggregate (tfidf1's N shape)
     "curriculum", // quintile-cut scalar attach, same shape as quantile_bin
-    "seasonal_profile" // global-mean scalar attach onto the 24-row profile
+    "seasonal_profile", // global-mean scalar attach onto the 24-row profile
+    "ivf_eval"    // truth leg = sim1's declared broadcast-query exact
+                  // shape (query-count-bounded by construction); the IVF
+                  // leg and the audit join are equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

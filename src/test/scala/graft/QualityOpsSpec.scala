@@ -580,6 +580,27 @@ class QualityOpsSpec extends AnyFunSuite {
       s"verify-stage pairs in sample ($verifiedInSample) != audited hits ($nHit)")
   }
 
+  test("ivf_eval: hits recount from the shipped sim1/sim1_ivf results; recall law holds") {
+    val rows = SparkEntry.queries("ivf_eval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getString(2))))
+    assert(rows.length == 10 && rows.map(_._1).toSet == (0L until 10L).toSet)
+    rows.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 3, s"query $q n_hit $h")
+      assert((rec - BigDecimal(h) / 3).abs < BigDecimal("0.0001"))
+    }
+    // the audit must agree with the two SHIPPED queries it grades:
+    // truth = sim1's top-3 (its rn <= 3 rows), cand = sim1_ivf's pairs
+    val truth = SparkEntry.queries("sim1")(spark, sfDir)
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cand = SparkEntry.queries("sim1_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recounted = truth.intersect(cand).groupBy(_._1).view.mapValues(_.size).toMap
+    rows.foreach { case (q, h, _) =>
+      assert(recounted.getOrElse(q, 0) == h, s"query $q: audit $h vs recount ${recounted.getOrElse(q, 0)}")
+    }
+  }
+
   test("vec_pq: 8 nibble codes per vector, errors nonneg and beating the zero-codebook") {
     val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
