@@ -252,9 +252,17 @@ object GraftDigitImpl {
     * can misclassify values adjacent to a power of ten, and no
     * decimal→string→regexp round trip (what the interpreted dq_benford
     * path paid per row). 0 for non-positive input (no significant digit —
-    * the caller's spine join drops it). Domain note: inputs with >2
-    * decimals would truncate at the cent; the §5.3 measure discipline
-    * already restricts hashed measures to ≤2 decimals. */
+    * the caller's spine join drops it).
+    *
+    * Domain = the CENTS-GRAIN DECIMAL(18,2) measure domain the DuckDB twin
+    * itself is bound to, both edges deliberate:
+    *  - |v| < 10¹⁶: beyond it the twin's DECIMAL(18,2) cast overflows and
+    *    this side's cents would saturate `Math.round` (first divergence at
+    *    ~9.2·10¹⁶); inside it v·100 < 10¹⁸ is round-exact in a long.
+    *  - 0 < v < 0.005 yields 0 ("no significant digit at cent grain") —
+    *    identical to the twin's '0.00' rendering, NOT the sub-cent digit.
+    * Inputs with >2 decimals likewise truncate at the cent; the §5.3
+    * measure discipline already restricts hashed measures to ≤2 decimals. */
   def firstSigDigit(v: Double): Int = {
     var c = Math.round(v * 100.0)
     if (c <= 0) return 0

@@ -115,8 +115,12 @@ object Analytics {
       val byHour = e.groupBy(hour(col("ts")).as("hh")).agg(
         count(lit(1)).as("n"),
         sum(dec(col("value"))).as("sv"))
-      val g = e.agg((sum(dec(col("value"))).cast("double") /
-        count(lit(1)).cast("double")).as("gmean"))
+      // global mean from the 24-row profile, NOT a second table scan: the
+      // hours partition all rows and the per-hour sums are exact decimals,
+      // so Σsv/Σn is the identical double; the twice-referenced byHour
+      // subtree shares its shuffle via ReusedExchange
+      val g = byHour.agg((sum(col("sv")).cast("double") /
+        sum(col("n")).cast("double")).as("gmean"))
       val hmean = col("sv").cast("double") / col("n").cast("double")
       ordered(byHour.crossJoin(broadcast(g))
         .select(col("hh"), col("n"),
@@ -188,7 +192,7 @@ object Analytics {
     //      (rn), one 19× equi-join, one group-back: all key-proportional. ----
     "ewma" -> ((s, d) => {
       import s.implicits._
-      val K = 18
+      val K = ewmaWeightTable.last._1 // truncation depth = the weight table's
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       val r = load(s, d, "events")
@@ -200,9 +204,8 @@ object Analytics {
       // product is DECIMAL(30,22): exact in Spark AND DuckDB (a (38,4)
       // factor would trip Spark's precision-cap scale loss).
       val wdt = org.apache.spark.sql.types.DecimalType(19, 18)
-      val weights = (0 to K).map { k =>
-        (k, new java.math.BigDecimal("0.7").pow(k).setScale(18).toPlainString)
-      }.toDF("k", "w_s").select(col("k"), col("w_s").cast(wdt).as("w"))
+      val weights = ewmaWeightTable
+        .toDF("k", "w_s").select(col("k"), col("w_s").cast(wdt).as("w"))
       val probes = r.select(col("user_id"), col("event_id"), col("ts"), col("rn"),
           explode(sequence(lit(0), lit(K))).as("k"))
         .filter(col("rn") - col("k") >= 1)
@@ -257,8 +260,13 @@ object Analytics {
       val spine = (0 to 9).toDF("bin")
       val tot = counts.agg(sum(col("n_a")).cast("double").as("ta"),
         sum(col("n_b")).cast("double").as("tb"))
-      val p = col("n_a").cast("double") / col("ta")
-      val q = col("n_b").cast("double") / col("tb")
+      // empty-half guard: a corpus whose whole time span is <= 1 µs puts
+      // every row in one half, the other total is 0.0, and ANSI double
+      // division throws — NULLIF degrades that half's frequencies (and
+      // the affected terms) to NULL instead
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      val p = col("n_a").cast("double") / nz(col("ta"))
+      val q = col("n_b").cast("double") / nz(col("tb"))
       val term = when(p + q === 0.0, lit(0.0))
         .otherwise((p - q) * (p - q) / (p + q))
       val wAll = org.apache.spark.sql.expressions.Window
@@ -288,8 +296,14 @@ object Analytics {
     })
   )
 
-  private val ewmaWeightValues: String = (0 to 18).map { k =>
-    val w = new java.math.BigDecimal("0.7").pow(k).setScale(18).toPlainString
+  /** 0.7ᵏ as exact scale-18 decimal strings, k=0..18 — the ONE source both
+    * the Spark query and the DuckDB oracle consume (a retune of K or α at
+    * a single site cannot desynchronize the two sides). */
+  private val ewmaWeightTable: Seq[(Int, String)] = (0 to 18).map { k =>
+    (k, new java.math.BigDecimal("0.7").pow(k).setScale(18).toPlainString)
+  }
+
+  private val ewmaWeightValues: String = ewmaWeightTable.map { case (k, w) =>
     s"($k, CAST('$w' AS DECIMAL(19,18)))"
   }.mkString(", ")
 
@@ -333,7 +347,9 @@ object Analytics {
         |  SELECT spine.bin AS bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, ta, tb
         |  FROM spine LEFT JOIN c ON spine.bin = c.bin CROSS JOIN t),
         |g AS (
-        |  SELECT bin, n_a, n_b, n_a::DOUBLE / ta AS p, n_b::DOUBLE / tb AS q FROM f),
+        |  SELECT bin, n_a, n_b,
+        |    n_a::DOUBLE / NULLIF(ta, 0.0) AS p,
+        |    n_b::DOUBLE / NULLIF(tb, 0.0) AS q FROM f),
         |h AS (
         |  SELECT bin, n_a, n_b, p, q,
         |    CAST(floor((CASE WHEN p + q = 0 THEN 0.0 ELSE (p - q) * (p - q) / (p + q) END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS term_d
@@ -369,9 +385,8 @@ object Analytics {
         |    SUM(CAST(value AS DECIMAL(38,4))) AS sv
         |  FROM events GROUP BY 1),
         |g AS (
-        |  SELECT CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) /
-        |    CAST(COUNT(*) AS DOUBLE) AS gmean
-        |  FROM events)
+        |  SELECT CAST(SUM(sv) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gmean
+        |  FROM h)
         |SELECT hh, CAST(n AS BIGINT) AS n,
         |  CAST(CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_value,
         |  CAST(CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / gmean)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS seasonal_idx

@@ -51,10 +51,16 @@ object Stats {
         vars.map(v => sum(m(col(v)) * m(col(v))).cast("double").as(s"ss_$v")) ++
         pairs.map { case (a, b) =>
           sum(m(col(a)) * m(col(b))).cast("double").as(s"sp_${a}_$b") }
-      def corr(a: String, b: String): Column =
+      // zero-variance guard: a constant column makes the denominator 0 and
+      // ANSI-mode double division THROWS (0.0/0.0 is not IEEE-exempt in
+      // Spark 4); correlation is undefined there — NULL, mirrored by the
+      // oracle's NULLIF
+      def corr(a: String, b: String): Column = {
+        val den = sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
         (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
-          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
-               (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+          when(den === 0.0, lit(null)).otherwise(den)
+      }
       val one = li.agg(aggs.head, aggs.tail: _*)
       ordered(one.select(explode(array(pairs.map { case (a, b) =>
           struct(lit(a).as("var_x"), lit(b).as("var_y"),
@@ -90,13 +96,17 @@ object Stats {
         sum(when(col("variant") === 0, col("conv")).otherwise(0)).as("conv_ctl"),
         sum(when(col("variant") === 1, 1).otherwise(0)).as("n_trt"),
         sum(when(col("variant") === 1, col("conv")).otherwise(0)).as("conv_trt"))
-      val r0 = col("conv_ctl").cast("double") / col("n_ctl").cast("double")
-      val r1 = col("conv_trt").cast("double") / col("n_trt").cast("double")
+      // empty-arm guard: a corpus whose user_ids all share one parity has
+      // n=0 on the other arm — ANSI double division throws, so the rate
+      // (and everything derived) degrades to NULL via NULLIF instead
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      val r0 = col("conv_ctl").cast("double") / nz(col("n_ctl").cast("double"))
+      val r1 = col("conv_trt").cast("double") / nz(col("n_trt").cast("double"))
       val pPool = (col("conv_ctl") + col("conv_trt")).cast("double") /
-        (col("n_ctl") + col("n_trt")).cast("double")
+        nz((col("n_ctl") + col("n_trt")).cast("double"))
       val se = sqrt(pPool * (lit(1.0) - pPool) *
-        (lit(1.0) / col("n_ctl").cast("double") +
-         lit(1.0) / col("n_trt").cast("double")))
+        (lit(1.0) / nz(col("n_ctl").cast("double")) +
+         lit(1.0) / nz(col("n_trt").cast("double"))))
       ordered(one.select(
         col("n_ctl"), col("conv_ctl"), col("n_trt"), col("conv_trt"),
         dec4S(r0).as("rate_ctl"), dec4S(r1).as("rate_trt"),
@@ -163,7 +173,12 @@ object Stats {
         ("1", 0.3010), ("2", 0.1761), ("3", 0.1249), ("4", 0.0969),
         ("5", 0.0792), ("6", 0.0669), ("7", 0.0580), ("8", 0.0512),
         ("9", 0.0458)).toDF("digit", "exp_freq_d")
-      val total = li.agg(count(lit(1)).cast("double").as("total"))
+      // total from the 9-row counts relation, NOT a second table scan
+      // (every row lands in exactly one digit group, including the "0"
+      // non-positive group) — this keeps the audit truly one-pass, and on
+      // an EMPTY table the sum is NULL so the frequencies degrade to NULL
+      // instead of an ANSI 0.0/0.0 throw on the always-present spine rows
+      val total = counts.agg(sum(col("n")).cast("double").as("total"))
       val obs = col("n").cast("double") / col("total")
       ordered(spine.join(counts, Seq("digit"), "left")
         .na.fill(0L, Seq("n"))
@@ -191,7 +206,7 @@ object Stats {
     val pairRows = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS var_x, '$b' AS var_y,
          |    (n * sp_${a}_$b - s_$a * s_$b) /
-         |      sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)) AS c
+         |      NULLIF(sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 0.0) AS c
          |  FROM mo""".stripMargin }.mkString("\n  UNION ALL\n  ")
     Map(
       "corr_matrix" ->
@@ -240,16 +255,16 @@ object Stats {
           |  FROM pu),
           |z AS (
           |  SELECT n_ctl, conv_ctl, n_trt, conv_trt,
-          |    conv_ctl::DOUBLE / n_ctl::DOUBLE AS r0,
-          |    conv_trt::DOUBLE / n_trt::DOUBLE AS r1,
-          |    (conv_ctl + conv_trt)::DOUBLE / (n_ctl + n_trt)::DOUBLE AS pp
+          |    conv_ctl::DOUBLE / NULLIF(n_ctl::DOUBLE, 0.0) AS r0,
+          |    conv_trt::DOUBLE / NULLIF(n_trt::DOUBLE, 0.0) AS r1,
+          |    (conv_ctl + conv_trt)::DOUBLE / NULLIF((n_ctl + n_trt)::DOUBLE, 0.0) AS pp
           |  FROM o)
           |SELECT CAST(n_ctl AS BIGINT) AS n_ctl, CAST(conv_ctl AS BIGINT) AS conv_ctl,
           |  CAST(n_trt AS BIGINT) AS n_trt, CAST(conv_trt AS BIGINT) AS conv_trt,
           |  CAST(CAST(floor((r0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rate_ctl,
           |  CAST(CAST(floor((r1)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS rate_trt,
           |  CAST(CAST(floor((r1 - r0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS lift_abs,
-          |  CAST(CAST(floor(((r1 - r0) / NULLIF(sqrt(pp * (1.0 - pp) * (1.0 / n_ctl::DOUBLE + 1.0 / n_trt::DOUBLE)), 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS z_score
+          |  CAST(CAST(floor(((r1 - r0) / NULLIF(sqrt(pp * (1.0 - pp) * (1.0 / NULLIF(n_ctl::DOUBLE, 0.0) + 1.0 / NULLIF(n_trt::DOUBLE, 0.0))), 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS z_score
           |FROM z
           |ORDER BY n_ctl NULLS FIRST, conv_ctl NULLS FIRST, n_trt NULLS FIRST, conv_trt NULLS FIRST, rate_ctl NULLS FIRST, rate_trt NULLS FIRST, lift_abs NULLS FIRST, z_score NULLS FIRST""".stripMargin,
 
@@ -262,7 +277,7 @@ object Stats {
           |  VALUES ('1', 0.3010), ('2', 0.1761), ('3', 0.1249), ('4', 0.0969),
           |         ('5', 0.0792), ('6', 0.0669), ('7', 0.0580), ('8', 0.0512),
           |         ('9', 0.0458)),
-          |total AS (SELECT count(*)::DOUBLE AS total FROM lineitem)
+          |total AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts)
           |SELECT spine.digit AS digit, COALESCE(n, 0) AS n_obs,
           |  CAST(CAST(floor((COALESCE(n, 0)::DOUBLE / total)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS obs_freq,
           |  CAST(CAST(floor((CAST(exp_freq_d AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS exp_freq,

@@ -191,6 +191,72 @@ class EdgeCorpusSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     val r = SparkEntry.queries("graph_triangles")(spark, d).head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 0L, 0L)))
+    // the same empty fact table must not crash the ANSI-division stats:
+    // dq_benford keeps its 9-row spine with NULL frequencies (total is a
+    // NULL sum, not a 0.0 the spine rows would divide by); corr_matrix and
+    // quantile_bin return their degenerate-but-defined shapes
+    val bf = SparkEntry.queries("dq_benford")(spark, d).collect()
+    assert(bf.length == 9 && bf.forall(r2 => r2.getLong(1) == 0 && r2.isNullAt(2)))
+    assert(SparkEntry.queries("corr_matrix")(spark, d).count() == 6)
+    assert(SparkEntry.queries("quantile_bin")(spark, d).count() == 0)
+  }
+
+  test("ab_lift: a single-parity corpus degrades the empty arm to NULL, never throws") {
+    val d = Files.createTempDirectory("ab_one_arm").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-01 01:00:00", 2L, "purchase", 1.0, "{}"),
+        (2L, "2024-01-01 02:00:00", 2L, "error", 1.0, "{}"),
+        (3L, "2024-01-01 03:00:00", 4L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+      .drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("ab_lift")(spark, d).head
+    // both users are even -> treatment arm (parity 1) is empty
+    assert(r.getLong(0) == 2 && r.getLong(2) == 0)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), s"got $r")
+  }
+
+  test("drift_psi: a <=1us time span puts all rows in one half and yields NULL, not a throw") {
+    val d = Files.createTempDirectory("drift_one_half").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+        (2L, "2024-01-01 01:00:00", 1L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+      .drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("drift_psi")(spark, d).collect()
+    assert(out.length == 10)
+    // mid == min ts: no row is strictly earlier, so half A is empty
+    assert(out.map(_.getLong(1)).sum == 0 && out.map(_.getLong(2)).sum == 2)
+    out.foreach(r => assert(r.isNullAt(3), s"p_a should be NULL: $r"))
+  }
+
+  test("corr_matrix: a zero-variance column yields NULL correlations, never throws") {
+    val d = Files.createTempDirectory("corr_const").toString
+    import spark.implicits._
+    Seq((1L, 1L, 1L, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", "2024-01-01"),
+        (2L, 2L, 2L, 1, 7.0, 150.0, 0.05, 0.02, "N", "O", "2024-01-02"),
+        (3L, 3L, 3L, 1, 9.0, 300.0, 0.05, 0.02, "N", "O", "2024-01-03"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate_s")
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.col("l_shipdate_s").cast("timestamp"))
+      .drop("l_shipdate_s")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = SparkEntry.queries("corr_matrix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.length == 6)
+    rows.foreach { case (a, b, c) =>
+      // any pair touching the constant discount/tax columns is undefined
+      if (a == "l_discount" || a == "l_tax" || b == "l_discount" || b == "l_tax")
+        assert(c.isEmpty, s"($a,$b) should be NULL")
+      else assert(c.nonEmpty, s"($a,$b) should be defined")
+    }
   }
 
   test("txt_norm: punctuation-only and empty docs normalize to the empty fixpoint") {

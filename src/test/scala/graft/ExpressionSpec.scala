@@ -207,13 +207,18 @@ class ExpressionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     val withCodegen = digits()
     assert(withCodegen == interpretedOnly(digits()))
-    // edges: powers of ten (the log10 hazard), sub-1 values, zero, null
+    // edges: powers of ten (the log10 hazard), sub-1 values, zero, null,
+    // the top of the declared DECIMAL(18,2) domain, and the cents-grain
+    // sub-cent rule (0.004 -> 0, matching the twin's '0.00' rendering)
     val r = spark.range(1).select(
       first_sig_digit(lit(1000.0)).as("a"), first_sig_digit(lit(999.99)).as("b"),
       first_sig_digit(lit(0.05)).as("c"), first_sig_digit(lit(0.0)).as("d"),
-      first_sig_digit(lit(null).cast("double")).as("e")).head()
+      first_sig_digit(lit(null).cast("double")).as("e"),
+      first_sig_digit(lit(9.99e15)).as("f"),
+      first_sig_digit(lit(0.004)).as("g")).head()
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 9, 5, 0)))
     assert(r.isNullAt(4))
+    assert(r.getInt(5) == 9 && r.getInt(6) == 0)
   }
 
   test("morton_code equals the bit-by-bit interleave reference") {
