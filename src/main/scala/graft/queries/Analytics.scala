@@ -101,6 +101,76 @@ object Analytics {
       ordered(nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(tri))
     }),
 
+    // ---- ATTR-1: last-touch conversion attribution — every purchase
+    //      attributed to the user's most recent 'click' within a 1-day
+    //      lookback, the base case of the attribution family every
+    //      marketing warehouse runs (first-touch/linear reuse the same
+    //      machinery with a different pick). One running last() window
+    //      per user (ignoreNulls over the click-only projection) — the
+    //      same single-sort shape as SCD2, no self-join, no as-of probe
+    //      table (JOIN-10's variant); the lookback is a plain filter on
+    //      the carried click timestamp. µs-exact arithmetic. ----
+    "attr_last" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickTs = when(col("event_type") === "click", unix_micros(col("ts")))
+      val horizon = 86400L * 1000000L
+      val annotated = e
+        .withColumn("last_click_id", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("last_click_tsu", last(clickTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed", col("last_click_tsu").isNotNull &&
+          unix_micros(col("ts")) - col("last_click_tsu") <= horizon)
+      ordered(annotated.select(col("event_id"), col("user_id"), col("ts"),
+        when(col("attributed"), col("last_click_id")).as("click_id"),
+        col("attributed")))
+    }),
+
+    // ---- RFM-1: recency/frequency/monetary segmentation — the classic
+    //      customer-value grid: per user, days since last purchase,
+    //      purchase count, and exact-decimal purchase value, each scored
+    //      into quintiles (recency INVERTED: most recent = 5) and packed
+    //      into the familiar 3-digit segment code. Quintile cuts use
+    //      FE-1's percentile mechanism over the USER-sized relation (not
+    //      the event stream), all three dims in ONE aggregate row; the
+    //      cuts attach is a 1-row broadcast. Shapes: one purchase-
+    //      filtered scan → user agg (the only data-sized shuffle), one
+    //      1-row max-ts attach, one 1-row cuts attach. ----
+    "rfm" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val pu = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(
+          max(unix_micros(col("ts"))).as("last_pu"),
+          count(lit(1)).as("f"),
+          dsum(col("value")).as("m"))
+      val glob = pu.agg(max(col("last_pu")).as("anchor"))
+      val usr = pu.crossJoin(broadcast(glob))
+        .withColumn("r_days", call_function("div",
+          col("anchor") - col("last_pu"), lit(86400L * 1000000L)))
+        .select(col("user_id"), col("r_days"), col("f"),
+          col("m"), col("m").cast("double").as("m_d"))
+      val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+      val cuts = usr.agg(
+        percentile(col("r_days").cast("double"), qs).as("rc"),
+        percentile(col("f").cast("double"), qs).as("fc"),
+        percentile(col("m_d"), qs).as("mc"))
+      def score(v: Column, cutsCol: String): Column =
+        (1 to 4).map(i =>
+          when(v > dec4(element_at(col(cutsCol), i)).cast("double"), 1)
+            .otherwise(0)).reduce(_ + _) + 1
+      ordered(usr.crossJoin(broadcast(cuts))
+        .withColumn("r_score", lit(6) - score(col("r_days").cast("double"), "rc"))
+        .withColumn("f_score", score(col("f").cast("double"), "fc"))
+        .withColumn("m_score", score(col("m_d"), "mc"))
+        .select(col("user_id"), col("r_days"), col("f"), decS(col("m")).as("m"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment")))
+    }),
+
     // ---- TS-2: seasonal profile — per hour-of-day mean of event value
     //      with a seasonal index (hour mean / global mean), the
     //      decomposition step behind seasonality-aware anomaly detection
@@ -378,6 +448,60 @@ object Analytics {
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM t
         |ORDER BY n_nodes NULLS FIRST, n_edges NULLS FIRST, n_wedges NULLS FIRST, n_triangles NULLS FIRST""".stripMargin,
+
+    "attr_last" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_tsu
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, user_id, ts,
+        |    (last_click_tsu IS NOT NULL AND
+        |     epoch_us(ts) - last_click_tsu <= 86400000000) AS attributed,
+        |    last_click_id
+        |  FROM a WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN attributed THEN last_click_id END AS click_id, attributed
+        |FROM p
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, click_id NULLS FIRST, attributed NULLS FIRST""".stripMargin,
+
+    "rfm" -> {
+      def scoreSql(v: String, cuts: String) = (1 to 4).map(i =>
+        s"CASE WHEN $v > CAST(CAST(floor(($cuts[$i])*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH pu AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_pu, COUNT(*) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |g AS (SELECT MAX(last_pu) AS anchor FROM pu),
+        |usr AS (
+        |  SELECT user_id, (anchor - last_pu) // 86400000000 AS r_days, f, m,
+        |    CAST(m AS DOUBLE) AS m_d
+        |  FROM pu CROSS JOIN g),
+        |c AS (
+        |  SELECT quantile_cont(CAST(r_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(CAST(f AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(m_d, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM usr),
+        |sc AS (
+        |  SELECT user_id, r_days, f, m,
+        |    6 - (1 + ${scoreSql("CAST(r_days AS DOUBLE)", "rc")}) AS r_score,
+        |    1 + ${scoreSql("CAST(f AS DOUBLE)", "fc")} AS f_score,
+        |    1 + ${scoreSql("m_d", "mc")} AS m_score
+        |  FROM usr CROSS JOIN c)
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS VARCHAR) AS m,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+        |FROM sc
+        |ORDER BY user_id NULLS FIRST, r_days NULLS FIRST, f NULLS FIRST, m NULLS FIRST, r_score NULLS FIRST, f_score NULLS FIRST, m_score NULLS FIRST, segment NULLS FIRST""".stripMargin
+    },
 
     "seasonal_profile" ->
       """WITH h AS (

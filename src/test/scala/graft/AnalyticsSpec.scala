@@ -118,6 +118,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
   }
 
+  test("attr_last: window attribution equals a driver-side replay of the rule") {
+    val evs = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = SparkEntry.queries("attr_last")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4))).toMap
+    val purchases = evs.filter(_._4 == "purchase")
+    assert(got.size == purchases.length)
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._2))
+      var lastClick: Option[(Long, Long)] = None // (event_id, tsu)
+      ordered.foreach { case (_, eid, tsu, typ) =>
+        if (typ == "click") lastClick = Some((eid, tsu))
+        if (typ == "purchase") {
+          val expect = lastClick.filter { case (_, cts) => tsu - cts <= 86400000000L }
+          assert(got(eid) == ((expect.map(_._1), expect.nonEmpty)),
+            s"purchase $eid: ${got(eid)} vs $expect")
+        }
+      }
+    }
+  }
+
+  test("rfm: scores in 1..5 per quintile law, segment packs them, recency inverted") {
+    val rows = SparkEntry.queries("rfm")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, _, _, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5, s"user $u")
+      assert(seg == rs * 100 + fs * 10 + ms, s"user $u segment $seg")
+    }
+    // recency inversion: the user(s) with the smallest r_days score highest
+    val minR = rows.map(_._2).min
+    rows.filter(_._2 == minR).foreach { case (u, _, _, rs, _, _, _) =>
+      assert(rs == 5, s"most-recent user $u has r_score $rs")
+    }
+    // frequency monotonicity: a strictly higher f never scores lower
+    val byF = rows.sortBy(_._3)
+    byF.sliding(2).foreach {
+      case Array((_, _, f1, _, s1, _, _), (u2, _, f2, _, s2, _, _)) =>
+        if (f2 > f1) assert(s2 >= s1, s"user $u2: f $f2 > $f1 but score $s2 < $s1")
+      case _ =>
+    }
+  }
+
   test("split_assign: exact-dup copies co-travel; assignment is total and train-majority") {
     val doc = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), col("text"))

@@ -61,9 +61,11 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // of the global percentile aggregate (tfidf1's N shape)
     "curriculum", // quintile-cut scalar attach, same shape as quantile_bin
     "seasonal_profile", // global-mean scalar attach onto the 24-row profile
-    "ivf_eval"    // truth leg = sim1's declared broadcast-query exact
+    "ivf_eval",   // truth leg = sim1's declared broadcast-query exact
                   // shape (query-count-bounded by construction); the IVF
                   // leg and the audit join are equi-keyed
+    "rfm"         // two 1-row scalar attaches (global anchor ts + the
+                  // three quintile cut arrays), the tfidf1 shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
