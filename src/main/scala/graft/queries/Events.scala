@@ -233,6 +233,34 @@ object Events {
     //      lexicographic = the declared (ts, event_id) order), then
     //      project the types. One shuffle by user; per-group state is the
     //      (bounded: slice 10 after sort) event list. ----
+    // ---- CTX-1: pre-conversion context extraction (`purchase_context`) —
+    //      for every purchase, the user's ordered event sequence in the
+    //      preceding 30 minutes (exclusive of the purchase instant): the
+    //      bounded-context windowing a sequence-model training pipeline
+    //      runs to turn an event stream into (context → outcome) examples.
+    //      RANGE frame on the µs epoch does the time bound; the collected
+    //      structs are array_sort'ed (PTH-1's structural-determinism rule —
+    //      frame ACCUMULATION order is only as deterministic as the
+    //      single-column range sort, and same-µs ties would float).
+    //      One per-user window sort, zero joins; per-row state bounded by
+    //      the 30-min activity burst, not history. ----
+    "purchase_context" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(-1800L * 1000000L, -1L)
+      val ctx = e.withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("cs", collect_list(
+          struct(col("tsu").as("t"), col("event_id").as("i"),
+            col("event_type").as("y"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("css", array_sort(col("cs")))
+      ordered(ctx.select(col("event_id"), col("user_id"), col("ts"),
+        size(col("css")).as("ctx_n"),
+        array_join(transform(col("css"), c =>
+          concat_ws(":", c.getField("t"), c.getField("i"), c.getField("y"))),
+          "|").as("ctx")))
+    }),
+
     "path1" -> ((s, d) => {
       val e = load(s, d, "events")
       val seq_ = array_sort(collect_list(
@@ -647,6 +675,29 @@ object Events {
         |  (LEAD(uts) OVER w2 IS NULL) AS is_current
         |FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)
         |ORDER BY user_id NULLS FIRST, state NULLS FIRST, valid_from NULLS FIRST, valid_to NULLS FIRST, is_current NULLS FIRST""".stripMargin,
+
+    "purchase_context" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS tsu FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    list(ROW(tsu, event_id, event_type))
+        |      OVER (PARTITION BY user_id ORDER BY tsu
+        |            RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING) AS cs
+        |  FROM b),
+        |p AS (
+        |  -- an empty frame yields NULL from window list(); Spark's
+        |  -- collect_list yields [] — coalesce to the empty list
+        |  SELECT event_id, user_id, ts, list_sort(COALESCE(cs, [])) AS css
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts,
+        |  CAST(len(css) AS INT) AS ctx_n,
+        |  -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+        |  -- array_join is '' — coalesce to the Spark rendering
+        |  COALESCE(array_to_string(list_transform(css, x ->
+        |    CAST(x[1] AS VARCHAR) || ':' || CAST(x[2] AS VARCHAR) || ':' || x[3]), '|'), '') AS ctx
+        |FROM p
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, ctx_n NULLS FIRST, ctx NULLS FIRST""".stripMargin,
 
     "path1" ->
       """SELECT user_id,

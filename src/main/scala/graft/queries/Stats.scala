@@ -115,6 +115,35 @@ object Stats {
           .as("z_score")))
     }),
 
+    // ---- IMP-1: group-median imputation — the standard numeric repair
+    //      for missing measures (median, not mean: robust to the outliers
+    //      ANOM-1 hunts). The synthetic corpus has no nulls, so a
+    //      deterministic mask (event_id % 11 == 0, ~9%) injects them
+    //      first — the txt_pii injection pattern: the repair provably
+    //      fires. Per-type medians come from the NON-null population
+    //      (type-7 percentile, the AGG-7 cross-engine precedent), ride a
+    //      broadcast join back, and the audit row per type reports
+    //      n/n_imputed/median plus an exact-decimal checksum of the
+    //      imputed column (the value a downstream reader would consume —
+    //      proving the repair, not just describing it). At 100 TB the
+    //      exact median switches to approx_percentile (AGG-11's trade);
+    //      the join side is |types|-rows forever. ----
+    "impute_median" -> ((s, d) => {
+      val e = load(s, d, "events")
+        .withColumn("v", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("value")))
+      val meds = e.filter(col("v").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(dec4(percentile(col("v"), lit(0.5))).cast("double").as("med"))
+      ordered(e.join(broadcast(meds), Seq("event_type"))
+        .withColumn("imputed", coalesce(col("v"), col("med")))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+          dec4S(first(col("med"))).as("median"),
+          dsum4S(col("imputed")).as("sum_imputed")))
+    }),
+
     // ---- FE-1: exact-decile discretization (quantile binning) — the
     //      feature transform behind equal-frequency bucketing, monotonic
     //      binning for scorecards, and skew-immune histograms. Cut points
@@ -219,6 +248,25 @@ object Stats {
           |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
           |FROM p
           |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "impute_median" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+          |  FROM events),
+          |m AS (
+          |  SELECT event_type,
+          |    CAST(CAST(floor((quantile_cont(v, 0.5))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS med
+          |  FROM e WHERE v IS NOT NULL GROUP BY event_type),
+          |j AS (
+          |  SELECT e.event_type, e.v, m.med, COALESCE(e.v, m.med) AS imputed
+          |  FROM e JOIN m ON e.event_type = m.event_type)
+          |SELECT event_type, COUNT(*) AS n_rows,
+          |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+          |  CAST(CAST(floor((ANY_VALUE(med))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS median,
+          |  CAST(CAST(SUM(CAST(floor((imputed)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_imputed
+          |FROM j GROUP BY event_type
+          |ORDER BY event_type NULLS FIRST, n_rows NULLS FIRST, n_imputed NULLS FIRST, median NULLS FIRST, sum_imputed NULLS FIRST""".stripMargin,
 
       "quantile_bin" -> {
         val caseSum = (1 to 9).map(i =>

@@ -118,6 +118,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
   }
 
+  test("purchase_context: range-frame extraction equals a driver-side replay") {
+    val evs = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = SparkEntry.queries("purchase_context")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getString(4)))).toMap
+    val byUser = evs.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (_, rows) =>
+      rows.filter(_._4 == "purchase").foreach { case (_, eid, tsu, _) =>
+        val ctx = rows.filter(e => e._3 >= tsu - 1800000000L && e._3 <= tsu - 1)
+          .sortBy(e => (e._3, e._2))
+          .map(e => s"${e._3}:${e._2}:${e._4}")
+        assert(got(eid) == ((ctx.length, ctx.mkString("|"))),
+          s"purchase $eid: ${got(eid)} vs replay")
+        checked += 1
+      }
+    }
+    assert(checked == got.size && got.exists(_._2._1 > 0))
+  }
+
+  test("impute_median: repair fires, medians recompute, checksum decomposes") {
+    val rows = SparkEntry.queries("impute_median")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getString(3)), BigDecimal(r.getString(4))))
+    assert(rows.nonEmpty)
+    val e = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    rows.foreach { case (typ, n, nImp, med, sum) =>
+      val all = e.filter(_._2 == typ)
+      val nulled = all.filter(_._1 % 11 == 0)
+      assert(n == all.length && nImp == nulled.length && nImp > 0, s"$typ: $n/$nImp")
+      // checksum decomposition: Σ imputed = Σ non-null (dec4 each) + n_imputed·median
+      val nonNullSum = all.filterNot(_._1 % 11 == 0)
+        .map(v => BigDecimal(math.floor(v._3 * 10000 + 0.5) / 10000)).sum
+      assert((sum - (nonNullSum + med * nImp)).abs < BigDecimal("0.0001") * (nImp + 1),
+        s"$typ: checksum $sum vs ${nonNullSum + med * nImp}")
+    }
+  }
+
   test("attr_last: window attribution equals a driver-side replay of the rule") {
     val evs = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
