@@ -115,6 +115,51 @@ object Stats {
           .as("z_score")))
     }),
 
+    // ---- FE-2: standard-scaler audit — per-measure mean/std (sample
+    //      std, n−1) from the SAME exact decimal moment sums STAT-1
+    //      reduces in one pass, plus an exact-decimal checksum of the
+    //      z-scored column ((x−μ)/σ, dec4 per row) — the fit-and-prove
+    //      shape of a feature scaler: the stats row IS the fitted scaler
+    //      a serving path would load, and the checksum proves the
+    //      transform was applied to every row, not just described.
+    //      Completes the feature-eng family: FE-1 bins, FE-2 scales,
+    //      IMP-1 repairs. Zero-variance guard like STAT-1 (σ=0 → NULL
+    //      scores, checksum NULL). ----
+    "standard_scale" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val vars = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+        vars.map(v => sum(m(col(v))).cast("double").as(s"s_$v")) ++
+        vars.map(v => sum(m(col(v)) * m(col(v))).cast("double").as(s"ss_$v"))
+      val moments = li.agg(aggs.head, aggs.tail: _*)
+      def mean(v: String): Column = col(s"s_$v") / col("n")
+      def std(v: String): Column = {
+        val varNum = (col("n") * col(s"ss_$v") - col(s"s_$v") * col(s"s_$v")) /
+          (col("n") * (col("n") - 1.0))
+        sqrt(varNum)
+      }
+      def z(v: String): Column = {
+        val sd = std(v)
+        (col(v) - mean(v)) / when(sd === 0.0, lit(null)).otherwise(sd)
+      }
+      // ONE second pass computes all 8 checksums (never a scan per column)
+      val sumAggs = vars.map(v => dsum4(z(v)).as(s"zs_$v")) ++
+        vars.map(v => dsum4(z(v) * z(v)).as(s"zz_$v"))
+      val sums = li.crossJoin(broadcast(moments))
+        .agg(sumAggs.head, sumAggs.tail: _*)
+      ordered(sums.crossJoin(broadcast(moments))
+        .select(explode(array(vars.map { v =>
+          struct(lit(v).as("var_name"),
+            dec4S(mean(v)).as("mean"), dec4S(std(v)).as("std"),
+            cstr(col(s"zs_$v")).as("z_checksum"),
+            cstr(col(s"zz_$v")).as("zz_checksum"))
+        }: _*)).as("p"))
+        .select(col("p.var_name").as("var_name"), col("p.mean").as("mean"),
+          col("p.std").as("std"), col("p.z_checksum").as("z_checksum"),
+          col("p.zz_checksum").as("zz_checksum")))
+    }),
+
     // ---- IMP-1: group-median imputation — the standard numeric repair
     //      for missing measures (median, not mean: robust to the outliers
     //      ANOM-1 hunts). The synthetic corpus has no nulls, so a
@@ -248,6 +293,40 @@ object Stats {
           |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
           |FROM p
           |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "standard_scale" -> {
+        def meanSql(v: String) = s"(s_$v / n)"
+        def stdSql(v: String) =
+          s"sqrt((n * ss_$v - s_$v * s_$v) / (n * (n - 1.0)))"
+        def zSql(v: String) =
+          s"(($v - ${meanSql(v)}) / NULLIF(${stdSql(v)}, 0.0))"
+        val momentSel =
+          (Seq("count(*)::DOUBLE AS n") ++
+           vars.map(v => s"CAST(SUM(${dm(v)}) AS DOUBLE) AS s_$v") ++
+           vars.map(v => s"CAST(SUM(${dm(v)} * ${dm(v)}) AS DOUBLE) AS ss_$v"))
+            .mkString(",\n    ")
+        val sumSel = (vars.map(v =>
+            s"SUM(CAST(floor((${zSql(v)})*10000+0.5)/10000 AS DECIMAL(38,4))) AS zs_$v") ++
+          vars.map(v =>
+            s"SUM(CAST(floor((${zSql(v)} * ${zSql(v)})*10000+0.5)/10000 AS DECIMAL(38,4))) AS zz_$v"))
+          .mkString(",\n    ")
+        val rows = vars.map { v =>
+          s"""SELECT '$v' AS var_name,
+             |    CAST(CAST(floor((${meanSql(v)})*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean,
+             |    CAST(CAST(floor((${stdSql(v)})*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS std,
+             |    CAST(CAST(zs_$v AS DECIMAL(38,4)) AS VARCHAR) AS z_checksum,
+             |    CAST(CAST(zz_$v AS DECIMAL(38,4)) AS VARCHAR) AS zz_checksum
+             |  FROM s CROSS JOIN mo""".stripMargin }.mkString("\n  UNION ALL\n  ")
+        s"""WITH mo AS (
+          |  SELECT $momentSel
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT $sumSel
+          |  FROM lineitem CROSS JOIN mo)
+          |SELECT * FROM (
+          |  $rows)
+          |ORDER BY var_name NULLS FIRST, mean NULLS FIRST, std NULLS FIRST, z_checksum NULLS FIRST, zz_checksum NULLS FIRST""".stripMargin
+      },
 
       "impute_median" ->
         """WITH e AS (

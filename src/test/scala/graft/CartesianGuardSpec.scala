@@ -64,8 +64,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "ivf_eval",   // truth leg = sim1's declared broadcast-query exact
                   // shape (query-count-bounded by construction); the IVF
                   // leg and the audit join are equi-keyed
-    "rfm"         // two 1-row scalar attaches (global anchor ts + the
+    "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape
+    "standard_scale" // the 1-row moment vector attaches twice (checksum
+                  // pass + the fitted-scaler output row), tfidf1's shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

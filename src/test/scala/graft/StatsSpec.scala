@@ -62,6 +62,26 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("standard_scale: fitted stats match builtins; z-column laws Σz≈0, Σz²≈n−1 hold") {
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val n = li.count()
+    val rows = graft.queries.Stats.all("standard_scale")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1).toDouble, r.getString(2).toDouble,
+          r.getString(3).toDouble, r.getString(4).toDouble))).toMap
+    assert(rows.size == 4)
+    // per-row dec4 rounding accumulates at most 5e-5 per row
+    val slack = 5e-5 * n + 1e-6
+    rows.foreach { case (v, (mean, std, zs, zz)) =>
+      val Array(bMean, bStd) = li.agg(avg(col(v)), stddev(col(v)))
+        .head.toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(math.abs(mean - bMean) < 6e-5, s"$v mean $mean vs $bMean")
+      assert(math.abs(std - bStd) < 6e-5, s"$v std $std vs $bStd")
+      assert(math.abs(zs) <= slack, s"$v sum(z) = $zs")
+      assert(math.abs(zz - (n - 1.0)) <= slack, s"$v sum(z^2) = $zz vs ${n - 1}")
+    }
+  }
+
   test("dq_benford: total 9-digit spine whose counts sum to the table size") {
     val rows = graft.queries.Stats.all("dq_benford")(spark, TestSpark.sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2).toDouble))
