@@ -233,6 +233,32 @@ object Events {
     //      lexicographic = the declared (ts, event_id) order), then
     //      project the types. One shuffle by user; per-group state is the
     //      (bounded: slice 10 after sort) event list. ----
+    // ---- WIN-7: segmented running balance (`running_reset`) — per-user
+    //      running total of value that RESETS at every 'signup' event
+    //      (balance-since-last-reset: the meter/ledger/quota pattern —
+    //      usage since last top-up, spend since last statement). The
+    //      reset is not expressible as one window frame; the standard
+    //      rewrite is TWO stacked windows sharing ONE per-user sort:
+    //      a running count of reset markers assigns each row its segment
+    //      id, then the running sum partitions by (user, segment). The
+    //      reset row itself STARTS its segment (inclusive semantics —
+    //      its own value is the opening balance). Exact DECIMAL running
+    //      sums (§5.3). One shuffle; Spark plans both windows in a
+    //      single Window node chain over the same sort order. ----
+    "running_reset" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seg = sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+        .over(byU.rowsBetween(Window.unboundedPreceding, 0))
+      val withSeg = e.withColumn("seg", seg.cast("int"))
+      val bySeg = Window.partitionBy(col("user_id"), col("seg"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ordered(withSeg.select(col("event_id"), col("user_id"), col("ts"),
+        col("seg"), cstr(sum(dec(col("value"))).over(bySeg).cast(dt)).as("balance")))
+    }),
+
     // ---- CTX-1: pre-conversion context extraction (`purchase_context`) —
     //      for every purchase, the user's ordered event sequence in the
     //      preceding 30 minutes (exclusive of the purchase instant): the
@@ -675,6 +701,20 @@ object Events {
         |  (LEAD(uts) OVER w2 IS NULL) AS is_current
         |FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)
         |ORDER BY user_id NULLS FIRST, state NULLS FIRST, valid_from NULLS FIRST, valid_to NULLS FIRST, is_current NULLS FIRST""".stripMargin,
+
+    "running_reset" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS seg
+        |  FROM events)
+        |SELECT event_id, user_id, ts, seg,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4)))
+        |    OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
+        |FROM s
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
 
     "purchase_context" ->
       """WITH b AS (

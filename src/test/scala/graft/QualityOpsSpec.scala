@@ -83,6 +83,28 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(residual == 0, s"$residual unredacted PII matches remain")
   }
 
+  test("running_reset: every signup opens its segment with its own value; prefix sums replay") {
+    val rows = SparkEntry.queries("running_reset")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        BigDecimal(r.getString(4))))
+    val evs = graft.core.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val got = rows.map(r => (r._2, r._1) -> ((r._3, r._4))).toMap
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      var seg = 0
+      var bal = BigDecimal(0)
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, eid, _, typ, v) =>
+        if (typ == "signup") { seg += 1; bal = 0 }
+        bal += BigDecimal(v).setScale(4)
+        assert(got((u, eid)) == ((seg, bal)),
+          s"user $u event $eid: ${got((u, eid))} vs ($seg, $bal)")
+      }
+    }
+  }
+
   test("txt_mask: pseudonymization is stable (same value, same token) and total") {
     val out = SparkEntry.queries("txt_mask")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4)))
