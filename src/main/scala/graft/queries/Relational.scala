@@ -1168,6 +1168,50 @@ object Relational {
     //      most production implementations. Edge build pinned once;
     //      3 unrolled iterations keep lineage shallow — the checkpoint-per-
     //      round discipline of DDP-CLUSTER applies beyond ~10 rounds. ----
+    // ---- GRPH-3: BFS hop distance (`graph_hops`) — shortest directed
+    //      hop count from nation 0 over the GRPH-1 trade graph, ≤5 hops:
+    //      the reachability/radius primitive behind dependency fan-out
+    //      and influence-horizon questions, and the third iteration
+    //      pattern in the graph family (GRPH-1 propagates mass, DDP-
+    //      CLUSTER contracts labels, this RELAXES distances: per round
+    //      dist'(v) = min(dist(v), 1 + min over in-edges of dist(u))).
+    //      All-integer — nothing to drift. Per round: one edge⋈dist join
+    //      + one min-groupBy, state node-sized, work edge-sized, each
+    //      round's state eagerly pinned (the iterative-loop plan-growth
+    //      rule). Oracle = DuckDB RECURSIVE with UNION (not UNION ALL:
+    //      the dedup is what keeps a dense cyclic graph's path expansion
+    //      bounded to |nodes|·hops rows). ----
+    "graph_hops" -> ((s, d) => {
+      val li = load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("dst"))
+      val su = load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("src"))
+      val n = load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("src"), col("dst")).distinct()
+        .pinned
+      var dist = pin(n.select(col("node"),
+        when(col("node") === 0L, 0).otherwise(lit(null)).cast("int").as("hop")))
+      for (_ <- 1 to 5) {
+        val via = edges.join(dist.filter(col("hop").isNotNull),
+            col("src") === col("node"))
+          .select(col("dst").as("node2"), (col("hop") + 1).as("cand"))
+          .groupBy(col("node2")).agg(min(col("cand")).as("cand"))
+        dist = pin(dist.join(via, col("node") === col("node2"), "left")
+          .select(col("node"),
+            when(col("hop").isNull, col("cand"))
+              .when(col("cand").isNull, col("hop"))
+              .otherwise(least(col("hop"), col("cand"))).as("hop")))
+      }
+      ordered(dist.join(broadcast(n), Seq("node"))
+        .select(col("n_name"), col("hop")))
+    }),
+
     "graph_pagerank" -> ((s, d) => {
       val li = load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1320,6 +1364,24 @@ object Relational {
         |GROUP BY o.prio
         |ORDER BY o.prio NULLS FIRST, n NULLS FIRST, med NULLS FIRST, mad NULLS FIRST,
         |  n_out NULLS FIRST, n_low NULLS FIRST, n_high NULLS FIRST""".stripMargin,
+
+    "graph_hops" ->
+      """WITH RECURSIVE eg AS (
+        |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+        |    CAST(c.c_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |r(node, hop) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+        |  UNION
+        |  SELECT eg.dst, r.hop + 1 FROM r JOIN eg ON eg.src = r.node
+        |  WHERE r.hop < 5),
+        |best AS (SELECT node, MIN(hop) AS hop FROM r GROUP BY node)
+        |SELECT n_name, CAST(hop AS INT) AS hop
+        |FROM nation LEFT JOIN best ON CAST(n_nationkey AS BIGINT) = best.node
+        |ORDER BY n_name NULLS FIRST, hop NULLS FIRST""".stripMargin,
 
     // Integer fixed-point power iteration unrolled as CTEs; `//` is
     // DuckDB's integer floor division ≡ Spark's `div` on positive values.

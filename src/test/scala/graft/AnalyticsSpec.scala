@@ -86,6 +86,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(real >= 0.0 && real < 2.0)
   }
 
+  test("graph_hops: distance relaxation equals a driver-side BFS over the same edges") {
+    // rebuild the trade edge list exactly as the query declares it
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = graft.core.Tables.load(spark, TestSpark.sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("dst"))
+    val su = graft.core.Tables.load(spark, TestSpark.sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("src"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // plain BFS from node 0, capped at 5 hops
+    var dist = Map(0L -> 0)
+    var frontier = Set(0L)
+    for (k <- 1 to 5) {
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> k)
+    }
+    val names = graft.core.Tables.load(spark, TestSpark.sfDir, "nation")
+      .select(col("n_name"), col("n_nationkey").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("graph_hops")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got.size == names.size)
+    got.foreach { case (name, hop) =>
+      assert(hop == dist.get(names(name)), s"$name: $hop vs BFS ${dist.get(names(name))}")
+    }
+  }
+
   test("curriculum: 5 equal-frequency phases with monotone quality") {
     val rows = SparkEntry.queries("curriculum")(spark, TestSpark.sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2).toDouble))
