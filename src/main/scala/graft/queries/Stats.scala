@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
@@ -113,6 +114,33 @@ object Stats {
         dec4S(r1 - r0).as("lift_abs"),
         dec4S((r1 - r0) / when(se === 0.0, lit(null)).otherwise(se))
           .as("z_score")))
+    }),
+
+    // ---- DQ-4: functional-dependency audit — does `source → lang` hold
+    //      in documents? The profiling question behind schema inference,
+    //      normalization advice, and "is this column derivable" checks
+    //      (data-quality suites call these conditional FDs). Per LHS
+    //      value: row count, RHS cardinality, the majority RHS (mode,
+    //      ties to the smallest value — AGG-14's rule), and the exact
+    //      violation count (rows outside the majority = the minimal
+    //      repair size); plus the per-group holds flag. Shape: one
+    //      (lhs, rhs) count aggregate (map-side combined, |domain|-sized)
+    //      → a WindowGroupLimit top-1 over that TINY relation — the scan
+    //      never sees a window; at 100 TB this is AGG-14's exact shape. ----
+    "dq_fd" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val pairs = doc.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+      val top = pairs.withColumn("rn", row_number().over(w))
+      ordered(top.groupBy(col("source")).agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).cast("int").as("n_langs"),
+          max(when(col("rn") === 1, col("lang"))).as("majority_lang"),
+          (sum(col("cnt")) - max(when(col("rn") === 1, col("cnt"))))
+            .as("n_violations"))
+        .withColumn("fd_holds", col("n_violations") === 0L))
     }),
 
     // ---- FE-2: standard-scaler audit — per-measure mean/std (sample
@@ -293,6 +321,21 @@ object Stats {
           |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
           |FROM p
           |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "dq_fd" ->
+        """WITH p AS (
+          |  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+          |t AS (
+          |  SELECT source, lang, cnt,
+          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rn
+          |  FROM p)
+          |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(*) AS INT) AS n_langs,
+          |  MAX(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+          |  CAST(SUM(cnt) - MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS n_violations,
+          |  (SUM(cnt) - MAX(CASE WHEN rn = 1 THEN cnt END)) = 0 AS fd_holds
+          |FROM t GROUP BY source
+          |ORDER BY source NULLS FIRST, n_rows NULLS FIRST, n_langs NULLS FIRST, majority_lang NULLS FIRST, n_violations NULLS FIRST, fd_holds NULLS FIRST""".stripMargin,
 
       "standard_scale" -> {
         def meanSql(v: String) = s"(s_$v / n)"

@@ -273,6 +273,39 @@ object StreamOps {
         })
   }
 
+  case class AttrSt(clickId: Long, clickTsu: Long)
+  case class AttrOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     click_id: Option[Long], attributed: Boolean)
+
+  /** STR-ATTR: streaming last-touch attribution — ATTR-1's online twin:
+    * state = the user's most recent click (one (id, tsu) pair per user,
+    * bounded forever); each purchase is attributed ON ARRIVAL against
+    * that state with the same µs-exact 1-day lookback. Within a batch
+    * rows fold in (ts, event_id) order; across batches the time-ordered
+    * replay contract applies (STR-EWMA's). This is the shape that turns
+    * attribution from a nightly window job into a live enrichment. */
+  def attributionStream(events: Dataset[Ev],
+      horizonUs: Long = 86400L * 1000000L): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[AttrSt]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+          sorted.foreach { e =>
+            val tsu = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            if (e.event_type == "click") st = Some(AttrSt(e.event_id, tsu))
+            if (e.event_type == "purchase") {
+              val hit = st.filter(s => tsu - s.clickTsu <= horizonUs)
+              out += AttrOut(e.event_id, uid, e.ts, hit.map(_.clickId), hit.nonEmpty)
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+
   case class SessSt(start: Timestamp, end: Timestamp, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         last_ts: Timestamp, n_events: Long)

@@ -295,6 +295,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("STR-ATTR streaming attribution equals the batch attr_last under time-ordered replay") {
+    val d = tempDir("attr_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.attributionStream(stream).toDF(), "attr_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    val batch = SparkEntry.queries("attr_last")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
