@@ -288,6 +288,82 @@ object Stats {
         .select(col("digit"), col("n").as("n_obs"),
           dec4S(obs).as("obs_freq"), dec4S(col("exp_freq_d")).as("exp_freq"),
           dec4S(abs(obs - col("exp_freq_d"))).as("abs_dev")))
+    }),
+
+    // ---- STAT-5: CUPED variance-reduced experiment readout — the
+    //      standard pre-experiment-covariate adjustment (Deng et al.,
+    //      WSDM'13: Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)) that every
+    //      mature experimentation platform layers over STAT-2's raw
+    //      readout: same-user pre-period behavior soaks up between-user
+    //      variance, shrinking CIs without touching the treatment effect
+    //      (E[Y'|v] shifts both arms equally because θ and X̄ are POOLED —
+    //      fitting θ per-arm would bias the contrast). X = user's
+    //      pre-period (Jan 1–15) value sum, Y = experiment-period
+    //      (Jan 16+) value sum, variant = user_id % 2 (STAT-2's
+    //      assignment stand-in). Shape: ONE event scan → user-keyed
+    //      exact-decimal (x, y) aggregate (map-side combined; the only
+    //      data-sized shuffle) → ONE 12-number per-variant moment rollup
+    //      (decimal products exact per STAT-1's discipline) → 1-row
+    //      double arithmetic: adjusted mean/variance come ALGEBRAICALLY
+    //      from the moments (var(Y') = var(Y) − 2θcov + θ²var(X)), so no
+    //      second pass ever materializes the adjusted column. At 100 TB
+    //      the user relation is the only intermediate and the moment
+    //      rollup is 12 numbers — the same moment-sketch scaling as
+    //      STAT-1; var(X)=0 (useless covariate) degrades θ and the
+    //      adjusted columns to NULL via NULLIF, raw columns unaffected. ----
+    "cuped" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val perUser = e.groupBy(col("user_id")).agg(
+          sum(when(col("ts") < cut, m(col("value")))).cast(mdt).as("x"),
+          sum(when(col("ts") >= cut, m(col("value")))).cast(mdt).as("y"))
+        // absent-period users: a user with no pre-period rows has X=NULL;
+        // CUPED's standard treatment is X := X̄ (adjustment 0) — spelled
+        // here as 0 BEFORE centering only if truly absent. This corpus
+        // has every user in both halves (30 days × ~67 events/user), but
+        // the guard keeps the moments total (NULL would silently drop
+        // the user from Σxy but not Σy, skewing θ).
+        .na.fill(0.0, Seq("x", "y"))
+        .withColumn("t", (col("user_id") % 2).cast("int"))
+      def vsum(v: Int, c: Column, name: String) =
+        sum(when(col("t") === v, c)).cast("double").as(name)
+      val mo = perUser.agg(
+        sum(when(col("t") === 0, 1).otherwise(0)).cast("double").as("n0"),
+        sum(when(col("t") === 1, 1).otherwise(0)).cast("double").as("n1"),
+        vsum(0, col("x"), "sx0"), vsum(1, col("x"), "sx1"),
+        vsum(0, col("y"), "sy0"), vsum(1, col("y"), "sy1"),
+        vsum(0, col("x") * col("x"), "sxx0"), vsum(1, col("x") * col("x"), "sxx1"),
+        vsum(0, col("y") * col("y"), "syy0"), vsum(1, col("y") * col("y"), "syy1"),
+        vsum(0, col("x") * col("y"), "sxy0"), vsum(1, col("x") * col("y"), "sxy1"))
+      val n = col("n0") + col("n1")
+      val sx = col("sx0") + col("sx1"); val sy = col("sy0") + col("sy1")
+      val sxx = col("sxx0") + col("sxx1"); val sxy = col("sxy0") + col("sxy1")
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      // pooled θ over ALL users; population normalization cancels in the ratio
+      val theta = (n * sxy - sx * sy) / nz(n * sxx - sx * sx)
+      val xbar = sx / nz(n)
+      def row(v: Int) = {
+        val (nv, sxv, syv, sxxv, syyv, sxyv) =
+          (col(s"n$v"), col(s"sx$v"), col(s"sy$v"),
+           col(s"sxx$v"), col(s"syy$v"), col(s"sxy$v"))
+        val meanY = syv / nz(nv)
+        val meanAdj = meanY - theta * (sxv / nz(nv) - xbar)
+        val den = nz(nv * (nv - 1.0))
+        val varY = (nv * syyv - syv * syv) / den
+        val covV = (nv * sxyv - sxv * syv) / den
+        val varX = (nv * sxxv - sxv * sxv) / den
+        val varAdj = varY - lit(2.0) * theta * covV + theta * theta * varX
+        struct(lit(v).as("variant"), nv.cast("long").as("n_users"),
+          dec4S(meanY).as("mean_y"), dec4S(meanAdj).as("mean_y_cuped"),
+          dec4S(varY).as("var_y"), dec4S(varAdj).as("var_y_cuped"),
+          dec4S(theta).as("theta"),
+          dec4S(lit(1.0) - varAdj / nz(varY)).as("var_reduction"))
+      }
+      ordered(mo.select(explode(array(row(0), row(1))).as("p"))
+        .select(col("p.variant").as("variant"), col("p.n_users").as("n_users"),
+          col("p.mean_y").as("mean_y"), col("p.mean_y_cuped").as("mean_y_cuped"),
+          col("p.var_y").as("var_y"), col("p.var_y_cuped").as("var_y_cuped"),
+          col("p.theta").as("theta"), col("p.var_reduction").as("var_reduction")))
     })
   )
 
@@ -454,7 +530,68 @@ object Stats {
           |  CAST(CAST(floor((abs(COALESCE(n, 0)::DOUBLE / total - CAST(exp_freq_d AS DOUBLE)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS abs_dev
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
-          |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin
+          |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "cuped" -> {
+        def d4(e: String) =
+          s"CAST(CAST(floor(($e)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)"
+        // identical double-arithmetic structure as the Spark side: exact
+        // decimal moments -> DOUBLE -> the same formula tree (§5.3)
+        val theta = "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0)"
+        val xbar = "sx / NULLIF(n, 0.0)"
+        def vrow(v: Int) = {
+          val meanY = s"sy$v / NULLIF(n$v, 0.0)"
+          val meanAdj = s"$meanY - theta * (sx$v / NULLIF(n$v, 0.0) - xbar)"
+          val den = s"NULLIF(n$v * (n$v - 1.0), 0.0)"
+          val varY = s"(n$v * syy$v - sy$v * sy$v) / $den"
+          val covV = s"(n$v * sxy$v - sx$v * sy$v) / $den"
+          val varX = s"(n$v * sxx$v - sx$v * sx$v) / $den"
+          val varAdj = s"$varY - 2.0 * theta * $covV + theta * theta * $varX"
+          s"""SELECT $v AS variant, CAST(n$v AS BIGINT) AS n_users,
+             |    ${d4(meanY)} AS mean_y, ${d4(meanAdj)} AS mean_y_cuped,
+             |    ${d4(varY)} AS var_y, ${d4(varAdj)} AS var_y_cuped,
+             |    ${d4("theta")} AS theta,
+             |    ${d4(s"1.0 - ($varAdj) / NULLIF($varY, 0.0)")} AS var_reduction
+             |  FROM mo2""".stripMargin
+        }
+        s"""WITH pu AS (
+          |  SELECT user_id,
+          |    COALESCE(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+          |      THEN CAST(value AS DECIMAL(19,4)) END) AS DECIMAL(19,4)),
+          |      CAST(0 AS DECIMAL(19,4))) AS x,
+          |    COALESCE(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+          |      THEN CAST(value AS DECIMAL(19,4)) END) AS DECIMAL(19,4)),
+          |      CAST(0 AS DECIMAL(19,4))) AS y,
+          |    CAST(user_id % 2 AS INT) AS t
+          |  FROM events GROUP BY user_id),
+          |mo AS (
+          |  SELECT
+          |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+          |    CAST(SUM(CASE WHEN t = 0 THEN x END) AS DOUBLE) AS sx0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN x END) AS DOUBLE) AS sx1,
+          |    CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE) AS sy0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE) AS sy1,
+          |    CAST(SUM(CASE WHEN t = 0 THEN x * x END) AS DOUBLE) AS sxx0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN x * x END) AS DOUBLE) AS sxx1,
+          |    CAST(SUM(CASE WHEN t = 0 THEN y * y END) AS DOUBLE) AS syy0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN y * y END) AS DOUBLE) AS syy1,
+          |    CAST(SUM(CASE WHEN t = 0 THEN x * y END) AS DOUBLE) AS sxy0,
+          |    CAST(SUM(CASE WHEN t = 1 THEN x * y END) AS DOUBLE) AS sxy1
+          |  FROM pu),
+          |mo2 AS (
+          |  SELECT *,
+          |    n0 + n1 AS n, sx0 + sx1 AS sx, sy0 + sy1 AS sy,
+          |    sxx0 + sxx1 AS sxx, sxy0 + sxy1 AS sxy
+          |  FROM mo),
+          |mo3 AS (SELECT *, $theta AS theta, $xbar AS xbar FROM mo2)
+          |SELECT * FROM (
+          |  ${vrow(0).replace("FROM mo2", "FROM mo3")}
+          |  UNION ALL
+          |  ${vrow(1).replace("FROM mo2", "FROM mo3")}
+          |)
+          |ORDER BY variant NULLS FIRST, n_users NULLS FIRST, mean_y NULLS FIRST, mean_y_cuped NULLS FIRST, var_y NULLS FIRST, var_y_cuped NULLS FIRST, theta NULLS FIRST, var_reduction NULLS FIRST""".stripMargin
+      }
     )
   }
 }
