@@ -1633,6 +1633,58 @@ object LlmOps {
         .select(col("lang"), col("rn"), col("word"), col("n")))
     }),
 
+    // ---- BPE-1: byte-pair-encoding merge training (`bpe_train`) — the
+    //      tokenizer-training op itself (Sennrich et al. ACL'16; the loop
+    //      inside SentencePiece/HF BPE trainers): learn the corpus's first
+    //      6 BPE merges. The engine-critical observation is that trainers
+    //      never iterate the corpus — they iterate the WORD-FREQUENCY
+    //      table: ONE scan reduces 100 TB of text to a vocabulary-sized
+    //      (word, cnt) relation, and every merge round is vocab-sized
+    //      work (pair explode bounded by Σ word-length over the vocab, a
+    //      map-side-combined pair count, a global top-1 = TakeOrdered
+    //      partial per partition, and one scan-level substring rewrite).
+    //      Words are encoded as |-wrapped symbol strings ("|h||e||l||l||o|")
+    //      so applying a merge is a PLAIN substring replace (codegen'd
+    //      StringReplace, no regex): every symbol owns its delimiters, so
+    //      a pair pattern "|l||l|" can never match across a symbol
+    //      boundary or inside a longer symbol, and left-to-right
+    //      non-overlapping replace IS BPE's greedy application order —
+    //      identical in DuckDB's replace(), making 6 rounds of argmax
+    //      (count DESC, pair ASC tie-break) bit-reproducible cross-engine
+    //      with zero floats. Each round's 1-row argmax and the rewritten
+    //      vocab are pinned (the DDP-CLUSTER iterative-loop discipline);
+    //      at real vocabulary scale you'd batch non-conflicting merges
+    //      per round — same loop, fewer rounds. ----
+    "bpe_train" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          regexp_replace(col("w"), "(.)", "|$1|").as("enc")))
+      val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (r <- 1 to 6) {
+        val pairs = vocab
+          .select(col("cnt"), split(trim(col("enc"), "|"), "\\|\\|").as("a"))
+          .select(col("cnt"), col("a"), posexplode(col("a")).as(Seq("i", "lft")))
+          .withColumn("rgt", try_element_at(col("a"), col("i") + 2))
+          .filter(col("rgt").isNotNull)
+          .select(col("cnt"), col("lft"), col("rgt"),
+            concat(lit("|"), col("lft"), lit("||"), col("rgt"), lit("|")).as("pair"))
+        val best = pin(pairs.groupBy(col("pair"), col("lft"), col("rgt"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1))
+        out += best.select(lit(r).as("round"), col("lft").as("left_sym"),
+          col("rgt").as("right_sym"),
+          concat(col("lft"), col("rgt")).as("merged"),
+          col("n").cast("long").as("n"))
+        vocab = pin(vocab.crossJoin(broadcast(best.select(col("pair"))))
+          .select(col("cnt"), call_function("replace", col("enc"), col("pair"),
+            call_function("replace", col("pair"), lit("||"), lit(""))).as("enc")))
+      }
+      ordered(out.reduce(_ unionByName _))
+    }),
+
     // ---- TXT-3: stopword-marker language-ID heuristic ----
     "txt_langid" -> ((s, d) => {
       val doc = load(s, d, "documents")
@@ -3047,6 +3099,36 @@ object LlmOps {
         |  )
         |) WHERE rn <= 5
         |ORDER BY lang NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "bpe_train" -> {
+      // 6 unrolled merge rounds: pair census over the |-encoded vocab,
+      // argmax with the (n DESC, pair ASC) tie rule, plain-substring merge
+      // apply — structurally identical to the Spark loop.
+      val rounds = (1 to 6).map { r =>
+        s"""p$r AS (
+           |  SELECT concat('|', p[1], '||', p[2], '|') AS pair,
+           |    p[1] AS lft, p[2] AS rgt, SUM(cnt) AS n
+           |  FROM (SELECT cnt, unnest(list_zip(a, a[2:])) AS p FROM (
+           |    SELECT cnt, string_split(trim(enc, '|'), '||') AS a FROM w${r - 1}) t1) t2
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2, 3),
+           |b$r AS (SELECT * FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (SELECT cnt, replace(enc, (SELECT pair FROM b$r),
+           |  replace((SELECT pair FROM b$r), '||', '')) AS enc FROM w${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 6).map(r =>
+        s"SELECT $r AS round, lft AS left_sym, rgt AS right_sym, concat(lft, rgt) AS merged, CAST(n AS BIGINT) AS n FROM b$r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH words AS (
+         |  SELECT w AS word, COUNT(1) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY 1),
+         |w0 AS (SELECT cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS enc FROM words),
+         |$rounds
+         |SELECT * FROM (
+         |  $sel
+         |)
+         |ORDER BY round NULLS FIRST, left_sym NULLS FIRST, right_sym NULLS FIRST, merged NULLS FIRST, n NULLS FIRST""".stripMargin
+    },
 
     "txt_langid" ->
       """SELECT doc_id, lang,

@@ -357,6 +357,33 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_train: greedy left-to-right merges; best-pair count never increases") {
+    import spark.implicits._
+    // "aaaa" is the canonical greedy-application probe: round 1 must count
+    // the pair (a,a) at all 3 adjacent positions but merge left-to-right
+    // non-overlapping into exactly "aa aa" (NOT "a aa a" or a rescan into
+    // "aaa a"), so round 2 sees exactly one (aa,aa) pair; round 3 has no
+    // pairs and emits nothing. Any off-by-one in the |-delimited encoding
+    // or a regex-style rescan after replacement breaks one of the rows.
+    val d = java.nio.file.Files.createTempDirectory("bpe_edge").toString
+    Seq((1L, "aaaa", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val edge = SparkEntry.queries("bpe_train")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(edge.toSeq == Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)),
+      s"got ${edge.toSeq}")
+    // Law on the real corpus: the argmax count is non-increasing across
+    // rounds — any pair existing at round r is bounded by round r's best,
+    // and pairs created by a merge occur at most once per occurrence of
+    // the merged pair, so no later round can beat an earlier one.
+    val ns = SparkEntry.queries("bpe_train")(spark, sfDir)
+      .orderBy(col("round")).collect().map(_.getLong(4))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased across rounds: ${ns.toSeq}")
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
