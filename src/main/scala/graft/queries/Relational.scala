@@ -1045,6 +1045,51 @@ object Relational {
             .otherwise(lit("incremental")).as("repair_path")))
     }),
 
+    // ---- IVM-2: incremental JOIN maintenance (`inc_join`) — AGG-12's
+    //      delta discipline applied to a two-table join view
+    //      V = orders ⋈ lineitem: with ΔO (orders dated ≥ cutoff) and ΔL
+    //      (lineitems shipped ≥ cutoff — independent of ΔO, because facts
+    //      arrive late against old orders), the view delta factorizes as
+    //      ΔV = ΔO ⋈ L  ∪  O_old ⋈ ΔL — never a re-join of the full
+    //      tables. Each term is tagged with its derivation path and the
+    //      oracle recomputes the SAME tags declaratively over the full
+    //      join (o new → 'delta_o'; else l new → 'old_o_delta_l'; else
+    //      'base'), so the hash match certifies the three terms form a
+    //      DISJOINT, COMPLETE partition of the joined pairs — the
+    //      correctness core of join IVM (a double-counted or dropped
+    //      (ΔO,ΔL) pair breaks the tag censuses). At 100 TB: the base
+    //      term is READ from the stored view (here recomputed only so
+    //      the oracle sees the full updated view), both delta joins
+    //      BROADCAST the day-sized delta against the big side — cost
+    //      ∝ |Δ| · join fan-out, not ∝ history; when a delta outgrows
+    //      broadcast, the stored base/view is bucketed by orderkey so
+    //      the shuffle lands only on the delta side. ----
+    "inc_join" -> ((s, d) => {
+      val cutoff = lit("2001-06-01").cast("timestamp")
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      val oOld = o.filter(col("o_orderdate") < cutoff)
+      val oNew = o.filter(col("o_orderdate") >= cutoff)
+      val lOld = li.filter(col("l_shipdate") < cutoff)
+      val lNew = li.filter(col("l_shipdate") >= cutoff)
+      // base: yesterday's materialized view (recomputed here, read there)
+      val base = oOld.join(lOld, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("path", lit("base"))
+      // ΔO against the FULL lineitem side (old ∪ new in one probe)
+      val dO = li.join(broadcast(oNew), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("path", lit("delta_o"))
+      // late-arriving facts against old orders only (ΔO⋈ΔL already above)
+      val dL = oOld.join(broadcast(lNew), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("path", lit("old_o_delta_l"))
+      ordered(base.unionByName(dO).unionByName(dL)
+        .groupBy(col("path"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsumS(col("l_extendedprice")).as("revenue")))
+    }),
+
     // ---- DQ-2: referential-integrity audit (`dq_refs`) — the
     //      cross-table half of DQ-1's single-table gate: every declared
     //      foreign key probed for orphans (child rows whose parent is
@@ -1917,6 +1962,17 @@ object Relational {
         |) GROUP BY word
         |ORDER BY n DESC NULLS LAST, word ASC
         |LIMIT 50""".stripMargin,
+
+    "inc_join" ->
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '2001-06-01' THEN 'delta_o'
+        |            WHEN l_shipdate >= TIMESTAMP '2001-06-01' THEN 'old_o_delta_l'
+        |            ELSE 'base' END AS path,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(1) AS n_rows,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY path NULLS FIRST, month NULLS FIRST, n_rows NULLS FIRST, revenue NULLS FIRST""".stripMargin,
 
     "dq_audit" ->
       """SELECT COUNT(1) AS n_rows,
