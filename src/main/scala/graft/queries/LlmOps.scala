@@ -70,6 +70,35 @@ object LlmOps {
       .otherwise(array().cast("array<string>")))
   }
 
+  /** BPE-1/TOK-2 shared trainer: the 6 merge rounds over the |-encoded
+    * word-frequency table (see the `bpe_train` scaladoc for the encoding
+    * argument). Returns the 6 PINNED 1-row argmax relations
+    * (pair, lft, rgt, n) in merge-priority order; each round's vocab
+    * rewrite is also pinned (iterative-loop lineage discipline). */
+  private def bpeMerges(doc: DataFrame, k: Int = 6): Seq[DataFrame] = {
+    var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_replace(col("w"), "(.)", "|$1|").as("enc")))
+    (1 to k).map { _ =>
+      val pairs = vocab
+        .select(col("cnt"), split(trim(col("enc"), "|"), "\\|\\|").as("a"))
+        .select(col("cnt"), col("a"), posexplode(col("a")).as(Seq("i", "lft")))
+        .withColumn("rgt", try_element_at(col("a"), col("i") + 2))
+        .filter(col("rgt").isNotNull)
+        .select(col("cnt"), col("lft"), col("rgt"),
+          concat(lit("|"), col("lft"), lit("||"), col("rgt"), lit("|")).as("pair"))
+      val best = pin(pairs.groupBy(col("pair"), col("lft"), col("rgt"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1))
+      vocab = pin(vocab.crossJoin(broadcast(best.select(col("pair"))))
+        .select(col("cnt"), call_function("replace", col("enc"), col("pair"),
+          call_function("replace", col("pair"), lit("||"), lit(""))).as("enc")))
+      best
+    }
+  }
+
   /** Spread a narrow-scan table across cores before an expensive per-row
     * projection. The documents table is one parquet split at test scale,
     * so shingling/hashing otherwise runs at scan parallelism = 1; the
@@ -1657,32 +1686,53 @@ object LlmOps {
     //      per round — same loop, fewer rounds. ----
     "bpe_train" -> ((s, d) => {
       val doc = load(s, d, "documents")
-      var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          regexp_replace(col("w"), "(.)", "|$1|").as("enc")))
-      val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (r <- 1 to 6) {
-        val pairs = vocab
-          .select(col("cnt"), split(trim(col("enc"), "|"), "\\|\\|").as("a"))
-          .select(col("cnt"), col("a"), posexplode(col("a")).as(Seq("i", "lft")))
-          .withColumn("rgt", try_element_at(col("a"), col("i") + 2))
-          .filter(col("rgt").isNotNull)
-          .select(col("cnt"), col("lft"), col("rgt"),
-            concat(lit("|"), col("lft"), lit("||"), col("rgt"), lit("|")).as("pair"))
-        val best = pin(pairs.groupBy(col("pair"), col("lft"), col("rgt"))
-          .agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1))
-        out += best.select(lit(r).as("round"), col("lft").as("left_sym"),
+      ordered(bpeMerges(doc).zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("round"), col("lft").as("left_sym"),
           col("rgt").as("right_sym"),
           concat(col("lft"), col("rgt")).as("merged"),
           col("n").cast("long").as("n"))
-        vocab = pin(vocab.crossJoin(broadcast(best.select(col("pair"))))
-          .select(col("cnt"), call_function("replace", col("enc"), col("pair"),
-            call_function("replace", col("pair"), lit("||"), lit(""))).as("enc")))
+      }.reduce(_ unionByName _))
+    }),
+
+    // ---- TOK-2: BPE tokenization + compression census (`bpe_apply`) —
+    //      the APPLY half of BPE-1: encode the corpus with the learned
+    //      merge table (each merge applied corpus-wide in priority order —
+    //      the same chained greedy substring replace the trainer used, so
+    //      train and apply provably share one semantics) and report the
+    //      per-language compression the tokenizer buys: symbols before
+    //      (= non-space chars) vs after, tokens-per-100-chars being THE
+    //      number a tokenizer choice is judged by. Whole docs are encoded
+    //      with words symbol-wrapped and spaces left bare ("|h||i| |y||o|")
+    //      so a merge pattern "|x||y|" can never bridge a word boundary
+    //      (the inter-word gap reads "| |", never "||"). Shape: the
+    //      vocab-sized training rounds (BPE-1), then ONE corpus scan
+    //      applying 6 codegen'd StringReplaces riding a 1-row broadcast
+    //      of the merge table — scan-proportional, zero shuffle beyond
+    //      the |langs|-row census; the trained merge table is exactly
+    //      what ships to the fleet at 100 TB, and this query IS that
+    //      fleet pass. ----
+    "bpe_apply" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      // 6 pinned 1-row merge tables -> one 1-row (p1..p6) wide relation
+      val wide = bpeMerges(doc).zipWithIndex
+        .map { case (b, i) => b.select(col("pair").as(s"p${i + 1}")) }
+        .reduce(_ crossJoin _)
+      val enc0 = regexp_replace(col("text"), "([^ ])", "|$1|")
+      val applied = (1 to 6).foldLeft(enc0) { (e, i) =>
+        call_function("replace", e, col(s"p$i"),
+          call_function("replace", col(s"p$i"), lit("||"), lit("")))
       }
-      ordered(out.reduce(_ unionByName _))
+      def nsym(e: Column): Column =
+        ((length(e) - length(call_function("replace", e, lit("|"), lit("")))) / 2)
+          .cast("long")
+      ordered(doc.crossJoin(broadcast(wide))
+        .select(col("lang"), nsym(enc0).as("nb"), nsym(applied).as("na"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("sym_before"),
+          sum(col("na")).as("sym_after"),
+          dec4S(sum(col("na")).cast("double") /
+            sum(col("nb")).cast("double")).as("compression")))
     }),
 
     // ---- TXT-3: stopword-marker language-ID heuristic ----
@@ -3099,6 +3149,43 @@ object LlmOps {
         |  )
         |) WHERE rn <= 5
         |ORDER BY lang NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "bpe_apply" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""p$r AS (
+           |  SELECT concat('|', p[1], '||', p[2], '|') AS pair,
+           |    p[1] AS lft, p[2] AS rgt, SUM(cnt) AS n
+           |  FROM (SELECT cnt, unnest(list_zip(a, a[2:])) AS p FROM (
+           |    SELECT cnt, string_split(trim(enc, '|'), '||') AS a FROM w${r - 1}) t1) t2
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2, 3),
+           |b$r AS (SELECT * FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (SELECT cnt, replace(enc, (SELECT pair FROM b$r),
+           |  replace((SELECT pair FROM b$r), '||', '')) AS enc FROM w${r - 1})""".stripMargin
+      }.mkString(",\n")
+      // chained priority-order apply over the |-encoded corpus
+      val applied = (1 to 6).foldLeft("enc0") { (e, r) =>
+        s"replace($e, (SELECT pair FROM b$r), (SELECT replace(pair, '||', '') FROM b$r))"
+      }
+      def nsym(e: String) =
+        s"CAST((len($e) - len(replace($e, '|', ''))) / 2 AS BIGINT)"
+      s"""WITH words AS (
+         |  SELECT w AS word, COUNT(1) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY 1),
+         |w0 AS (SELECT cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS enc FROM words),
+         |$rounds,
+         |corpus AS (
+         |  SELECT lang, regexp_replace(text, '([^ ])', '|\\1|', 'g') AS enc0
+         |  FROM documents),
+         |sym AS (
+         |  SELECT lang, ${nsym("enc0")} AS nb, ${nsym(applied)} AS na FROM corpus)
+         |SELECT lang, COUNT(1) AS n_docs,
+         |  CAST(SUM(nb) AS BIGINT) AS sym_before,
+         |  CAST(SUM(na) AS BIGINT) AS sym_after,
+         |  CAST(CAST(floor((CAST(SUM(na) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS compression
+         |FROM sym GROUP BY lang
+         |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, sym_before NULLS FIRST, sym_after NULLS FIRST, compression NULLS FIRST""".stripMargin
+    },
 
     "bpe_train" -> {
       // 6 unrolled merge rounds: pair census over the |-encoded vocab,
