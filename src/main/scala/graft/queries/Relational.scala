@@ -1125,6 +1125,50 @@ object Relational {
         .reduce(_ unionByName _))
     }),
 
+    // ---- DQ-5: rule-based quarantine router (`dq_quarantine`) — the
+    //      dead-letter-queue gate of an ingest pipeline: every incoming
+    //      row is annotated with the SET of validation rules it fails
+    //      (fixed rule order, comma-joined) and routed clean/quarantine;
+    //      the output is the rule-COMBINATION census (which rule sets
+    //      co-fire, with counts and a value checksum per set) — the
+    //      triage report an on-call reads, strictly more informative than
+    //      DQ-1's per-rule tallies because combinations reveal common
+    //      causes (a feed whose rows fail null_cust AND neg_price
+    //      together points at truncated records, not two bugs). Dirty
+    //      feed synthesized deterministically (IMP-1's the-gate-provably-
+    //      fires pattern): every 13th key's price negated, every 17th's
+    //      custkey nulled, every 23rd's custkey shifted out of the dim —
+    //      overlapping moduli make multi-rule combinations exist by
+    //      construction. Shape: ONE scan + one BROADCAST customer-key
+    //      join (referential rule) + a map-side-combined census over the
+    //      ≤2³-row combination space; at 100 TB the dim probe rides a
+    //      bloom like DCN-2 and the quarantined rows fan to the DLQ sink
+    //      in the same pass — the census IS this query. ----
+    "dq_quarantine" -> ((s, d) => {
+      val c = load(s, d, "customer").select(col("c_custkey"))
+      val feed = load(s, d, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("long"))
+          .when(col("o_orderkey") % 23 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("cust"))
+      val probed = feed.join(broadcast(c),
+        col("cust") === col("c_custkey"), "left")
+      val fails = array(
+        when(col("price") <= 0.0, lit("neg_price")),
+        when(col("cust").isNull, lit("null_cust")),
+        when(col("cust").isNotNull && col("c_custkey").isNull, lit("orphan_cust")))
+      ordered(probed
+        .withColumn("failed_rules",
+          concat_ws(",", filter(fails, x => x.isNotNull)))
+        .groupBy(col("failed_rules"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsumS(col("price")).as("sum_price"))
+        .withColumn("verdict",
+          when(col("failed_rules") === "", "clean").otherwise("quarantine")))
+    }),
+
     // ---- GDPR-1: deletion-list propagation (right-to-be-forgotten) —
     //      the governance op every training-data pipeline must run: a
     //      deterministic deletion list (entity_id % 17 == 3, the ~6%
@@ -1962,6 +2006,30 @@ object Relational {
         |) GROUP BY word
         |ORDER BY n DESC NULLS LAST, word ASC
         |LIMIT 50""".stripMargin,
+
+    "dq_quarantine" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN NULL
+        |         WHEN o_orderkey % 23 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS cust
+        |  FROM orders),
+        |probed AS (
+        |  SELECT feed.*, c.c_custkey FROM feed
+        |  LEFT JOIN customer c ON feed.cust = c.c_custkey),
+        |tagged AS (
+        |  SELECT price,
+        |    COALESCE(array_to_string(list_filter([
+        |      CASE WHEN price <= 0.0 THEN 'neg_price' END,
+        |      CASE WHEN cust IS NULL THEN 'null_cust' END,
+        |      CASE WHEN cust IS NOT NULL AND c_custkey IS NULL THEN 'orphan_cust' END
+        |    ], x -> x IS NOT NULL), ','), '') AS failed_rules
+        |  FROM probed)
+        |SELECT failed_rules, COUNT(1) AS n_rows,
+        |  CAST(CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+        |  CASE WHEN failed_rules = '' THEN 'clean' ELSE 'quarantine' END AS verdict
+        |FROM tagged GROUP BY 1
+        |ORDER BY failed_rules NULLS FIRST, n_rows NULLS FIRST, sum_price NULLS FIRST, verdict NULLS FIRST""".stripMargin,
 
     "inc_join" ->
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '2001-06-01' THEN 'delta_o'
