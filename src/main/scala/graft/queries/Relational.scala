@@ -445,6 +445,50 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), dsumS(col("l_extendedprice")).as("sum_price")))
     }),
 
+    // ---- JAUD-1: join pre-flight audit (`join_audit`) — the
+    //      explosion/skew estimator run BEFORE committing to a join plan
+    //      (what cost-based stats systems compute, here as a first-class
+    //      op): for the planned lineitem ⋈ returns-slice join on
+    //      l_suppkey, the per-key output contribution n_left(k)·n_right(k)
+    //      — the EXACT join cardinality per key — ranked top-10 with
+    //      share-of-total and cumulative share. A top key carrying >5% of
+    //      a trillion-row join output is the salting/AQE-skew trigger
+    //      (AGG-1-SALTED's threshold reasoning), and Σ contrib vs input
+    //      sizes is the explosion factor that says broadcast-vs-shuffle
+    //      or rethink-the-key. Shape: TWO map-side-combined key-count
+    //      aggregates (each |keys|-sized, NEVER the join itself — the
+    //      audit costs two scans, the bad join would cost Σ contrib),
+    //      an equi-join of the two tiny count relations, global top-10 =
+    //      TakeOrdered, 1-row total broadcast back for shares. At 100 TB
+    //      the count relations are still key-cardinality-sized; when even
+    //      those blow up, freq_cms's sketch is the declared switch. ----
+    "join_audit" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val a = li.groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("n_left"))
+      val b = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey").as("k2"))
+        .agg(count(lit(1)).as("n_right"))
+      val contrib = a.join(b, col("k") === col("k2"))
+        .select(col("k"), col("n_left"), col("n_right"),
+          (col("n_left") * col("n_right")).as("contrib"))
+      val total = contrib.agg(sum(col("contrib")).as("total"))
+      val top = contrib.orderBy(col("contrib").desc, col("k").asc).limit(10)
+        .crossJoin(broadcast(total))
+      val w = Window.orderBy(col("contrib").desc, col("k").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered(top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("contrib").desc, col("k").asc)))
+        .withColumn("cum", sum(col("contrib")).over(w))
+        .select(col("rank"), col("k").as("suppkey"),
+          col("n_left"), col("n_right"), col("contrib"),
+          dec4S(col("contrib").cast("double") / col("total").cast("double"))
+            .as("share"),
+          dec4S(col("cum").cast("double") / col("total").cast("double"))
+            .as("cum_share")))
+    }),
+
     // ---- JOIN-9b: pure band (range) join on small tables ----
     "join9_band" -> ((s, d) => {
       val su = load(s, d, "supplier")
@@ -1713,6 +1757,21 @@ object Relational {
         |  ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
         |GROUP BY s_suppkey
         |ORDER BY s_suppkey NULLS FIRST, n_close NULLS FIRST, avg_bal NULLS FIRST""".stripMargin,
+
+    "join_audit" ->
+      """WITH a AS (SELECT l_suppkey AS k, COUNT(1) AS n_left FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_suppkey AS k, COUNT(1) AS n_right FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |c AS (SELECT a.k AS k, n_left, n_right, n_left * n_right AS contrib FROM a JOIN b ON a.k = b.k),
+        |t AS (SELECT CAST(SUM(contrib) AS DOUBLE) AS total FROM c),
+        |top AS (SELECT * FROM c ORDER BY contrib DESC, k ASC LIMIT 10),
+        |cum AS (SELECT *, SUM(contrib) OVER (ORDER BY contrib DESC, k ASC ROWS UNBOUNDED PRECEDING) AS cumc,
+        |  ROW_NUMBER() OVER (ORDER BY contrib DESC, k ASC) AS rnk FROM top)
+        |SELECT CAST(rnk AS INT) AS rank, k AS suppkey, n_left, n_right,
+        |  CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(CAST(floor((CAST(contrib AS DOUBLE) / total)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS share,
+        |  CAST(CAST(floor((CAST(cumc AS DOUBLE) / total)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cum_share
+        |FROM cum CROSS JOIN t
+        |ORDER BY rank NULLS FIRST, suppkey NULLS FIRST, n_left NULLS FIRST, n_right NULLS FIRST, contrib NULLS FIRST, share NULLS FIRST, cum_share NULLS FIRST""".stripMargin,
 
     "join10" ->
       """WITH probes AS (
