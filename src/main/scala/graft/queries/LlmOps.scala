@@ -1574,6 +1574,44 @@ object LlmOps {
     //      posting-proportional join back); partial aggregation absorbs
     //      hot boilerplate segments map-side, and output is linear in
     //      docs — never pair-quadratic. ----
+    // ---- TXT-9: intra-document segment dedup (`txt_intradedup`) — the
+    //      WITHIN-doc half of the C4 recipe (DDP-SEG/DDP-SCRUB are the
+    //      cross-corpus half): drop every repeat of an 8-word segment
+    //      after its first occurrence inside the SAME document — the
+    //      transform that kills navigation blocks, repeated headers, and
+    //      scraper stutter without any corpus-wide state. The decisive
+    //      scale property: this is a PURE SCAN-LEVEL ARRAY op — segment,
+    //      first-occurrence filter (array_position == own index), rebuild,
+    //      md5 — zero shuffle, zero joins, embarrassingly parallel at any
+    //      corpus size (contrast DDP-SCRUB's segment-keyed exchange). The
+    //      corpus has no natural intra-dups (measured: 0), so doc_id%7
+    //      docs with ≥8 words get their first segment PREPENDED (exact
+    //      8-word alignment ⇒ seg0==seg1 by construction — IMP-1's
+    //      the-gate-provably-fires pattern, injection identical in the
+    //      oracle). Output = per-doc (n_segs, n_kept, md5 of the rebuilt
+    //      text) — DDP-SCRUB's prove-the-reconstruction convention. ----
+    "txt_intradedup" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val words0 = split(col("text"), " ")
+      val text2 = when(col("doc_id") % 7 === 0 && size(words0) >= 8,
+        concat(array_join(slice(words0, 1, 8), " "), lit(" "), col("text")))
+        .otherwise(col("text"))
+      val words = split(col("t2"), " ")
+      val ns = ceil(size(words) / lit(8.0)).cast("int")
+      val segs = transform(sequence(lit(0), ns - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      ordered(spread(doc)
+        .select(col("doc_id"), text2.as("t2"))
+        .select(col("doc_id"),
+          when(ns >= 1, segs).otherwise(array().cast("array<string>")).as("segs"))
+        .select(col("doc_id"), col("segs"),
+          filter(col("segs"), (x, i) =>
+            array_position(col("segs"), x) === i.cast("long") + 1).as("kept"))
+        .select(col("doc_id"), size(col("segs")).as("n_segs"),
+          size(col("kept")).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("dedup_md5")))
+    }),
+
     "ddp_segment" -> ((s, d) => {
       val doc = spread(load(s, d, "documents"))
       val words = split(col("text"), " ")
@@ -3093,6 +3131,28 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(n_dup AS DOUBLE)/CAST(n_segs AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
         |FROM agg
         |ORDER BY doc_id NULLS FIRST, n_segs NULLS FIRST, n_dup NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
+
+    "txt_intradedup" ->
+      """WITH feed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 8
+        |      THEN concat(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '), ' ', text)
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |segged AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(string_split(t2, ' ')) / 8.0) AS INT)),
+        |      i -> array_to_string(list_slice(string_split(t2, ' '), i*8 + 1, i*8 + 8), ' ')) AS segs
+        |  FROM feed),
+        |kept AS (
+        |  SELECT doc_id, segs,
+        |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS k
+        |  FROM segged)
+        |SELECT doc_id, CAST(len(segs) AS INT) AS n_segs,
+        |  CAST(len(k) AS INT) AS n_kept,
+        |  md5(array_to_string(k, ' ')) AS dedup_md5
+        |FROM kept
+        |ORDER BY doc_id NULLS FIRST, n_segs NULLS FIRST, n_kept NULLS FIRST, dedup_md5 NULLS FIRST""".stripMargin,
 
     "scrub_segments" ->
       """WITH t AS (
