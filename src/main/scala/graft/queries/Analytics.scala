@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
 
 /** Graph-statistics and order-dominance analytics (SURVEY.md §2.2 GRPH/SKY
@@ -292,6 +293,50 @@ object Analytics {
           dec4S(col("num").cast("double") / col("den").cast("double")).as("ewma")))
     }),
 
+    // ---- TS-3: CUSUM changepoint detection (`cusum_change`) — Page's
+    //      classic level-shift locator (Page, Biometrika 1954) over the
+    //      daily-revenue series: the changepoint estimate is
+    //      argmax_t |S_t|, S_t = Σ_{i≤t}(x_i − x̄). The determinism move:
+    //      S_t scaled by n is n·S_t = n·prefix_t − t·total — EVERY term
+    //      an exact decimal/integer product (no mean, no division, no
+    //      float accumulation), and scaling by n>0 preserves the argmax,
+    //      so the located day is bit-reproducible in any engine; ties →
+    //      earliest day. Decimal widths follow vec_pq's precision-cap
+    //      lesson: x and its prefix sums are held at (18,4)/(19,4) so the
+    //      ×int32 products stay under precision 38 EXACT in both engines
+    //      (a (38,4) operand would trip Spark's scale-losing cap). Shape:
+    //      one map-side-combined day-grain aggregate collapses any corpus
+    //      to a \|days\|-row series; the running-sum window, argmax, and
+    //      before/after means all live on that tiny relation — the
+    //      100 TB cost is the scan, forever. ----
+    "cusum_change" -> ((s, d) => {
+      val d18 = DecimalType(18, 4)
+      val o = load(s, d, "orders")
+      val daily = o.groupBy(
+          date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+        .agg(dsum(col("o_totalprice")).cast(d18).as("x"))
+      val wOrd = Window.orderBy(col("day").asc)
+      val wAll = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val series = daily
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("prefix", sum(col("x")).over(wOrd).cast(d18))
+        .withColumn("n", count(lit(1)).over(wAll).cast("int"))
+        .withColumn("total", sum(col("x")).over(wAll).cast(d18))
+      val sPrime = col("n") * col("prefix") - col("t") * col("total")
+      val ranked = series.withColumn("s_abs", abs(sPrime))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("s_abs").desc, col("day").asc)))
+      ordered(ranked.filter(col("rk") === 1)
+        .select(col("day").as("cp_day"), col("t").as("t"), col("n").as("n_days"),
+          decS(col("s_abs").cast(dt)).as("cusum_stat"),
+          dec4S(col("prefix").cast("double") / col("t").cast("double"))
+            .as("mean_before"),
+          dec4S((col("total") - col("prefix")).cast("double") /
+            when(col("n") === col("t"), lit(null))
+              .otherwise((col("n") - col("t")).cast("double"))).as("mean_after")))
+    }),
+
     // ---- DRIFT-1: distribution-drift audit of event value, first half of
     //      the time range vs second half — the data-drift gate every
     //      production scoring pipeline runs before trusting a model or a
@@ -395,6 +440,27 @@ object Analytics {
         |  CAST(CAST(floor((CAST(SUM(w * v2) AS DOUBLE) / CAST(SUM(w) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ewma
         |FROM j GROUP BY user_id, event_id, ts
         |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, ts NULLS FIRST, ewma NULLS FIRST""".stripMargin,
+
+    "cusum_change" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DECIMAL(19,4)) AS x
+        |  FROM orders GROUP BY 1),
+        |se AS (
+        |  SELECT day, x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS INT) AS t,
+        |    CAST(SUM(x) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS DECIMAL(19,4)) AS prefix,
+        |    CAST(COUNT(1) OVER () AS INT) AS n,
+        |    CAST(SUM(x) OVER () AS DECIMAL(19,4)) AS total
+        |  FROM daily),
+        |st AS (SELECT *, abs(n * prefix - t * total) AS s_abs FROM se),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s_abs DESC, day ASC) AS rk FROM st)
+        |SELECT day AS cp_day, t, n AS n_days,
+        |  CAST(CAST(s_abs AS DECIMAL(38,4)) AS VARCHAR) AS cusum_stat,
+        |  CAST(CAST(floor((CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_before,
+        |  CAST(CAST(floor((CAST(total - prefix AS DOUBLE) / (CASE WHEN n = t THEN NULL ELSE CAST(n - t AS DOUBLE) END))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_after
+        |FROM rk WHERE rk = 1
+        |ORDER BY cp_day NULLS FIRST, t NULLS FIRST, n_days NULLS FIRST, cusum_stat NULLS FIRST, mean_before NULLS FIRST, mean_after NULLS FIRST""".stripMargin,
 
     "drift_psi" ->
       """WITH b AS (
