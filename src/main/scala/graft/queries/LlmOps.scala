@@ -962,6 +962,52 @@ object LlmOps {
           dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
     }),
 
+    // ---- KM-1: one exact Lloyd iteration (`kmeans_step`) — the k-means
+    //      TRAINING step the embedding family was missing (sim1_ivf
+    //      ASSIGNS to fixed label-centroids; this is the update loop that
+    //      LEARNS them): assign every vector to its nearest of k=8
+    //      deterministic seeds (vec_id < 8) by squared L2, then report
+    //      per cluster the Lloyd update audit — membership count, EXACT
+    //      inertia (the quantity whose monotone decrease certifies a
+    //      k-means implementation), and the updated-centroid mass
+    //      Σ(element-sums)/n (= the new centroid's coordinate total, one
+    //      number pinning the mean update without shipping 64 dims).
+    //      Float discipline: dist = |v|² + |c|² − 2·v·c with every dot a
+    //      codegen'd in-order fold (DotProduct ≡ DuckDB list_sum,
+    //      sim1's certified pairing) — identical doubles, so the argmin
+    //      (ties → smaller cid) is engine-independent; inertia and mass
+    //      are dec4-per-row → exact decimal sums (order-free). Shape:
+    //      seeds broadcast (k·dim numbers), ONE pass computes all k
+    //      distances per vector, per-vector top-1 via an 8-row window
+    //      keyed by vec_id (at scale: the same relation map-side reduces
+    //      via min(struct(dist,cid)) — noted, not needed at k=8), then a
+    //      k-row aggregate. Iterating = re-seeding from the update and
+    //      re-running — each step is this one job, the standard
+    //      distributed Lloyd round. ----
+    "kmeans_step" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
+          dot_product(dbl, dbl).as("vv"),
+          aggregate(dbl, lit(0.0), (acc, x) => acc + x).as("es"))
+        .pinned // read by the pair probe and (through rn=1) the census
+      val seeds = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"),
+          col("vv").as("cc"))
+      val pairs = base.crossJoin(broadcast(seeds))
+        .withColumn("dist",
+          col("vv") + col("cc") - lit(2.0) * dot_product(col("v"), col("c")))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      ordered(pairs.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          cstr(dsum4(col("dist"))).as("inertia"),
+          dec4S(sum(dec4(col("es"))).cast("double") /
+            count(lit(1)).cast("double")).as("centroid_mass")))
+    }),
+
     // ---- SIM-1b: LSH-bucketed ANN (sign-bit coarse quantization) —
     //      the 100 TB path: candidates only within the same bucket ----
     "sim1_lsh" -> ((s, d) => {
@@ -2809,6 +2855,27 @@ object LlmOps {
         |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM idx
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, frame_idx NULLS FIRST, n_bytes NULLS FIRST, frame_md5 NULLS FIRST""".stripMargin,
+
+    "kmeans_step" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vv,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS es
+        |  FROM embeddings),
+        |seeds AS (SELECT CAST(vec_id AS INT) AS cid, v AS c, vv AS cc
+        |  FROM base WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT b.vec_id, s.cid, b.es,
+        |    b.vv + s.cc - 2.0 * list_sum(list_transform(list_zip(b.v, s.c), p -> p[1] * p[2])) AS dist
+        |  FROM base b CROSS JOIN seeds s),
+        |asg AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM pairs)
+        |SELECT cid, COUNT(1) AS n_vecs,
+        |  CAST(CAST(SUM(CAST(floor((dist)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS inertia,
+        |  CAST(CAST(floor((CAST(SUM(CAST(floor((es)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS centroid_mass
+        |FROM asg WHERE rn = 1 GROUP BY cid
+        |ORDER BY cid NULLS FIRST, n_vecs NULLS FIRST, inertia NULLS FIRST, centroid_mass NULLS FIRST""".stripMargin,
 
     "sim1" ->
       """WITH base AS (
