@@ -259,6 +259,40 @@ object Events {
         col("seg"), cstr(sum(dec(col("value"))).over(bySeg).cast(dt)).as("balance")))
     }),
 
+    // ---- WIN-8: floor-clamped running balance (`bounded_balance`) — the
+    //      inventory/prepaid-credit accumulator b_t = max(0, b_{t-1}+x_t):
+    //      credits (purchase/signup value) in, debits (click/error) out,
+    //      and the balance can never go below zero — a NONLINEAR
+    //      recurrence that looks window-inexpressible (each row depends
+    //      on the clamped previous row, the trap that usually forces
+    //      mapGroups state). The REFLECTION IDENTITY makes it two plain
+    //      windows: b_t = prefix_t − min(0, min_{i≤t} prefix_i) — the
+    //      clamp only ever subtracts the deepest sub-zero excursion so
+    //      far (proved by induction; certified against the direct
+    //      recurrence in QualityOpsSpec). All arithmetic exact decimal.
+    //      Shape: ONE per-user sort carries both window passes (the
+    //      running sum and the running min share the frame, so Spark
+    //      plans one exchange + one sort); per-row state is O(1) — the
+    //      100 TB shape for any clamped accumulator; the dual identity
+    //      (running MAX of the prefix overshoot) serves ceiling caps. ----
+    "bounded_balance" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val flow = when(col("event_type").isin("purchase", "signup"),
+          dec(col("value")))
+        .when(col("event_type").isin("click", "error"), -dec(col("value")))
+        .otherwise(lit(0).cast(dt))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = e.withColumn("flow", flow)
+        .withColumn("prefix", sum(col("flow")).over(w).cast(dt))
+        .withColumn("runmin", min(col("prefix")).over(w).cast(dt))
+      ordered(p.select(col("event_id"), col("user_id"), col("ts"),
+        cstr(col("flow")).as("flow"),
+        cstr((col("prefix") -
+          least(lit(0).cast(dt), col("runmin"))).cast(dt)).as("balance")))
+    }),
+
     // ---- CTX-1: pre-conversion context extraction (`purchase_context`) —
     //      for every purchase, the user's ordered event sequence in the
     //      preceding 30 minutes (exclusive of the purchase instant): the
@@ -715,6 +749,26 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
         |FROM s
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
+
+    "bounded_balance" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type IN ('purchase','signup') THEN CAST(value AS DECIMAL(38,4))
+        |         WHEN event_type IN ('click','error') THEN -CAST(value AS DECIMAL(38,4))
+        |         ELSE CAST(0 AS DECIMAL(38,4)) END AS flow
+        |  FROM events),
+        |p AS (
+        |  SELECT *, CAST(SUM(flow) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS prefix
+        |  FROM f),
+        |q AS (
+        |  SELECT *, CAST(MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS runmin
+        |  FROM p)
+        |SELECT event_id, user_id, ts, CAST(flow AS VARCHAR) AS flow,
+        |  CAST(CAST(prefix - LEAST(CAST(0 AS DECIMAL(38,4)), runmin) AS DECIMAL(38,4)) AS VARCHAR) AS balance
+        |FROM q
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, flow NULLS FIRST, balance NULLS FIRST""".stripMargin,
 
     "purchase_context" ->
       """WITH b AS (

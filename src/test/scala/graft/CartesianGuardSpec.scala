@@ -66,8 +66,15 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // leg and the audit join are equi-keyed
     "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape
-    "standard_scale" // the 1-row moment vector attaches twice (checksum
+    "standard_scale", // the 1-row moment vector attaches twice (checksum
                   // pass + the fitted-scaler output row), tfidf1's shape
+    "bpe_apply",  // the 1-row learned-merge-table attach (p1..p6) onto the
+                  // corpus apply scan: tfidf1's scalar-attach shape
+    "join_audit", // 1-row total attach for the share columns (tfidf1's
+                  // shape); the count-relation join itself is equi-keyed
+    "kmeans_step" // vectors × broadcast k-row seed table: every vector
+                  // must score against all k centroids by declared Lloyd
+                  // semantics (sim1_ivf's cell-assignment shape)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

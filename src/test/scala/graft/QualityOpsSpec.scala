@@ -384,6 +384,29 @@ class QualityOpsSpec extends AnyFunSuite {
       s"merge counts increased across rounds: ${ns.toSeq}")
   }
 
+  test("bounded_balance: reflection identity equals the direct clamped recurrence") {
+    // b_t = prefix_t - min(0, min_{i<=t} prefix_i) must equal the literal
+    // b_t = max(0, b_{t-1} + x_t) fold — recomputed driver-side per user in
+    // exact BigDecimal at sf0.001 (the identity is the whole operator; a
+    // wrong frame or a missed tie-order would diverge on the first user
+    // whose balance bottoms out).
+    val rows = SparkEntry.queries("bounded_balance")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+         BigDecimal(r.getAs[String]("flow")), BigDecimal(r.getAs[String]("balance")))))
+    var clampedSeen = 0
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      var b = BigDecimal(0)
+      evs.map(_._2).sortBy(e => (e._1.getTime, e._1.getNanos, e._2)).foreach {
+        case (_, eid, flow, bal) =>
+          b = (b + flow).max(BigDecimal(0))
+          assert(b == bal, s"user $u event $eid: direct $b != windowed $bal")
+          if (b == BigDecimal(0) && flow < 0) clampedSeen += 1
+      }
+    }
+    assert(clampedSeen > 0, "corpus never hit the floor — clamp untested")
+  }
+
   test("txt_norm: normalized text is idempotent under re-normalization") {
     // norm(norm(x)) == norm(x): certifies the three rewrites commute into a
     // fixpoint (lowercase/strip/collapse applied to normalized text is a
