@@ -1281,6 +1281,42 @@ object Relational {
           count(when(out && col("x") > col("med"), 1)).as("n_high")))
     }),
 
+    // ---- AGG-16: trimmed & winsorized means (`agg_trimmed`) — ANOM-1's
+    //      estimator counterpart: where the MAD gate FLAGS outliers, the
+    //      robust location estimates SURVIVE them — the trimmed mean
+    //      drops everything outside the per-group [p05, p95] band, the
+    //      winsorized mean CLAMPS to it (keeps the row count, caps the
+    //      influence) — the two standard fixes for a mean that a single
+    //      fat-finger order can drag. Cuts are type-7 exact percentiles
+    //      dec4-rounded before any comparison (quantile_bin's no-engine-
+    //      tie rule), means are exact decimal sums / counts. Shape: one
+    //      per-group percentile aggregate (at 100 TB: approx_percentile,
+    //      AGG-11's declared trade) + a |groups|-row broadcast attach +
+    //      ONE map-side-combined aggregate computing raw/trimmed/winsor
+    //      in the same pass — never a pass per estimator. ----
+    "agg_trimmed" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
+      val cuts = o.groupBy(col("prio"))
+        .agg(dec4(percentile(col("x"), lit(0.05))).as("lo"),
+          dec4(percentile(col("x"), lit(0.95))).as("hi"))
+      val inb = dec(col("x")) >= col("lo") && dec(col("x")) <= col("hi")
+      val wv = when(dec(col("x")) < col("lo"), col("lo"))
+        .when(dec(col("x")) > col("hi"), col("hi"))
+        .otherwise(dec(col("x")))
+      ordered(o.join(broadcast(cuts), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          cstr(min(col("lo"))).as("cut_lo"),
+          cstr(min(col("hi"))).as("cut_hi"),
+          count(when(inb, 1)).as("n_kept"),
+          dec4S(sum(dec(col("x"))).cast("double") / count(lit(1)))
+            .as("mean_raw"),
+          dec4S(sum(when(inb, dec(col("x")))).cast("double") /
+            count(when(inb, 1))).as("mean_trimmed"),
+          dec4S(sum(wv).cast("double") / count(lit(1))).as("mean_winsor")))
+    }),
+
     // ---- GRPH-1: trade-flow PageRank — iterative graph analytics beyond
     //      connectivity (DDP-CLUSTER/FZJ-CLUSTER are Hash-Min components;
     //      this is the importance-propagation loop): nodes = nations,
@@ -1497,6 +1533,26 @@ object Relational {
         |GROUP BY o.prio
         |ORDER BY o.prio NULLS FIRST, n NULLS FIRST, med NULLS FIRST, mad NULLS FIRST,
         |  n_out NULLS FIRST, n_low NULLS FIRST, n_high NULLS FIRST""".stripMargin,
+
+    "agg_trimmed" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS x FROM orders),
+        |cuts AS (SELECT prio,
+        |    CAST(floor(quantile_cont(x, 0.05)*10000+0.5)/10000 AS DECIMAL(38,4)) AS lo,
+        |    CAST(floor(quantile_cont(x, 0.95)*10000+0.5)/10000 AS DECIMAL(38,4)) AS hi
+        |  FROM o GROUP BY 1),
+        |j AS (SELECT o.prio, CAST(o.x AS DECIMAL(38,4)) AS xd, c.lo, c.hi
+        |  FROM o JOIN cuts c ON o.prio = c.prio)
+        |SELECT prio, COUNT(1) AS n,
+        |  CAST(MIN(lo) AS VARCHAR) AS cut_lo,
+        |  CAST(MIN(hi) AS VARCHAR) AS cut_hi,
+        |  COUNT(CASE WHEN xd >= lo AND xd <= hi THEN 1 END) AS n_kept,
+        |  CAST(CAST(floor((CAST(SUM(xd) AS DOUBLE) / COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_raw,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN xd >= lo AND xd <= hi THEN xd END) AS DOUBLE) /
+        |    COUNT(CASE WHEN xd >= lo AND xd <= hi THEN 1 END))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_trimmed,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN xd < lo THEN lo WHEN xd > hi THEN hi ELSE xd END) AS DOUBLE) /
+        |    COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_winsor
+        |FROM j GROUP BY prio
+        |ORDER BY prio NULLS FIRST, n NULLS FIRST, cut_lo NULLS FIRST, cut_hi NULLS FIRST, n_kept NULLS FIRST, mean_raw NULLS FIRST, mean_trimmed NULLS FIRST, mean_winsor NULLS FIRST""".stripMargin,
 
     "graph_hops" ->
       """WITH RECURSIVE eg AS (
