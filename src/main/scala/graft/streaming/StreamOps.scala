@@ -306,6 +306,44 @@ object StreamOps {
         })
   }
 
+  case class BalSt(units: Long)
+  case class BalOut(event_id: Long, user_id: Long, flow: String, balance: String)
+
+  /** STR-BAL: streaming floor-clamped balance — WIN-8's online twin, and
+    * the cross-certification that makes the pair interesting: the batch
+    * side computes the closed-form REFLECTION IDENTITY (two windows), this
+    * side runs the literal recurrence b := max(0, b + x) as per-user state
+    * — StreamingSpec proving them equal under time-ordered replay certifies
+    * the identity AND the state discipline in one test. State = one Long
+    * (balance in exact 10⁻⁴ units — the decimal-scale-4 integer twin of
+    * the batch side's DECIMAL(38,4), no float drift ever), bounded forever.
+    * Within a batch rows fold in (ts, event_id) µs order; across batches
+    * the time-ordered replay contract applies (STR-EWMA's). */
+  def balanceStream(events: Dataset[Ev]): Dataset[BalOut] = {
+    import events.sparkSession.implicits._
+    def u4(v: Double): Long =
+      (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[BalSt]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var b = state.getOption.map(_.units).getOrElse(0L)
+          val out = sorted.map { e =>
+            val flow = e.event_type match {
+              case "purchase" | "signup" => u4(e.value)
+              case "click" | "error"     => -u4(e.value)
+              case _                     => 0L
+            }
+            b = math.max(0L, b + flow)
+            BalOut(e.event_id, uid,
+              java.math.BigDecimal.valueOf(flow, 4).toPlainString,
+              java.math.BigDecimal.valueOf(b, 4).toPlainString)
+          }
+          state.update(BalSt(b))
+          out.iterator
+        })
+  }
+
   case class SessSt(start: Timestamp, end: Timestamp, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         last_ts: Timestamp, n_events: Long)

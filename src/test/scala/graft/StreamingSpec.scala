@@ -320,6 +320,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("STR-BAL streaming clamped balance equals batch bounded_balance under time-ordered replay") {
+    // The recurrence (stream state) vs the reflection identity (batch
+    // windows): exact equality on every event certifies both at once.
+    val d = tempDir("bal_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.balanceStream(stream).toDF(), "bal_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    val batch = SparkEntry.queries("bounded_balance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4))).toSet
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size} rows")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
