@@ -290,6 +290,34 @@ object Stats {
           dec4S(abs(obs - col("exp_freq_d"))).as("abs_dev")))
     }),
 
+    // ---- PRIV-1: k-anonymity audit (`kanon_audit`) — the privacy gate a
+    //      training-data release runs over its quasi-identifiers (Sweeney
+    //      2002): every (nationkey, mktsegment) equivalence class sized,
+    //      k-anonymity = the SMALLEST class (one member of a size-k class
+    //      is re-identifiable among only k candidates), plus the risky
+    //      census under the k≥10 release bar — class count, row count and
+    //      row share below the bar (35/125 classes fire naturally here).
+    //      The output is the 1-row go/no-go a release checklist records;
+    //      the remediation (generalize a QI column, suppress risky rows)
+    //      re-runs the same audit until k clears the bar. Shape: ONE
+    //      map-side-combined QI-class count (the only data-sized shuffle,
+    //      \|QI-domain\|-sized output) → a 1-row rollup — the cheapest
+    //      possible census at 100 TB, and the class relation composes
+    //      incrementally across ingest batches (counts add). ----
+    "kanon_audit" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cs"))
+      ordered(classes.agg(
+        sum(col("cs")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("cs")).as("k_anonymity"),
+        sum(when(col("cs") < 10, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("cs") < 10, col("cs")).otherwise(0L)).as("n_risky_rows"))
+        .withColumn("risky_pct", dec4S(col("n_risky_rows").cast("double") /
+          col("n_rows").cast("double"))))
+    }),
+
     // ---- STAT-5: CUPED variance-reduced experiment readout — the
     //      standard pre-experiment-covariate adjustment (Deng et al.,
     //      WSDM'13: Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)) that every
@@ -531,6 +559,20 @@ object Stats {
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
           |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "kanon_audit" ->
+        """WITH cls AS (
+          |  SELECT c_nationkey, c_mktsegment, COUNT(1) AS cs
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(SUM(cs) AS BIGINT) AS n_rows,
+          |  COUNT(1) AS n_classes,
+          |  MIN(cs) AS k_anonymity,
+          |  CAST(SUM(CASE WHEN cs < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+          |  CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT) AS n_risky_rows,
+          |  CAST(CAST(floor((CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS DOUBLE) /
+          |    CAST(SUM(cs) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS risky_pct
+          |FROM cls
+          |ORDER BY n_rows NULLS FIRST, n_classes NULLS FIRST, k_anonymity NULLS FIRST, n_risky_classes NULLS FIRST, n_risky_rows NULLS FIRST, risky_pct NULLS FIRST""".stripMargin,
 
       "cuped" -> {
         def d4(e: String) =
