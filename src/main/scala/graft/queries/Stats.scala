@@ -290,6 +290,51 @@ object Stats {
           dec4S(abs(obs - col("exp_freq_d"))).as("abs_dev")))
     }),
 
+    // ---- FE-3: hashing-trick collision audit (`feat_hash`) — the fit
+    //      check before committing to a feature-hashing dimension
+    //      (Weinberger et al. ICML'09): bucket the corpus shingle
+    //      vocabulary into D=256 hash buckets (PolyHash mod D — the same
+    //      codegen'd hash the pipeline would ship) and report what the
+    //      collision budget costs: distinct grams, buckets used, max
+    //      load, grams sharing a bucket, and the FREQUENCY-WEIGHTED mass
+    //      landing in shared buckets — the number that actually degrades
+    //      a hashed-feature model (a rare gram colliding is noise; a hot
+    //      one is bias). Shape: gram-frequency aggregate (map-side
+    //      combined, vocab-sized) → bucket census (≤D rows) → 1-row
+    //      rollup; at 100 TB the gram table is the only data-sized
+    //      reduce, and the audit re-runs per candidate D by re-bucketing
+    //      the SAME gram relation — never rescanning the corpus. ----
+    "feat_hash" -> ((s, d) => {
+      import graft.functions.GraftFunctions.poly_hash
+      // width-restoring exchange before the per-row bigram explode — the
+      // documents table is one parquet split at test scale (LlmOps
+      // `spread` rationale); no-op cost at real corpus scale
+      val doc = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+      val words = split(col("text"), " ")
+      val grams = doc.select(explode(when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - 1),
+            i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      val buckets = grams
+        .withColumn("b", poly_hash(col("g")) % lit(256L))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_grams"),
+          sum(col("freq")).as("mass"))
+      ordered(buckets.agg(
+        sum(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("n_grams")).as("max_load"),
+        sum(when(col("n_grams") >= 2, col("n_grams")).otherwise(0L))
+          .as("n_collided_grams"),
+        sum(col("mass")).as("total_mass"),
+        sum(when(col("n_grams") >= 2, col("mass")).otherwise(0L))
+          .as("collided_mass"))
+        .withColumn("collided_mass_pct",
+          dec4S(col("collided_mass").cast("double") /
+            col("total_mass").cast("double"))))
+    }),
+
     // ---- PRIV-1: k-anonymity audit (`kanon_audit`) — the privacy gate a
     //      training-data release runs over its quasi-identifiers (Sweeney
     //      2002): every (nationkey, mktsegment) equivalence class sized,
@@ -559,6 +604,30 @@ object Stats {
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
           |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "feat_hash" ->
+        """WITH grams AS (
+          |  SELECT g, COUNT(1) AS freq FROM (
+          |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+          |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+          |    FROM documents) t
+          |  GROUP BY 1),
+          |buckets AS (
+          |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |      (acc, c) -> (acc * 31 + c) % 2147483647) % 256 AS b,
+          |    COUNT(1) AS n_grams, SUM(freq) AS mass
+          |  FROM grams GROUP BY 1)
+          |SELECT CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+          |  COUNT(1) AS n_buckets_used,
+          |  MAX(n_grams) AS max_load,
+          |  CAST(SUM(CASE WHEN n_grams >= 2 THEN n_grams ELSE 0 END) AS BIGINT) AS n_collided_grams,
+          |  CAST(SUM(mass) AS BIGINT) AS total_mass,
+          |  CAST(SUM(CASE WHEN n_grams >= 2 THEN mass ELSE 0 END) AS BIGINT) AS collided_mass,
+          |  CAST(CAST(floor((CAST(SUM(CASE WHEN n_grams >= 2 THEN mass ELSE 0 END) AS DOUBLE) /
+          |    CAST(SUM(mass) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS collided_mass_pct
+          |FROM buckets
+          |ORDER BY n_grams NULLS FIRST, n_buckets_used NULLS FIRST, max_load NULLS FIRST, n_collided_grams NULLS FIRST, total_mass NULLS FIRST, collided_mass NULLS FIRST, collided_mass_pct NULLS FIRST""".stripMargin,
 
       "kanon_audit" ->
         """WITH cls AS (
