@@ -116,6 +116,32 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- BOT-1: burst-rate audit (`rate_audit`) — the abuse/bot gate an
+    //      event platform runs before events enter training data: each
+    //      user's PEAK activity inside any trailing 24 h window (the
+    //      sliding-burst statistic rate limiters and scraper detectors
+    //      threshold on), via a RANGE frame on the µs epoch — the frame
+    //      is anchored to TIME, not row counts, so a burst of 50 events
+    //      in a minute and 50 spread over a week are finally
+    //      distinguishable (ROWS frames can't see the difference).
+    //      Output per user: total events, peak burst, and the ≥8 flag
+    //      (32/150 users fire here). Shape: one per-user window sort,
+    //      per-row frame maintained incrementally by Spark's sliding
+    //      range-frame processor (amortized O(1) per row, state bounded
+    //      by the 24 h activity burst, not history) + a user-keyed
+    //      rollup — no self-join, no bucketing approximation, exact at
+    //      any window width or corpus size. ----
+    "rate_audit" -> ((s, d) => {
+      val e = load(s, d, "events").withColumn("t", unix_micros(col("ts")))
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-86400L * 1000000L, 0L)
+      val c = e.withColumn("burst", count(lit(1)).over(wr))
+      ordered(c.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        max(col("burst")).as("peak_burst"))
+        .withColumn("burst_flag", col("peak_burst") >= 8L))
+    }),
+
     // ---- FNL-2: time-bounded funnel (`funnel_window`) — ClickHouse's
     //      windowFunnel semantics layered on FNL-1: the level a user
     //      reaches through view→click→purchase where the WHOLE chain
@@ -786,6 +812,19 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
         |FROM s
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
+
+    "rate_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events),
+        |r AS (
+        |  SELECT user_id, COUNT(1) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS burst
+        |  FROM e)
+        |SELECT user_id, COUNT(1) AS n_events,
+        |  CAST(MAX(burst) AS BIGINT) AS peak_burst,
+        |  MAX(burst) >= 8 AS burst_flag
+        |FROM r GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST, peak_burst NULLS FIRST, burst_flag NULLS FIRST""".stripMargin,
 
     "funnel_window" ->
       """WITH e AS (
