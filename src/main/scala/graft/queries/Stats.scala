@@ -248,6 +248,44 @@ object Stats {
           dsumS(col("l_extendedprice")).as("sum_price")))
     }),
 
+    // ---- STAT-6: Mann-Whitney U readout (`mann_whitney`) — the
+    //      nonparametric third leg of the experimentation family (STAT-2
+    //      tests proportions, STAT-5 adjusts means, this tests STOCHASTIC
+    //      DOMINANCE of the per-user value distribution): rank-based, so
+    //      immune to the heavy tails that invalidate a t-test on revenue
+    //      data. Exact-integer discipline: ties take AVERAGE ranks, kept
+    //      integral by working in DOUBLED ranks (2·avg_rank = 2·rank() +
+    //      tie_count − 1 — no fractional arithmetic until the final z),
+    //      so 2U₁ = Σ2r₁ − n₁(n₁+1) is an exact int64 and the normal
+    //      approximation z = (2U₁ − n₀n₁) / (2·√(n₀n₁(n+1)/12)) is one
+    //      deterministic double expression (tie-variance correction
+    //      omitted by declared semantics — ties are measure-zero on
+    //      decimal value sums). Shape: the user-keyed aggregate (the
+    //      only data-sized shuffle) → ONE global rank window over the
+    //      user-count-sized relation (same scale note as STAT-2: users,
+    //      not events) → 1-row rollup. ----
+    "mann_whitney" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(sum(m(col("value"))).cast(mdt).as("y"))
+        .withColumn("v", (col("user_id") % 2).cast("int"))
+      val ranked = perUser
+        .withColumn("rk", rank().over(Window.orderBy(col("y"))))
+        .withColumn("ct", count(lit(1)).over(Window.partitionBy(col("y"))))
+        .withColumn("r2", lit(2L) * col("rk") + col("ct") - lit(1L))
+      val one = ranked.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 1, col("r2")).otherwise(0L)).as("r2sum"))
+      val u2 = col("r2sum") - col("n1") * (col("n1") + 1L) // = 2·U₁, exact
+      val nn = col("n0").cast("double") * col("n1").cast("double")
+      val z = (u2.cast("double") - nn) /
+        (lit(2.0) * sqrt(nn * (col("n0") + col("n1") + 1L).cast("double") / lit(12.0)))
+      ordered(one.select(col("n0"), col("n1"),
+        dec4S(u2.cast("double") / lit(2.0)).as("u1"),
+        dec4S(z).as("z_score")))
+    }),
+
     // ---- DQ-3: Benford first-digit audit — the classic fabricated-data /
     //      unit-mixup tripwire for financial measure columns. First
     //      significant digit via the codegen'd FirstSigDigit expression —
@@ -604,6 +642,29 @@ object Stats {
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
           |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "mann_whitney" ->
+        """WITH pu AS (
+          |  SELECT user_id,
+          |    CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS y,
+          |    CAST(user_id % 2 AS INT) AS v
+          |  FROM events GROUP BY user_id),
+          |rk AS (
+          |  SELECT *, RANK() OVER (ORDER BY y) AS r,
+          |    COUNT(1) OVER (PARTITION BY y) AS ct
+          |  FROM pu),
+          |one AS (
+          |  SELECT
+          |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(SUM(CASE WHEN v = 1 THEN 2 * r + ct - 1 ELSE 0 END) AS BIGINT) AS r2sum
+          |  FROM rk)
+          |SELECT n0, n1,
+          |  CAST(CAST(floor((CAST(r2sum - n1 * (n1 + 1) AS DOUBLE) / 2.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS u1,
+          |  CAST(CAST(floor(((CAST(r2sum - n1 * (n1 + 1) AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+          |    (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n0 + n1 + 1 AS DOUBLE) / 12.0)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS z_score
+          |FROM one
+          |ORDER BY n0 NULLS FIRST, n1 NULLS FIRST, u1 NULLS FIRST, z_score NULLS FIRST""".stripMargin,
 
       "feat_hash" ->
         """WITH grams AS (
