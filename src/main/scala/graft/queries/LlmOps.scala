@@ -2481,6 +2481,39 @@ object LlmOps {
     //      (map-side combined token sum) + a 1-row broadcast scalar
     //      attach — no window, no second shuffle; at 100 TB the plan is
     //      a handful of rows feeding the scan-level rate filters. ----
+    // ---- MIX-2: largest-remainder quota allocation (`quota_alloc`) —
+    //      MIX-1 plans proportions; this op turns them into INTEGER
+    //      per-stratum sampling quotas that sum EXACTLY to the budget
+    //      (B=1000 docs across languages), via the Hare largest-remainder
+    //      method: floor shares B·nᵢ div N first, then the leftover seats
+    //      go to the largest fractional remainders (B·nᵢ mod N, ties →
+    //      smaller lang) — the standard apportionment fix for the
+    //      floors-don't-sum-to-B problem that naive rounding hits (and
+    //      rounding-up hits in the other direction). ALL-INTEGER: div /
+    //      mod on int64, a rank over the |strata|-row relation, never a
+    //      float share anywhere — bit-reproducible and Σquota = B by
+    //      construction. Shape: one map-side-combined stratum count +
+    //      1-row total attach + windows over the |strata| relation; at
+    //      100 TB this is the manifest-sized tail of any mixture job. ----
+    "quota_alloc" -> ((s, d) => {
+      val B = 1000L
+      val doc = load(s, d, "documents")
+      val counts = doc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("nn"))
+      val based = counts.crossJoin(broadcast(total))
+        .withColumn("base", call_function("div", lit(B) * col("n"), col("nn")))
+        .withColumn("rem", lit(B) * col("n") - col("base") * col("nn"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val ranked = based
+        .withColumn("leftover", lit(B) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)))
+      ordered(ranked.select(col("lang"), col("n").as("n_docs"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota")))
+    }),
+
     "mix_plan" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val inv = doc.groupBy(col("lang")).agg(
@@ -3683,6 +3716,23 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "quota_alloc" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(1) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+        |based AS (
+        |  SELECT lang, n, (1000 * n) // nn AS base,
+        |    1000 * n - ((1000 * n) // nn) * nn AS rem
+        |  FROM counts CROSS JOIN t),
+        |ranked AS (
+        |  SELECT *, 1000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+        |  FROM based)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM ranked
+        |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, quota NULLS FIRST""".stripMargin,
 
     "mix_plan" ->
       """WITH inv AS (

@@ -72,6 +72,8 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // corpus apply scan: tfidf1's scalar-attach shape
     "join_audit", // 1-row total attach for the share columns (tfidf1's
                   // shape); the count-relation join itself is equi-keyed
+    "quota_alloc", // corpus-total scalar attach: 1-row broadcast crossJoin
+                  // (tfidf1's N shape) feeding the integer share division
     "kmeans_step" // vectors × broadcast k-row seed table: every vector
                   // must score against all k centroids by declared Lloyd
                   // semantics (sim1_ivf's cell-assignment shape)
