@@ -116,6 +116,53 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- IVL-2: interval coalescing (`ivl_merge`) — the gaps-and-islands
+    //      UNION of IVL-1's sessions: merge every user's lag-gap sessions
+    //      into the maximal globally-covered activity islands (an island
+    //      ends only when the next session starts strictly AFTER
+    //      everything seen so far has ended — touching intervals fuse),
+    //      reporting per island its bounds, session count, and exact µs
+    //      coverage: the uptime/coverage/concurrency-envelope timeline
+    //      behind capacity planning and SLA attribution. Classic
+    //      two-window form: running max of interval ends over the
+    //      start-ordered sequence marks island breaks, a running sum of
+    //      breaks assigns island ids — all-integer µs. The merge runs on
+    //      the SESSION relation (events compressed per-user first), and
+    //      the global window is over that compressed list; at 100 TB the
+    //      standard distribution is coarse time-bucket partitioning →
+    //      intra-bucket islands → merge the bucket-boundary island list
+    //      (same algebra one level up, boundary list ∝ buckets); here the
+    //      session relation is the small side by construction. ----
+    "ivl_merge" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
+      val sess = e
+        .withColumn("is_new", newSession)
+        .withColumn("sid", sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(unix_micros(min(col("ts"))).as("stu"),
+          unix_micros(max(col("ts"))).as("enu"))
+      val wg = Window.orderBy(col("stu").asc, col("enu").asc,
+        col("user_id").asc, col("sid").asc)
+      val s1 = sess
+        .withColumn("pm", max(col("enu"))
+          .over(wg.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pm").isNull || col("stu") > col("pm"), 1L).otherwise(0L))
+      val s2 = s1.withColumn("island",
+        sum(col("brk")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      ordered(s2.groupBy(col("island")).agg(
+        timestamp_micros(min(col("stu"))).as("island_start"),
+        timestamp_micros(max(col("enu"))).as("island_end"),
+        count(lit(1)).as("n_sessions"),
+        (max(col("enu")) - min(col("stu"))).as("covered_us")))
+    }),
+
     // ---- BOT-1: burst-rate audit (`rate_audit`) — the abuse/bot gate an
     //      event platform runs before events enter training data: each
     //      user's PEAK activity inside any trailing 24 h window (the
@@ -812,6 +859,40 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
         |FROM s
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
+
+    "ivl_merge" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, sid, epoch_us(MIN(uts)) AS stu, epoch_us(MAX(uts)) AS enu
+        |  FROM numbered GROUP BY user_id, sid
+        |), s1 AS (
+        |  SELECT *, MAX(enu) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sess
+        |), s2 AS (
+        |  SELECT *, CASE WHEN pm IS NULL OR stu > pm THEN 1 ELSE 0 END AS brk FROM s1
+        |), s3 AS (
+        |  SELECT *, SUM(brk) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM s2
+        |)
+        |SELECT CAST(island AS BIGINT) AS island,
+        |  make_timestamp(MIN(stu)) AS island_start,
+        |  make_timestamp(MAX(enu)) AS island_end,
+        |  COUNT(1) AS n_sessions,
+        |  CAST(MAX(enu) - MIN(stu) AS BIGINT) AS covered_us
+        |FROM s3 GROUP BY island
+        |ORDER BY island NULLS FIRST, island_start NULLS FIRST, island_end NULLS FIRST, n_sessions NULLS FIRST, covered_us NULLS FIRST""".stripMargin,
 
     "rate_audit" ->
       """WITH e AS (
