@@ -1650,9 +1650,15 @@ object LlmOps {
         .select(col("doc_id"), text2.as("t2"))
         .select(col("doc_id"),
           when(ns >= 1, segs).otherwise(array().cast("array<string>")).as("segs"))
+        // array_distinct IS the first-occurrence filter: Spark's
+        // ArrayDistinct walks the array appending unseen elements to a
+        // hash set, so order is first-occurrence by construction — O(n)
+        // per doc vs the O(n²) array_position-per-element HOF this
+        // replaced (the DuckDB twin keeps the explicit positional filter,
+        // list_distinct's order being unspecified there; the oracle hash
+        // certifies the two spellings agree).
         .select(col("doc_id"), col("segs"),
-          filter(col("segs"), (x, i) =>
-            array_position(col("segs"), x) === i.cast("long") + 1).as("kept"))
+          array_distinct(col("segs")).as("kept"))
         .select(col("doc_id"), size(col("segs")).as("n_segs"),
           size(col("kept")).as("n_kept"),
           md5(array_join(col("kept"), " ")).as("dedup_md5")))
