@@ -2487,6 +2487,35 @@ object LlmOps {
     //      (map-side combined token sum) + a 1-row broadcast scalar
     //      attach — no window, no second shuffle; at 100 TB the plan is
     //      a handful of rows feeding the scan-level rate filters. ----
+    // ---- ALN-1: cross-lingual candidate alignment (`bitext_mine`) — the
+    //      candidate-generation stage of bitext/parallel-corpus mining
+    //      (Resnik & Smith CL'03 lineage): cross-LANGUAGE document pairs
+    //      anchored by shared RARE shingles (corpus df ≤ 5) — names,
+    //      numbers, and code fragments that survive translation are
+    //      exactly the low-df grams, so rarity is both the signal AND the
+    //      scale lever: a df-capped posting list bounds the pair fan-out
+    //      at Σ_g df_g² ≤ cap·Σdf_g (linear in postings), where an
+    //      uncapped gram join is Zipf-quadratic. lang₁ < lang₂ keeps the
+    //      join strictly cross-lingual and each pair once. Output =
+    //      (pair, langs, shared-anchor count) ranked by anchor count —
+    //      the recall set a dense scorer (SIM-1's machinery) would
+    //      verify, same candidates→verify split as DDP-5/DCN-1. ----
+    "bitext_mine" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val p = doc.select(col("doc_id"), col("lang"),
+          explode(shingles(col("text"))).as("g"))
+        .pinned // feeds the df count and both sides of the anchor join
+      val dfc = p.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val rare = p.join(dfc.filter(col("df") <= 5).select(col("g")), Seq("g"))
+      val a = rare.select(col("g").as("ga"), col("doc_id").as("d1"),
+        col("lang").as("l1"))
+      val b = rare.select(col("g").as("gb"), col("doc_id").as("d2"),
+        col("lang").as("l2"))
+      ordered(a.join(b, col("ga") === col("gb") && col("l1") < col("l2"))
+        .groupBy(col("d1"), col("d2"), col("l1"), col("l2"))
+        .agg(count(lit(1)).as("n_shared")))
+    }),
+
     // ---- MIX-2: largest-remainder quota allocation (`quota_alloc`) —
     //      MIX-1 plans proportions; this op turns them into INTEGER
     //      per-stratum sampling quotas that sum EXACTLY to the budget
@@ -3722,6 +3751,20 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "bitext_mine" ->
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, lang, g FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+        |    FROM documents) t),
+        |df AS (SELECT g, COUNT(1) AS df FROM p GROUP BY 1),
+        |rare AS (SELECT p.doc_id, p.lang, p.g FROM p JOIN df USING (g) WHERE df.df <= 5)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS l1, b.lang AS l2,
+        |  COUNT(1) AS n_shared
+        |FROM rare a JOIN rare b ON a.g = b.g AND a.lang < b.lang
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, l1 NULLS FIRST, l2 NULLS FIRST, n_shared NULLS FIRST""".stripMargin,
 
     "quota_alloc" ->
       """WITH counts AS (
