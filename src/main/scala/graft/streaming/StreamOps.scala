@@ -306,6 +306,38 @@ object StreamOps {
         })
   }
 
+  case class RateSt(times: Array[Long])
+  case class RateOut(event_id: Long, user_id: Long, burst: Long)
+
+  /** STR-RATE: online sliding-window burst counter — BOT-1's streaming
+    * twin: each event is annotated ON ARRIVAL with the user's event count
+    * in the trailing 24 h (the statistic a live rate limiter thresholds),
+    * so abuse is visible at ingestion instead of in the nightly audit.
+    * State per user = the event times still inside the window (sorted,
+    * appended in order, evicted from the front as the window slides) —
+    * bounded by the 24 h activity burst exactly like the batch RANGE
+    * frame's processor state, NOT by history. Within a batch rows fold in
+    * (ts, event_id) µs order; across batches the time-ordered replay
+    * contract applies (STR-EWMA's). Equivalence vs the batch range-frame
+    * count is exact per event (StreamingSpec). */
+  def burstStream(events: Dataset[Ev],
+      windowUs: Long = 86400L * 1000000L): Dataset[RateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[RateSt]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var kept = state.getOption.map(_.times.toVector).getOrElse(Vector.empty)
+          val out = sorted.map { e =>
+            val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            kept = (kept :+ t).dropWhile(_ < t - windowUs)
+            RateOut(e.event_id, uid, kept.size.toLong)
+          }
+          state.update(RateSt(kept.toArray))
+          out.iterator
+        })
+  }
+
   case class BalSt(units: Long)
   case class BalOut(event_id: Long, user_id: Long, flow: String, balance: String)
 

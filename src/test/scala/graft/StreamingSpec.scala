@@ -346,6 +346,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("STR-RATE streaming burst counter equals the batch range-frame count per event") {
+    val d = tempDir("rate_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.burstStream(stream).toDF(), "rate_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // batch truth: the same trailing-24h range-frame count per event
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-86400L * 1000000L, 0L)
+    val batch = eventsBatch
+      .withColumn("burst", count(lit(1)).over(w))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("burst")).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size} events")
+    val diff = batch.filter { case (k, v) => streamed.get(k) != Some(v) }
+    assert(diff.isEmpty, s"first mismatches: ${diff.take(3)}")
+  }
+
   test("STR-ST flatMapGroupsWithState running counters equal batch aggregate") {
     val stream = replayStream
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
