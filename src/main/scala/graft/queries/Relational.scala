@@ -1281,6 +1281,38 @@ object Relational {
           count(when(out && col("x") > col("med"), 1)).as("n_high")))
     }),
 
+    // ---- AGG-17: exact weighted median (`agg_wmedian`) — the
+    //      quantity-weighted middle AGG-7's unweighted percentile can't
+    //      see (a price carried by 50 units should pull the statistic 50×
+    //      harder than a 1-unit line): per returnflag, the smallest price
+    //      whose cumulative weight reaches half the group's total.
+    //      Determinism hinges on the CUMSUM FRAME: the running weight uses
+    //      the DEFAULT value-based RANGE frame (all price-ties share one
+    //      cum — a ROWS frame would order ties arbitrarily and make
+    //      per-row cums partitioning-dependent), weights are exact ints
+    //      (l_quantity is integral), and the threshold test 2·cum ≥ W
+    //      avoids fractional halves entirely; the min(price) over
+    //      qualifying rows is then engine-independent. Shape: one
+    //      per-group value sort (the same cost envelope as AGG-7's exact
+    //      percentile — and the same declared 100 TB switch: weighted
+    //      approx_percentile by repeating weight-scaled entries or a
+    //      weighted t-digest); everything after is a \|groups\|-row
+    //      aggregate. ----
+    "agg_wmedian" -> ((s, d) => {
+      val li = load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        dec(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("long").as("w"))
+      val wTot = Window.partitionBy(col("flag"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("price").asc)
+      val s1 = li
+        .withColumn("wt", sum(col("w")).over(wTot))
+        .withColumn("cum", sum(col("w")).over(wCum)) // default RANGE frame
+      ordered(s1.filter(lit(2L) * col("cum") >= col("wt"))
+        .groupBy(col("flag"))
+        .agg(min(col("price")).as("wmp"), max(col("wt")).as("w_total"))
+        .select(col("flag"), col("w_total"), cstr(col("wmp")).as("wmedian")))
+    }),
+
     // ---- AGG-16: trimmed & winsorized means (`agg_trimmed`) — ANOM-1's
     //      estimator counterpart: where the MAD gate FLAGS outliers, the
     //      robust location estimates SURVIVE them — the trimmed mean
@@ -1533,6 +1565,21 @@ object Relational {
         |GROUP BY o.prio
         |ORDER BY o.prio NULLS FIRST, n NULLS FIRST, med NULLS FIRST, mad NULLS FIRST,
         |  n_out NULLS FIRST, n_low NULLS FIRST, n_high NULLS FIRST""".stripMargin,
+
+    "agg_wmedian" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(38,4)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |s1 AS (
+        |  SELECT *, SUM(w) OVER (PARTITION BY flag) AS wt,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY price ASC) AS cum
+        |  FROM li)
+        |SELECT flag, CAST(MAX(wt) AS BIGINT) AS w_total,
+        |  CAST(MIN(price) AS VARCHAR) AS wmedian
+        |FROM s1 WHERE 2 * cum >= wt
+        |GROUP BY flag
+        |ORDER BY flag NULLS FIRST, w_total NULLS FIRST, wmedian NULLS FIRST""".stripMargin,
 
     "agg_trimmed" ->
       """WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS x FROM orders),
