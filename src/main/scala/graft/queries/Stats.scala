@@ -248,6 +248,35 @@ object Stats {
           dsumS(col("l_extendedprice")).as("sum_price")))
     }),
 
+    // ---- STAT-7: Gini concentration (`gini`) — the inequality statistic
+    //      behind whale-risk and data-concentration questions (how much
+    //      of revenue/token-mass sits in the top accounts — the number
+    //      that says whether losing one customer moves the business):
+    //      G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over rank-ordered
+    //      per-customer revenue. Exactness: ranks are integers
+    //      (row_number over the value sort, ties broken by custkey —
+    //      any tie order gives the SAME Σi·x since tied x's are equal),
+    //      x's are exact decimals, so both moment sums are exact and G
+    //      is one deterministic double division. Shape: the fact scan
+    //      reduces to the per-customer relation (map-side combined),
+    //      the rank window runs over THAT (customer-sized, same scale
+    //      note as STAT-2/6), and the output is 1 row. ----
+    "gini" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).cast(DecimalType(19, 4)).as("x"))
+      val ranked = per.withColumn("i",
+        row_number().over(Window.orderBy(col("x").asc, col("o_custkey").asc)))
+      val one = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("i") * col("x")).cast("double").as("six"))
+      ordered(one.select(col("n"),
+        dec4S(col("sx")).as("total_revenue"),
+        dec4S((lit(2.0) * col("six") - (col("n") + 1L).cast("double") * col("sx")) /
+          (col("n").cast("double") * col("sx"))).as("gini")))
+    }),
+
     // ---- STAT-6: Mann-Whitney U readout (`mann_whitney`) — the
     //      nonparametric third leg of the experimentation family (STAT-2
     //      tests proportions, STAT-5 adjusts means, this tests STOCHASTIC
@@ -642,6 +671,24 @@ object Stats {
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
           |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "gini" ->
+        """WITH per AS (
+          |  SELECT o_custkey,
+          |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DECIMAL(19,4)) AS x
+          |  FROM orders GROUP BY o_custkey),
+          |rk AS (
+          |  SELECT *, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM per),
+          |one AS (
+          |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+          |    CAST(SUM(x) AS DOUBLE) AS sx,
+          |    CAST(SUM(i * x) AS DOUBLE) AS six
+          |  FROM rk)
+          |SELECT n,
+          |  CAST(CAST(floor((sx)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue,
+          |  CAST(CAST(floor(((2.0 * six - CAST(n + 1 AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * sx))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS gini
+          |FROM one
+          |ORDER BY n NULLS FIRST, total_revenue NULLS FIRST, gini NULLS FIRST""".stripMargin,
 
       "mann_whitney" ->
         """WITH pu AS (
