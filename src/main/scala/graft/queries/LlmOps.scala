@@ -2487,6 +2487,42 @@ object LlmOps {
     //      (map-side combined token sum) + a 1-row broadcast scalar
     //      attach — no window, no second shuffle; at 100 TB the plan is
     //      a handful of rows feeding the scan-level rate filters. ----
+    // ---- SPL-2: temporal embargo split (`split_embargo`) — SPL-1 guards
+    //      content leakage (dup groups straddling splits); this guards
+    //      TIME leakage for forecasting/ranking data: train strictly
+    //      before T−3d, test at/after T, and the 3-day embargo between
+    //      them DISCARDED — the purge that stops lagged/windowed features
+    //      computed at train time from touching test-period information
+    //      (de Prado's purged split; every rolling feature with lookback
+    //      ≤ embargo is then provably test-blind). Census per segment
+    //      (events, users, exact µs bounds) plus the train∩test user
+    //      overlap row — expected NONZERO here (same users continue into
+    //      the future; that is the forecasting regime) and reported so
+    //      the entity-level alternative (SPL-1/SMP-1) is a measured
+    //      choice, not an assumption. Shape: one scan-level segment tag +
+    //      map-side-combined census + a users-sized distinct/join for the
+    //      overlap — nothing data-sized after the scan. ----
+    "split_embargo" -> ((s, d) => {
+      val T = lit("2024-01-24 00:00:00").cast("timestamp")
+      val gap = expr("INTERVAL 3 DAYS")
+      val e = load(s, d, "events")
+      val seg = when(col("ts") < T - gap, "train")
+        .when(col("ts") < T, "embargo")
+        .otherwise("test")
+      val tagged = e.withColumn("seg", seg)
+      val census = tagged.groupBy(col("seg")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      val overlap = tagged.filter(col("seg") === "train")
+        .select(col("user_id")).distinct()
+        .join(tagged.filter(col("seg") === "test")
+          .select(col("user_id").as("u2")).distinct(),
+          col("user_id") === col("u2"), "left_semi")
+        .agg(lit("overlap_users").as("seg"), lit(0L).as("n_events"),
+          count(lit(1)).as("n_users"))
+      ordered(census.unionByName(overlap))
+    }),
+
     // ---- ALN-1: cross-lingual candidate alignment (`bitext_mine`) — the
     //      candidate-generation stage of bitext/parallel-corpus mining
     //      (Resnik & Smith CL'03 lineage): cross-LANGUAGE document pairs
@@ -3751,6 +3787,26 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "split_embargo" ->
+      """WITH tagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' - INTERVAL 3 DAY THEN 'train'
+        |         WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 'embargo'
+        |         ELSE 'test' END AS seg
+        |  FROM events),
+        |census AS (
+        |  SELECT seg, COUNT(1) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM tagged GROUP BY seg),
+        |overlap AS (
+        |  SELECT 'overlap_users' AS seg, CAST(0 AS BIGINT) AS n_events,
+        |    CAST(COUNT(1) AS BIGINT) AS n_users
+        |  FROM (SELECT DISTINCT user_id FROM tagged WHERE seg = 'train') tr
+        |  WHERE EXISTS (SELECT 1 FROM tagged te
+        |    WHERE te.seg = 'test' AND te.user_id = tr.user_id))
+        |SELECT * FROM (SELECT * FROM census UNION ALL SELECT * FROM overlap)
+        |ORDER BY seg NULLS FIRST, n_events NULLS FIRST, n_users NULLS FIRST""".stripMargin,
 
     "bitext_mine" ->
       """WITH p AS (
