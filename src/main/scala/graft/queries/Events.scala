@@ -616,6 +616,35 @@ object Events {
     //      normalization window runs on a 25-row relation — free at any
     //      corpus size. Probabilities are exact-integer-count divisions
     //      (bit-identical doubles in both engines), dec4-rendered. ----
+    // ---- PTH-2: journey trigram mining (`path_trigrams`) — the
+    //      next-order behavioral motif census above MKV-1's pairwise
+    //      transition matrix: every consecutive event-type TRIPLE in each
+    //      user's µs-ordered journey, counted corpus-wide with user reach
+    //      (how many distinct users exhibit the motif) and ranked — the
+    //      pattern table behind "view→click→error" funnels-gone-wrong
+    //      hunting and sequence-model sanity checks (a 3-gram the model
+    //      assigns mass to should exist in the data). Two stacked lags on
+    //      ONE per-user window sort produce each row's trigram in place —
+    //      no self-joins, no explode, fan-out exactly 1 row per event
+    //      (minus 2 warmups per user); the census is map-side combined
+    //      over the ≤\|types\|³ motif space; top-k is TakeOrdered. ----
+    "path_trigrams" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tri = e
+        .withColumn("p1", lag(col("event_type"), 1).over(byU))
+        .withColumn("p2", lag(col("event_type"), 2).over(byU))
+        .filter(col("p2").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("p2"), col("p1"), col("event_type")).as("motif"))
+      ordered(tri.groupBy(col("motif"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occurrences").desc, col("motif").asc)
+        .limit(15))
+    }),
+
     "evt_markov" -> ((s, d) => {
       val e = load(s, d, "events")
       val w = Window.partitionBy(col("user_id"))
@@ -859,6 +888,21 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS balance
         |FROM s
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, seg NULLS FIRST, balance NULLS FIRST""".stripMargin,
+
+    "path_trigrams" ->
+      """WITH tri AS (
+        |  SELECT user_id,
+        |    concat_ws('>',
+        |      LAG(event_type, 2) OVER w, LAG(event_type, 1) OVER w, event_type) AS motif,
+        |    LAG(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT motif, COUNT(1) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM tri WHERE p2 IS NOT NULL
+        |GROUP BY motif
+        |ORDER BY n_occurrences DESC, motif ASC
+        |LIMIT 15""".stripMargin,
 
     "ivl_merge" ->
       """WITH flagged AS (
