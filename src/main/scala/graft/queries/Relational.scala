@@ -1169,6 +1169,40 @@ object Relational {
         .reduce(_ unionByName _))
     }),
 
+    // ---- DQ-6: header/detail consistency audit (`dq_consistency`) — the
+    //      cross-table DERIVED-VALUE check DQ-1/DQ-2 don't cover (nulls
+    //      and orphans can be clean while the NUMBERS disagree): does the
+    //      order header total match the sum of its lineitem revenue?
+    //      Reports the relative-discrepancy census (no_detail / <1% /
+    //      1–10% / 10–50% / ≥50% buckets, tie-safe dec4 ratio before
+    //      thresholding) with per-bucket header vs detail revenue sums —
+    //      the reconciliation evidence a finance close runs. On THIS
+    //      corpus the identity provably fails everywhere (0 exact
+    //      matches, median rel-diff 57%, 257 headers with no lines) —
+    //      which is the audit's point: it MEASURES the contract instead
+    //      of assuming it. Shape: one map-side-combined detail rollup
+    //      (order-keyed) + one key join + a 5-group census; at 100 TB
+    //      header and detail are bucketed by orderkey so the join is
+    //      exchange-free and the audit folds into the nightly close. ----
+    "dq_consistency" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("hdr"))
+      val lr = load(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice")).as("det"))
+      val j = o.join(lr, col("o_orderkey") === col("l_orderkey"), "left")
+      val ratio = dec4(abs(col("hdr") - col("det")).cast("double") /
+        col("hdr").cast("double")).cast("double")
+      val bucket = when(col("det").isNull, "no_detail")
+        .when(ratio < 0.01, "lt_1pct")
+        .when(ratio < 0.10, "1_to_10pct")
+        .when(ratio < 0.50, "10_to_50pct")
+        .otherwise("ge_50pct")
+      ordered(j.groupBy(bucket.as("bucket")).agg(
+        count(lit(1)).as("n_orders"),
+        cstr(sum(col("hdr")).cast(dt)).as("header_sum"),
+        cstr(sum(coalesce(col("det"), lit(0).cast(dt))).cast(dt)).as("detail_sum")))
+    }),
+
     // ---- DQ-5: rule-based quarantine router (`dq_quarantine`) — the
     //      dead-letter-queue gate of an ingest pipeline: every incoming
     //      row is annotated with the SET of validation rules it fails
@@ -2168,6 +2202,28 @@ object Relational {
         |) GROUP BY word
         |ORDER BY n DESC NULLS LAST, word ASC
         |LIMIT 50""".stripMargin,
+
+    "dq_consistency" ->
+      """WITH lr AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS det
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(38,4)) AS hdr, det
+        |  FROM orders LEFT JOIN lr ON o_orderkey = l_orderkey),
+        |b AS (
+        |  SELECT hdr, det,
+        |    CASE WHEN det IS NULL THEN 'no_detail'
+        |         WHEN CAST(CAST(floor((CAST(abs(hdr - det) AS DOUBLE) / CAST(hdr AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) < 0.01 THEN 'lt_1pct'
+        |         WHEN CAST(CAST(floor((CAST(abs(hdr - det) AS DOUBLE) / CAST(hdr AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) < 0.10 THEN '1_to_10pct'
+        |         WHEN CAST(CAST(floor((CAST(abs(hdr - det) AS DOUBLE) / CAST(hdr AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) < 0.50 THEN '10_to_50pct'
+        |         ELSE 'ge_50pct' END AS bucket
+        |  FROM j)
+        |SELECT bucket, COUNT(1) AS n_orders,
+        |  CAST(CAST(SUM(hdr) AS DECIMAL(38,4)) AS VARCHAR) AS header_sum,
+        |  CAST(CAST(SUM(COALESCE(det, CAST(0 AS DECIMAL(38,4)))) AS DECIMAL(38,4)) AS VARCHAR) AS detail_sum
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket NULLS FIRST, n_orders NULLS FIRST, header_sum NULLS FIRST, detail_sum NULLS FIRST""".stripMargin,
 
     "dq_quarantine" ->
       """WITH feed AS (
