@@ -116,6 +116,29 @@ object Events {
           col("first_purchase").isNotNull.cast("int"))))
     }),
 
+    // ---- WIN-9: rolling exact percentile (`rolling_p95`) — the SLO
+    //      trendline primitive (rolling p95 latency/value over the last
+    //      20 observations per user): mean-based rolling stats hide tail
+    //      regressions, and the tail IS the SLO. Exact type-7
+    //      interpolated percentile over a ROWS frame — Spark's
+    //      `percentile` windowed and DuckDB's `quantile_cont` compute the
+    //      identical double (the AGG-7 cross-engine precedent), dec4-
+    //      rendered. Cost shape stated honestly: a windowed exact
+    //      percentile re-sorts its frame per row (O(F log F) per row,
+    //      F=20 — bounded and cheap HERE; the per-row cost is frame-
+    //      bounded, not data-bounded, so it scales with rows like any
+    //      projection); at large F the declared switch is a sliding
+    //      t-digest/approx_percentile state (AGG-11's trade, maintained
+    //      incrementally). One per-user window sort, no joins. ----
+    "rolling_p95" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-19, 0)
+      ordered(e.select(col("event_id"), col("user_id"), col("ts"),
+        dec4S(percentile(col("value"), lit(0.95)).over(w)).as("p95")))
+    }),
+
     // ---- IVL-2: interval coalescing (`ivl_merge`) — the gaps-and-islands
     //      UNION of IVL-1's sessions: merge every user's lag-gap sessions
     //      into the maximal globally-covered activity islands (an island
@@ -463,6 +486,42 @@ object Events {
         .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("int"))
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(count(lit(1)).as("n_active")))
+    }),
+
+    // ---- COH-2: cohort LTV triangle (`cohort_ltv`) — COH-1's revenue
+    //      sibling: per (first-activity-day cohort, day offset) the
+    //      purchase revenue, its CUMULATIVE sum along the cohort's life
+    //      (the LTV curve a payback model reads), and cumulative LTV per
+    //      cohort member — the triangle table every growth team keeps.
+    //      Day-grain cohorts (the corpus spans 30 days; weekly grain
+    //      would leave 4 rows). Exact decimal revenue; the cumulative
+    //      window runs per cohort over the ≤\|days\|² triangle, never the
+    //      fact table. Shape: one user-keyed first-activity aggregate
+    //      (map-side), a broadcast cohort attach to purchases, a
+    //      (cohort, offset) census, and the tiny triangle window; cohort
+    //      sizes ride a second broadcast — everything after the scans is
+    //      dimension-sized. ----
+    "cohort_ltv" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val first = e.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_users"))
+      val cells = e.filter(col("event_type") === "purchase")
+        .join(broadcast(first), Seq("user_id"))
+        .withColumn("day_offset",
+          datediff(to_date(col("ts")), col("cohort_day")).cast("int"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(dsum(col("value")).as("rev"))
+      val wc = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ordered(cells
+        .withColumn("cum_rev", sum(col("rev")).over(wc).cast(dt))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          cstr(col("rev")).as("revenue"), cstr(col("cum_rev")).as("cum_revenue"),
+          dec4S(col("cum_rev").cast("double") / col("n_users").cast("double"))
+            .as("ltv_per_user")))
     }),
 
     // ---- CDC-1: changelog compaction — keep the LATEST record per key,
@@ -903,6 +962,37 @@ object Events {
         |GROUP BY motif
         |ORDER BY n_occurrences DESC, motif ASC
         |LIMIT 15""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, COUNT(1) AS n_users FROM first GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+        |    CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS rev
+        |  FROM events e JOIN first f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT *, CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cum_rev
+        |  FROM cells)
+        |SELECT t.cohort_day, t.day_offset, s.n_users,
+        |  CAST(t.rev AS VARCHAR) AS revenue,
+        |  CAST(t.cum_rev AS VARCHAR) AS cum_revenue,
+        |  CAST(CAST(floor((CAST(t.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ltv_per_user
+        |FROM tri t JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST, n_users NULLS FIRST, revenue NULLS FIRST, cum_revenue NULLS FIRST, ltv_per_user NULLS FIRST""".stripMargin,
+
+    "rolling_p95" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(CAST(floor((quantile_cont(value, 0.95) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p95
+        |FROM events
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, p95 NULLS FIRST""".stripMargin,
 
     "ivl_merge" ->
       """WITH flagged AS (
