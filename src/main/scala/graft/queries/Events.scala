@@ -488,6 +488,47 @@ object Events {
         .agg(count(lit(1)).as("n_active")))
     }),
 
+    // ---- ATTR-2: position-based multi-touch attribution
+    //      (`attr_position`) — ATTR-1 gives the last click everything;
+    //      the U-shaped model spreads each purchase's credit over ALL
+    //      clicks in its 1-day lookback: 40% first touch (discovery),
+    //      40% last (closer), the middle 20% split evenly — the standard
+    //      multi-touch compromise marketing mix reviews run. Credit rolls
+    //      up to a pseudo-campaign (props.k mod 10 — exercising the JSON
+    //      path in an attribution flow). Weight arithmetic: k-way CASE on
+    //      exact ints, the middle split 0.2/(k−2) one correctly-rounded
+    //      double, credits dec4-per-row → exact decimal sums (dsum4 —
+    //      order-free; per-purchase credit sums to 1 up to the declared
+    //      dec4 render). Shape: purchases ⋈ clicks on user + 1-day µs
+    //      band (ATTR-1's equi+band shape, fan-out bounded by a user-day
+    //      of clicks, never user-history²); position rank + touch count
+    //      via per-purchase windows over those bounded groups; final
+    //      census is \|campaigns\|-sized. ----
+    "attr_position" -> ((s, d) => {
+      val e = load(s, d, "events").withColumn("tsu", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"),
+          col("tsu").as("pt"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"),
+          col("tsu").as("ct"),
+          get_json_object(col("props"), "$.k").cast("int").as("kprop"))
+      val j = p.join(c, col("pu") === col("cu") &&
+        col("ct") <= col("pt") &&
+        col("ct") > col("pt") - lit(86400L * 1000000L))
+      val wp = Window.partitionBy(col("pid"))
+      val wo = Window.partitionBy(col("pid")).orderBy(col("ct").asc, col("cid").asc)
+      val r = j.withColumn("k", count(lit(1)).over(wp))
+        .withColumn("rn", row_number().over(wo))
+      val weight = when(col("k") === 1, lit(1.0))
+        .when(col("k") === 2, lit(0.5))
+        .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+        .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+      ordered(r.withColumn("campaign", pmod(col("kprop"), lit(10)))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_touches"), dsum4S(weight).as("credit")))
+    }),
+
     // ---- COH-2: cohort LTV triangle (`cohort_ltv`) — COH-1's revenue
     //      sibling: per (first-activity-day cohort, day offset) the
     //      purchase revenue, its CUMULATIVE sum along the cohort's life
@@ -962,6 +1003,33 @@ object Events {
         |GROUP BY motif
         |ORDER BY n_occurrences DESC, motif ASC
         |LIMIT 15""".stripMargin,
+
+    "attr_position" ->
+      """WITH p AS (
+        |  SELECT user_id AS pu, event_id AS pid, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cu, event_id AS cid, epoch_us(ts) AS ct,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS kprop
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT * FROM p JOIN c ON pu = cu
+        |  WHERE ct <= pt AND ct > pt - 86400000000),
+        |r AS (
+        |  SELECT *, COUNT(1) OVER (PARTITION BY pid) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ct ASC, cid ASC) AS rn
+        |  FROM j),
+        |w AS (
+        |  SELECT kprop % 10 AS campaign,
+        |    CASE WHEN k = 1 THEN 1.0
+        |         WHEN k = 2 THEN 0.5
+        |         WHEN rn = 1 OR rn = k THEN 0.4
+        |         ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS weight
+        |  FROM r)
+        |SELECT campaign, COUNT(1) AS n_touches,
+        |  CAST(CAST(SUM(CAST(floor((weight)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS credit
+        |FROM w GROUP BY campaign
+        |ORDER BY campaign NULLS FIRST, n_touches NULLS FIRST, credit NULLS FIRST""".stripMargin,
 
     "cohort_ltv" ->
       """WITH first AS (
