@@ -515,7 +515,7 @@ object LlmOps {
   // Shared DuckDB CTE fragments (token sets + portable token hash).
   /** The SIM-1 IVF oracle pipeline through its `ranked` CTE, shared by
     * `sim1_ivf` and `ivf_eval` (mirrors the shared [[ivfRanked]]). */
-  private lazy val duckIvfCtes: String = {
+  private lazy val duckIvfBaseCtes: String = {
     val centCols = (1 to 64).map { i =>
       s"CAST(CAST(floor((CAST(SUM(CAST(floor((CAST(embedding[$i] AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS c$i"
     }.mkString(",\n    ")
@@ -544,7 +544,11 @@ object LlmOps {
       |  FROM vecs v CROSS JOIN centn c
       |), cells AS (
       |  SELECT vec_id, e, vn, cell_label AS cell FROM assigned WHERE crn = 1
-      |), probes AS (
+      |)""".stripMargin
+  }
+
+  private lazy val duckIvfCtes: String =
+    s"""$duckIvfBaseCtes, probes AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
       |  FROM assigned WHERE vec_id < 10 AND crn <= 2
       |), ranked AS (
@@ -555,7 +559,6 @@ object LlmOps {
       |      c.vec_id ASC) AS INT) AS rn
       |  FROM probes p JOIN cells c ON p.pcell = c.cell AND p.query_id <> c.vec_id
       |)""".stripMargin
-  }
 
   private val duckToks =
     "SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents"
@@ -720,7 +723,11 @@ object LlmOps {
     * `ivf_eval` (the recall audit joins its raw (query, neighbor) pairs
     * against brute-force truth). Returns the per-query top-3 as
     * (query_id, rn, neighbor_id, score_raw). */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+  /** The certified SIM-1d IVF pipeline. `maxProbe` widens the probed-cell
+    * set; `raw = true` returns the SCORED candidate pool with its
+    * probe_rank (before the per-query top-k) — SIM-CURVE's input. */
+  private def ivfRanked(s: SparkSession, d: String,
+      maxProbe: Int = 2, raw: Boolean = false): DataFrame = {
     val doc = load(s, d, "documents")
     val emb = load(s, d, "embeddings")
     val dbl = transform(col("embedding"), x => x.cast("double"))
@@ -746,17 +753,22 @@ object LlmOps {
       .withColumn("crn", row_number().over(byVec))
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label").as("cell"))
-    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= maxProbe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("vn").as("qn"), col("cell_label").as("pcell"))
+        col("vn").as("qn"), col("cell_label").as("pcell"),
+        col("crn").as("probe_rank"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-    broadcast(probes)
+    val scored = broadcast(probes)
       .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
         col("vn").as("cn2"), col("cell")),
         col("pcell") === col("cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("score_raw",
         dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+    if (raw)
+      scored.select(col("query_id"), col("neighbor_id"),
+        col("score_raw"), col("probe_rank"))
+    else scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("score_raw"))
@@ -960,6 +972,52 @@ object LlmOps {
         .agg(count(col("iq")).cast("int").as("n_hit"))
         .select(col("query_id"), col("n_hit"),
           dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
+    }),
+
+    // ---- SIM-CURVE: recall-vs-probes tuning curve (`ivf_curve`) — the
+    //      lever SIM-EVAL's single number tells you to pull, measured:
+    //      recall@3 at nprobe ∈ {1,2,3} from ONE widened IVF pass (the
+    //      certified pipeline at maxProbe=3, returning the scored pool
+    //      with each candidate's probe rank) — the nprobe=p result is
+    //      just the pool filtered to probe_rank ≤ p and re-topped, so
+    //      the curve costs one pipeline + three tiny rank windows, not
+    //      three pipelines (a candidate's score doesn't change with
+    //      nprobe; only membership does). This is the actual tuning
+    //      artifact an ANN operator reads: where the curve flattens is
+    //      the probe budget. Truth = SIM-EVAL's exact brute leg, pinned
+    //      once. ----
+    "ivf_curve" -> ((s, d) => {
+      val pool = pin(ivfRanked(s, d, maxProbe = 3, raw = true))
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val cc = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      val truth = pin(broadcast(q).join(cc, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id")))
+      val rows = (1 to 3).map { p =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+        val ivf = pool.filter(col("probe_rank") <= p)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("query_id").as("iq"), col("neighbor_id").as("in_"))
+        truth.join(ivf,
+            col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("iq")).as("n_hits"))
+          .select(lit(p).as("nprobe"), col("n_truth"), col("n_hits"))
+      }
+      ordered(rows.reduce(_ unionByName _)
+        .withColumn("recall",
+          dec4S(col("n_hits").cast("double") / col("n_truth").cast("double"))))
     }),
 
     // ---- KM-1: one exact Lloyd iteration (`kmeans_step`) — the k-means
@@ -3005,6 +3063,44 @@ object LlmOps {
         |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_curve" -> {
+      val perProbe = (1 to 3).map { p =>
+        s"""SELECT $p AS nprobe, COUNT(1) AS n_truth,
+           |    CAST(COUNT(i.query_id) AS BIGINT) AS n_hits,
+           |    CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+           |  FROM truth t LEFT JOIN (
+           |    SELECT query_id, neighbor_id FROM (
+           |      SELECT query_id, neighbor_id,
+           |        ROW_NUMBER() OVER (PARTITION BY query_id
+           |          ORDER BY score_raw DESC, neighbor_id ASC) AS rn
+           |      FROM pool WHERE probe_rank <= $p) s WHERE rn <= 3) i
+           |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $duckIvfBaseCtes, probes3 AS (
+        |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell,
+        |    crn AS probe_rank
+        |  FROM assigned WHERE vec_id < 10 AND crn <= 3
+        |), pool AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id, p.probe_rank,
+        |    list_sum(list_transform(list_zip(p.qe, c.e), x -> x[1] * x[2])) / (p.qn * c.vn) AS score_raw
+        |  FROM probes3 p JOIN cells c ON p.pcell = c.cell AND p.query_id <> c.vec_id
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT * FROM (
+        |  $perProbe
+        |)
+        |ORDER BY nprobe NULLS FIRST, n_truth NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST""".stripMargin
+    },
 
     "ivf_eval" ->
       s"""WITH $duckIvfCtes, ivf AS (
