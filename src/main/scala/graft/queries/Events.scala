@@ -488,6 +488,48 @@ object Events {
         .agg(count(lit(1)).as("n_active")))
     }),
 
+    // ---- DEB-1: event debounce (`debounce`) — keep an event only if it
+    //      arrives > 4 h after the last KEPT event of the same user: the
+    //      throttle semantics of notification caps, scraper cool-downs,
+    //      and alert dedup. NOT sessionization (the gap is measured from
+    //      the last kept event, not the previous raw one: 0 h, 3 h, 6 h
+    //      keeps {0, 6} under a 5 h rule where lag-gap would fuse all
+    //      three) and PROVABLY not window-expressible: each decision
+    //      depends on the full kept-chain prefix, a data-dependent
+    //      recurrence with no prefix-algebra closed form (contrast WIN-8,
+    //      whose clamp DOES have one). This is the repo's one deliberate
+    //      batch use of the TYPED SEQUENTIAL ESCAPE HATCH — per-user
+    //      `flatMapGroups` folding the µs-ordered chain (SURVEY §2's
+    //      preference order (d), justified only when (a)–(c) cannot
+    //      express the semantics); per-user state is one Long, groups
+    //      are user-bounded, the shuffle is the same user-keyed exchange
+    //      every sessionization pays. Oracle = a DuckDB RECURSIVE CTE
+    //      stepping the identical chain. Output = per-user census
+    //      (n_events, n_kept, kept-id checksum — pins WHICH events
+    //      survived, not just how many). ----
+    "debounce" -> ((s, d) => {
+      import s.implicits._
+      val gapUs = 14400L * 1000000L
+      val e = load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.StreamOps.Ev]
+      val out = e.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+        val sorted = it.toSeq.sortBy(ev =>
+          (ev.ts.getTime, ev.ts.getNanos, ev.event_id))
+        var lastKept = Long.MinValue
+        var nKept = 0L; var idSum = 0L
+        sorted.foreach { ev =>
+          val t = ev.ts.getTime * 1000L + (ev.ts.getNanos / 1000L) % 1000L
+          if (lastKept == Long.MinValue || t - lastKept > gapUs) {
+            lastKept = t; nKept += 1; idSum += ev.event_id
+          }
+        }
+        Iterator.single((uid, sorted.size.toLong, nKept, idSum))
+      }.toDF("user_id", "n_events", "n_kept", "kept_id_sum")
+      ordered(out)
+    }),
+
     // ---- ATTR-2: position-based multi-touch attribution
     //      (`attr_position`) — ATTR-1 gives the last click everything;
     //      the U-shaped model spreads each purchase's credit over ALL
@@ -1003,6 +1045,25 @@ object Events {
         |GROUP BY motif
         |ORDER BY n_occurrences DESC, motif ASC
         |LIMIT 15""".stripMargin,
+
+    "debounce" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, t, rn, t AS last_kept, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.t, e.rn,
+        |    CASE WHEN e.t - r.last_kept > 14400000000 THEN e.t ELSE r.last_kept END,
+        |    e.t - r.last_kept > 14400000000
+        |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, COUNT(1) AS n_events,
+        |  CAST(COUNT(1) FILTER (kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST, n_kept NULLS FIRST, kept_id_sum NULLS FIRST""".stripMargin,
 
     "attr_position" ->
       """WITH p AS (
