@@ -306,6 +306,36 @@ object StreamOps {
         })
   }
 
+  case class DebSt(lastKept: Long)
+  case class DebOut(event_id: Long, user_id: Long, kept: Boolean)
+
+  /** STR-DEB: streaming debounce — DEB-1's online twin, and the natural
+    * home of the semantics (a throttle WANTS to run at ingestion): emit
+    * each event's keep/drop verdict on arrival, measured against the last
+    * KEPT event — state is ONE Long per user, forever. The batch side
+    * needed the typed sequential escape hatch for exactly this recurrence;
+    * here the recurrence IS the extension point's native shape. Same
+    * µs-order/time-ordered-replay contract as STR-EWMA; exact per-event
+    * equality vs the batch fold pinned in StreamingSpec. */
+  def debounceStream(events: Dataset[Ev],
+      gapUs: Long = 14400L * 1000000L): Dataset[DebOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[DebSt]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var lastKept = state.getOption.map(_.lastKept).getOrElse(Long.MinValue)
+          val out = sorted.map { e =>
+            val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val keep = lastKept == Long.MinValue || t - lastKept > gapUs
+            if (keep) lastKept = t
+            DebOut(e.event_id, uid, keep)
+          }
+          state.update(DebSt(lastKept))
+          out.iterator
+        })
+  }
+
   case class RateSt(times: Array[Long])
   case class RateOut(event_id: Long, user_id: Long, burst: Long)
 

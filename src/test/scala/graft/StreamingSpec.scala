@@ -346,6 +346,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("STR-DEB streaming debounce equals the batch kept-chain fold per user") {
+    val d = tempDir("deb_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.debounceStream(stream).toDF(), "deb_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2)))
+    // the per-user (n, n_kept, kept-id checksum) must match the SHIPPED
+    // batch census exactly
+    val agg = streamed.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.size.toLong, rows.count(_._3).toLong,
+        rows.filter(_._3).map(_._2).sum)
+    }.toSet
+    val batch = SparkEntry.queries("debounce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(agg == batch,
+      s"stream-only: ${(agg -- batch).take(3)}; batch-only: ${(batch -- agg).take(3)}")
+  }
+
   test("STR-RATE streaming burst counter equals the batch range-frame count per event") {
     val d = tempDir("rate_replay")
     val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
