@@ -357,6 +357,44 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quota_alloc: quotas sum exactly to the budget and respect floor/ceiling") {
+    // The whole point of largest-remainder apportionment: Σ quota == B
+    // exactly (naive rounding misses in either direction), and every
+    // stratum gets floor(B·n/N) or floor+1 — nothing else.
+    val rows = SparkEntry.queries("quota_alloc")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalDocs = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == 1000L,
+      s"quotas must sum to the budget: ${rows.toSeq}")
+    rows.foreach { case (lang, n, q) =>
+      val base = 1000L * n / totalDocs
+      assert(q == base || q == base + 1,
+        s"$lang: quota $q outside {floor, floor+1} of ${1000.0 * n / totalDocs}")
+    }
+  }
+
+  test("cusum_change: located day equals the naive argmax of |n*prefix - t*total|") {
+    import spark.implicits._
+    val daily = graft.core.Tables.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("x"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0), BigDecimal(r.getDecimal(1))))
+    val n = daily.length
+    val total = daily.map(_._2).sum
+    var prefix = BigDecimal(0); var best = BigDecimal(-1); var bestDay: java.sql.Date = null
+    daily.zipWithIndex.foreach { case ((day, x), i) =>
+      prefix += x
+      val s = (n * prefix - (i + 1) * total).abs
+      if (s > best) { best = s; bestDay = day } // strict > keeps earliest tie
+    }
+    val got = SparkEntry.queries("cusum_change")(spark, sfDir).collect().head
+    assert(got.getDate(0).toString == bestDay.toString,
+      s"windowed ${got.getDate(0)} vs naive $bestDay")
+    assert(BigDecimal(got.getString(3)) == best,
+      s"stat ${got.getString(3)} vs naive $best")
+  }
+
   test("bpe_train: greedy left-to-right merges; best-pair count never increases") {
     import spark.implicits._
     // "aaaa" is the canonical greedy-application probe: round 1 must count
