@@ -974,6 +974,65 @@ object LlmOps {
           dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
     }),
 
+    // ---- KM-2: two Lloyd rounds + the monotone certificate
+    //      (`kmeans_iter`) — KM-1 is one assignment; this CLOSES the
+    //      loop: assign to the 8 seeds, recompute centroids EXACTLY
+    //      (per-dim dec4-quantized means — the same tie-safe centroid
+    //      discipline as SIM-1d, so both engines hold bit-identical
+    //      updated centroids), re-assign, and report per round the
+    //      inertia plus the reassignment count. Lloyd's theorem says
+    //      inertia must NOT increase — shipping both rounds makes the
+    //      certificate part of the gated output (and the oracle hash),
+    //      not a side assertion. Shapes: each round is KM-1's job (seed
+    //      broadcast, one distance pass, 8-row window argmin); the
+    //      update is ONE 64-column map-side-combined aggregate per
+    //      cluster (ivfRanked's centroid pattern — never a per-dim
+    //      explode/shuffle); n_moved comes from a vec-keyed self-join of
+    //      the two assignment relations. Iterating further = repeating
+    //      this pair — the distributed Lloyd loop, demonstrated
+    //      converging. ----
+    "kmeans_iter" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
+          dot_product(dbl, dbl).as("vv"))
+        .pinned
+      def assign(seeds: DataFrame): DataFrame = {
+        val wv = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)
+        base.crossJoin(broadcast(seeds))
+          .withColumn("dist",
+            col("vv") + col("cc") - lit(2.0) * dot_product(col("v"), col("c")))
+          .withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("dist"), col("v"))
+      }
+      val seeds1 = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"),
+          col("vv").as("cc"))
+      val a1 = pin(assign(seeds1))
+      // exact per-dim mean update, dec4-quantized (SIM-1d's centroid rule)
+      val centCols = (1 to 64).map { i =>
+        dec4(dsum4(element_at(col("v"), i)).cast("double") / count(lit(1)))
+          .cast("double").as(s"m$i")
+      }
+      val seeds2 = a1.groupBy(col("cid")).agg(centCols.head, centCols.tail: _*)
+        .select(col("cid"),
+          array((1 to 64).map(i => col(s"m$i")): _*).as("c"))
+        .withColumn("cc", dot_product(col("c"), col("c")))
+      val a2 = pin(assign(seeds2))
+      val moved = a1.select(col("vec_id"), col("cid").as("cid1"))
+        .join(a2.select(col("vec_id"), col("cid").as("cid2")), Seq("vec_id"))
+        .agg(sum(when(col("cid1") =!= col("cid2"), 1L).otherwise(0L)).as("nm"))
+      def round(n: Int, a: DataFrame, mv: Column) =
+        a.agg(cstr(dsum4(col("dist"))).as("inertia"))
+          .select(lit(n).as("round"), col("inertia"))
+          .crossJoin(broadcast(moved)).select(col("round"), col("inertia"),
+            mv.as("n_moved"))
+      ordered(round(1, a1, lit(0L))
+        .unionByName(round(2, a2, col("nm"))))
+    }),
+
     // ---- SIM-CURVE: recall-vs-probes tuning curve (`ivf_curve`) — the
     //      lever SIM-EVAL's single number tells you to pull, measured:
     //      recall@3 at nprobe ∈ {1,2,3} from ONE widened IVF pass (the
@@ -3017,6 +3076,57 @@ object LlmOps {
         |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM idx
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, frame_idx NULLS FIRST, n_bytes NULLS FIRST, frame_md5 NULLS FIRST""".stripMargin,
+
+    "kmeans_iter" -> {
+      val d4 = "CAST(floor((dist)*10000+0.5)/10000 AS DECIMAL(38,4))"
+      val centCols = (1 to 64).map { i =>
+        s"CAST(CAST(floor((CAST(SUM(CAST(floor((v[$i])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m$i"
+      }.mkString(",\n    ")
+      val mList = (1 to 64).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vv
+        |  FROM embeddings),
+        |seeds1 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c, vv AS cc
+        |  FROM base WHERE vec_id < 8),
+        |p1 AS (
+        |  SELECT b.vec_id, s.cid, b.v,
+        |    b.vv + s.cc - 2.0 * list_sum(list_transform(list_zip(b.v, s.c), p -> p[1] * p[2])) AS dist
+        |  FROM base b CROSS JOIN seeds1 s),
+        |a1 AS (SELECT vec_id, cid, v, dist FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM p1) t WHERE rn = 1),
+        |cent0 AS (
+        |  SELECT cid,
+        |    $centCols
+        |  FROM a1 GROUP BY cid),
+        |seeds2 AS (
+        |  SELECT cid, $mList AS c,
+        |    list_sum(list_transform($mList, x -> x * x)) AS cc
+        |  FROM cent0),
+        |p2 AS (
+        |  SELECT b.vec_id, s.cid, b.v,
+        |    b.vv + s.cc - 2.0 * list_sum(list_transform(list_zip(b.v, s.c), p -> p[1] * p[2])) AS dist
+        |  FROM base b CROSS JOIN seeds2 s),
+        |a2 AS (SELECT vec_id, cid, dist FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM p2) t WHERE rn = 1),
+        |moved AS (
+        |  SELECT CAST(SUM(CASE WHEN a1.cid <> a2.cid THEN 1 ELSE 0 END) AS BIGINT) AS nm
+        |  FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS round,
+        |    CAST(CAST(SUM($d4) AS DECIMAL(38,4)) AS VARCHAR) AS inertia,
+        |    CAST(0 AS BIGINT) AS n_moved
+        |  FROM a1
+        |  UNION ALL
+        |  SELECT 2,
+        |    CAST(CAST(SUM($d4) AS DECIMAL(38,4)) AS VARCHAR),
+        |    (SELECT nm FROM moved)
+        |  FROM a2
+        |) u
+        |ORDER BY round NULLS FIRST, inertia NULLS FIRST, n_moved NULLS FIRST""".stripMargin
+    },
 
     "kmeans_step" ->
       """WITH base AS (
