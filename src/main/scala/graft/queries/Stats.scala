@@ -248,6 +248,38 @@ object Stats {
           dsumS(col("l_extendedprice")).as("sum_price")))
     }),
 
+    // ---- FE-4: rank normalization (`rank_normalize`) — the
+    //      distribution-free feature transform (rank / (n+1) per group,
+    //      mapping any marginal to uniform(0,1)): what FE-2's z-score
+    //      does for Gaussian-ish features, this does for arbitrary ones
+    //      — heavy tails, multimodality, unit mixes all flatten; ties
+    //      get AVERAGE ranks via STAT-6's doubled-rank trick (2·avg =
+    //      2·rank() + tie_count − 1, exact ints until one final
+    //      division). Output = per-group census with the two LAW
+    //      checksums instead of 60k transformed rows: Σr̂ ≈ n/2 within
+    //      the dec4 accumulation bound (average-rank symmetry: Σ2·avg =
+    //      n(n+1) is an exact rational identity — FE-2's scaler-law
+    //      style) and Σr̂² (pins the whole transformed column against
+    //      any rank-assignment bug; both are order-free dec4-per-row
+    //      decimal sums). Shape: one per-group rank window (the
+    //      AGG-7/AGG-17 exact-order-statistic envelope and the same
+    //      declared approx switch) + a \|groups\|-row rollup. ----
+    "rank_normalize" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
+      val wg = Window.partitionBy(col("prio")).orderBy(col("x"))
+      val wt = Window.partitionBy(col("prio"), col("x"))
+      val ranked = o
+        .withColumn("r2", lit(2L) * rank().over(wg) + count(lit(1)).over(wt) - 1L)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      val rhat = col("r2").cast("double") /
+        (lit(2.0) * (col("n") + 1L).cast("double"))
+      ordered(ranked.groupBy(col("prio")).agg(
+        count(lit(1)).as("n"),
+        dsum4S(rhat).as("sum_rhat"),
+        dsum4S(rhat * rhat).as("sum_rhat_sq")))
+    }),
+
     // ---- STAT-7: Gini concentration (`gini`) — the inequality statistic
     //      behind whale-risk and data-concentration questions (how much
     //      of revenue/token-mass sits in the top accounts — the number
@@ -671,6 +703,23 @@ object Stats {
           |FROM spine LEFT JOIN counts ON spine.digit = counts.digit
           |CROSS JOIN total
           |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, obs_freq NULLS FIRST, exp_freq NULLS FIRST, abs_dev NULLS FIRST""".stripMargin,
+
+      "rank_normalize" ->
+        """WITH rk AS (
+          |  SELECT o_orderpriority AS prio,
+          |    2 * RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+          |      + COUNT(1) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1 AS r2,
+          |    COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+          |  FROM orders),
+          |h AS (
+          |  SELECT prio, n,
+          |    CAST(r2 AS DOUBLE) / (2.0 * CAST(n + 1 AS DOUBLE)) AS rhat
+          |  FROM rk)
+          |SELECT prio, CAST(MAX(n) AS BIGINT) AS n,
+          |  CAST(CAST(SUM(CAST(floor((rhat)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_rhat,
+          |  CAST(CAST(SUM(CAST(floor((rhat * rhat)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_rhat_sq
+          |FROM h GROUP BY prio
+          |ORDER BY prio NULLS FIRST, n NULLS FIRST, sum_rhat NULLS FIRST, sum_rhat_sq NULLS FIRST""".stripMargin,
 
       "gini" ->
         """WITH per AS (

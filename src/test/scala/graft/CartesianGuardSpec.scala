@@ -74,6 +74,9 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // shape); the count-relation join itself is equi-keyed
     "quota_alloc", // corpus-total scalar attach: 1-row broadcast crossJoin
                   // (tfidf1's N shape) feeding the integer share division
+    "kmeans_iter", // the 1-row reassignment-count attach on the round
+                  // census (tfidf1's scalar shape); the distance passes
+                  // are kmeans_step's declared vectors × k-seed probe
     "kmeans_step" // vectors × broadcast k-row seed table: every vector
                   // must score against all k centroids by declared Lloyd
                   // semantics (sim1_ivf's cell-assignment shape)
