@@ -1162,6 +1162,40 @@ object LlmOps {
     }),
 
     // ---- DDP-2: exact text dedup with deterministic keeper ----
+    // ---- DDP-NORM: normalized-exact dedup (`ddp_norm_exact`) — the
+    //      cheap MIDDLE RUNG of the dedup ladder the family was missing:
+    //      DDP-1 hashes raw bytes (misses a single case/punct flip),
+    //      MinHash pays signatures for fuzzy matches; grouping by
+    //      TXT-NORM's canonical text catches the trivial-variant mass
+    //      (case, punctuation, whitespace) at exactly DDP-1's cost — one
+    //      groupBy on a derived key, still no pairs, no sketches. The
+    //      corpus is already normalized, so doc_id%11 docs get their
+    //      text UPPERCASED (IMP-1's provably-fires pattern, mirrored in
+    //      the oracle): every doc_id%11 doc re-enters the feed as an
+    //      UPPERCASED copy under a shifted id (recon's synthesized-delta
+    //      pattern) — byte-exact dedup sees two distinct texts, the
+    //      normalized key folds the pair (n_copies=2, n_raw_variants=2).
+    //      Same keeper election + map-side-combined shape as DDP-1; at
+    //      100 TB the normalized key is hashed scan-side (content-
+    //      defined fingerprint), never a second text copy through the
+    //      shuffle. ----
+    "ddp_norm_exact" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val feed = doc.select(col("doc_id"), col("text").as("t2"))
+        .unionAll(doc.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(col("text")).as("t2")))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("t2")), "[^a-z0-9 ]", " "), " +", " "))
+      ordered(feed
+        .select(col("doc_id"), col("t2"), norm.as("nt"))
+        .groupBy(md5(col("nt")).as("norm_md5"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("t2")).as("n_raw_variants"))
+        .filter(col("n_copies") >= 2))
+    }),
+
     "ddp_exact" -> ((s, d) => {
       val doc = load(s, d, "documents")
       ordered(doc.groupBy(col("text"))
@@ -3292,6 +3326,24 @@ object LlmOps {
         |    AND len(a.toks) * 20 >= len(b.toks) * 19 AND len(b.toks) * 20 >= len(a.toks) * 19
         |) WHERE jac >= 0.95
         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
+
+    "ddp_norm_exact" ->
+      """WITH feed AS (
+        |  SELECT doc_id, text AS t2 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, upper(text) AS t2
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |n AS (
+        |  SELECT doc_id, t2,
+        |    trim(regexp_replace(regexp_replace(lower(t2), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM feed)
+        |SELECT md5(nt) AS norm_md5,
+        |  MIN(doc_id) AS keeper,
+        |  COUNT(1) AS n_copies,
+        |  CAST(COUNT(DISTINCT t2) AS BIGINT) AS n_raw_variants
+        |FROM n GROUP BY 1
+        |HAVING COUNT(1) >= 2
+        |ORDER BY norm_md5 NULLS FIRST, keeper NULLS FIRST, n_copies NULLS FIRST, n_raw_variants NULLS FIRST""".stripMargin,
 
     "ddp_exact" ->
       """SELECT MIN(doc_id) AS keeper, COUNT(1) AS n_copies,
