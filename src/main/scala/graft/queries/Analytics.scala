@@ -408,6 +408,58 @@ object Analytics {
         .filter((col("prevmax").isNull || col("prevmax") < col("p_size")) &&
           col("gmax") === col("p_size"))
         .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+    }),
+
+    // ---- TS-4: autocorrelation function (`acf`) — the seasonality
+    //      detector that reads a series' memory directly: per event_type,
+    //      the hourly event-count series' correlation with its own k-step
+    //      shift, k=1..6. Declared semantics: lag-pair Pearson (the
+    //      correlation of (x_t, x_{t+k}) over the overlap window — the
+    //      cross-engine-exact sibling of the textbook ACF, which divides
+    //      by the full-series variance; both expose the same structure:
+    //      r₁ high = smooth/trending, r_k peaks = period-k seasonality).
+    //      All six lag sums are EXACT int64 (counts and count-products —
+    //      no mean subtraction until the final double finish, STAT-1's
+    //      moment discipline on integers). Shape: ONE map-side-combined
+    //      (type, hour) count collapses any corpus to a date-range-bounded
+    //      series; six `lead`s share ONE window pass per type (single
+    //      Window operator); the lag-pair aggregate runs on 6×|series|
+    //      rows. The 100 TB cost is the scan, forever — same envelope as
+    //      TS-3. Gaps in the hour spine are declared pair-breaks (lead is
+    //      positional): this corpus has every hour populated, and a
+    //      spine-join densification (GAP-1's op) composes in front when a
+    //      sparse series needs calendar-true lags. ----
+    "acf" -> ((s, d) => {
+      val maxLag = 6
+      val e = load(s, d, "events")
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+      val withLeads = hourly.select(Seq(col("event_type"), col("cnt")) ++
+        (1 to maxLag).map(k => lead(col("cnt"), k).over(w).as(s"y$k")): _*)
+      val pairs = withLeads.select(col("event_type"), col("cnt").as("x"),
+          explode(array((1 to maxLag).map(k =>
+            struct(lit(k).as("lag"), col(s"y$k").as("y"))): _*)).as("p"))
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("x"), col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      val mo = pairs.groupBy(col("event_type"), col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val n = col("n_pairs").cast("double")
+      def dd(c: Column): Column = c.cast("double")
+      // constant-overlap guard: a flat series zeroes a variance leg and
+      // ANSI double division throws — correlation is undefined there, NULL
+      val den = sqrt((n * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+        (n * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))))
+      val r = (n * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+        when(den === 0.0, lit(null)).otherwise(den)
+      ordered(mo.select(col("event_type"), col("lag"), col("n_pairs"),
+        dec4S(r).as("acf")))
     })
   )
 

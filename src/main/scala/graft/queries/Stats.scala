@@ -536,6 +536,83 @@ object Stats {
           col("p.mean_y").as("mean_y"), col("p.mean_y_cuped").as("mean_y_cuped"),
           col("p.var_y").as("var_y"), col("p.var_y_cuped").as("var_y_cuped"),
           col("p.theta").as("theta"), col("p.var_reduction").as("var_reduction")))
+    }),
+
+    // ---- STAT-8: sample-ratio-mismatch audit (`srm_check`) — the
+    //      guardrail every experimentation platform runs BEFORE reading
+    //      any treatment effect: if the observed arm sizes deviate from
+    //      the declared split, the assignment/logging path is broken and
+    //      STAT-2/5/6's readouts are meaningless (Fabijan et al., KDD'19
+    //      — SRM is the most common silent experiment invalidator).
+    //      Exposure unit = DISTINCT (event_type, user): each event_type
+    //      plays the role of one experiment's exposure set. Two declared
+    //      50/50 assignment schemes per exposure set: 'parity'
+    //      (user_id%2 — healthy by construction) and 'mod3' (user_id%3==0
+    //      vs rest — a deliberately mis-declared split, so the audit's
+    //      firing path is exercised on real data, not just in a unit
+    //      test). χ² = Σ(obs−E)²/E with E = n/2, df=1; flag at the 0.05
+    //      critical value 3.841. Shape: ONE distinct over
+    //      (event_type, user_id) — the only data-sized shuffle, partial-
+    //      aggregable — then a |event_types|-row conditional rollup and
+    //      pure-double finishing; the exposure relation composes
+    //      incrementally across ingest batches (distinct unions). At
+    //      100 TB the audit costs one dedup of the exposure log, which
+    //      the platform needs materialized anyway. ----
+    "srm_check" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val expo = e.select(col("event_type"), col("user_id")).distinct()
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      def schemeRow(name: String, arm: Column) = {
+        val n0 = sum(when(arm === 0, 1L).otherwise(0L))
+        val n1 = sum(when(arm === 1, 1L).otherwise(0L))
+        struct(lit(name).as("scheme"), n0.as("n_arm0"), n1.as("n_arm1"))
+      }
+      val counts = expo.groupBy(col("event_type")).agg(
+        schemeRow("parity", (col("user_id") % 2).cast("int")).as("s1"),
+        schemeRow("mod3",
+          when(col("user_id") % 3 === 0, 0).otherwise(1)).as("s2"))
+      val long = counts.select(col("event_type"),
+        explode(array(col("s1"), col("s2"))).as("p"))
+        .select(col("event_type"), col("p.scheme").as("scheme"),
+          col("p.n_arm0").as("n_arm0"), col("p.n_arm1").as("n_arm1"))
+      val eHalf = (col("n_arm0") + col("n_arm1")).cast("double") / lit(2.0)
+      def dev(c: Column) = (c.cast("double") - eHalf) * (c.cast("double") - eHalf)
+      val chi2 = (dev(col("n_arm0")) + dev(col("n_arm1"))) / nz(eHalf)
+      ordered(long.select(col("event_type"), col("scheme"),
+        col("n_arm0"), col("n_arm1"), dec4S(chi2).as("chi2"),
+        (chi2 > 3.841).as("srm_detected")))
+    }),
+
+    // ---- PRIV-2: l-diversity audit (`ldiv_audit`) — PRIV-1's stronger
+    //      sibling (Machanavajjhala et al., ICDE'06): k-anonymity bounds
+    //      re-identification but a size-k class whose SENSITIVE attribute
+    //      is constant still leaks it (homogeneity attack). Per
+    //      quasi-identifier class (source, 500-char length bucket) over
+    //      documents, with `lang` sensitive: class size, distinct
+    //      sensitive values (distinct l-diversity), the majority-value
+    //      share (the homogeneity number an auditor reads first), and the
+    //      l≥2 verdict. Shape: (QI, lang)-keyed count (the only
+    //      data-sized shuffle, map-side combined) → QI-class rollup with
+    //      an exact max-count — both relations |QI-domain|-bounded, and
+    //      the (QI, lang) counts compose incrementally across batches
+    //      exactly like PRIV-1's classes. ----
+    "ldiv_audit" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val cells = doc
+        .select(col("source"),
+          call_function("div", col("n_chars"), lit(500L)).as("len_bucket"),
+          col("lang"))
+        .groupBy(col("source"), col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val classes = cells.groupBy(col("source"), col("len_bucket")).agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("majority_cnt"))
+      ordered(classes.select(col("source"), col("len_bucket"),
+        col("n_rows"), col("l_distinct"),
+        dec4S(col("majority_cnt").cast("double") /
+          col("n_rows").cast("double")).as("majority_share"),
+        (col("l_distinct") >= 2).as("ldiv_ok")))
     })
   )
 
@@ -859,7 +936,55 @@ object Stats {
           |  ${vrow(1).replace("FROM mo2", "FROM mo3")}
           |)
           |ORDER BY variant NULLS FIRST, n_users NULLS FIRST, mean_y NULLS FIRST, mean_y_cuped NULLS FIRST, var_y NULLS FIRST, var_y_cuped NULLS FIRST, theta NULLS FIRST, var_reduction NULLS FIRST""".stripMargin
-      }
+      },
+
+      "srm_check" ->
+        """WITH expo AS (
+          |  SELECT DISTINCT event_type, user_id FROM events),
+          |counts AS (
+          |  SELECT event_type,
+          |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS p0,
+          |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS p1,
+          |    SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS m0,
+          |    SUM(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS m1
+          |  FROM expo GROUP BY event_type),
+          |lng AS (
+          |  SELECT event_type, 'parity' AS scheme,
+          |    CAST(p0 AS BIGINT) AS n_arm0, CAST(p1 AS BIGINT) AS n_arm1
+          |  FROM counts
+          |  UNION ALL
+          |  SELECT event_type, 'mod3',
+          |    CAST(m0 AS BIGINT), CAST(m1 AS BIGINT)
+          |  FROM counts),
+          |fin AS (
+          |  SELECT event_type, scheme, n_arm0, n_arm1,
+          |    ((CAST(n_arm0 AS DOUBLE) - (n_arm0 + n_arm1) / 2.0)
+          |       * (CAST(n_arm0 AS DOUBLE) - (n_arm0 + n_arm1) / 2.0)
+          |     + (CAST(n_arm1 AS DOUBLE) - (n_arm0 + n_arm1) / 2.0)
+          |       * (CAST(n_arm1 AS DOUBLE) - (n_arm0 + n_arm1) / 2.0))
+          |      / NULLIF((n_arm0 + n_arm1) / 2.0, 0.0) AS c2
+          |  FROM lng)
+          |SELECT event_type, scheme, n_arm0, n_arm1,
+          |  CAST(CAST(floor((c2)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS chi2,
+          |  c2 > 3.841 AS srm_detected
+          |FROM fin
+          |ORDER BY event_type NULLS FIRST, scheme NULLS FIRST, n_arm0 NULLS FIRST, n_arm1 NULLS FIRST, chi2 NULLS FIRST, srm_detected NULLS FIRST""".stripMargin,
+
+      "ldiv_audit" ->
+        """WITH cells AS (
+          |  SELECT source, n_chars // 500 AS len_bucket, lang, COUNT(*) AS cnt
+          |  FROM documents GROUP BY 1, 2, 3),
+          |cls AS (
+          |  SELECT source, len_bucket,
+          |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          |    CAST(COUNT(*) AS BIGINT) AS l_distinct,
+          |    MAX(cnt) AS majority_cnt
+          |  FROM cells GROUP BY 1, 2)
+          |SELECT source, len_bucket, n_rows, l_distinct,
+          |  CAST(CAST(floor((CAST(majority_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS majority_share,
+          |  l_distinct >= 2 AS ldiv_ok
+          |FROM cls
+          |ORDER BY source NULLS FIRST, len_bucket NULLS FIRST, n_rows NULLS FIRST, l_distinct NULLS FIRST, majority_share NULLS FIRST, ldiv_ok NULLS FIRST""".stripMargin
     )
   }
 }

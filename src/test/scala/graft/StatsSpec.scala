@@ -91,4 +91,51 @@ class StatsSpec extends AnyFunSuite {
     // observed frequencies are a distribution (4-dec rounding slack)
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
   }
+
+  test("srm_check: counts conserve exposures, chi2 reconstructs, mod3 fires and parity doesn't") {
+    val rows = graft.queries.Stats.all("srm_check")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4).toDouble, r.getBoolean(5)))
+    val types = rows.map(_._1).distinct
+    assert(types.nonEmpty && rows.length == types.length * 2)
+    // both schemes partition the same exposure set
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val totals = rs.map(r => r._3 + r._4).distinct
+      assert(totals.size == 1, s"$t: schemes disagree on exposure size $totals")
+    }
+    rows.foreach { case (t, scheme, n0, n1, chi2, flag) =>
+      val e = (n0 + n1) / 2.0
+      val recon = (math.pow(n0 - e, 2) + math.pow(n1 - e, 2)) / e
+      assert(math.abs(chi2 - recon) < 1e-3, s"$t/$scheme chi2 $chi2 vs $recon")
+      assert(flag == (chi2 > 3.841), s"$t/$scheme flag inconsistent")
+      // sequential user_ids: parity splits ~exactly; a declared-50/50 over
+      // a true 1/3-2/3 assignment must blow through the critical value
+      if (scheme == "parity") assert(!flag, s"$t parity flagged (chi2=$chi2)")
+      // a declared-50/50 over a true 1/3-2/3 assignment has E[chi2] ≈ n/9,
+      // so the flag MUST fire once the exposure set is big enough to power
+      // the test (n ≥ 100 → chi2 ≈ 11 ≫ 3.841); tiny sf0.001 exposure sets
+      // (n=15 for some types) are legitimately under-powered — exactly the
+      // sample-size caveat a real SRM monitor carries
+      if (scheme == "mod3" && n0 + n1 >= 100)
+        assert(flag, s"$t mod3 not flagged (chi2=$chi2, n=${n0 + n1})")
+    }
+  }
+
+  test("ldiv_audit: class census totals the corpus; majority share and verdict are consistent") {
+    val rows = graft.queries.Stats.all("ldiv_audit")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4).toDouble, r.getBoolean(5)))
+    val total = graft.core.Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(rows.map(_._3).sum == total, "every doc lands in exactly one QI class")
+    rows.foreach { case (src, bkt, n, l, share, ok) =>
+      assert(l >= 1 && l <= n, s"$src/$bkt l=$l n=$n")
+      // majority count is between ceil(n/l) (perfectly even) and n
+      assert(share > 0.0 && share <= 1.0 + 1e-9, s"$src/$bkt share $share")
+      assert(share * n >= n.toDouble / l - 1e-6 * n, s"$src/$bkt share below even split")
+      assert(ok == (l >= 2), s"$src/$bkt verdict inconsistent")
+    }
+    // the corpus is multilingual: at least one class must be diverse
+    assert(rows.exists(_._6), "no diverse class found")
+  }
 }
