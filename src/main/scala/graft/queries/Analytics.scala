@@ -425,10 +425,12 @@ object Analytics {
     //      series; six `lead`s share ONE window pass per type (single
     //      Window operator); the lag-pair aggregate runs on 6×|series|
     //      rows. The 100 TB cost is the scan, forever — same envelope as
-    //      TS-3. Gaps in the hour spine are declared pair-breaks (lead is
-    //      positional): this corpus has every hour populated, and a
-    //      spine-join densification (GAP-1's op) composes in front when a
-    //      sparse series needs calendar-true lags. ----
+    //      TS-3. The lag is POSITIONAL over the observed hour sequence
+    //      (lead skips empty hours — gaps compress rather than break
+    //      pairs; this corpus has per-type hour gaps, proven by the
+    //      calendar-join recount in AnalyticsSpec), and a spine-join
+    //      densification (GAP-1's op) composes in front when a sparse
+    //      series needs calendar-true lags. ----
     "acf" -> ((s, d) => {
       val maxLag = 6
       val e = load(s, d, "events")
@@ -513,6 +515,37 @@ object Analytics {
         |  CAST(CAST(floor((CAST(total - prefix AS DOUBLE) / (CASE WHEN n = t THEN NULL ELSE CAST(n - t AS DOUBLE) END))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_after
         |FROM rk WHERE rk = 1
         |ORDER BY cp_day NULLS FIRST, t NULLS FIRST, n_days NULLS FIRST, cusum_stat NULLS FIRST, mean_before NULLS FIRST, mean_after NULLS FIRST""".stripMargin,
+
+    "acf" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, cnt,
+        |    LEAD(cnt, 1) OVER w AS y1, LEAD(cnt, 2) OVER w AS y2, LEAD(cnt, 3) OVER w AS y3,
+        |    LEAD(cnt, 4) OVER w AS y4, LEAD(cnt, 5) OVER w AS y5, LEAD(cnt, 6) OVER w AS y6
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+        |p AS (
+        |  SELECT event_type, k.lg, cnt AS x,
+        |    CASE k.lg WHEN 1 THEN y1 WHEN 2 THEN y2 WHEN 3 THEN y3
+        |              WHEN 4 THEN y4 WHEN 5 THEN y5 ELSE y6 END AS y
+        |  FROM l CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) AS k(lg)),
+        |mo AS (
+        |  SELECT event_type, lg, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, lg, n_pairs,
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |      NULLIF(sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |                  (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 0.0) AS r
+        |  FROM mo)
+        |SELECT event_type, lg AS lag, n_pairs,
+        |  CAST(CAST(floor((r)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS acf
+        |FROM f
+        |ORDER BY event_type NULLS FIRST, lag NULLS FIRST, n_pairs NULLS FIRST, acf NULLS FIRST""".stripMargin,
 
     "drift_psi" ->
       """WITH b AS (

@@ -154,6 +154,65 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
   }
 
+  test("acf: laws — constant series → NULL, contiguous pair counts, lag-1 matches builtin corr") {
+    import spark.implicits._
+    // Law 1 (crafted corpus): a CONSTANT hourly series has zero variance at
+    // every lag → correlation undefined → acf must be NULL, never 0/∞/crash
+    // (the den==0 guard's contract). Two events in every hour, one type.
+    val d = java.nio.file.Files.createTempDirectory("acf_const").toString
+    val rows = for (h <- 0 until 12; j <- 0 until 2) yield
+      (h * 2L + j, f"2024-03-01 $h%02d:1$j:00", 7L, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val const = SparkEntry.queries("acf")(spark, d).collect()
+    assert(const.length == 6, s"one row per lag, got ${const.length}")
+    const.foreach { r =>
+      assert(r.getLong(2) == 12L - r.getInt(1), s"n_pairs for contiguous 12h series: $r")
+      assert(r.isNullAt(3), s"constant series must yield NULL acf: $r")
+    }
+    // Laws on the real corpus: every (type, lag 1..6) present; |acf| ≤ 1;
+    // contiguous hour spine ⇒ n_pairs(k) = hours(type) − k.
+    val out = SparkEntry.queries("acf")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3).toDouble)))
+    val types = out.map(_._1).distinct
+    assert(out.length == types.length * 6)
+    out.foreach { case (t, lg, np, a) =>
+      assert(lg >= 1 && lg <= 6)
+      a.foreach(v => assert(math.abs(v) <= 1.0 + 1e-9, s"|acf|>1 at ($t,$lg): $v"))
+    }
+    types.foreach { t =>
+      val byLag = out.filter(_._1 == t).sortBy(_._2)
+      val h = byLag.head._3 + 1 // n_pairs(1) = H − 1
+      byLag.foreach { case (_, lg, np, _) =>
+        assert(np == h - lg, s"$t lag $lg: pairs $np on an $h-hour spine") }
+    }
+    // Law 2 (independent recount): lag-1 acf equals Spark's builtin corr on
+    // the same positional (x_i, x_{i+1}) pairs, built here by a row-number
+    // self-join instead of the query's lead window. (Positional, not
+    // calendar: the declared semantics treat the hour-ordered series as a
+    // sequence — a calendar hr+1h join WAS tried here and differs, because
+    // this corpus has per-type hour gaps; GAP-1 densification composes in
+    // front when calendar-true lags are wanted.)
+    val hourly = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("hr").asc)))
+    val a = hourly.select(col("event_type").as("t"), col("rn"), col("cnt").as("x"))
+    val b = hourly.select(col("event_type").as("t2"),
+      (col("rn") - 1).as("rn2"), col("cnt").as("y"))
+    val ref = a.join(b, col("t") === col("t2") && col("rn") === col("rn2"))
+      .groupBy(col("t")).agg(corr(col("x").cast("double"), col("y").cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.filter(_._2 == 1).foreach { case (t, _, _, a1) =>
+      assert(math.abs(a1.get - ref(t)) < 6e-5, s"$t lag1: ${a1.get} vs builtin ${ref(t)}")
+    }
+  }
+
   test("purchase_context: range-frame extraction equals a driver-side replay") {
     val evs = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
