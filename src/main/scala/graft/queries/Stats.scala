@@ -261,23 +261,37 @@ object Stats {
     //      n(n+1) is an exact rational identity — FE-2's scaler-law
     //      style) and Σr̂² (pins the whole transformed column against
     //      any rank-assignment bug; both are order-free dec4-per-row
-    //      decimal sums). Shape: one per-group rank window (the
-    //      AGG-7/AGG-17 exact-order-statistic envelope and the same
-    //      declared approx switch) + a \|groups\|-row rollup. ----
+    //      decimal sums). Shape: value-collapse to one row per distinct
+    //      (group, x) carrying its tie count, then GlobalRank's two-pass
+    //      distributed prefix under (group, x) order recovers every
+    //      group's min-rank WITHOUT a per-group rank window (2·avg_rank
+    //      = 2·within-group-prefix + ct + 1; within-group prefix =
+    //      global prefix − the group's first-row prefix, attached by a
+    //      \|groups\|-row broadcast); tie-identical rows contribute
+    //      ct·dec4(r̂) to the checksums — exact, since tied rows share
+    //      one r̂. Replaces the r7 per-group rank window (single-task
+    //      per group at 5 groups — and 100 TB groups are data-sized)
+    //      with a shape that needs NO approx switch. Measured: base
+    //      1.35→1.91 s (the checkpoint+offset machinery costs ~0.6 s
+    //      flat — the price of scale insurance), ×10 probe 7.64→2.62 s
+    //      (×2.9 faster; growth ×5.7→×1.4). ----
     "rank_normalize" -> ((s, d) => {
       val o = load(s, d, "orders")
         .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("x"))
-      val wg = Window.partitionBy(col("prio")).orderBy(col("x"))
-      val wt = Window.partitionBy(col("prio"), col("x"))
-      val ranked = o
-        .withColumn("r2", lit(2L) * rank().over(wg) + count(lit(1)).over(wt) - 1L)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      val perPX = o.groupBy(col("prio"), col("x")).agg(count(lit(1)).as("ct"))
+      val withG = graft.operators.GlobalRank.attach(perPX,
+        Seq(col("prio").asc, col("x").asc), None, Seq("ct" -> "gpref"))
+      val bases = withG.groupBy(col("prio")).agg(
+        min(col("gpref")).as("base"), sum(col("ct")).as("ntot"))
+      val ranked = withG.join(broadcast(bases), "prio")
+        .withColumn("r2",
+          lit(2L) * (col("gpref") - col("base")) + col("ct") + lit(1L))
       val rhat = col("r2").cast("double") /
-        (lit(2.0) * (col("n") + 1L).cast("double"))
+        (lit(2.0) * (col("ntot") + 1L).cast("double"))
       ordered(ranked.groupBy(col("prio")).agg(
-        count(lit(1)).as("n"),
-        dsum4S(rhat).as("sum_rhat"),
-        dsum4S(rhat * rhat).as("sum_rhat_sq")))
+        sum(col("ct")).as("n"),
+        cstr(sum(dec4(rhat) * col("ct")).cast(dt)).as("sum_rhat"),
+        cstr(sum(dec4(rhat * rhat) * col("ct")).cast(dt)).as("sum_rhat_sq")))
     }),
 
     // ---- STAT-7: Gini concentration (`gini`) — the inequality statistic
@@ -290,15 +304,18 @@ object Stats {
     //      any tie order gives the SAME Σi·x since tied x's are equal),
     //      x's are exact decimals, so both moment sums are exact and G
     //      is one deterministic double division. Shape: the fact scan
-    //      reduces to the per-customer relation (map-side combined),
-    //      the rank window runs over THAT (customer-sized, same scale
-    //      note as STAT-2/6), and the output is 1 row. ----
+    //      reduces to the per-customer relation (map-side combined);
+    //      the rank over THAT runs as GlobalRank's two-pass distributed
+    //      row_number (range shuffle + pid-local window + broadcast
+    //      offsets — no single-partition exchange even when "customers"
+    //      means 10⁹ rows at 100 TB; plan-guarded), and the output is
+    //      1 row. ----
     "gini" -> ((s, d) => {
       val o = load(s, d, "orders")
       val per = o.groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).cast(DecimalType(19, 4)).as("x"))
-      val ranked = per.withColumn("i",
-        row_number().over(Window.orderBy(col("x").asc, col("o_custkey").asc)))
+      val ranked = graft.operators.GlobalRank.attach(per,
+        Seq(col("x").asc, col("o_custkey").asc), Some("i"))
       val one = ranked.agg(
         count(lit(1)).as("n"),
         sum(col("x")).cast("double").as("sx"),
@@ -322,22 +339,29 @@ object Stats {
     //      deterministic double expression (tie-variance correction
     //      omitted by declared semantics — ties are measure-zero on
     //      decimal value sums). Shape: the user-keyed aggregate (the
-    //      only data-sized shuffle) → ONE global rank window over the
-    //      user-count-sized relation (same scale note as STAT-2: users,
-    //      not events) → 1-row rollup. ----
+    //      only data-sized shuffle) → per-VALUE collapse (one row per
+    //      distinct y, carrying arm counts) → the min-rank recovered from
+    //      GlobalRank's distributed exclusive prefix count, never a
+    //      global rank window: rank(y) = 1 + #rows below y, so
+    //      2·avg_rank = 2·prefix + ct + 1 per tie group (algebraically
+    //      identical to the 2·rank()+ct−1 form, certified by the
+    //      unchanged oracle hash) → 1-row rollup. No single-partition
+    //      exchange at any width; plan-guarded. ----
     "mann_whitney" -> ((s, d) => {
       val e = load(s, d, "events")
       val perUser = e.groupBy(col("user_id"))
         .agg(sum(m(col("value"))).cast(mdt).as("y"))
         .withColumn("v", (col("user_id") % 2).cast("int"))
-      val ranked = perUser
-        .withColumn("rk", rank().over(Window.orderBy(col("y"))))
-        .withColumn("ct", count(lit(1)).over(Window.partitionBy(col("y"))))
-        .withColumn("r2", lit(2L) * col("rk") + col("ct") - lit(1L))
-      val one = ranked.agg(
-        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("v") === 1, col("r2")).otherwise(0L)).as("r2sum"))
+      val perY = perUser.groupBy(col("y")).agg(
+        count(lit(1)).as("ct"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"))
+      val withPrefix = graft.operators.GlobalRank.attach(perY,
+        Seq(col("y").asc), None, Seq("ct" -> "cbefore"))
+      val one = withPrefix.agg(
+        sum(col("c0")).as("n0"),
+        sum(col("c1")).as("n1"),
+        sum(col("c1") * (lit(2L) * col("cbefore") + col("ct") + lit(1L))).as("r2sum"))
       val u2 = col("r2sum") - col("n1") * (col("n1") + 1L) // = 2·U₁, exact
       val nn = col("n0").cast("double") * col("n1").cast("double")
       val z = (u2.cast("double") - nn) /
