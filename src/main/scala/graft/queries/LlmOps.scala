@@ -1532,10 +1532,14 @@ object LlmOps {
       // map-side-combined count + left-semi on (lang, gram) is result-
       // identical) is the standard open-web move — on Zipf text most
       // bigrams are singletons and the self-join inputs collapse. Measured
-      // HERE and rejected: this synthetic corpus has only 4,617 distinct
-      // bigrams and 99.98% of postings are df>=2, so the extra agg +
-      // semi-join + materialization bought nothing and cost 8% (8.8s vs
-      // 8.2s steady at sf0.1). At 100 TB on real text, reinstate it.
+      // HERE and rejected as the DEFAULT: this synthetic corpus has only
+      // 4,617 distinct bigrams and 99.98% of postings are df>=2, so the
+      // extra agg + semi-join + materialization bought nothing and cost 8%
+      // (8.8s vs 8.2s steady at sf0.1). The 100 TB reinstate is a CONFIG
+      // FLIP, not a rewrite: `spark.graft.ddp.ngram.dfPrefilter=true`
+      // routes through the filter (result-identity certified in
+      // PipelineOpsSpec — same pairs, same jaccards, both paths measured:
+      // flag off 8.2 s / on 8.8 s steady sf0.1).
       // NO explicit repartition around this checkpoint — measured both
       // placements and rejected both (steady sf0.1: plain 8.0 s, before
       // the checkpoint 7.9 s, after it 9.0 s). At this SF one posting
@@ -1549,7 +1553,13 @@ object LlmOps {
       // (OptimizeSkewedJoin requires ENSURE_REQUIREMENTS shuffles), and
       // hot grams are THE hazard of a posting self-join on Zipf text —
       // plan-guarded in PlanGuardSpec with broadcast disabled.
-      val g = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
+      val g0 = t.select(col("doc_id"), col("lang"), col("ng"), explode(col("grams")).as("gram"))
+      val g = (if (s.conf.getOption("spark.graft.ddp.ngram.dfPrefilter").exists(_.toBoolean))
+          g0.join(g0.groupBy(col("lang"), col("gram"))
+              .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+              .select(col("lang"), col("gram")),
+            Seq("lang", "gram"), "left_semi")
+        else g0)
         .pinned
       val a = g.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("ng").as("n1"), col("gram").as("gr1"))

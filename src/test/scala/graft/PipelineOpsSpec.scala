@@ -201,4 +201,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(a.toSeq == run().toSeq)
   }
+
+  test("ddp_ngram: the df>=2 prefilter flag is result-identical (the 100 TB reinstate)") {
+    // Singleton (lang, gram) postings cannot form a cross-doc pair, so the
+    // config-gated left-semi prune (`spark.graft.ddp.ngram.dfPrefilter`)
+    // must change the PLAN only: same pairs, same shared-gram counts, same
+    // jaccards. This is what makes the measured-and-rejected-at-this-SF
+    // optimization a config flip at open-web scale instead of a rewrite.
+    val key = "spark.graft.ddp.ngram.dfPrefilter"
+    def run() = SparkEntry.queries("ddp_ngram")(spark, sfDir)
+    val off = run()
+    spark.conf.set(key, "true")
+    try assertSameRows(off, run(), "ddp_ngram df-prefilter equivalence")
+    finally spark.conf.unset(key)
+  }
 }
