@@ -38,3 +38,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g is still modest, and SPARK_DRIVER_MEM overrides either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// ---- Second JDBC dialect (test-scope only) ----
+// JdbcDialectSpec certifies the production JDBC writer/reader/upsert
+// classes against a SECOND live dialect family: embedded DuckDB speaks
+// PostgreSQL-family SQL (case-preserving lowercase-folding identifiers,
+// TEXT/DOUBLE PRECISION type names, Spark's DEFAULT JdbcDialect) next to
+// the gated queries' Derby (SQL-standard family: uppercase folding, CLOB
+// string mapping via Spark's built-in DerbyDialect). The driver jar is
+// already present in this image's pre-warmed local coursier cache, so it
+// is attached as an UNMANAGED test jar — no new dependency resolution, no
+// network. If the jar is absent the glob finds nothing and the spec
+// self-cancels (assume()) rather than failing the build.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.headOption.map(Attributed.blank).toSeq
+}
