@@ -191,6 +191,35 @@ object Ingestion {
         .parquet(s"$dir/v1", s"$dir/v2")
         .select(col("o_orderkey"), decS(col("o_totalprice")).as("price"),
           col("o_orderstatus").as("status")))
+    }),
+
+    // ---- SNAP-1: atomic-publish read ([REF] `:147-149` load-then-signal).
+    //      The store holds v1 (base), v2 (repriced, published current) AND
+    //      a half-published v3 — data files on disk, pointer never swapped
+    //      (a simulated writer crash). The current read must surface
+    //      EXACTLY v2: matching the oracle's repriced base certifies both
+    //      that the publish was complete (no missing rows) and that the
+    //      crashed v3's orphan files are invisible (no extra/short rows).
+    //      The pointer-swap atomicity itself (no torn intermediate) is
+    //      SnapshotSpec's job; this gated row proves the reader protocol
+    //      over real files. ----
+    "snap_read" -> ((s, d) => {
+      val dir = snapshotOrders(s, d)
+      ordered(graft.core.Snapshot.read(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          dec4S(col("o_totalprice")).as("price")))
+    }),
+
+    // ---- SNAP-2: time-travel read — version directories are immutable,
+    //      so pinning v1 reproduces the pre-reprice table bit-for-bit
+    //      AFTER v2 was published over it (the audit/reproducibility read;
+    //      rollback is the same mechanism pointed at `_CURRENT`,
+    //      exercised in SnapshotSpec). ----
+    "snap_travel" -> ((s, d) => {
+      val dir = snapshotOrders(s, d)
+      ordered(graft.core.Snapshot.read(s, dir, Some(1L))
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          dec4S(col("o_totalprice")).as("price")))
     })
   )
 
@@ -206,6 +235,22 @@ object Ingestion {
       o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .write.mode("overwrite").parquet(s"$out/v2")
+    }
+
+  /** Versioned snapshot store over an orders keyslice (o_orderkey % 7 = 0),
+    * built once per (process, sfDir): v1 = base slice, v2 = repriced
+    * (+50.00) and published current, then a HALF-PUBLISHED v3 — data
+    * written, pointer never swapped — simulating a writer that crashed
+    * after its data write but before its commit. */
+  def snapshotOrders(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "orders_snap") { out =>
+      val base = load(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.core.Snapshot.publish(base, out)
+      graft.core.Snapshot.publish(
+        base.withColumn("o_totalprice", col("o_totalprice") + lit(50.0)), out)
+      // Crashed publish: files land under v=3 but _CURRENT still says 2.
+      base.limit(10).write.mode("overwrite").parquet(s"$out/v=3")
     }
 
   /** ORC copy of orders, built once per (process, sfDir) via
@@ -386,6 +431,25 @@ object Ingestion {
         |  max(o_orderdate) AS last_order
         |FROM merged
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, last_order NULLS FIRST""".stripMargin,
+
+    // The store's CURRENT version is v2 = the repriced base slice; the twin
+    // recomputes it from the original parquet. Equality certifies the
+    // publish was complete AND the crashed v3's orphan files are invisible
+    // (any v3 leak-through would change the row multiset).
+    "snap_read" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(CAST(floor((o_totalprice + 50.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey NULLS FIRST, status NULLS FIRST, price NULLS FIRST""".stripMargin,
+
+    // Time travel pins v1 = the pre-reprice base slice, read AFTER v2 was
+    // published over it — immutable version directories make the old table
+    // exactly reproducible.
+    "snap_travel" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(CAST(floor((o_totalprice)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey NULLS FIRST, status NULLS FIRST, price NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Snapshot
+
+/** Atomic-publish contract (SURVEY §2.1 SNAP rows; [REF] load-then-signal
+  * `:147-149`): readers must never observe a half-published table — not
+  * during a publish, not after a writer crash, not across a rollback. */
+class SnapshotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def table(version: Int, rows: Int) = {
+    import spark.implicits._
+    (1 to rows).map(i => (i.toLong, version)).toDF("id", "v")
+  }
+
+  test("publish/read/currentVersion round-trip; versions are immutable") {
+    val root = tempDir("snap_rt").toString
+    assert(Snapshot.currentVersion(root).isEmpty)
+    assert(Snapshot.publish(table(1, 10), root) == 1L)
+    assert(Snapshot.currentVersion(root).contains(1L))
+    assert(Snapshot.publish(table(2, 20), root) == 2L)
+    assert(Snapshot.read(spark, root).agg(count(lit(1)), max(col("v")))
+      .head().toSeq == Seq(20L, 2))
+    // time travel: v1 unchanged underneath v2
+    assert(Snapshot.read(spark, root, Some(1L)).agg(count(lit(1)), max(col("v")))
+      .head().toSeq == Seq(10L, 1))
+  }
+
+  test("a writer crash after data write but before commit is invisible to readers") {
+    val root = tempDir("snap_crash").toString
+    Snapshot.publish(table(1, 10), root)
+    // Simulated crash: v2 data fully or partially on disk, pointer untouched.
+    table(2, 5).write.mode("overwrite").parquet(s"$root/v=2")
+    assert(Snapshot.currentVersion(root).contains(1L))
+    assert(Snapshot.read(spark, root).agg(max(col("v"))).head().getInt(0) == 1,
+      "reader must resolve the pointer, never scan unpointed directories")
+    // The next successful publish supersedes the orphan (same version id
+    // is rewritten by the overwrite before the pointer ever moves).
+    assert(Snapshot.publish(table(2, 20), root) == 2L)
+    assert(Snapshot.read(spark, root).count() == 20L)
+  }
+
+  test("rollback re-points at a prior version in O(1); bad targets fail fast") {
+    val root = tempDir("snap_rb").toString
+    Snapshot.publish(table(1, 10), root)
+    Snapshot.publish(table(2, 20), root)
+    Snapshot.rollback(root, 1L)
+    assert(Snapshot.read(spark, root).agg(count(lit(1)), max(col("v")))
+      .head().toSeq == Seq(10L, 1))
+    intercept[IllegalArgumentException] { Snapshot.rollback(root, 99L) }
+    // Publishing after a rollback continues from the HIGHEST version ever
+    // written? No — from current+1 = 2, overwriting the rolled-back v2:
+    // the rollback declared v2 bad, so its id is reusable by design.
+    assert(Snapshot.publish(table(3, 30), root) == 2L)
+    assert(Snapshot.read(spark, root).count() == 30L)
+  }
+
+  test("concurrent readers during repeated publishes only ever see complete versions") {
+    // The atomicity sweep: a reader loop races 9 publishes. Every read
+    // must surface ONE complete version — correct row count for the
+    // version tag it carries, single distinct tag — and the observed
+    // version sequence must be monotone (the pointer never goes back in
+    // time during forward publishing).
+    val root = tempDir("snap_race").toString
+    Snapshot.publish(table(1, 100), root)
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val reader = new Thread(() => {
+      var last = 0
+      while (!stop && failure.isEmpty) {
+        val rows = Snapshot.read(spark, root).select(col("v")).collect().map(_.getInt(0))
+        val tags = rows.distinct
+        if (tags.length != 1)
+          failure = Some(s"mixed versions in one read: ${tags.mkString(",")}")
+        else if (rows.length != tags.head * 100)
+          failure = Some(s"v${tags.head} read ${rows.length} rows, expected ${tags.head * 100}")
+        else if (tags.head < last)
+          failure = Some(s"pointer went backwards: v$last then v${tags.head}")
+        else { last = tags.head; seen.add(tags.head) }
+      }
+    })
+    reader.start()
+    (2 to 10).foreach(v => Snapshot.publish(table(v, v * 100), root))
+    // Let the reader observe the final state at least once, then stop.
+    Thread.sleep(300)
+    stop = true
+    reader.join(30000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(seen.size() > 0 && seen.contains(10),
+      s"reader must have observed the final version; saw ${seen}")
+  }
+}
