@@ -269,9 +269,12 @@ object LlmOps {
     val scored = pos.join(counts, Seq("lang", "gram"))
       .join(broadcast(totals), Seq("lang"))
       .withColumn("logp", log(col("c2").cast("double") / col("n_lang").cast("double")))
-    scored.groupBy(col("doc_id"))
+    // lang rides the group key (functionally dependent on doc_id — same
+    // partitioning, zero extra shuffle) so LM-2's per-language bucketing
+    // reads it without a join back to the corpus.
+    scored.groupBy(col("doc_id"), col("lang"))
       .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("ps"))
-      .select(col("doc_id"), size(col("ps")).as("n_bigrams"),
+      .select(col("doc_id"), col("lang"), size(col("ps")).as("n_bigrams"),
         (negate(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("logp"))) /
           size(col("ps")).cast("double")).as("surp"))
   }
@@ -1657,6 +1660,62 @@ object LlmOps {
         .select(col("v1"), col("v2"), dec4S(col("cos")).as("cos")))
     }),
 
+    // ---- DDP-SEM: semantic deduplication (SemDeDup, Abbas et al. 2023,
+    //      public) — the third blocking strategy of the embedding-dedup
+    //      family and the one that finds PARAPHRASES: ddp_embed blocks by
+    //      sign buckets (data-independent), ddp_embed_multi ORs four of
+    //      them (recall lever), this blocks by LEARNED k-means clusters —
+    //      semantically close vectors land in the same cluster even when
+    //      they straddle a sign hyperplane, which is exactly the pair the
+    //      sign tables miss. Pipeline = the paper's: (1) assign every
+    //      vector to its nearest of k fixed centroids (kmeans_step's
+    //      exact-argmin machinery, dist ties → lowest cid); (2) WITHIN
+    //      each cluster, cosine over v1 < v2 pairs; (3) a vector is a
+    //      duplicate iff some LOWER-id cluster-mate sits at cos ≥ τ=0.4 —
+    //      keep-lowest-id is the paper's one-representative-per-group
+    //      rule made deterministic. Output = per-vector routing (cluster,
+    //      dup flag, lower-neighbor count, best cosine), the columns the
+    //      downstream keep-filter consumes. Scale: the O(n·k) assignment
+    //      broadcasts only the k centroids; the quadratic stage is
+    //      cluster-local (SemDeDup's entire point — k grows with the
+    //      corpus so E[cluster]² stays bounded, the paper runs k=50k on
+    //      LAION); nothing is ever all-pairs. At 100 TB the centroids
+    //      come from kmeans_iter's two-round certificate instead of raw
+    //      seeds — same assignment machinery either way. ----
+    "ddp_semantic" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
+          dot_product(dbl, dbl).as("vv"))
+        .withColumn("nrm", sqrt(col("vv")))
+        .pinned // read by the assignment and, through it, both pair sides
+      val seeds = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"),
+          col("vv").as("cc"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      val assigned = base.crossJoin(broadcast(seeds))
+        .withColumn("dist",
+          col("vv") + col("cc") - lit(2.0) * dot_product(col("v"), col("c")))
+        .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+        .pinned // read by both pair sides and the final routing join
+      val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+        col("v").as("e1"), col("nrm").as("n1"))
+      val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+        col("v").as("e2"), col("nrm").as("n2"))
+      val dups = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+        .withColumn("cos",
+          dot_product(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        .filter(col("cos") >= 0.4)
+        .groupBy(col("v2")).agg(count(lit(1)).as("nl"), max(col("cos")).as("best"))
+      ordered(assigned.join(dups, col("vec_id") === col("v2"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("nl").isNotNull.as("is_dup"),
+          coalesce(col("nl"), lit(0L)).as("n_lower_nbrs"),
+          dec4S(col("best")).as("best_cos")))
+    }),
+
     // ---- SMP-1: deterministic content-hash split — the holdout-split
     //      operator a training pipeline needs. Split is derived from the
     //      portable poly-hash of the full text (content-addressed: exact
@@ -2090,6 +2149,38 @@ object LlmOps {
       val sc = lmSurprisal(spread(load(s, d, "documents")))
       ordered(sc.select(col("doc_id"), col("n_bigrams"),
         dec4S(col("surp")).as("avg_surprisal")))
+    }),
+
+    // ---- LM-2: CCNet perplexity bucketing (Wenzek et al. 2019, public)
+    //      — the routing step LM-1 scores for: every doc lands in
+    //      head/middle/tail by PER-LANGUAGE tertiles of its avg bigram
+    //      surprisal (per-language cuts are the CCNet point — absolute
+    //      surprisal is not comparable across languages because each
+    //      lang's bigram distribution has its own entropy; a global cut
+    //      would route whole languages into one bucket). kept = not-tail
+    //      (head = boilerplate-adjacent but useful, middle = typical,
+    //      tail = the high-perplexity garbage a quality filter trims;
+    //      pipeline_curate's band gate is the two-sided variant).
+    //      Determinism: cuts are type-7 interpolated percentiles over
+    //      raw doubles (AGG-7/FE-1's cross-engine precedent), both
+    //      comparison sides dec4-rounded so no doc sits on an engine-
+    //      dependent double tie (§5.3). Shape: LM-1's machinery + ONE
+    //      per-lang exact-percentile aggregate over the |docs|-row score
+    //      relation (approx_percentile at 100 TB, AGG-11's declared
+    //      trade) + a |langs|-row broadcast cut attach — the bucketing
+    //      itself is a codegen'd projection, no extra data-sized
+    //      shuffle beyond LM-1's. ----
+    "lm_buckets" -> ((s, d) => {
+      val sc = lmSurprisal(spread(load(s, d, "documents"))).pinned
+      val cuts = sc.groupBy(col("lang")).agg(
+        percentile(col("surp"), array(lit(1.0 / 3), lit(2.0 / 3))).as("cs"))
+      val b = when(dec4(col("surp")) <= dec4(element_at(col("cs"), 1)), lit("head"))
+        .when(dec4(col("surp")) <= dec4(element_at(col("cs"), 2)), lit("middle"))
+        .otherwise(lit("tail"))
+      ordered(sc.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          dec4S(col("surp")).as("avg_surprisal"), b.as("bucket"),
+          (b =!= "tail").as("kept")))
     }),
 
     // ---- TXT-5: token counting (whitespace + regex tokenizers) ----
@@ -3472,6 +3563,39 @@ object LlmOps {
         |) WHERE cos >= 0.4
         |ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, cos NULLS FIRST""".stripMargin,
 
+    // kmeans_step's exact-argmin assignment CTEs, then cluster-local
+    // v1 < v2 cosine pairs and the lowest-id-wins dup census.
+    "ddp_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vv
+        |  FROM embeddings),
+        |b2 AS (SELECT vec_id, v, vv, sqrt(vv) AS nrm FROM base),
+        |seeds AS (SELECT CAST(vec_id AS INT) AS cid, v AS c, vv AS cc
+        |  FROM b2 WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT b.vec_id, s.cid, b.v, b.nrm,
+        |    b.vv + s.cc - 2.0 * list_sum(list_transform(list_zip(b.v, s.c), p -> p[1] * p[2])) AS dist
+        |  FROM b2 b CROSS JOIN seeds s),
+        |asg AS (
+        |  SELECT vec_id, cid, v, nrm,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM pairs),
+        |a AS (SELECT vec_id, cid, v, nrm FROM asg WHERE rn = 1),
+        |cand AS (
+        |  SELECT y.vec_id AS v2,
+        |    list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / (x.nrm * y.nrm) AS cos
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |dups AS (
+        |  SELECT v2, COUNT(1) AS nl, MAX(cos) AS best
+        |  FROM cand WHERE cos >= 0.4 GROUP BY v2)
+        |SELECT t.vec_id, t.cid,
+        |  d.v2 IS NOT NULL AS is_dup,
+        |  CAST(COALESCE(d.nl, 0) AS BIGINT) AS n_lower_nbrs,
+        |  CAST(CAST(floor((d.best)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS best_cos
+        |FROM a t LEFT JOIN dups d ON t.vec_id = d.v2
+        |ORDER BY vec_id NULLS FIRST, cid NULLS FIRST, is_dup NULLS FIRST, n_lower_nbrs NULLS FIRST, best_cos NULLS FIRST""".stripMargin,
+
     // The oracle may spell the 4-table union as one OR join — its cost is
     // irrelevant; only the declared pair set must match the engine's.
     "ddp_embed_multi" ->
@@ -3855,6 +3979,50 @@ object LlmOps {
         |    CAST(len(ls) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_surprisal
         |FROM agg
         |ORDER BY doc_id NULLS FIRST, n_bigrams NULLS FIRST, avg_surprisal NULLS FIRST""".stripMargin,
+
+    // LM-1's CTEs with lang carried through, then per-lang type-7 tertile
+    // cuts (quantile_cont = Spark's percentile, the AGG-7 precedent) and
+    // the dec4-both-sides bucket compare.
+    "lm_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), pos AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, len(ws))) AS pos,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w
+        |), counts AS (
+        |  SELECT lang, gram, COUNT(1) AS c2 FROM pos GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT lang, CAST(SUM(c2) AS BIGINT) AS n_lang FROM counts GROUP BY 1
+        |), scored AS (
+        |  SELECT p.doc_id, p.lang, p.pos,
+        |    ln(CAST(c.c2 AS DOUBLE) / CAST(t.n_lang AS DOUBLE)) AS logp
+        |  FROM pos p JOIN counts c USING (lang, gram) JOIN totals t USING (lang)
+        |), agg AS (
+        |  SELECT doc_id, lang, list(logp ORDER BY pos ASC) AS ls
+        |  FROM scored GROUP BY doc_id, lang
+        |), sc AS (
+        |  SELECT doc_id, lang, CAST(len(ls) AS INT) AS n_bigrams,
+        |    (-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls), (acc, x) -> acc + x))) /
+        |      CAST(len(ls) AS DOUBLE) AS surp
+        |  FROM agg
+        |), cuts AS (
+        |  SELECT lang, quantile_cont(surp, [1.0/3, 2.0/3]) AS cs FROM sc GROUP BY lang
+        |), r AS (
+        |  SELECT doc_id, sc.lang AS lang, n_bigrams, surp,
+        |    CASE WHEN CAST(floor((surp)*10000+0.5)/10000 AS DECIMAL(38,4)) <=
+        |              CAST(floor((cs[1])*10000+0.5)/10000 AS DECIMAL(38,4)) THEN 'head'
+        |         WHEN CAST(floor((surp)*10000+0.5)/10000 AS DECIMAL(38,4)) <=
+        |              CAST(floor((cs[2])*10000+0.5)/10000 AS DECIMAL(38,4)) THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM sc JOIN cuts USING (lang)
+        |)
+        |SELECT doc_id, lang, n_bigrams,
+        |  CAST(CAST(floor((surp)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_surprisal,
+        |  bucket, bucket <> 'tail' AS kept
+        |FROM r
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_bigrams NULLS FIRST, avg_surprisal NULLS FIRST, bucket NULLS FIRST, kept NULLS FIRST""".stripMargin,
 
     // The entropy fold mirrors the Spark side exactly: terms generated in
     // sorted-distinct-word order, left-folded from 0.0 — the same IEEE sum.

@@ -215,4 +215,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     try assertSameRows(off, run(), "ddp_ngram df-prefilter equivalence")
     finally spark.conf.unset(key)
   }
+
+  test("ddp_semantic: routing totality, flag consistency, representative law, shared assignment") {
+    val out = SparkEntry.queries("ddp_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val nVecs = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.length == nVecs, s"${out.length} routing rows for $nVecs vectors")
+    // is_dup is exactly "some lower cluster-mate at cos >= tau".
+    out.foreach { case (v, _, dup, nl) =>
+      assert(dup == (nl > 0), s"vec $v: is_dup=$dup but n_lower_nbrs=$nl")
+    }
+    // Keep-lowest-id: each cluster's smallest member has no lower mate, so
+    // it can never be a duplicate — every cluster keeps >= 1 representative.
+    out.groupBy(_._2).foreach { case (cid, ms) =>
+      val rep = ms.minBy(_._1)
+      assert(!rep._3, s"cluster $cid: lowest member ${rep._1} flagged dup")
+    }
+    // Drift guard: the assignment must be kmeans_step's (same seeds, same
+    // exact-argmin, same tie rule) — cluster populations must agree.
+    val km = SparkEntry.queries("kmeans_step")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mine = out.groupBy(_._2).map { case (c, ms) => c -> ms.length.toLong }
+    assert(mine == km, s"cluster sizes diverged from kmeans_step: $mine vs $km")
+  }
+
+  test("lm_buckets: consistency with lm_score, bucket interval order, kept law") {
+    val out = SparkEntry.queries("lm_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getString(4), r.getBoolean(5)))
+    // Totality + score consistency: same docs, same dec4 surprisal as LM-1.
+    val lm = SparkEntry.queries("lm_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.length == lm.size, s"${out.length} bucket rows vs ${lm.size} scored docs")
+    out.foreach { case (d, _, surp, _, _) =>
+      assert(lm(d) == surp, s"doc $d: bucket surprisal $surp != lm_score ${lm(d)}")
+    }
+    out.foreach { case (d, _, _, b, kept) =>
+      assert(kept == (b != "tail"), s"doc $d: kept=$kept bucket=$b")
+    }
+    // Buckets are INTERVALS of the dec4 score within each language (the
+    // cut compare is dec4-both-sides, so equal scores share a bucket and
+    // head < middle < tail strictly in score space).
+    out.groupBy(_._2).foreach { case (lang, ds) =>
+      val by = ds.groupBy(_._4).view.mapValues(_.map(x => BigDecimal(x._3))).toMap
+      for ((lo, hi) <- Seq("head" -> "middle", "middle" -> "tail"))
+        if (by.contains(lo) && by.contains(hi))
+          assert(by(lo).max < by(hi).min,
+            s"$lang: max($lo)=${by(lo).max} !< min($hi)=${by(hi).min}")
+      // Tertile balance up to dec4 ties: no bucket more than 2 off a third.
+      val n = ds.length
+      by.values.foreach(b => assert(math.abs(b.size - n / 3.0) <= 2.0,
+        s"$lang buckets ${by.view.mapValues(_.size).toMap} vs n=$n"))
+    }
+  }
 }
