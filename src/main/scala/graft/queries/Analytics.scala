@@ -199,6 +199,53 @@ object Analytics {
           dec4S(hmean / col("gmean")).as("seasonal_idx")))
     }),
 
+    // ---- TS-5: seasonal-residual anomaly gate (`anomaly_seasonal`) —
+    //      the composition TS-2's scaladoc declares ("ANOM-1 on
+    //      deseasonalized residuals is the standard composition"), made a
+    //      first-class op: a raw MAD gate on a strongly seasonal measure
+    //      flags every quiet-hour row and misses daytime spikes, so first
+    //      SUBTRACT the expected (type, hour-of-day) level, THEN run the
+    //      robust median/MAD gate per type on what remains. Residual =
+    //      value − seasonal mean (mean finished from the exact decimal
+    //      per-cell sum, so the subtracted double is engine-identical);
+    //      gate = ANOM-1's modified z: |resid − med| > 3·1.4826·MAD with
+    //      both compare sides dec4-rounded (§5.3 — no engine-dependent
+    //      double ties at the threshold). Output = per-type census
+    //      (n, med/mad of residuals, out/low/high counts) — ANOM-1's
+    //      exact columns, one decomposition deeper. Shape: ONE
+    //      (|types|×24)-group map-side-combined aggregate builds the
+    //      profile (broadcast back — the profile is domain-sized, never
+    //      data-sized), residual relation pinned once (read by the med,
+    //      MAD, and census passes), per-type exact percentiles switch to
+    //      approx_percentile at 100 TB per-group volume (AGG-11's
+    //      declared trade, same as ANOM-1's). ----
+    "anomaly_seasonal" -> ((s, d) => {
+      val e = load(s, d, "events").select(col("event_type").as("typ"),
+        hour(col("ts")).as("hh"), col("value"))
+      val prof = e.groupBy(col("typ"), col("hh")).agg(
+          count(lit(1)).as("np"), sum(dec(col("value"))).as("sv"))
+        .select(col("typ"), col("hh"),
+          (col("sv").cast("double") / col("np").cast("double")).as("smean"))
+      val r = e.join(broadcast(prof), Seq("typ", "hh"))
+        .select(col("typ"), (col("value") - col("smean")).as("resid"))
+        .pinned // read by the med, mad, and census passes
+      val med = r.groupBy(col("typ")).agg(expr("percentile(resid, 0.5)").as("med"))
+      val mad = r.join(broadcast(med), Seq("typ"))
+        .withColumn("adev", abs(col("resid") - col("med")))
+        .groupBy(col("typ"))
+        .agg(min(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+      val out = (dec4(abs(col("resid") - col("med"))) >
+        dec4(lit(4.4478) * col("mad")))
+      ordered(r.join(broadcast(mad), Seq("typ"))
+        .groupBy(col("typ"))
+        .agg(count(lit(1)).as("n"),
+          dec4S(min(col("med"))).as("med_resid"),
+          dec4S(min(col("mad"))).as("mad_resid"),
+          count(when(out, 1)).as("n_out"),
+          count(when(out && col("resid") < col("med"), 1)).as("n_low"),
+          count(when(out && col("resid") > col("med"), 1)).as("n_high")))
+    }),
+
     // ---- SPL-1: LEAKAGE-SAFE train/val/test assignment — the fix for
     //      the failure mode DDP-LEAK (`split_leakage`) audits: a per-doc
     //      hash split (SMP-1) puts two copies of the same document on
@@ -667,6 +714,33 @@ object Analytics {
         |  CAST(CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / gmean)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS seasonal_idx
         |FROM h CROSS JOIN g
         |ORDER BY hh NULLS FIRST, n NULLS FIRST, mean_value NULLS FIRST, seasonal_idx NULLS FIRST""".stripMargin,
+
+    // TS-2's profile CTEs + ANOM-1's MAD-census SQL, run on the residuals.
+    "anomaly_seasonal" ->
+      """WITH e AS (SELECT event_type AS typ, hour(ts) AS hh, value FROM events),
+        |p AS (SELECT typ, hh, COUNT(*) AS np, SUM(CAST(value AS DECIMAL(38,4))) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT e.typ, e.value - CAST(p.sv AS DOUBLE) / CAST(p.np AS DOUBLE) AS resid
+        |  FROM e JOIN p ON e.typ = p.typ AND e.hh = p.hh),
+        |med AS (SELECT typ, quantile_cont(resid, 0.5) AS med FROM r GROUP BY 1),
+        |mad AS (SELECT r.typ, MIN(m.med) AS med,
+        |    quantile_cont(abs(r.resid - m.med), 0.5) AS mad
+        |  FROM r JOIN med m ON r.typ = m.typ GROUP BY r.typ)
+        |SELECT r.typ, COUNT(1) AS n,
+        |  CAST(CAST(floor(MIN(g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS med_resid,
+        |  CAST(CAST(floor(MIN(g.mad)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mad_resid,
+        |  COUNT(CASE WHEN CAST(floor(abs(r.resid - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4)) THEN 1 END) AS n_out,
+        |  COUNT(CASE WHEN CAST(floor(abs(r.resid - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |    AND r.resid < g.med THEN 1 END) AS n_low,
+        |  COUNT(CASE WHEN CAST(floor(abs(r.resid - g.med)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((4.4478*g.mad)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |    AND r.resid > g.med THEN 1 END) AS n_high
+        |FROM r JOIN mad g ON r.typ = g.typ
+        |GROUP BY r.typ
+        |ORDER BY r.typ NULLS FIRST, n NULLS FIRST, med_resid NULLS FIRST, mad_resid NULLS FIRST,
+        |  n_out NULLS FIRST, n_low NULLS FIRST, n_high NULLS FIRST""".stripMargin,
 
     "split_assign" ->
       """WITH r AS (

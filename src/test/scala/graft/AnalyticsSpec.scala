@@ -154,6 +154,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
   }
 
+  test("anomaly_seasonal: equals a driver-side replay (profile subtraction, type-7 medians, dec4 gate)") {
+    val out = SparkEntry.queries("anomaly_seasonal")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        BigDecimal(r.getString(2)), BigDecimal(r.getString(3)),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // Spark supplies hour() and the canonical decimal cast; everything
+    // after is pure-Scala replay of the declared semantics.
+    val e = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), hour(col("ts")), col("value"),
+        graft.core.Tables.dec(col("value")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        BigDecimal(r.getDecimal(3))))
+    def t7(xs: Seq[Double]): Double = { // the shared type-7 interpolation
+      val s = xs.sorted; val h = (s.length - 1) * 0.5; val lo = h.toInt
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * (h - lo) else s(lo)
+    }
+    def d4(x: Double) = BigDecimal(math.floor(x * 10000 + 0.5) / 10000)
+    val smean = e.groupBy(x => (x._1, x._2)).map { case (k, g) =>
+      k -> (g.map(_._4).sum.toDouble / g.length)
+    }
+    val byType = e.groupBy(_._1)
+    assert(out.keySet == byType.keySet, "census totality over event types")
+    byType.foreach { case (typ, g) =>
+      val resid = g.map(x => x._3 - smean((x._1, x._2))).toSeq
+      val med = t7(resid)
+      val mad = t7(resid.map(x => math.abs(x - med)))
+      val fire = resid.filter(x => d4(math.abs(x - med)) > d4(4.4478 * mad))
+      val (n, m, md, nOut, nLow, nHigh) = out(typ)
+      assert(n == g.length, s"$typ: n $n != ${g.length}")
+      assert(m == d4(med) && md == d4(mad), s"$typ: med/mad $m/$md vs ${d4(med)}/${d4(mad)}")
+      assert(nOut == fire.length && nLow == fire.count(_ < med) &&
+        nHigh == fire.count(_ > med), s"$typ: gate $nOut/$nLow/$nHigh")
+      assert(nOut == nLow + nHigh, s"$typ: out != low + high")
+    }
+  }
+
   test("acf: laws — constant series → NULL, contiguous pair counts, lag-1 matches builtin corr") {
     import spark.implicits._
     // Law 1 (crafted corpus): a CONSTANT hourly series has zero variance at
