@@ -54,12 +54,31 @@ object Snapshot {
   }
 
   /** Publish `df` as the next version: write the data fully, then swap
-    * the pointer. Returns the published version id. */
-  def publish(df: DataFrame, root: String): Long = {
+    * the pointer. Returns the published version id.
+    *
+    * `meta` entries land in a `_META` sidecar INSIDE the version
+    * directory BEFORE the pointer moves, so a published version is
+    * self-describing (scans ignore underscore-prefixed files). The
+    * streaming sink uses this to stamp each version with the epoch that
+    * produced it — the replay guard reads it back instead of keeping
+    * sink-side state that could diverge from the store. */
+  def publish(df: DataFrame, root: String,
+              meta: Map[String, String] = Map.empty): Long = {
     val next = currentVersion(root).getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(vdir(root, next).toString)
+    if (meta.nonEmpty)
+      Files.writeString(vdir(root, next).resolve("_META"),
+        meta.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     swapPointer(root, next)
     next
+  }
+
+  /** The `_META` sidecar of a version (empty map if none was written). */
+  def meta(root: String, v: Long): Map[String, String] = {
+    val p = vdir(root, v).resolve("_META")
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }.toMap
   }
 
   /** Point `_CURRENT` back at an existing, fully-published version — the

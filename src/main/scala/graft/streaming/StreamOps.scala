@@ -710,6 +710,50 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-SNAP: streaming atomic versioned publish — STR-CDC's swap
+    * upgraded to the full [[graft.core.Snapshot]] pointer store. Each
+    * non-empty epoch of a Complete-mode aggregate is published as the
+    * next immutable `v=N` version; concurrent readers resolve `_CURRENT`
+    * and can never observe a half-written epoch, and every historical
+    * epoch stays time-travel-readable (the audit trail STR-CDC's
+    * single-version swap discards). Exactly-once at the sink: foreachBatch
+    * is at-least-once (a crash between the publish and the checkpoint
+    * commit redelivers the epoch), so each version's `_META` carries the
+    * epoch id that produced it and a redelivered epoch ≤ the current
+    * version's is SKIPPED — the guard state lives in the store itself,
+    * not in sink memory, so it survives restarts by construction.
+    * 100 TB: Complete mode re-emits the whole aggregate per epoch, which
+    * is right for domain-sized aggregates (this shape); data-sized
+    * results switch to Update/Append + partition-level publish — the
+    * pointer-swap commit is unchanged. */
+  def runVersionedPublish(agg: DataFrame, root: String,
+                          checkpointDir: String): Unit = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishEpochGuarded(batch, root, batchId); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The STR-SNAP epoch commit, factored for direct redelivery testing:
+    * publish `batch` as the next version stamped with `epoch`, unless the
+    * store's current version was already produced by this or a later
+    * epoch (the at-least-once replay case). Returns the published version
+    * id, or None when the guard skipped. */
+  def publishEpochGuarded(batch: DataFrame, root: String,
+                          epoch: Long): Option[Long] = {
+    val published = graft.core.Snapshot.currentVersion(root)
+      .flatMap(v => graft.core.Snapshot.meta(root, v).get("epoch"))
+      .map(_.toLong)
+    if (published.exists(_ >= epoch)) None
+    else Some(graft.core.Snapshot.publish(batch, root,
+      Map("epoch" -> epoch.toString)))
+  }
+
   /** Drain a streaming frame into an in-memory table and return the result
     * (test/verification harness; Complete mode for aggregations, Update for
     * flatMapGroupsWithState, Append otherwise). */

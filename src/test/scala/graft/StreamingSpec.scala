@@ -715,6 +715,53 @@ class StreamingSpec extends AnyFunSuite {
       "the parked dir must be consumed by the swap")
   }
 
+  test("STR-SNAP versioned publish: epochs are atomic versions, time travel reads prefixes, replay guarded") {
+    import graft.core.Snapshot
+    val root = tempDir("snap_pub").toString
+    val ckpt = tempDir("snap_pub_ckpt").toString
+    val srcDir = tempDir("snap_pub_src")
+    val t0 = 1700000000000L
+    def aggOf(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.dsumS(col("value")).as("sv"))
+    def runOnce(): Unit = StreamOps.runVersionedPublish(
+      aggOf(spark.readStream.schema(eventsBatch.schema).parquet(srcDir.toString)),
+      root, ckpt)
+    // Three arrival waves; each wave is one epoch → one published version
+    // equal to the batch aggregate over the data seen SO FAR (Complete-mode
+    // state carries across the AvailableNow restarts via the checkpoint).
+    (0 until 3).foreach { i =>
+      writeSlice(eventsBatch.filter(col("event_id") % 3 === i),
+        srcDir, f"wave_$i%02d", t0 + i * 60000)
+      runOnce()
+      assert(Snapshot.currentVersion(root).contains((i + 1).toLong),
+        s"wave $i must publish version ${i + 1}")
+      assertSameRows(Snapshot.read(spark, root),
+        aggOf(eventsBatch.filter(col("event_id") % 3 <= i)),
+        s"STR-SNAP current after wave $i")
+    }
+    // Time travel: every historical epoch still reads exactly its prefix —
+    // the audit trail the single-version CDC swap cannot offer.
+    (0 until 3).foreach { i =>
+      assertSameRows(Snapshot.read(spark, root, Some(i + 1L)),
+        aggOf(eventsBatch.filter(col("event_id") % 3 <= i)),
+        s"STR-SNAP time travel to epoch $i")
+      assert(Snapshot.meta(root, i + 1L).get("epoch").contains(i.toString),
+        s"version ${i + 1} must be stamped with its epoch")
+    }
+    // Idle rerun (no new files): no batch fires, no version appears.
+    runOnce()
+    assert(Snapshot.currentVersion(root).contains(3L), "idle rerun must not publish")
+    // At-least-once redelivery: re-offering the LAST epoch's result (crash
+    // between publish and checkpoint commit) is skipped by the store-side
+    // guard; only a genuinely new epoch publishes.
+    val last = aggOf(eventsBatch)
+    assert(StreamOps.publishEpochGuarded(last, root, 2L).isEmpty,
+      "redelivered epoch must be skipped")
+    assert(Snapshot.currentVersion(root).contains(3L))
+    assert(StreamOps.publishEpochGuarded(last, root, 3L).contains(4L),
+      "a new epoch must publish")
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
