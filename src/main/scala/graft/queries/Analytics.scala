@@ -444,6 +444,53 @@ object Analytics {
         .withColumn("term", cstr(col("term_d"))).drop("term_d"))
     }),
 
+    // ---- DRIFT-2: exact two-sample Kolmogorov–Smirnov drift (`drift_ks`)
+    //      — DRIFT-1's unbinned sibling: PSI needs a bin design and goes
+    //      blind to within-bin shifts; KS is the distribution-free test on
+    //      the raw ECDFs, D = max_x |F_A(x) − F_B(x)| over the same
+    //      temporal halves (training-vs-serving drift's standard
+    //      significance readout). Exact and DISTRIBUTED: collapse to one
+    //      row per distinct value carrying both halves' counts, then
+    //      GlobalRank's two-pass exclusive prefix under value order
+    //      recovers each ECDF step with NO single-task sort (the r7
+    //      two-pass-rank machinery's third consumer, after gini and
+    //      mann_whitney) — at 100 TB the value-collapse is the only
+    //      data-sized shuffle and the ranked relation is
+    //      |distinct values|-sized. Argmax ties → smallest value (same
+    //      doubles both engines, so the tie set is engine-identical);
+    //      reject = dec4(D) > dec4(c(α)·√((nA+nB)/(nA·nB))) at α=0.05
+    //      (c = 1.3581, Smirnov's asymptote), dec4-both-sides (§5.3). ----
+    "drift_ks" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val mid = e.agg(call_function("div",
+        unix_micros(min(col("ts"))) + unix_micros(max(col("ts"))), lit(2L)).as("mid"))
+      val perV = e.crossJoin(broadcast(mid))
+        .select(col("value"),
+          when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L).as("ia"))
+        .groupBy(col("value"))
+        .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      val withP = graft.operators.GlobalRank.attach(perV,
+        Seq(col("value").asc), None, Seq("ca" -> "pa", "cb" -> "pb"))
+        .pinned // read by the totals, the max pass, and the argmax pass
+      val tot = withP.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val diff = abs(
+        (col("pa") + col("ca")).cast("double") / col("na").cast("double") -
+        (col("pb") + col("cb")).cast("double") / col("nb").cast("double"))
+      val scored = withP.crossJoin(broadcast(tot)).withColumn("diff", diff)
+      val dmax = scored.agg(max(col("diff")).as("dmax"))
+      val thr = lit(1.3581) * sqrt(
+        (col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double"))
+      ordered(scored.crossJoin(broadcast(dmax))
+        .filter(col("diff") === col("dmax"))
+        .groupBy(col("na"), col("nb"), col("dmax"))
+        .agg(min(col("value")).as("atv"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          dec4S(col("dmax")).as("ks_d"),
+          dec4S(col("atv")).as("at_value"),
+          (dec4(col("dmax")) > dec4(thr)).as("reject")))
+    }),
+
     "skyline" -> ((s, d) => {
       val p = load(s, d, "part")
       val g = p.groupBy(col("p_retailprice").as("price"))
@@ -629,6 +676,37 @@ object Analytics {
         |  CAST(term_d AS VARCHAR) AS term
         |FROM h
         |ORDER BY bin NULLS FIRST, n_a NULLS FIRST, n_b NULLS FIRST, p_a NULLS FIRST, p_b NULLS FIRST, chi2 NULLS FIRST, term NULLS FIRST""".stripMargin,
+
+    // The oracle spells the distributed two-pass prefix as one running-sum
+    // window over the distinct-value relation — same ECDF steps.
+    "drift_ks" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events),
+        |pv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END) AS cb
+        |  FROM events CROSS JOIN b GROUP BY value),
+        |cum AS (
+        |  SELECT value,
+        |    SUM(ca) OVER (ORDER BY value ASC) AS cuma,
+        |    SUM(cb) OVER (ORDER BY value ASC) AS cumb
+        |  FROM pv),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+        |sc AS (
+        |  SELECT value, na, nb,
+        |    abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
+        |        CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS diff
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(diff) AS dmax FROM sc)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ks_d,
+        |  CAST(CAST(floor((MIN(value))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS at_value,
+        |  CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS reject
+        |FROM sc CROSS JOIN mx WHERE diff = dmax
+        |GROUP BY na, nb, dmax
+        |ORDER BY n_a NULLS FIRST, n_b NULLS FIRST, ks_d NULLS FIRST, at_value NULLS FIRST, reject NULLS FIRST""".stripMargin,
 
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

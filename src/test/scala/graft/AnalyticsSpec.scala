@@ -154,6 +154,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(weighted - 1.0) < 1e-3, s"weighted index $weighted")
   }
 
+  test("drift_ks: equals a driver-side exact ECDF replay; argmax is the smallest maximizer") {
+    val Array(row) = SparkEntry.queries("drift_ks")(spark, TestSpark.sfDir).collect()
+    val e = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mid = (e.map(_._1).min + e.map(_._1).max) / 2
+    val (ha, hb) = e.partition(_._1 < mid)
+    val (na, nb) = (ha.length, hb.length)
+    val aCnt = ha.groupBy(_._2).view.mapValues(_.length).toMap
+    val bCnt = hb.groupBy(_._2).view.mapValues(_.length).toMap
+    var (ca, cb, dmax, atv) = (0, 0, 0.0, Double.NaN)
+    e.map(_._2).distinct.sorted.foreach { v =>
+      ca += aCnt.getOrElse(v, 0); cb += bCnt.getOrElse(v, 0)
+      val diff = math.abs(ca.toDouble / na - cb.toDouble / nb)
+      if (diff > dmax) { dmax = diff; atv = v } // strict > == smallest argmax
+    }
+    def d4(x: Double) = BigDecimal(math.floor(x * 10000 + 0.5) / 10000)
+    assert(row.getLong(0) == na && row.getLong(1) == nb, "half sizes")
+    assert(BigDecimal(row.getString(2)) == d4(dmax), s"D ${row.getString(2)} vs ${d4(dmax)}")
+    assert(BigDecimal(row.getString(3)) == d4(atv), s"argmax ${row.getString(3)} vs ${d4(atv)}")
+    val thr = 1.3581 * math.sqrt((na + nb).toDouble / (na.toLong * nb).toDouble)
+    assert(row.getBoolean(4) == (d4(dmax) > d4(thr)), "reject flag vs Smirnov threshold")
+  }
+
   test("anomaly_seasonal: equals a driver-side replay (profile subtraction, type-7 medians, dec4 gate)") {
     val out = SparkEntry.queries("anomaly_seasonal")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) -> ((r.getLong(1),
