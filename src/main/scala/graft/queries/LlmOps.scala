@@ -977,6 +977,72 @@ object LlmOps {
           dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
     }),
 
+    // ---- SIM-EVAL2: ranked-retrieval quality audit (`ann_ndcg`) —
+    //      ivf_eval grades the IVF index on recall alone; this grades the
+    //      sign-LSH index on the three metrics a retrieval eval actually
+    //      reports: recall@3 (coverage), MRR (how early the first true
+    //      neighbor appears), and binary-gain nDCG@3 (position-weighted
+    //      coverage — the metric that penalizes a right answer ranked
+    //      last). Truth = brute-force top-3 (sim1's semantics), approx =
+    //      sim1_lsh's bucket-pruned top-3; every query keeps a row even
+    //      when its bucket yields NOTHING (n_ret=0, all metrics 0) — an
+    //      eval that silently drops empty-result queries overstates the
+    //      index, the audit-your-sketch rule (ddp_eval). Determinism:
+    //      DCG position discounts 1/log2(i+1) are PRECOMPUTED literals
+    //      (dq_benford's no-runtime-log rule) and each term is
+    //      dec4-quantized BEFORE the sum, so the 3-double addition is an
+    //      exact decimal fold in both engines (§5.3 — a raw double Σ of
+    //      {1.0, 0.6309…, 0.5} is order-sensitive in the last ulp);
+    //      nDCG = that exact sum / the dec4 ideal 2.1309. Scale: truth
+    //      is the measured leg (query-batch × corpus, declared
+    //      sample-able like ddp_eval's); the approx leg is the index's
+    //      own bucket-pruned cost; metrics are |queries|-row arithmetic. ----
+    "ann_ndcg" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      def bucket = (when(element_at(col("e"), 1) > 0.0, 4).otherwise(0) +
+        when(element_at(col("e"), 2) > 0.0, 2).otherwise(0) +
+        when(element_at(col("e"), 3) > 0.0, 1).otherwise(0)).cast("int")
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+          sqrt(dot_product(dbl, dbl)).as("nrm"))
+        .withColumn("bucket", bucket)
+        .pinned // read by the query spine, the truth leg, and the approx leg
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket").as("cb"))
+      val dot = dot_product(col("qe"), col("ce"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      val truth = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+      val approx = broadcast(q).join(c,
+          col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"))
+      val disc = when(col("rn") === 1, lit(1.0))
+        .when(col("rn") === 2, lit(0.6309297535714574)).otherwise(lit(0.5))
+      val hit = col("tn").isNotNull
+      val perq = approx.join(truth,
+          col("query_id") === col("tq") && col("neighbor_id") === col("tn"), "left")
+        .groupBy(col("query_id")).agg(
+          count(lit(1)).as("nr"),
+          count(col("tn")).as("nh"),
+          min(when(hit, col("rn"))).as("frank"),
+          dsum4(when(hit, disc).otherwise(lit(0.0))).as("dcg"))
+      ordered(q.select(col("query_id")).join(perq, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("nr"), lit(0L)).as("n_ret"),
+          coalesce(col("nh"), lit(0L)).as("n_hit"),
+          dec4S(coalesce(col("nh").cast("double") / lit(3.0), lit(0.0))).as("recall"),
+          dec4S(coalesce(lit(1.0) / col("frank"), lit(0.0))).as("mrr"),
+          dec4S(coalesce(col("dcg").cast("double") / lit(2.1309), lit(0.0))).as("ndcg")))
+    }),
+
     // ---- KM-2: two Lloyd rounds + the monotone certificate
     //      (`kmeans_iter`) — KM-1 is one assignment; this CLOSES the
     //      loop: assign to the 8 seeds, recompute centroids EXACTLY
@@ -3367,6 +3433,54 @@ object LlmOps {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    // Brute truth + bucket-pruned approx, both ranked; DCG terms dec4-
+    // quantized pre-sum (exact decimal fold) with literal log2 discounts.
+    "ann_ndcg" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST((CASE WHEN embedding[1] > 0.0 THEN 4 ELSE 0 END) +
+        |         (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN embedding[3] > 0.0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  FROM embeddings),
+        |ts AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS s
+        |  FROM base q JOIN base c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+        |    FROM ts) WHERE rn <= 3),
+        |asq AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS s
+        |  FROM base q JOIN base c
+        |    ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        |ar AS (SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+        |    FROM asq) WHERE rn <= 3),
+        |j AS (
+        |  SELECT ar.query_id, ar.rn, tr.neighbor_id AS tn
+        |  FROM ar LEFT JOIN tr
+        |    ON ar.query_id = tr.query_id AND ar.neighbor_id = tr.neighbor_id),
+        |perq AS (
+        |  SELECT query_id, COUNT(1) AS nr, COUNT(tn) AS nh,
+        |    MIN(CASE WHEN tn IS NOT NULL THEN rn END) AS frank,
+        |    SUM(CAST(floor((CASE WHEN tn IS NOT NULL THEN
+        |        CAST(CASE WHEN rn = 1 THEN 1.0 WHEN rn = 2 THEN 0.6309297535714574 ELSE 0.5 END AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END)*10000+0.5)/10000 AS DECIMAL(38,4))) AS dcg
+        |  FROM j GROUP BY query_id),
+        |spine AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10)
+        |SELECT query_id,
+        |  CAST(COALESCE(nr, 0) AS BIGINT) AS n_ret,
+        |  CAST(COALESCE(nh, 0) AS BIGINT) AS n_hit,
+        |  CAST(CAST(floor((COALESCE(CAST(nh AS DOUBLE) / 3.0, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall,
+        |  CAST(CAST(floor((COALESCE(CAST(1.0 AS DOUBLE) / frank, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mrr,
+        |  CAST(CAST(floor((COALESCE(CAST(dcg AS DOUBLE) / 2.1309, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ndcg
+        |FROM spine LEFT JOIN perq USING (query_id)
+        |ORDER BY query_id NULLS FIRST, n_ret NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST, mrr NULLS FIRST, ndcg NULLS FIRST""".stripMargin,
 
     "sim1_lsh_multi" ->
       """WITH base AS (

@@ -216,6 +216,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("ann_ndcg: totality over queries, metric identities, consistency with sim1/sim1_lsh") {
+    val out = SparkEntry.queries("ann_ndcg")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getString(3)), BigDecimal(r.getString(4)), BigDecimal(r.getString(5))))
+    assert(out.map(_._1).toSet == (0L to 9L).toSet, "one row per query, always")
+    // The eval must grade exactly the surfaces the gated ANN queries ship:
+    // truth = sim1's brute top-3, approx = sim1_lsh's bucket-pruned top-3.
+    val truth = SparkEntry.queries("sim1")(spark, sfDir).collect()
+      .filter(_.getInt(1) <= 3).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SparkEntry.queries("sim1_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def d4(x: Double) = BigDecimal(math.floor(x * 10000 + 0.5) / 10000)
+    val disc = Map(1 -> 1.0, 2 -> 0.6309297535714574, 3 -> 0.5)
+    out.foreach { case (q, nr, nh, rec, mrr, ndcg) =>
+      val aq = approx.filter(_._1 == q)
+      val hq = aq.filter(a => truth.contains((a._1, a._3)))
+      assert(nr == aq.length, s"q$q returned $nr vs sim1_lsh ${aq.length}")
+      assert(nh == hq.length, s"q$q hits $nh vs recount ${hq.length}")
+      assert(rec == d4(nh / 3.0), s"q$q recall")
+      assert(mrr == hq.map(_._2).sorted.headOption
+        .map(r => d4(1.0 / r)).getOrElse(BigDecimal(0)), s"q$q mrr")
+      val dcg = hq.map(h => d4(disc(h._2))).sum
+      assert(ndcg == d4((dcg / BigDecimal("2.1309")).toDouble), s"q$q ndcg")
+      assert(rec <= 1 && ndcg <= 1, s"q$q metric bounds")
+      assert((mrr > 0) == (nh > 0) && (ndcg > 0) == (nh > 0), s"q$q zero laws")
+    }
+  }
+
   test("ddp_semantic: routing totality, flag consistency, representative law, shared assignment") {
     val out = SparkEntry.queries("ddp_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
