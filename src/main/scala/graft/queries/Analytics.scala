@@ -469,9 +469,12 @@ object Analytics {
           when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L).as("ia"))
         .groupBy(col("value"))
         .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      // NOT pinned: GlobalRank already pins the ranged relation internally,
+      // the prefix windows recompute from it for pennies (the relation is
+      // |distinct values|-sized), and an outer checkpoint would hide the
+      // _gr_ offset columns from the no-unpartitioned-window plan guard.
       val withP = graft.operators.GlobalRank.attach(perV,
         Seq(col("value").asc), None, Seq("ca" -> "pa", "cb" -> "pb"))
-        .pinned // read by the totals, the max pass, and the argmax pass
       val tot = withP.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       val diff = abs(
         (col("pa") + col("ca")).cast("double") / col("na").cast("double") -

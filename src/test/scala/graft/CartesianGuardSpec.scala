@@ -77,9 +77,17 @@ class CartesianGuardSpec extends AnyFunSuite {
     "kmeans_iter", // the 1-row reassignment-count attach on the round
                   // census (tfidf1's scalar shape); the distance passes
                   // are kmeans_step's declared vectors × k-seed probe
-    "kmeans_step" // vectors × broadcast k-row seed table: every vector
+    "kmeans_step", // vectors × broadcast k-row seed table: every vector
                   // must score against all k centroids by declared Lloyd
                   // semantics (sim1_ivf's cell-assignment shape)
+    "drift_ks",   // three 1-row scalar attaches (temporal midpoint, half
+                  // totals, the D max), all tfidf1's broadcast shape; the
+                  // value-collapse aggregate and GlobalRank's offset join
+                  // are equi-keyed
+    "ann_ndcg"    // truth leg = sim1's declared broadcast-query brute
+                  // shape (ivf_eval's whitelist rationale, sample-able at
+                  // scale); the approx leg is bucket-equi-keyed and the
+                  // audit join is equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
