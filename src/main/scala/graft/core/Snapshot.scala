@@ -97,6 +97,32 @@ object Snapshot {
     spark.read.parquet(vdir(root, v).toString)
   }
 
+  /** The declared fsck (scaladoc above): sweep orphan `v=N` directories
+    * left by crashed writers — every version ABOVE the published pointer
+    * is by construction unpointed data that never committed. A directory
+    * sweep, never a data repair; committed versions (≤ current) are
+    * untouched, so time travel and rollback targets survive. Returns the
+    * removed version ids. */
+  def fsck(root: String): Seq[Long] = {
+    val cur = currentVersion(root).getOrElse(0L)
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) return Nil
+    val removed = scala.collection.mutable.ArrayBuffer[Long]()
+    val kids = dir.toFile.listFiles()
+    if (kids != null) kids.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("v=")) n.drop(2).toLongOption.foreach { v =>
+        if (v > cur) { deleteRec(f); removed += v }
+      }
+    }
+    removed.sorted.toSeq
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   /** The atomic commit: readers observe the pointer before or after,
     * never in between. `REPLACE_EXISTING` + `ATOMIC_MOVE` is a single
     * rename(2) on POSIX — the same primitive a Hive-style job commit

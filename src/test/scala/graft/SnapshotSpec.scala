@@ -57,6 +57,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 30L)
   }
 
+  test("fsck sweeps crashed-writer orphans and only them; committed versions survive") {
+    val root = tempDir("snap_fsck").toString
+    Snapshot.publish(table(1, 10), root)
+    Snapshot.publish(table(2, 20), root)
+    // Two crashed publishes: data on disk, pointer never swapped.
+    table(3, 5).write.mode("overwrite").parquet(s"$root/v=3")
+    table(4, 5).write.mode("overwrite").parquet(s"$root/v=4")
+    assert(Snapshot.fsck(root) == Seq(3L, 4L))
+    assert(!new java.io.File(s"$root/v=3").exists() &&
+      !new java.io.File(s"$root/v=4").exists(), "orphans must be deleted")
+    // Committed versions untouched: current reads v2, time travel reads v1.
+    assert(Snapshot.read(spark, root).count() == 20L)
+    assert(Snapshot.read(spark, root, Some(1L)).count() == 10L)
+    assert(Snapshot.fsck(root).isEmpty, "a clean store sweeps nothing")
+    // The next publish after the sweep takes the reclaimed id.
+    assert(Snapshot.publish(table(3, 30), root) == 3L)
+    assert(Snapshot.read(spark, root).count() == 30L)
+  }
+
   test("concurrent readers during repeated publishes only ever see complete versions") {
     // The atomicity sweep: a reader loop races 9 publishes. Every read
     // must surface ONE complete version — correct row count for the
