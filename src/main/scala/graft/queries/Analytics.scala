@@ -476,9 +476,15 @@ object Analytics {
       val withP = graft.operators.GlobalRank.attach(perV,
         Seq(col("value").asc), None, Seq("ca" -> "pa", "cb" -> "pb"))
       val tot = withP.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // empty-half guard (drift_psi's NULLIF rule): a ≤1µs corpus puts
+      // every row in one half, the other ECDF is x/0 = Infinity, and the
+      // ANSI decimal render of the resulting D throws. NULL out the
+      // undefined ECDF instead → diff NULL → max NULL → empty result,
+      // identically in both engines.
+      def nz(c: Column): Column = when(c === 0L, lit(null)).otherwise(c)
       val diff = abs(
-        (col("pa") + col("ca")).cast("double") / col("na").cast("double") -
-        (col("pb") + col("cb")).cast("double") / col("nb").cast("double"))
+        (col("pa") + col("ca")).cast("double") / nz(col("na")).cast("double") -
+        (col("pb") + col("cb")).cast("double") / nz(col("nb")).cast("double"))
       val scored = withP.crossJoin(broadcast(tot)).withColumn("diff", diff)
       val dmax = scored.agg(max(col("diff")).as("dmax"))
       val thr = lit(1.3581) * sqrt(
@@ -698,8 +704,8 @@ object Analytics {
         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
         |sc AS (
         |  SELECT value, na, nb,
-        |    abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
-        |        CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS diff
+        |    abs(CAST(cuma AS DOUBLE) / CAST(NULLIF(na, 0) AS DOUBLE) -
+        |        CAST(cumb AS DOUBLE) / CAST(NULLIF(nb, 0) AS DOUBLE)) AS diff
         |  FROM cum CROSS JOIN tot),
         |mx AS (SELECT MAX(diff) AS dmax FROM sc)
         |SELECT na AS n_a, nb AS n_b,

@@ -180,6 +180,56 @@ class EdgeCorpusSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getString(5).toDouble == 0.0, s"chi2 nonzero: $r"))
   }
 
+  test("drift_ks: constant-value corpus reads D=0/no-reject; one-half corpus is empty, not a throw") {
+    import spark.implicits._
+    def events(rows: Seq[(Long, String, Double)]): String = {
+      val d = Files.createTempDirectory("ks_edge").toString
+      rows.map { case (id, ts, v) => (id, ts, 1L, "view", v, "{}") }
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    // Identical distributions in both halves: one distinct value, both
+    // ECDFs step 0→1 together — D is exactly 0 and the test cannot reject.
+    val const = SparkEntry.queries("drift_ks")(spark, events(Seq(
+      (1L, "2024-01-01 01:00:00", 5.0), (2L, "2024-01-01 02:00:00", 5.0),
+      (3L, "2024-01-01 03:00:00", 5.0)))).head
+    assert(const.getString(2) == "0.0000" && !const.getBoolean(4), s"got $const")
+    // ≤1µs span: mid == min ts, half A is empty, the ECDF is undefined —
+    // the NULLIF guard must yield the engine-consistent empty result, not
+    // an ANSI Infinity→decimal throw.
+    val oneHalf = SparkEntry.queries("drift_ks")(spark, events(Seq(
+      (1L, "2024-01-01 01:00:00", 1.0), (2L, "2024-01-01 01:00:00", 5.0))))
+    assert(oneHalf.isEmpty, "undefined KS must degrade to empty")
+  }
+
+  test("lm_buckets: a single-doc language lands in head; sub-bigram docs are silent") {
+    val out = SparkEntry.queries("lm_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    // doc 1 ("solo") has no bigrams → unscored → unrouted, like lm_score
+    assert(!out.exists(_._1 == 1L), "sub-bigram doc must not be routed")
+    assert(out.length == 7, s"7 scored docs, got ${out.length}")
+    // fr has ONE doc: both tertile cuts equal its own score → head by rule
+    val Seq(fr) = out.filter(_._2 == "fr").toSeq
+    assert(fr._3 == "head", s"single-doc language bucket: $fr")
+  }
+
+  test("ddp_semantic: routing laws hold on 2-d vectors with near-collinear clusters") {
+    val out = SparkEntry.queries("ddp_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.length == 8, "one routing row per vector")
+    out.foreach { case (v, _, dup, nl) => assert(dup == (nl > 0), s"vec $v") }
+    out.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(!ms.minBy(_._1)._3, s"cluster $cid lowest member flagged dup")
+    }
+    // Near-collinear 2-d vectors: every non-representative IS a duplicate
+    // at τ=0.4 — the dedup provably fires on this corpus.
+    assert(out.count(_._3) > 0, "no duplicate flagged on a near-collinear corpus")
+  }
+
   test("graph_triangles: empty fact table yields the all-zero census, never null") {
     val d = Files.createTempDirectory("tri_empty").toString
     import spark.implicits._
