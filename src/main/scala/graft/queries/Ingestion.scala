@@ -220,6 +220,38 @@ object Ingestion {
       ordered(graft.core.Snapshot.read(s, dir, Some(1L))
         .select(col("o_orderkey"), col("o_orderstatus").as("status"),
           dec4S(col("o_totalprice")).as("price")))
+    }),
+
+    // ---- SNAP-3: version diff (`snap_diff`) — the incremental read the
+    //      snapshot store's immutability buys (the Delta-CDF / Iceberg
+    //      incremental-scan shape): diff two PUBLISHED versions row-wise
+    //      into added / removed / changed / unchanged — what a downstream
+    //      consumer pulls instead of re-reading the whole table, and the
+    //      inverse of STR-CDC (that APPLIES a changelog; this DERIVES one
+    //      from two table states). The diff store's v2 exercises every
+    //      kind: keys %3=0 dropped, %3=1 repriced, %3=2 untouched, plus a
+    //      disjoint added slice. Shape: ONE key-equi full-outer join of
+    //      two version scans (both immutable parquet dirs — at 100 TB
+    //      both sides bucket by key and the join is exchange-free;
+    //      unchanged-row suppression is a filter, kept here as evidence
+    //      of exactness). ----
+    "snap_diff" -> ((s, d) => {
+      val dir = diffOrders(s, d)
+      val v1 = graft.core.Snapshot.read(s, dir, Some(1L))
+        .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("s1"),
+          col("o_totalprice").as("p1"))
+      val v2 = graft.core.Snapshot.read(s, dir, Some(2L))
+        .select(col("o_orderkey").as("k2"), col("o_orderstatus").as("s2"),
+          col("o_totalprice").as("p2"))
+      val change = when(col("k1").isNull, lit("added"))
+        .when(col("k2").isNull, lit("removed"))
+        .when(col("p1") =!= col("p2") || col("s1") =!= col("s2"), lit("changed"))
+        .otherwise(lit("unchanged"))
+      ordered(v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+          change.as("change"),
+          dec4S(col("p1")).as("price_before"),
+          dec4S(col("p2")).as("price_after")))
     })
   )
 
@@ -251,6 +283,24 @@ object Ingestion {
         base.withColumn("o_totalprice", col("o_totalprice") + lit(50.0)), out)
       // Crashed publish: files land under v=3 but _CURRENT still says 2.
       base.limit(10).write.mode("overwrite").parquet(s"$out/v=3")
+    }
+
+  /** Snapshot store for the version diff: v1 = orders keyslice
+    * (o_orderkey % 7 = 0), v2 = the same slice with keys %3=0 REMOVED,
+    * %3=1 repriced (+50.00), %3=2 untouched, plus the DISJOINT %7=1
+    * slice ADDED — every diff kind populated by construction. */
+  def diffOrders(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "orders_diff") { out =>
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = o.filter(col("o_orderkey") % 7 === 0)
+      graft.core.Snapshot.publish(base, out)
+      val v2 = base.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 1, col("o_totalprice") + lit(50.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 7 === 1))
+      graft.core.Snapshot.publish(v2, out)
     }
 
   /** ORC copy of orders, built once per (process, sfDir) via
@@ -450,6 +500,30 @@ object Ingestion {
       """SELECT o_orderkey, o_orderstatus AS status,
         |  CAST(CAST(floor((o_totalprice)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price
         |FROM orders WHERE o_orderkey % 7 = 0
-        |ORDER BY o_orderkey NULLS FIRST, status NULLS FIRST, price NULLS FIRST""".stripMargin
+        |ORDER BY o_orderkey NULLS FIRST, status NULLS FIRST, price NULLS FIRST""".stripMargin,
+
+    // Both versions recomputed from the parquet original, then the same
+    // key-equi full-outer diff classification.
+    "snap_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice + 50.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM o WHERE o_orderkey % 7 = 1),
+        |j AS (
+        |  SELECT v1.o_orderkey AS k1, v1.o_orderstatus AS s1, v1.o_totalprice AS p1,
+        |         v2.o_orderkey AS k2, v2.o_orderstatus AS s2, v2.o_totalprice AS p2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT COALESCE(k1, k2) AS o_orderkey,
+        |  CASE WHEN k1 IS NULL THEN 'added' WHEN k2 IS NULL THEN 'removed'
+        |       WHEN p1 <> p2 OR s1 <> s2 THEN 'changed' ELSE 'unchanged' END AS change,
+        |  CAST(CAST(floor((p1)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_before,
+        |  CAST(CAST(floor((p2)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS price_after
+        |FROM j
+        |ORDER BY o_orderkey NULLS FIRST, change NULLS FIRST, price_before NULLS FIRST, price_after NULLS FIRST""".stripMargin
   )
 }

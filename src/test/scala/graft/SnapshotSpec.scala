@@ -76,6 +76,38 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 30L)
   }
 
+  test("snap_diff: total key classification; the derived changelog applied to v1 reconstructs v2") {
+    val dir = graft.queries.Ingestion.diffOrders(spark, TestSpark.sfDir)
+    val diff = SparkEntry.queries("snap_diff")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(diff.map(_._1).distinct.length == diff.length, "one verdict per key")
+    def rows(v: Long) = Snapshot.read(spark, dir, Some(v))
+      .select(col("o_orderkey"),
+        graft.core.Tables.dec4S(col("o_totalprice")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (m1, m2) = (rows(1L), rows(2L))
+    assert(diff.map(_._1).toSet == (m1.keySet ++ m2.keySet), "classification totality")
+    diff.foreach {
+      case (k, "added", pb, pa) =>
+        assert(pb.isEmpty && !m1.contains(k) && m2.get(k) == pa, s"added $k")
+      case (k, "removed", pb, pa) =>
+        assert(pa.isEmpty && m1.get(k) == pb && !m2.contains(k), s"removed $k")
+      case (k, "changed", pb, pa) =>
+        assert(m1.get(k) == pb && m2.get(k) == pa && pb != pa, s"changed $k")
+      case (k, "unchanged", pb, pa) =>
+        assert(m1.get(k) == pb && m2.get(k) == pa && pb == pa, s"unchanged $k")
+      case other => fail(s"unknown change kind: $other")
+    }
+    assert(Seq("added", "removed", "changed", "unchanged")
+      .forall(kind => diff.exists(_._2 == kind)), "every diff kind fires")
+    // The round-trip that makes the diff a CHANGELOG: apply it to v1.
+    val applied = m1 -- diff.collect { case (k, "removed", _, _) => k } ++
+      diff.collect { case (k, kind, _, Some(pa))
+        if kind == "added" || kind == "changed" => k -> pa }
+    assert(applied == m2, "v1 + diff must reconstruct v2 exactly")
+  }
+
   test("concurrent readers during repeated publishes only ever see complete versions") {
     // The atomicity sweep: a reader loop races 9 publishes. Every read
     // must surface ONE complete version — correct row count for the
