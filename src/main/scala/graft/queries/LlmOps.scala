@@ -2903,6 +2903,58 @@ object LlmOps {
           .as("quota")))
     }),
 
+    // ---- MIX-3: temperature-scaled language sampling (`mix_temp`) — the
+    //      mT5/XLM-R α-power mix (Xue et al. 2021, public): sample lang l
+    //      with q_l ∝ p_l^α so low-resource languages are UPSAMPLED
+    //      relative to their corpus share (α=1 is proportional, α→0 is
+    //      uniform) — the third member of the mixing family: quota_alloc
+    //      is proportional, mix_plan caps at the scarcest, this
+    //      interpolates. α is pinned at 1/2 (T=2) DELIBERATELY: p^0.5 is
+    //      ONE sqrt, and IEEE-754 requires sqrt correctly rounded, so
+    //      both engines hold bit-identical temperature weights — p^0.3
+    //      would ride each engine's libm pow, the §5.3 hazard the
+    //      Benford/log-literal rules exist for. The |langs|-sized weight
+    //      sum folds in LANG order (collect→sort→fold — lm_score's
+    //      sorted-fold rule; a plain SUM of doubles is order-free only
+    //      by luck). Integer token budget B=1,000,000 allocated by
+    //      quota_alloc's largest-remainder: base = floor(B·q_l) (same
+    //      doubles → same floor), remainders ranked (rem desc, lang asc)
+    //      over the |langs|-row relation, Σ quota = B EXACTLY
+    //      (conservation spec-pinned). 100 TB: everything after the
+    //      map-side-combined per-lang token count is |langs|-row
+    //      arithmetic. ----
+    "mix_temp" -> ((s, d) => {
+      val B = 1000000L
+      val doc = load(s, d, "documents")
+      val inv = doc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val denom = inv.agg(
+        aggregate(array_sort(collect_list(struct(col("lang"), col("w")))),
+          lit(0.0), (acc, x) => acc + x("w")).as("wsum"),
+        sum(col("n_tokens")).as("all_tokens"))
+      val q = col("w") / col("wsum")
+      val based = inv.crossJoin(broadcast(denom))
+        .withColumn("q", q)
+        .withColumn("base", floor(lit(B.toDouble) * col("q")).cast("long"))
+        .withColumn("rem", lit(B.toDouble) * col("q") - col("base").cast("double"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val ranked = based
+        .withColumn("leftover", lit(B) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)))
+      ordered(ranked.select(col("lang"), col("n_docs"), col("n_tokens"),
+        dec4S(col("n_tokens").cast("double") / col("all_tokens").cast("double"))
+          .as("share_raw"),
+        dec4S(col("q")).as("share_temp"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota_tokens"),
+        dec4S(col("q") * col("all_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("upsample_factor")))
+    }),
+
     "mix_plan" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val inv = doc.groupBy(col("lang")).agg(
@@ -4388,6 +4440,36 @@ object LlmOps {
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM ranked
         |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, quota NULLS FIRST""".stripMargin,
+
+    // sqrt weights (IEEE-exact both engines), lang-ordered fold for the
+    // weight sum, quota_alloc's largest-remainder on the double shares.
+    "mix_temp" ->
+      """WITH inv AS (
+        |  SELECT lang, COUNT(1) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    sqrt(CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang ASC)),
+        |      (acc, x) -> acc + x) AS wsum,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS all_tokens
+        |  FROM inv),
+        |based AS (
+        |  SELECT lang, n_docs, n_tokens, all_tokens, w / wsum AS q,
+        |    CAST(floor(1000000.0 * (w / wsum)) AS BIGINT) AS base,
+        |    1000000.0 * (w / wsum) - floor(1000000.0 * (w / wsum)) AS rem
+        |  FROM inv CROSS JOIN t),
+        |ranked AS (
+        |  SELECT *, 1000000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+        |  FROM based)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  CAST(CAST(floor((CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS share_raw,
+        |  CAST(CAST(floor((q)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS share_temp,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens,
+        |  CAST(CAST(floor((q * CAST(all_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS upsample_factor
+        |FROM ranked
+        |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, share_raw NULLS FIRST, share_temp NULLS FIRST, quota_tokens NULLS FIRST, upsample_factor NULLS FIRST""".stripMargin,
 
     "mix_plan" ->
       """WITH inv AS (

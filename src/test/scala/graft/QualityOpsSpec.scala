@@ -373,6 +373,31 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_temp: budget conservation, temperature interpolation, order preservation") {
+    val rows = SparkEntry.queries("mix_temp")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3).toDouble,
+        r.getString(4).toDouble, r.getLong(5), r.getString(6).toDouble))
+    val B = 1000000L
+    assert(rows.map(_._5).sum == B, s"quotas must sum to the budget: ${rows.toSeq}")
+    // floor/floor+1 apportionment against the exact sqrt weights
+    val wsum = rows.map(x => math.sqrt(x._2.toDouble)).sorted.sum
+    rows.foreach { case (lang, n, _, _, quota, _) =>
+      val base = math.floor(B * math.sqrt(n.toDouble) / wsum).toLong
+      assert(quota == base || quota == base + 1,
+        s"$lang: quota $quota outside {floor, floor+1} of ${B * math.sqrt(n.toDouble) / wsum}")
+    }
+    // Temperature INTERPOLATES toward uniform: a below-uniform language is
+    // upsampled (raw < temp, factor > 1), an above-uniform one damped —
+    // and the power map preserves the resource ordering.
+    val u = 1.0 / rows.length
+    rows.foreach { case (lang, _, raw, temp, _, factor) =>
+      if (raw < u - 1e-3) assert(temp > raw && factor > 1.0, s"$lang not upsampled")
+      if (raw > u + 1e-3) assert(temp < raw && factor < 1.0, s"$lang not damped")
+    }
+    assert(rows.sortBy(_._3).map(_._1).toSeq == rows.sortBy(_._4).map(_._1).toSeq,
+      "sqrt temperature must preserve the language resource ordering")
+  }
+
   test("cusum_change: located day equals the naive argmax of |n*prefix - t*total|") {
     import spark.implicits._
     val daily = graft.core.Tables.load(spark, sfDir, "orders")
