@@ -2417,6 +2417,60 @@ object LlmOps {
         .agg(count(lit(1)).as("n_kept"), davgS(col("n_chars")).as("avg_chars")))
     }),
 
+    // ---- PIPELINE-3: full corpus build (`pipeline_corpus`) — the
+    //      nightly production composition the first two pipelines stop
+    //      short of: normalize → exact-dedup keeper election on the
+    //      CANONICAL text (DDP-NORM's key: a case/punct variant can't
+    //      evade the wall) → benchmark DECONTAMINATION (DCN-1's
+    //      containment, τ=0.2, benchmark docs excluded from the corpus
+    //      entirely) → length gate → LEAKAGE-SAFE split keyed on the
+    //      dup-group REPRESENTATIVE (SPL-1's LCG — every surviving copy
+    //      co-travels by construction) → per-(split, lang) corpus
+    //      census. PIPELINE-1 proves quality+near-dup compose and
+    //      PIPELINE-2 the stats gates; this closes with the two stages a
+    //      training-data audit actually asks about: did eval data leak
+    //      in, and can a dup straddle the train/test wall. Stage order
+    //      matters and is the declared semantics: dedup BEFORE decon
+    //      (flag once per surviving copy, not per duplicate), filters
+    //      scan-side before the posting shuffle. Scale: each stage is an
+    //      already-certified shape (groupBy keeper, broadcast→bloom
+    //      benchmark postings, anti-join, codegen'd LCG projection);
+    //      composing them adds no new shuffle class. ----
+    "pipeline_corpus" -> ((s, d) => {
+      val doc = spread(load(s, d, "documents"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val keyed = doc.select(col("doc_id"), col("lang"), col("text"),
+        col("n_chars"), md5(norm).as("k"))
+        .pinned // keeper election + survivor join-back
+      val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+      val corpus = keyed.join(reps, "k")
+        .filter(col("doc_id") === col("rep") && col("doc_id") % 100 =!= 0)
+        .pinned // decon posting build + the final census
+      val sh = shingles(col("text"))
+      val bpost = doc.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), size(sh).as("nb"),
+          explode(sh).as("tok"))
+      val flagged = corpus.select(col("doc_id"), explode(sh).as("tok"))
+        .join(broadcast(bpost), Seq("tok"))
+        .groupBy(col("doc_id"), col("bench_id"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(col("ni").cast("double") / col("nb").cast("double") >= 0.2)
+        .select(col("doc_id")).distinct()
+      val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .filter(size(split(col("text"), " ")) >= 20)
+      val bucket = pmod(
+        pmod(col("rep"), lit(2147483647L)) * lit(2654435761L) + lit(123456789L),
+        lit(1000L))
+      val split_ = when(bucket < 800, lit("train"))
+        .when(bucket < 900, lit("val")).otherwise(lit("test"))
+      ordered(clean.withColumn("split", split_)
+        .groupBy(col("split"), col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          davgS(col("n_chars")).as("avg_chars")))
+    }),
+
     // ---- TFIDF-1: per-doc top-3 terms by tf-idf. The global document-
     //      frequency relation is vocabulary-sized — broadcast, like the
     //      idf table any 100 TB featurizer ships to executors — so the
@@ -3669,6 +3723,44 @@ object LlmOps {
         |ORDER BY w.doc_id NULLS FIRST, w.source NULLS FIRST, w.cluster_id NULLS FIRST,
         |  k.keeper_doc NULLS FIRST, k.keeper_src NULLS FIRST, is_keeper NULLS FIRST""".stripMargin,
     "pipeline_clean" -> duckPipelineSql,
+
+    // The composed stages reuse their certified twins verbatim: txt_norm's
+    // canonical key, DDP-1's keeper election, dcn1's containment, SPL-1's
+    // LCG split — in the declared order.
+    "pipeline_corpus" ->
+      s"""WITH keyed AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS k
+        |  FROM documents),
+        |reps AS (SELECT k, MIN(doc_id) AS rep FROM keyed GROUP BY k),
+        |corpus AS (
+        |  SELECT keyed.doc_id AS doc_id, lang, text, n_chars, rep
+        |  FROM keyed JOIN reps USING (k)
+        |  WHERE keyed.doc_id = reps.rep AND keyed.doc_id % 100 <> 0),
+        |bpost AS (
+        |  SELECT doc_id AS bench_id, len($duckGrams) AS nb, unnest($duckGrams) AS tok
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |cpost AS (
+        |  SELECT doc_id, unnest($duckGrams) AS tok FROM corpus),
+        |flag AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id, b.bench_id, b.nb, COUNT(1) AS ni
+        |    FROM cpost c JOIN bpost b USING (tok) GROUP BY 1, 2, 3)
+        |  WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.2),
+        |clean AS (
+        |  SELECT * FROM corpus
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flag)
+        |    AND len(string_split(text, ' ')) >= 20),
+        |bkt AS (
+        |  SELECT *, ((rep % 2147483647) * 2654435761 + 123456789) % 1000 AS bucket
+        |  FROM clean)
+        |SELECT CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
+        |  ELSE 'test' END AS split, lang,
+        |  CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(floor((CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_chars
+        |FROM bkt GROUP BY 1, 2
+        |ORDER BY split NULLS FIRST, lang NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, avg_chars NULLS FIRST""".stripMargin,
 
     "ddp_simhash" -> {
       val bitSums = (0 until 62).map { j =>

@@ -216,6 +216,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("pipeline_corpus: census equals a stage replay grounded in the certified pieces") {
+    val out = SparkEntry.queries("pipeline_corpus")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def norm(t: String) =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val reps = docs.groupBy(d => norm(d._3)).map { case (_, g) => g.map(_._1).min }.toSet
+    // A survivor's benchmark containment is independent of the other
+    // corpus docs, so pipeline-flagged == dcn1-flagged restricted to
+    // survivors — the certified decon surface IS the replay for stage 3.
+    val dcnFlagged = SparkEntry.queries("dcn1")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    def splitOf(rep: Long) = {
+      val b = ((rep % 2147483647L) * 2654435761L + 123456789L) % 1000L
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val expected = docs
+      .filter(d => reps(d._1) && d._1 % 100 != 0 && !dcnFlagged(d._1) &&
+        d._3.split(" ").length >= 20)
+      .groupBy(d => (splitOf(d._1), d._2))
+      .map { case (k, g) =>
+        k -> ((g.length.toLong, g.map(_._3.split(" ").length.toLong).sum)) }
+    assert(out == expected, s"census mismatch:\n got $out\n exp $expected")
+  }
+
   test("ann_ndcg: totality over queries, metric identities, consistency with sim1/sim1_lsh") {
     val out = SparkEntry.queries("ann_ndcg")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
