@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import java.sql.Timestamp
@@ -732,6 +732,64 @@ object StreamOps {
       .outputMode(OutputMode.Complete)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         publishEpochGuarded(batch, root, batchId); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STR-DRIFT: streaming distribution-drift monitor — DRIFT-1's binned
+    * divergence evaluated per epoch against a PINNED reference profile
+    * (the training-serving-skew watchdog: reference = the training
+    * corpus's value distribution, stream = serving traffic; the monitor
+    * is the alarm that triggers DRIFT-2's exact test and a retrain).
+    * The reference is binned ONCE (10 equal-width bins from ITS min/max
+    * — drift_psi's width-0 guard; the bin design must come from the
+    * reference, never the stream, or drift moves the yardstick) into a
+    * frequency vector that rides into every epoch. The stream side is a
+    * Complete-mode per-bin count — cumulative by construction — and each
+    * epoch appends (epoch, n_seen, drift, alarm) to a parquet log: the
+    * time series a monitoring dashboard reads. Out-of-reference-range
+    * values clamp to the edge bins (the serving-skew signal itself).
+    * The per-epoch divergence is computed on the ≤11-row collected bin
+    * vector — config-bounded driver work, the GlobalRank-offsets class
+    * of bounded action. Identical distributions read exactly 0.0000
+    * (the (p−q)²/(p+q) terms vanish), pinned in StreamingSpec along
+    * with a shifted-stream alarm case. */
+  def runDriftMonitor(values: DataFrame, reference: DataFrame,
+                      logDir: String, checkpointDir: String,
+                      alarmAt: Double = 0.25): Unit = {
+    val spark = reference.sparkSession
+    val b = reference.agg(min(col("value")).cast("double").as("vmin"),
+      max(col("value")).cast("double").as("vmax")).head()
+    val (vmin, vmax) = (b.getDouble(0), b.getDouble(1))
+    val width = if (vmax == vmin) 1.0 else (vmax - vmin) / 10.0
+    def binOf(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lit(vmin)) / lit(width)), lit(0.0)),
+        lit(9.0)).cast("int")
+    val refN = reference.count().toDouble
+    val refFreq = reference.groupBy(binOf(col("value")).as("bin"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1) / refN).toMap
+    val counts = values.groupBy(binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val rows = batch.collect().map(r => r.getInt(0) -> r.getLong(1))
+        val n = rows.map(_._2).sum
+        if (n > 0) {
+          val drift = (0 to 9).map { bin =>
+            val p = refFreq.getOrElse(bin, 0.0)
+            val qf = rows.toMap.getOrElse(bin, 0L).toDouble / n
+            if (p + qf == 0.0) 0.0 else (p - qf) * (p - qf) / (p + qf)
+          }.sum
+          import batch.sparkSession.implicits._
+          Seq((epoch, n, drift, drift > alarmAt))
+            .toDF("epoch", "n_seen", "drift", "alarm")
+            .write.mode("append").parquet(logDir)
+        }
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

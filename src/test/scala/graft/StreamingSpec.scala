@@ -762,6 +762,38 @@ class StreamingSpec extends AnyFunSuite {
       "a new epoch must publish")
   }
 
+  test("STR-DRIFT monitor: identical replay converges to exactly zero; a shifted stream alarms") {
+    val ref = eventsBatch.select(col("value"))
+    val log1 = tempDir("drift_log").toString
+    StreamOps.runDriftMonitor(
+      spark.readStream.schema(eventsBatch.schema).option("maxFilesPerTrigger", 1)
+        .parquet(replayDir.toString).select(col("value")),
+      ref, log1, tempDir("drift_ckpt").toString)
+    val l1 = spark.read.parquet(log1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(l1.length == 4, s"one log row per epoch: ${l1.toSeq}")
+    assert(l1.map(_._2).toSeq == l1.map(_._2).sorted.toSeq, "n_seen must be cumulative")
+    assert(l1.last._2 == eventsBatch.count(), "final epoch must have seen everything")
+    // Same multiset as the reference → every (p−q)²/(p+q) term vanishes —
+    // the zero is EXACT (identical count/total divisions), not a tolerance.
+    assert(l1.last._3 == 0.0 && !l1.last._4, s"identical final must read 0: ${l1.last}")
+    // A stream shifted above the reference range clamps to the edge bin:
+    // maximal divergence, alarm on.
+    val shiftDir = tempDir("drift_shift")
+    writeSlice(eventsBatch.withColumn("value", col("value") + lit(100000.0)),
+      shiftDir, "s0", 1700000000000L)
+    val log2 = tempDir("drift_log2").toString
+    StreamOps.runDriftMonitor(
+      spark.readStream.schema(eventsBatch.schema)
+        .parquet(shiftDir.toString).select(col("value")),
+      ref, log2, tempDir("drift_ckpt2").toString)
+    val l2 = spark.read.parquet(log2).collect()
+      .map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(l2.length == 1 && l2.head._2 && l2.head._1 > 0.25,
+      s"shifted stream must alarm: ${l2.toSeq}")
+  }
+
   test("STR-SRC CSV file-arrival trigger: streamed partner CSVs equal batch read") {
     import graft.queries.Ingestion
     val d = tempDir("csv_arrivals")
