@@ -749,6 +749,26 @@ object Events {
           coalesce(col("op"), lit("unchanged")).as("last_op")))
     }),
 
+    // ---- CDC-3: changelog compaction (`cdc_compact`) — the changelog
+    //      ALGEBRA between CDC-1 (latest row) and CDC-2 (apply): squash a
+    //      multi-op window into per-key NET operations (Kafka log
+    //      compaction / the Debezium batch squash): last op D → net D
+    //      unless the window itself CREATED the key (first I) — then the
+    //      key cancels out entirely; otherwise net = I if the window
+    //      created it, else U, carrying the LAST value. A consumer
+    //      applying the compacted log reaches the identical final state
+    //      at a fraction of the ops (apply-equivalence + cancellation
+    //      laws spec-pinned on [[compactChangelog]]). Shape: ONE
+    //      key-keyed min_by/max_by aggregate (map-side combined — no
+    //      window over the changelog), \|changed keys\|-sized output. ----
+    "cdc_compact" -> ((s, d) => {
+      val (_, g1, g2) = cdcGenerations(load(s, d, "orders"))
+      ordered(compactChangelog(g1.unionByName(g2))
+        .select(col("k").as("o_orderkey"), col("n_ops"),
+          col("first_op"), col("last_op"), col("net_op"),
+          col("net_price"), col("net_status")))
+    }),
+
     // ---- MKV-1: first-order Markov transition matrix over per-user event
     //      sequences — the aggregate model behind PTH-1's raw journeys
     //      (next-step prediction, funnel leak detection, bot detection via
@@ -832,6 +852,28 @@ object Events {
     (base, g1, g2)
   }
 
+  /** CDC-3's compaction core, factored so the spec can feed crafted logs
+    * (the I→D cancellation never occurs in the gated fixture): input is a
+    * `(k, seq, op, price, status)` changelog, output one net row per
+    * surviving key. */
+  def compactChangelog(log: DataFrame): DataFrame = {
+    val agg = log.groupBy(col("k")).agg(
+      count(lit(1)).as("n_ops"),
+      min_by(struct(col("op")), col("seq")).as("f"),
+      max_by(struct(col("op"), col("price"), col("status")), col("seq")).as("l"))
+    val net = when(col("l.op") === "D",
+        when(col("f.op") === "I", lit(null)).otherwise(lit("D")))
+      .otherwise(when(col("f.op") === "I", lit("I")).otherwise(lit("U")))
+    agg.withColumn("net_op", net)
+      .filter(col("net_op").isNotNull)
+      .select(col("k"), col("n_ops"),
+        col("f.op").as("first_op"), col("l.op").as("last_op"), col("net_op"),
+        when(col("net_op") === "D", lit(null).cast("string"))
+          .otherwise(cstr(col("l.price"))).as("net_price"),
+        when(col("net_op") === "D", lit(null).cast("string"))
+          .otherwise(col("l.status")).as("net_status"))
+  }
+
   /** Z-order copy of events, built once per (process, sfDir): 16 files,
     * range-partitioned + sorted by the Morton interleave of user_id and
     * event-hour, both min/max-normalized to a shared 8-bit scale (see the
@@ -901,6 +943,43 @@ object Events {
         |FROM base b FULL OUTER JOIN latest l ON b.k = l.ck
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY o_orderkey NULLS FIRST, price NULLS FIRST, status NULLS FIRST, last_op NULLS FIRST""".stripMargin,
+
+    // The same g1/g2 generation CTEs as cdc_apply; net rules spelled as
+    // first/last windows over the unioned log.
+    "cdc_compact" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    o_orderstatus AS st, o_orderkey % 10 AS m FROM orders),
+        |g1 AS (SELECT k, 1 AS seq,
+        |    CASE WHEN m IN (2,3) THEN 'U' WHEN m IN (8,9) THEN 'I'
+        |         WHEN m = 4 THEN 'D' END AS op,
+        |    CASE WHEN m IN (2,3) THEN CAST(floor((p*1.05)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |         WHEN m IN (8,9) THEN CAST(p AS DECIMAL(38,4)) END AS price,
+        |    st AS status
+        |  FROM o WHERE m IN (2,3,4,8,9)),
+        |g2 AS (SELECT k, 2 AS seq,
+        |    CASE WHEN m = 3 THEN 'D' WHEN m = 8 THEN 'U'
+        |         WHEN m = 4 THEN 'I' END AS op,
+        |    CASE WHEN m = 8 THEN CAST(floor((p*1.10)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |         WHEN m = 4 THEN CAST(floor((p*2.0)*10000+0.5)/10000 AS DECIMAL(38,4)) END AS price,
+        |    st AS status
+        |  FROM o WHERE m IN (3,4,8)),
+        |cl AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |w AS (SELECT k, op, price, status,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq ASC) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rd,
+        |    COUNT(1) OVER (PARTITION BY k) AS n_ops
+        |  FROM cl),
+        |f AS (SELECT k, op AS first_op, n_ops FROM w WHERE ra = 1),
+        |l AS (SELECT k, op AS last_op, price, status FROM w WHERE rd = 1),
+        |c AS (SELECT f.k, n_ops, first_op, last_op, price, status,
+        |    CASE WHEN last_op = 'D' THEN (CASE WHEN first_op = 'I' THEN NULL ELSE 'D' END)
+        |         WHEN first_op = 'I' THEN 'I' ELSE 'U' END AS net_op
+        |  FROM f JOIN l ON f.k = l.k)
+        |SELECT k AS o_orderkey, CAST(n_ops AS BIGINT) AS n_ops, first_op, last_op, net_op,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE CAST(price AS VARCHAR) END AS net_price,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE status END AS net_status
+        |FROM c WHERE net_op IS NOT NULL
+        |ORDER BY o_orderkey NULLS FIRST, n_ops NULLS FIRST, first_op NULLS FIRST, last_op NULLS FIRST, net_op NULLS FIRST, net_price NULLS FIRST, net_status NULLS FIRST""".stripMargin,
 
     "evt_markov" ->
       """WITH t AS (

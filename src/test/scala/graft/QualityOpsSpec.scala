@@ -373,6 +373,39 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_compact: applying the compacted log equals cdc_apply; crafted I->D windows cancel") {
+    import graft.queries.Events
+    // Apply-equivalence: base ⊕ compacted == base ⊕ full log (= cdc_apply).
+    val (baseDf, _, _) = Events.cdcGenerations(
+      graft.core.Tables.load(spark, sfDir, "orders"))
+    val base = baseDf.select(col("k"), graft.core.Tables.cstr(col("price")),
+      col("status")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val net = SparkEntry.queries("cdc_compact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(4),
+        Option(r.getString(5)), Option(r.getString(6))))
+    val applied = net.foldLeft(base) {
+      case (m, (k, "D", _, _)) => m - k
+      case (m, (k, _, Some(p), Some(st))) => m + (k -> ((p, st)))
+      case (m, _) => m
+    }
+    val expect = SparkEntry.queries("cdc_apply")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(applied == expect, "compacted apply must reach cdc_apply's final state")
+    // Cancellation + net rules on a crafted log the fixture never produces.
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, 1, "I", "10.0000", "A"), (1L, 2, "D", null, "A"),       // I→D cancels
+      (2L, 1, "I", "1.0000", "B"), (2L, 2, "U", "2.0000", "B"),
+      (2L, 3, "D", null, "B"),                                     // I→U→D cancels
+      (3L, 1, "U", "5.0000", "C"), (3L, 2, "U", "6.0000", "C"),
+      (3L, 3, "D", null, "C"))                                     // U→U→D nets D
+      .toDF("k", "seq", "op", "price", "status")
+    val out = Events.compactChangelog(crafted).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(3L -> "D"), s"cancellation rules: $out")
+  }
+
   test("mix_temp: budget conservation, temperature interpolation, order preservation") {
     val rows = SparkEntry.queries("mix_temp")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getString(3).toDouble,
