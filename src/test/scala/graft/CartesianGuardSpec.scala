@@ -84,6 +84,8 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // totals, the D max), all tfidf1's broadcast shape; the
                   // value-collapse aggregate and GlobalRank's offset join
                   // are equi-keyed
+    "mix_temp",   // 1-row (weight-sum, corpus-total) scalar attach onto
+                  // the |langs|-row inventory: tfidf1's broadcast shape
     "ann_ndcg"    // truth leg = sim1's declared broadcast-query brute
                   // shape (ivf_eval's whitelist rationale, sample-able at
                   // scale); the approx leg is bucket-equi-keyed and the
