@@ -71,6 +71,52 @@ object Stats {
           col("p.corr").as("corr")))
     }),
 
+    // ---- STAT-9: one-pass Poisson-bootstrap CI (`bootstrap_ci`) — the
+    //      distribution-free confidence interval for a mean whose
+    //      population is too skewed for the normal approximation (exactly
+    //      this corpus's revenue shape), computed the way a fleet-scale
+    //      job must: the CLASSIC bootstrap resamples the dataset B times
+    //      (B full shuffles — dead at 100 TB); the Poisson bootstrap
+    //      (Hanley & MacGibbon 2006; the standard large-scale variant)
+    //      gives every (row, replicate) an independent Poisson(1) weight,
+    //      so ALL B=32 replicate sums ride ONE scan as 64 map-side-
+    //      combined aggregate columns — zero row amplification, zero
+    //      extra shuffles (corr_matrix's moment-vector shape). Weights
+    //      are DETERMINISTIC: an LCG on (o_orderkey, b) over 8 cells
+    //      mapped to the Poisson(1) surrogate P(0)=P(1)=3/8,
+    //      P(2)=P(3)=1/8 — E[w]=1, Var[w]=1 exactly, spelled identically
+    //      in both engines (integer ops only, §5.3; rand() would be
+    //      rerun- and engine-unstable). Replicate means are exact
+    //      decimal sums / int counts; the 95% percentile CI interpolates
+    //      the sorted 32-vector at PINNED literal weights (h=0.775 /
+    //      30+0.225 — dq_benford's no-runtime-arithmetic-on-quantile-
+    //      indices rule: 31·0.025 recomputed in each engine would differ
+    //      in the last ulp from the literal). ----
+    "bootstrap_ci" -> ((s, d) => {
+      val B = 32
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+      def w(b: Int): Column = {
+        val h = pmod(pmod(col("k"), lit(2147483647L)) * lit(2654435761L) +
+          lit(b.toLong * 40503L + 12345L), lit(8L))
+        when(h < 3, 0L).when(h < 6, 1L).when(h < 7, 2L).otherwise(3L)
+      }
+      val aggs = Seq(count(lit(1)).as("n"), sum(dec(col("x"))).cast(dt).as("sx")) ++
+        (0 until B).flatMap { b => Seq(
+          sum(dec(col("x")) * w(b)).cast(dt).as(s"s_$b"),
+          sum(w(b)).as(s"c_$b")) }
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val means = array_sort(array((0 until B).map(b =>
+        col(s"s_$b").cast("double") / col(s"c_$b").cast("double")): _*))
+      def at(i: Int): Column = element_at(col("ms"), i)
+      ordered(one.withColumn("ms", means)
+        .select(col("n"),
+          dec4S(col("sx").cast("double") / col("n").cast("double")).as("mean"),
+          dec4S(at(1) + (at(2) - at(1)) * lit(0.775)).as("ci_lo"),
+          dec4S(at(31) + (at(32) - at(31)) * lit(0.225)).as("ci_hi"),
+          lit(B).as("n_replicates")))
+    }),
+
     // ---- STAT-2: two-proportion A/B test — the experimentation readout
     //      every event platform ships. Variant = user_id % 2 (a stand-in
     //      for the assignment column a real system lands with the event),
@@ -756,6 +802,35 @@ object Stats {
           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
           |FROM b GROUP BY bucket
           |ORDER BY bucket NULLS FIRST, n_rows NULLS FIRST, lo NULLS FIRST, hi NULLS FIRST, sum_price NULLS FIRST""".stripMargin
+      },
+
+      // 64 one-pass aggregate columns (32 weighted decimal sums + 32
+      // weight counts), the identical LCG-cell weights, pinned-literal
+      // percentile interpolation on the sorted 32-vector.
+      "bootstrap_ci" -> {
+        val wExpr = (b: Int) =>
+          s"""(CASE WHEN ((k % 2147483647) * 2654435761 + ${b.toLong * 40503L + 12345L}) % 8 < 3 THEN 0
+             | WHEN ((k % 2147483647) * 2654435761 + ${b.toLong * 40503L + 12345L}) % 8 < 6 THEN 1
+             | WHEN ((k % 2147483647) * 2654435761 + ${b.toLong * 40503L + 12345L}) % 8 < 7 THEN 2
+             | ELSE 3 END)""".stripMargin.replaceAll("\n", "")
+        val aggCols = (0 until 32).map { b =>
+          s"CAST(SUM(CAST(x AS DECIMAL(38,4)) * ${wExpr(b)}) AS DECIMAL(38,4)) AS s_$b, CAST(SUM(${wExpr(b)}) AS BIGINT) AS c_$b"
+        }.mkString(",\n|    ")
+        val meanList = (0 until 32)
+          .map(b => s"CAST(s_$b AS DOUBLE) / CAST(c_$b AS DOUBLE)").mkString(", ")
+        s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS x FROM orders),
+           |a AS (SELECT COUNT(1) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sx,
+           |    $aggCols
+           |  FROM o),
+           |m AS (SELECT n, sx, list_sort([$meanList]) AS ms FROM a)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  CAST(CAST(floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean,
+           |  CAST(CAST(floor((ms[1] + (ms[2] - ms[1]) * CAST(0.775 AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ci_lo,
+           |  CAST(CAST(floor((ms[31] + (ms[32] - ms[31]) * CAST(0.225 AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ci_hi,
+           |  CAST(32 AS INT) AS n_replicates
+           |FROM m
+           |ORDER BY n NULLS FIRST, mean NULLS FIRST, ci_lo NULLS FIRST, ci_hi NULLS FIRST, n_replicates NULLS FIRST""".stripMargin
       },
 
       "ab_lift" ->

@@ -28,6 +28,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap_ci: equals a full driver-side replicate replay; the CI brackets the mean") {
+    val Array(r) = SparkEntry.queries("bootstrap_ci")(spark, TestSpark.sfDir).collect()
+    val o = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), graft.core.Tables.dec(col("o_totalprice")))
+      .collect().map(x => (x.getLong(0), BigDecimal(x.getDecimal(1))))
+    def w(k: Long, b: Int): Long = {
+      val h = ((k % 2147483647L) * 2654435761L + (b * 40503L + 12345L)) % 8L
+      if (h < 3) 0L else if (h < 6) 1L else if (h < 7) 2L else 3L
+    }
+    // Surrogate sanity: the 8-cell map has E[w]=1, Var[w]=1 by construction.
+    assert((0L to 7L).map(h => if (h < 3) 0L else if (h < 6) 1L else if (h < 7) 2L else 3L)
+      .sum == 8L)
+    val means = (0 until 32).map { b =>
+      val sw = o.map { case (k, x) => x * w(k, b) }.sum
+      val cw = o.map { case (k, _) => w(k, b) }.sum
+      sw.toDouble / cw
+    }.sorted
+    def d4(x: Double) = BigDecimal(math.floor(x * 10000 + 0.5) / 10000)
+    assert(r.getLong(0) == o.length && r.getInt(4) == 32)
+    val mean = o.map(_._2).sum.toDouble / o.length
+    assert(BigDecimal(r.getString(1)) == d4(mean), "point mean")
+    val lo = means(0) + (means(1) - means(0)) * 0.775
+    val hi = means(30) + (means(31) - means(30)) * 0.225
+    assert(BigDecimal(r.getString(2)) == d4(lo), s"ci_lo ${r.getString(2)} vs ${d4(lo)}")
+    assert(BigDecimal(r.getString(3)) == d4(hi), s"ci_hi ${r.getString(3)} vs ${d4(hi)}")
+    assert(lo < mean && mean < hi, "the 95% percentile CI must bracket the mean here")
+  }
+
   test("ab_lift: z-score reconstructs from the reported counts") {
     val r = graft.queries.Stats.all("ab_lift")(spark, TestSpark.sfDir).head
     val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
