@@ -1043,6 +1043,59 @@ object LlmOps {
           dec4S(coalesce(col("dcg").cast("double") / lit(2.1309), lit(0.0))).as("ndcg")))
     }),
 
+    // ---- SIM-MRL: truncation-dimension recall curve (`vec_mrl`) — the
+    //      fit check behind Matryoshka-style embedding deployment
+    //      (Kusupati et al. 2022, public): serving at a truncated prefix
+    //      width buys memory/latency ONLY if the truncated ranking still
+    //      finds the full-width neighbors, and that retention is a
+    //      property of the embedding distribution — it must be MEASURED
+    //      (ivf_curve's recall-vs-cost discipline, with dimension as the
+    //      cost axis). For w ∈ {8,16,32,64}: rank by cosine over the
+    //      FIRST w dims, top-3 per query; report n_hits / recall@3 /
+    //      macro-MRR vs the full-width (w=64) truth — the w=64 row is
+    //      the recall=1 self-check (ivf_curve's pattern). Determinism:
+    //      per-query reciprocal ranks dec4-quantized pre-sum (ann_ndcg's
+    //      exact-decimal-fold rule). Scale: the brute legs are the
+    //      measured audit (query-batch × corpus, declared sample-able —
+    //      ddp_eval's rationale); production serves the chosen width
+    //      through the IVF/LSH paths unchanged. ----
+    "vec_mrl" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"))
+        .pinned // read by the truth leg and all four truncation legs
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("neighbor_id").asc)
+      def top3(w: Int) = {
+        val q = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), slice(col("e"), 1, w).as("qe"))
+        val c = base.select(col("vec_id").as("neighbor_id"),
+          slice(col("e"), 1, w).as("ce"))
+        broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("cs", dot_product(col("qe"), col("ce")) /
+            (sqrt(dot_product(col("qe"), col("qe"))) *
+              sqrt(dot_product(col("ce"), col("ce")))))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select(col("query_id"), col("rn"), col("neighbor_id"))
+      }
+      val truth = top3(64)
+        .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+        .pinned // probed by every width
+      ordered(Seq(8, 16, 32, 64).map { w =>
+        val a = top3(w)
+        a.join(truth, col("query_id") === col("tq") &&
+            col("neighbor_id") === col("tn"), "left")
+          .groupBy(col("query_id")).agg(
+            count(col("tn")).as("nh"),
+            min(when(col("tn").isNotNull, col("rn"))).as("frank"))
+          .agg(sum(col("nh")).as("n_hits"),
+            dec4S(sum(col("nh")).cast("double") / lit(30.0)).as("recall"),
+            dec4S(sum(dec4(coalesce(lit(1.0) / col("frank"), lit(0.0))))
+              .cast("double") / lit(10.0)).as("mrr"))
+          .select(lit(w).as("width"), col("n_hits"), col("recall"), col("mrr"))
+      }.reduce(_ unionByName _))
+    }),
+
     // ---- KM-2: two Lloyd rounds + the monotone certificate
     //      (`kmeans_iter`) — KM-1 is one assignment; this CLOSES the
     //      loop: assign to the 8 seeds, recompute centroids EXACTLY
@@ -3539,6 +3592,38 @@ object LlmOps {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    // One ranked CTE per truncation width (w=64 doubles as the truth),
+    // per-query reciprocal ranks dec4-quantized pre-sum.
+    "vec_mrl" -> {
+      def ranked(w: Int) =
+        s"""r$w AS (SELECT query_id, neighbor_id, rn FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(list_slice(q.e, 1, $w), list_slice(c.e, 1, $w)), p -> p[1] * p[2])) /
+           |        (sqrt(list_sum(list_transform(list_slice(q.e, 1, $w), x -> x * x))) *
+           |         sqrt(list_sum(list_transform(list_slice(c.e, 1, $w), x -> x * x)))) DESC,
+           |        c.vec_id ASC) AS rn
+           |    FROM base q JOIN base c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |  ) WHERE rn <= 3)""".stripMargin
+      def widthRow(w: Int) =
+        s"""SELECT $w AS width, CAST(SUM(nh) AS BIGINT) AS n_hits,
+           |  CAST(CAST(floor((CAST(SUM(nh) AS DOUBLE) / 30.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall,
+           |  CAST(CAST(floor((CAST(SUM(rr4) AS DOUBLE) / 10.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mrr
+           |FROM (
+           |  SELECT a.query_id, COUNT(t.tn) AS nh,
+           |    CAST(floor((COALESCE(CAST(1.0 AS DOUBLE) / MIN(CASE WHEN t.tn IS NOT NULL THEN a.rn END), 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS rr4
+           |  FROM r$w a LEFT JOIN truth t
+           |    ON a.query_id = t.tq AND a.neighbor_id = t.tn
+           |  GROUP BY a.query_id)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |${Seq(8, 16, 32, 64).map(ranked).mkString(",\n")},
+         |truth AS (SELECT query_id AS tq, neighbor_id AS tn FROM r64)
+         |${Seq(8, 16, 32, 64).map(widthRow).mkString("\nUNION ALL\n")}
+         |ORDER BY width NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST, mrr NULLS FIRST""".stripMargin
+    },
 
     // Brute truth + bucket-pruned approx, both ranked; DCG terms dec4-
     // quantized pre-sum (exact decimal fold) with literal log2 discounts.

@@ -86,10 +86,13 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // are equi-keyed
     "mix_temp",   // 1-row (weight-sum, corpus-total) scalar attach onto
                   // the |langs|-row inventory: tfidf1's broadcast shape
-    "ann_ndcg"    // truth leg = sim1's declared broadcast-query brute
+    "ann_ndcg",   // truth leg = sim1's declared broadcast-query brute
                   // shape (ivf_eval's whitelist rationale, sample-able at
                   // scale); the approx leg is bucket-equi-keyed and the
                   // audit join is equi-keyed
+    "vec_mrl"     // four truncation-width brute legs + the truth leg, all
+                  // sim1's declared broadcast-query audit shape (declared
+                  // sample-able at scale); the hit joins are equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -271,6 +271,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_mrl: one row per width, metric bounds, and the full-width self-check row") {
+    val out = SparkEntry.queries("vec_mrl")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        BigDecimal(r.getString(2)), BigDecimal(r.getString(3))))
+    assert(out.map(_._1).sorted.toSeq == Seq(8, 16, 32, 64))
+    out.foreach { case (w, nh, rec, mrr) =>
+      assert(nh >= 0 && nh <= 30, s"w=$w hits $nh")
+      assert(rec >= 0 && rec <= 1 && mrr >= 0 && mrr <= 1, s"w=$w bounds")
+      assert((rec > 0) == (nh > 0), s"w=$w recall/hits consistency")
+    }
+    // The truth width must grade itself perfectly — the self-check row
+    // that holds for ANY corpus (ivf_curve's nprobe=max pattern).
+    val Seq(full) = out.filter(_._1 == 64).toSeq
+    assert(full._2 == 30 && full._3 == 1 && full._4 == 1,
+      s"w=64 must be the recall=1 self-check: $full")
+  }
+
   test("ddp_semantic: routing totality, flag consistency, representative law, shared assignment") {
     val out = SparkEntry.queries("ddp_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
