@@ -173,6 +173,34 @@ object Stats {
     //      (lhs, rhs) count aggregate (map-side combined, |domain|-sized)
     //      → a WindowGroupLimit top-1 over that TINY relation — the scan
     //      never sees a window; at 100 TB this is AGG-14's exact shape. ----
+    // ---- DQ-7: uniqueness / candidate-key audit (`dq_unique`) — the
+    //      base profiling metric the DQ family still lacked (DQ-1 nulls,
+    //      DQ-2 orphans, DQ-4 FDs — uniqueness is what a catalog checks
+    //      FIRST, and what every merge/upsert key claim rests on): for
+    //      each declared candidate key, the row count, distinct count,
+    //      rows involved in duplicates, the heaviest multiplicity, and
+    //      the is-key verdict. The three candidates span the spectrum by
+    //      construction: o_orderkey a true key, (custkey, orderdate) a
+    //      NEAR-key (the classic trap — 99.8% unique passes an eyeball
+    //      check and then a merge fans out), o_orderdate not remotely.
+    //      Shape: per candidate ONE map-side-combined groupBy + a
+    //      \|distinct\|-row rollup — composes incrementally (per-batch
+    //      census merges by key), no window, no sort. ----
+    "dq_unique" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      def audit(cols: Seq[String]) =
+        o.groupBy(cols.map(col): _*).agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("m") > 1, col("m")).otherwise(0L)).as("n_dup_rows"),
+            max(col("m")).as("max_mult"))
+          .select(lit(cols.mkString(",")).as("candidate"),
+            col("n_rows"), col("n_distinct"), col("n_dup_rows"), col("max_mult"),
+            (col("n_distinct") === col("n_rows")).as("is_key"))
+      ordered(Seq(Seq("o_orderkey"), Seq("o_custkey", "o_orderdate"),
+        Seq("o_orderdate")).map(audit).reduce(_ unionByName _))
+    }),
+
     "dq_fd" -> ((s, d) => {
       val doc = load(s, d, "documents")
       val pairs = doc.groupBy(col("source"), col("lang"))
@@ -716,6 +744,20 @@ object Stats {
           |  CAST(CAST(floor((c)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS corr
           |FROM p
           |ORDER BY var_x NULLS FIRST, var_y NULLS FIRST, corr NULLS FIRST""".stripMargin,
+
+      "dq_unique" -> {
+        def one(cands: Seq[String]) =
+          s"""SELECT '${cands.mkString(",")}' AS candidate,
+             |  CAST(SUM(m) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(1) AS BIGINT) AS n_distinct,
+             |  CAST(SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT) AS n_dup_rows,
+             |  CAST(MAX(m) AS BIGINT) AS max_mult,
+             |  COUNT(1) = SUM(m) AS is_key
+             |FROM (SELECT COUNT(1) AS m FROM orders GROUP BY ${cands.mkString(", ")})""".stripMargin
+        s"""${Seq(Seq("o_orderkey"), Seq("o_custkey", "o_orderdate"), Seq("o_orderdate"))
+             .map(one).mkString("\nUNION ALL\n")}
+           |ORDER BY candidate NULLS FIRST, n_rows NULLS FIRST, n_distinct NULLS FIRST, n_dup_rows NULLS FIRST, max_mult NULLS FIRST, is_key NULLS FIRST""".stripMargin
+      },
 
       "dq_fd" ->
         """WITH p AS (

@@ -28,6 +28,31 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_unique: equals a driver-side multiplicity replay; verdict identities hold") {
+    val out = SparkEntry.queries("dq_unique")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val o = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def audit(key: ((Long, Long, String)) => Any) = {
+      val m = o.groupBy(key).map(_._2.length)
+      (o.length.toLong, m.size.toLong, m.filter(_ > 1).sum.toLong, m.max.toLong)
+    }
+    val expected = Map(
+      "o_orderkey" -> audit(_._1),
+      "o_custkey,o_orderdate" -> audit(t => (t._2, t._3)),
+      "o_orderdate" -> audit(_._3))
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (cand, (n, nd, dup, mx)) =>
+      val (gn, gnd, gdup, gmx, isKey) = out(cand)
+      assert((gn, gnd, gdup, gmx) == ((n, nd, dup, mx)), s"$cand census")
+      assert(isKey == (dup == 0) && isKey == (n == nd) && (mx == 1) == isKey,
+        s"$cand verdict identities")
+    }
+  }
+
   test("bootstrap_ci: equals a full driver-side replicate replay; the CI brackets the mean") {
     val Array(r) = SparkEntry.queries("bootstrap_ci")(spark, TestSpark.sfDir).collect()
     val o = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
