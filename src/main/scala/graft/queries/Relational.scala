@@ -630,6 +630,49 @@ object Relational {
           col("ts").as("purchase_ts"), col("click_ts")))
     }),
 
+    // ---- JOIN-14: nearest-in-time join (sensor-fusion semantics) —
+    //      every purchase matched to its temporally NEAREST click by the
+    //      same user, in EITHER direction (join11 is the backward-only
+    //      special case). The scalable form is the same single-sort shape:
+    //      tag both streams, ONE sort per user, carry the last click µs
+    //      backward (running last ignoreNulls) and the next click µs
+    //      forward (running first ignoreNulls over the mirrored frame),
+    //      then pick the smaller µs-exact gap row-locally — no |gap|<τ
+    //      range join, no candidate fan-out (a purchase costs one row no
+    //      matter how many clicks surround it). Equal gaps resolve to
+    //      'before'; a same-instant click sorts before the purchase
+    //      ('click' < 'purchase' at equal ts) so it lands in the backward
+    //      frame with gap 0 and wins deterministically. ----
+    "join14_nearest" -> ((s, d) => {
+      val e = load(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+      val wB = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_type").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_type").asc, col("event_id").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickUs = when(col("event_type") === "click", col("us"))
+      val t = e
+        .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wB))
+        .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wF))
+        .filter(col("event_type") === "purchase" &&
+          (col("prev_us").isNotNull || col("next_us").isNotNull))
+      val back = col("us") - col("prev_us")
+      val fwd = col("next_us") - col("us")
+      val pickBefore = col("prev_us").isNotNull &&
+        (col("next_us").isNull || back <= fwd)
+      ordered(t.select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        timestamp_micros(when(pickBefore, col("prev_us"))
+          .otherwise(col("next_us"))).as("click_ts"),
+        when(pickBefore, lit("before")).otherwise(lit("after")).as("direction"),
+        when(pickBefore, back).otherwise(fwd).as("gap_us")))
+    }),
+
     // ---- GAP-1: date-spine gap fill — zero-filled daily counts per
     //      priority, the reporting op that turns sparse facts into a
     //      dense series. The spine is generated (GraftSequence-shaped
@@ -1970,6 +2013,31 @@ object Relational {
         |  p.ts AS purchase_ts, c.ts AS click_ts
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY purchase_id NULLS FIRST, user_id NULLS FIRST, purchase_ts NULLS FIRST, click_ts NULLS FIRST""".stripMargin,
+
+    "join14_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), t AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_type, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+        |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_type, event_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM e
+        |)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  make_timestamp(CASE WHEN prev_us IS NOT NULL AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |    THEN prev_us ELSE next_us END) AS click_ts,
+        |  CASE WHEN prev_us IS NOT NULL AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |    THEN 'before' ELSE 'after' END AS direction,
+        |  CASE WHEN prev_us IS NOT NULL AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |    THEN us - prev_us ELSE next_us - us END AS gap_us
+        |FROM t
+        |WHERE event_type = 'purchase' AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+        |ORDER BY purchase_id NULLS FIRST, user_id NULLS FIRST, purchase_ts NULLS FIRST, click_ts NULLS FIRST, direction NULLS FIRST, gap_us NULLS FIRST""".stripMargin,
 
     "gap1" ->
       """WITH bounds AS (

@@ -160,6 +160,45 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join14_nearest: window pick equals a naive nearest-click scan per purchase") {
+    val out = SparkEntry.queries("join14_nearest")(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getTimestamp(3), r.getString(4), r.getLong(5)))
+      }.toMap
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val usOf = (ts: java.sql.Timestamp) => ts.getTime * 1000L + ts.getNanos / 1000 % 1000
+    val byUser = ev.groupBy(_._2)
+    val expect = byUser.toSeq.flatMap { case (_, rows) =>
+      val clicks = rows.filter(_._4 == "click").map(r => usOf(r._3)).sorted
+      rows.filter(_._4 == "purchase").flatMap { case (pid, _, pts, _) =>
+        if (clicks.isEmpty) None
+        else {
+          val p = usOf(pts)
+          val prev = clicks.filter(_ <= p).lastOption
+          val next = clicks.filter(_ > p).headOption
+          val (cus, dir) = (prev, next) match {
+            case (Some(b), Some(f)) =>
+              if (p - b <= f - p) (b, "before") else (f, "after")
+            case (Some(b), None) => (b, "before")
+            case (None, Some(f)) => (f, "after")
+            case _ => sys.error("unreachable")
+          }
+          Some(pid -> ((cus, dir, math.abs(cus - p))))
+        }
+      }
+    }.toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (pid, (cus, dir, gap)) =>
+      val (ots, odir, ogap) = out(pid)
+      assert(usOf(ots) == cus && odir == dir && ogap == gap,
+        s"purchase $pid: got ($ots, $odir, $ogap) want ($cus, $dir, $gap)")
+    }
+  }
+
   test("cohort: offset-0 row of each cohort counts the cohort's full population") {
     val rows = SparkEntry.queries("cohort")(spark, sfDir).collect()
     val e = graft.core.Tables.load(spark, sfDir, "events")
