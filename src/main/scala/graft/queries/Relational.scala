@@ -1375,6 +1375,26 @@ object Relational {
     //      approx_percentile by repeating weight-scaled entries or a
     //      weighted t-digest); everything after is a \|groups\|-row
     //      aggregate. ----
+    // ---- AGG-18: per-group OLS regression aggregates (`agg_regr`) —
+    //      AGG-8's correlation family completed into the fit itself:
+    //      slope/intercept/R² of price-on-quantity per returnflag, plus
+    //      the pair count the regression actually used (regr_count's
+    //      both-non-null semantics). Both engines compute from the same
+    //      one-pass co-moment merges (slope = Sxy/Sxx, intercept from the
+    //      means, R² = corr²), so the doubles agree far below the dec4
+    //      rendering resolution at these operand magnitudes — the same
+    //      determinism argument measured for AGG-8. One map-side-combined
+    //      aggregate; nothing per-row leaves the scan. ----
+    "agg_regr" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      val (y, x) = (col("l_extendedprice"), col("l_quantity"))
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        regr_count(y, x).as("n"),
+        dec4S(regr_slope(y, x)).as("slope"),
+        dec4S(regr_intercept(y, x)).as("intercept"),
+        dec4S(regr_r2(y, x)).as("r2")))
+    }),
+
     "agg_wmedian" -> ((s, d) => {
       val li = load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         dec(col("l_extendedprice")).as("price"),
@@ -1677,6 +1697,16 @@ object Relational {
         |    COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mean_winsor
         |FROM j GROUP BY prio
         |ORDER BY prio NULLS FIRST, n NULLS FIRST, cut_lo NULLS FIRST, cut_hi NULLS FIRST, n_kept NULLS FIRST, mean_raw NULLS FIRST, mean_trimmed NULLS FIRST, mean_winsor NULLS FIRST""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  CAST(CAST(floor((regr_slope(l_extendedprice, l_quantity))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+        |  CAST(CAST(floor((regr_intercept(l_extendedprice, l_quantity))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS intercept,
+        |  CAST(CAST(floor((regr_r2(l_extendedprice, l_quantity))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS r2
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, slope NULLS FIRST, intercept NULLS FIRST, r2 NULLS FIRST""".stripMargin,
 
     "graph_hops" ->
       """WITH RECURSIVE eg AS (
