@@ -565,6 +565,56 @@ object Analytics {
         when(den === 0.0, lit(null)).otherwise(den)
       ordered(mo.select(col("event_type"), col("lag"), col("n_pairs"),
         dec4S(r).as("acf")))
+    }),
+
+    // ---- TS-6: cross-correlation function (`ccf`) — TS-4's two-series
+    //      sibling, the lead/lag detector between signals: does click
+    //      volume LEAD purchase volume, and by how many hours? The joint
+    //      hourly series (hr, clicks, purchases) zero-fills each type's
+    //      count on hours the OTHER type observed (one map-side-combined
+    //      conditional-sum collapse — no per-type pivot join); lags −3..+3
+    //      are positional leads over the shared hour order, negative lags
+    //      by symmetry corr(c_t, p_{t−k}) = corr(c_{t+k}, p_t) so SIX
+    //      leads share ONE window pass. All moment sums are exact int64
+    //      (TS-4's discipline: no mean subtraction until the final double
+    //      finish); zero-variance overlap → NULL. The global hour window
+    //      is over the date-range-BOUNDED series relation (the corpus
+    //      collapses to |hours| rows first — at 100 TB that collapse is
+    //      the only data-sized shuffle, the window input stays calendar-
+    //      sized; TS-4's cost envelope). ----
+    "ccf" -> ((s, d) => {
+      val maxLag = 3
+      val e = load(s, d, "events")
+      val hourly = e.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("hr").asc)
+      val withLeads = hourly.select(Seq(col("c"), col("p")) ++
+        (1 to maxLag).flatMap(k => Seq(
+          lead(col("c"), k).over(w).as(s"c$k"),
+          lead(col("p"), k).over(w).as(s"p$k"))): _*)
+      val pairCols = (struct(lit(0).as("lag"), col("c").as("x"), col("p").as("y")) +:
+        (1 to maxLag).flatMap(k => Seq(
+          struct(lit(k).as("lag"), col("c").as("x"), col(s"p$k").as("y")),
+          struct(lit(-k).as("lag"), col(s"c$k").as("x"), col("p").as("y")))))
+      val pairs = withLeads
+        .select(explode(array(pairCols: _*)).as("pr"))
+        .select(col("pr.lag").as("lag"), col("pr.x").as("x"), col("pr.y").as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val mo = pairs.groupBy(col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val n = col("n_pairs").cast("double")
+      def dd(c: Column): Column = c.cast("double")
+      val den = sqrt((n * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+        (n * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))))
+      val r = (n * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+        when(den === 0.0, lit(null)).otherwise(den)
+      ordered(mo.select(col("lag"), col("n_pairs"), dec4S(r).as("ccf")))
     })
   )
 
@@ -649,6 +699,41 @@ object Analytics {
         |  CAST(CAST(floor((r)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS acf
         |FROM f
         |ORDER BY event_type NULLS FIRST, lag NULLS FIRST, n_pairs NULLS FIRST, acf NULLS FIRST""".stripMargin,
+
+    "ccf" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |l AS (
+        |  SELECT c, p,
+        |    LEAD(c, 1) OVER w AS c1, LEAD(c, 2) OVER w AS c2, LEAD(c, 3) OVER w AS c3,
+        |    LEAD(p, 1) OVER w AS p1, LEAD(p, 2) OVER w AS p2, LEAD(p, 3) OVER w AS p3
+        |  FROM hourly WINDOW w AS (ORDER BY hr ASC)),
+        |pr AS (
+        |  SELECT k.lg,
+        |    CASE WHEN k.lg >= 0 THEN c
+        |         WHEN k.lg = -1 THEN c1 WHEN k.lg = -2 THEN c2 ELSE c3 END AS x,
+        |    CASE WHEN k.lg <= 0 THEN p
+        |         WHEN k.lg = 1 THEN p1 WHEN k.lg = 2 THEN p2 ELSE p3 END AS y
+        |  FROM l CROSS JOIN (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) AS k(lg)),
+        |mo AS (
+        |  SELECT lg, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM pr WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT lg, n_pairs,
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |      NULLIF(sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |                  (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 0.0) AS r
+        |  FROM mo)
+        |SELECT lg AS lag, n_pairs,
+        |  CAST(CAST(floor((r)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ccf
+        |FROM f
+        |ORDER BY lag NULLS FIRST, n_pairs NULLS FIRST, ccf NULLS FIRST""".stripMargin,
 
     "drift_psi" ->
       """WITH b AS (

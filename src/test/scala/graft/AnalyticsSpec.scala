@@ -273,6 +273,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ccf: correlogram equals a driver-side recompute at every lag") {
+    val out = SparkEntry.queries("ccf")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2).toDouble)))).toMap
+    assert(out.size == 7, s"one row per lag -3..3, got ${out.keySet}")
+    val hourly = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .orderBy(col("hr"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      if (den == 0.0) None else Some((n * sxy - sx * sy) / den)
+    }
+    val cs = hourly.toSeq.map(_._1)
+    val ps = hourly.toSeq.map(_._2)
+    (-3 to 3).foreach { k =>
+      val (xs, ys) =
+        if (k >= 0) (cs.dropRight(k), ps.drop(k))
+        else (cs.drop(-k), ps.dropRight(-k))
+      val (np, r) = out(k)
+      assert(np == xs.length.toLong, s"lag $k: pairs $np vs ${xs.length}")
+      (r, pearson(xs, ys)) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 6e-5, s"lag $k: $a vs naive $b")
+        case (None, None) => ()
+        case other => fail(s"lag $k definedness mismatch: $other")
+      }
+    }
+  }
+
   test("purchase_context: range-frame extraction equals a driver-side replay") {
     val evs = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
