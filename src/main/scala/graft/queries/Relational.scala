@@ -751,6 +751,36 @@ object Relational {
           col("cluster_id").as("entity_id"), col("is_keeper"))
     }),
 
+    // ---- FZJ-JW: Jaro–Winkler similarity scoring (`fzj_jw`) — the
+    //      entity-resolution rung fzj1's edit-distance-1 gate can't
+    //      reach: transposition- and suffix-noise-tolerant, prefix-
+    //      weighted the way human naming errors are distributed. Measure
+    //      = the codegen'd [[graft.functions.JaroWinkler]] expression,
+    //      semantics pinned to DuckDB's NATIVE jaro_winkler_similarity
+    //      (the oracle); scored over the DISTINCT part-name domain with
+    //      per-name part counts joined back (the entity-match weight).
+    //      JW has no lossless equi-key blocking, so the pair generation
+    //      is an explicit broadcast self-pair of the name DOMAIN — a
+    //      vocabulary-sized relation by construction (64 names at ANY
+    //      SF: the corpus collapses via one map-side-combined distinct
+    //      first), never the data-sized table; at 100 TB the domain
+    //      pair count is still |vocab|², and a corpus whose name domain
+    //      IS data-sized needs fzj1's blocking family instead. Threshold
+    //      compares dec4-both-sides (§5.3); the half-grid boundary set
+    //      was checked empty on this measure's rational value domain. ----
+    "fzj_jw" -> ((s, d) => {
+      val names = load(s, d, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+      val a = names.select(col("name").as("n1"), col("cnt").as("cnt1"))
+      val b = names.select(col("name").as("n2"), col("cnt").as("cnt2"))
+      val jw = graft.functions.GraftFunctions.jaro_winkler(col("n1"), col("n2"))
+      ordered(a.join(broadcast(b), col("n1") < col("n2"))
+        .withColumn("jwv", jw)
+        .filter(dec4(col("jwv")) >= dec4(lit(0.8)))
+        .select(col("n1"), col("n2"), col("cnt1"), col("cnt2"),
+          dec4S(col("jwv")).as("jw")))
+    }),
+
     // ---- MRG-1: upsert / latest-record-wins merge — the [REF] warehouse
     //      load + OLTP read-back shape (bidirectional PostgreSQL edge,
     //      Untitled Diagram.drawio:88-98) as a declarative operator: a
@@ -2124,6 +2154,21 @@ object Relational {
         |SELECT c_custkey, entity_id, (c_custkey = entity_id) AS is_keeper
         |FROM clusters
         |ORDER BY c_custkey NULLS FIRST, entity_id NULLS FIRST, is_keeper NULLS FIRST""".stripMargin,
+
+    "fzj_jw" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1
+        |), scored AS (
+        |  SELECT a.name AS n1, b.name AS n2, a.cnt AS cnt1, b.cnt AS cnt2,
+        |    jaro_winkler_similarity(a.name, b.name) AS jwv
+        |  FROM names a JOIN names b ON a.name < b.name
+        |)
+        |SELECT n1, n2, cnt1, cnt2,
+        |  CAST(CAST(floor((jwv)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jw
+        |FROM scored
+        |WHERE CAST(floor((jwv)*10000+0.5)/10000 AS DECIMAL(38,4)) >= CAST(floor((0.8)*10000+0.5)/10000 AS DECIMAL(38,4))
+        |ORDER BY n1 NULLS FIRST, n2 NULLS FIRST, cnt1 NULLS FIRST, cnt2 NULLS FIRST, jw NULLS FIRST""".stripMargin,
 
     "mrg1" ->
       """WITH base AS (

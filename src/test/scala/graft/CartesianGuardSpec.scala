@@ -90,9 +90,14 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // shape (ivf_eval's whitelist rationale, sample-able at
                   // scale); the approx leg is bucket-equi-keyed and the
                   // audit join is equi-keyed
-    "vec_mrl"     // four truncation-width brute legs + the truth leg, all
+    "vec_mrl",    // four truncation-width brute legs + the truth leg, all
                   // sim1's declared broadcast-query audit shape (declared
                   // sample-able at scale); the hit joins are equi-keyed
+    "fzj_jw"      // broadcast self-pair of the DISTINCT name domain —
+                  // vocabulary-sized by construction (the corpus collapses
+                  // through one distinct first); JW has no lossless
+                  // equi-key blocking, and a data-sized name domain needs
+                  // fzj1's blocking family instead (declared in SURVEY)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

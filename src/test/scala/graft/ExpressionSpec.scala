@@ -221,6 +221,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getInt(5) == 9 && r.getInt(6) == 0)
   }
 
+  test("jaro_winkler: known values, edges, symmetry, codegen parity") {
+    import graft.functions.GraftFunctions.jaro_winkler
+    // Hand-checked values of the standard JW definition (prefix 0.1/4,
+    // boost threshold 0.7) — the exact semantics DuckDB's native
+    // jaro_winkler_similarity implements (pinned against it on 6000
+    // randomized + realistic cases during design, incl. the ''/'' = 0
+    // DuckDB edge).
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111), // classic transposition
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0)) // DuckDB: empty side → 0, even for ''==''
+    def run() = {
+      import spark.implicits._
+      cases.map(c => (c._1, c._2)).toDF("a", "b")
+        .select(jaro_winkler(col("a"), col("b")).as("jw"),
+          jaro_winkler(col("b"), col("a")).as("wj"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    }
+    val got = run()
+    cases.zip(got).foreach { case ((a, b, want), (jw, wj)) =>
+      assert(math.abs(jw - want) < 1e-12, s"jw($a,$b) = $jw, want $want")
+      assert(jw == wj, s"jw must be symmetric on ($a,$b)")
+    }
+    assert(got.toSeq == interpretedOnly(run()).toSeq,
+      "codegen and interpreted jaro_winkler must agree bit-for-bit")
+    // null propagation + SQL registration through GraftExtensions
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('crate', 'trace'), graft_jaro_winkler(NULL, 'x')").head()
+    assert(math.abs(r.getDouble(0) - 0.7333333333333334) < 1e-12)
+    assert(r.isNullAt(1))
+  }
+
   test("morton_code equals the bit-by-bit interleave reference") {
     import graft.functions.GraftFunctions.morton_code
     def ref(x: Long, y: Long): Long = {
