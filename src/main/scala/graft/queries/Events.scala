@@ -249,6 +249,42 @@ object Events {
         .withColumn("level", col("l1") + col("l2") + col("l3")))
     }),
 
+    // ---- FNL-3: conversion-latency distribution (`funnel_latency`) —
+    //      the funnel family's third reading: FNL-1 says WHO converted,
+    //      FNL-2 says within a window, this says HOW LONG conversion
+    //      takes — per user the µs-exact delay from first click to the
+    //      first purchase at-or-after it, summarized as exact p25/p50/p90
+    //      seconds grouped by the click's ISO weekday (the launch-day
+    //      effect marketing actually asks about). Latency is computed on
+    //      µs longs end-to-end; the division to seconds is one identical
+    //      long→double op in both engines BEFORE the type-7 interpolation
+    //      (AGG-9's exact-percentile determinism argument). Shape: one
+    //      map-side-combined first-click aggregate, one equi-join back on
+    //      user_id (purchases only on the probe side), one percentile
+    //      aggregate over the |converted users| relation — at 100 TB the
+    //      per-group exact percentile swaps to approx_percentile (AGG-11's
+    //      declared trade), everything else is scan + one keyed shuffle.
+    //      Spark weekday()+1 ≡ DuckDB isodow (Mon=1..Sun=7), aligned
+    //      explicitly — neither engine's default dayofweek numbering
+    //      agrees with the other. ----
+    "funnel_latency" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val fc = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("fc_us"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(fc, Seq("user_id"))
+        .filter(col("p_us") >= col("fc_us"))
+        .groupBy(col("user_id"), col("fc_us")).agg(min(col("p_us")).as("fp_us"))
+        .select((weekday(timestamp_micros(col("fc_us"))) + lit(1)).as("dow"),
+          ((col("fp_us") - col("fc_us")) / lit(1000000.0)).as("lat_s"))
+      ordered(lat.groupBy(col("dow")).agg(
+        count(lit(1)).as("n"),
+        dec4S(percentile(col("lat_s"), lit(0.25))).as("p25_s"),
+        dec4S(percentile(col("lat_s"), lit(0.5))).as("p50_s"),
+        dec4S(percentile(col("lat_s"), lit(0.9))).as("p90_s")))
+    }),
+
     // ---- RSM-1: time-series resampling to a regular grid with linear
     //      interpolation — the regularization step before any ML
     //      featurization of irregular event streams. Formulation is the
@@ -912,6 +948,27 @@ object Events {
     }
 
   val oracle: Map[String, String] = Map(
+    "funnel_latency" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS fc_us
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), conv AS (
+        |  SELECT e.user_id, fc.fc_us, MIN(epoch_us(e.ts)) AS fp_us
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.fc_us
+        |  GROUP BY 1, 2
+        |), lat AS (
+        |  SELECT CAST(isodow(make_timestamp(fc_us)) AS INT) AS dow,
+        |    (fp_us - fc_us) / 1000000.0 AS lat_s
+        |  FROM conv
+        |)
+        |SELECT dow, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(CAST(floor((quantile_cont(lat_s, 0.25))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p25_s,
+        |  CAST(CAST(floor((quantile_cont(lat_s, 0.5))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p50_s,
+        |  CAST(CAST(floor((quantile_cont(lat_s, 0.9))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p90_s
+        |FROM lat GROUP BY dow
+        |ORDER BY dow NULLS FIRST, n NULLS FIRST, p25_s NULLS FIRST, p50_s NULLS FIRST, p90_s NULLS FIRST""".stripMargin,
+
     // Same deterministic changelog derivation; latest-op-wins via QUALIFY,
     // apply via FULL OUTER join, deletes filtered.
     "cdc_apply" ->
