@@ -615,6 +615,85 @@ object Analytics {
       val r = (n * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
         when(den === 0.0, lit(null)).otherwise(den)
       ordered(mo.select(col("lag"), col("n_pairs"), dec4S(r).as("ccf")))
+    }),
+
+    // ---- TS-7: Theil–Sen robust trend (`theil_sen`) — AGG-18's OLS line
+    //      re-estimated the way a fat-finger-immune dashboard needs it:
+    //      slope = MEDIAN of all pairwise slopes of the weekly-revenue
+    //      series, intercept = median residual at that slope — a single
+    //      outlier week moves OLS arbitrarily but shifts a median by one
+    //      rank (29.3% breakdown point). The pair relation is the weekly
+    //      series against itself: DOMAIN-sized by construction (the
+    //      corpus collapses to |weeks| rows through one map-side-combined
+    //      decimal-sum aggregate first — calendar-bounded at ANY corpus
+    //      size, so |weeks|² pairs is a constant of the date range, not
+    //      the data; the declared broadcast self-pair shape, CartesianGuard
+    //      whitelisted). GRAIN IS THE COST KNOB: the daily-grain variant
+    //      was measured first — |days|²≈2.9M pairs cost 9-10 s via builtin
+    //      `percentile` (one final-hashmap task) and ~6 s via the
+    //      GlobalRank two-pass median; weekly keeps the estimator's story
+    //      at ~350² = 59k pairs for pennies, and a finer grain only
+    //      changes the constant, never the data-proportional part.
+    //      Determinism: weekly sums are exact decimals whose cents fit a
+    //      double exactly (< 2⁵³), slope division is one identical double
+    //      op, the median interpolation is spelled identically in the
+    //      oracle (two commutative-exact weighted terms). At 100 TB the
+    //      collapse is the only data-sized stage; a series outgrowing the
+    //      calendar bound needs the sampled Theil–Sen variant (declared
+    //      switch). ----
+    "theil_sen" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val weekly = o.groupBy(
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val d0 = weekly.agg(min(col("wk")).as("d0"))
+      val pts = weekly.crossJoin(broadcast(d0))
+        .select(call_function("div", datediff(col("wk"), col("d0")), lit(7))
+          .cast("int").as("x"),
+          col("rev").cast("double").as("y"))
+      // The |weeks|-row aggregate lands in ONE AQE-coalesced partition —
+      // explicit round-robin width on the STREAM side keeps the nested
+      // loop parallel against the broadcast even at a finer grain (at
+      // daily grain the 1-partition stream side was the whole first-cut
+      // cost; AQE respects user-specified numbers).
+      val par = s.sparkContext.defaultParallelism
+      val a = pts.repartition(par).select(col("x").as("x1"), col("y").as("y1"))
+      val b = pts.select(col("x").as("x2"), col("y").as("y2"))
+      // ONE 8-byte column leaves the pair generator: the rank pass pins
+      // its input (GlobalRank), and the median VALUE at a rank is
+      // invariant under tie order among equal m — so no tie-break columns
+      // need to ride along (the oracle ranks by (m, x1, x2); the value at
+      // the bracketing ranks is identical either way).
+      val slopes = a.join(broadcast(b), col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")) /
+          (col("x2") - col("x1")).cast("double")).as("m"))
+      // Exact median via the two-pass global rank — the same machinery
+      // that keeps this shape alive when a finer grain (or a per-key
+      // family of series) makes the pair relation big: no single-task
+      // sort, no single-task percentile hashmap. Pick the type-7
+      // bracketing ranks and interpolate.
+      val ranked = graft.operators.GlobalRank.attach(
+        slopes, Seq(col("m").asc), Some("rn"))
+      val np = ranked.agg(count(lit(1)).as("n_pairs"))
+      val h = (col("n_pairs") - lit(1L)).cast("double") * lit(0.5)
+      val mhat = ranked.crossJoin(broadcast(np))
+        .withColumn("lo", floor(h).cast("long"))
+        .withColumn("frac", h - floor(h))
+        .filter(col("rn") - 1L === col("lo") ||
+          (col("frac") > 0.0 && col("rn") - 1L === col("lo") + 1L))
+        .groupBy(col("n_pairs"))
+        .agg(sum(when(col("rn") - 1L === col("lo"),
+            col("m") * (lit(1.0) - col("frac")))
+          .otherwise(col("m") * col("frac"))).as("m"))
+      // Residual median runs on the |weeks|-sized relation — builtin
+      // percentile is fine at calendar size.
+      val res = pts.crossJoin(broadcast(mhat))
+        .groupBy(col("n_pairs"), col("m"))
+        .agg(count(lit(1)).as("n_days"),
+          percentile(col("y") - col("m") * col("x").cast("double"),
+            lit(0.5)).as("b0"))
+      ordered(res.select(col("n_days").as("n_weeks"), col("n_pairs"),
+        dec4S(col("m")).as("slope"), dec4S(col("b0")).as("intercept")))
     })
   )
 
@@ -734,6 +813,44 @@ object Analytics {
         |  CAST(CAST(floor((r)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ccf
         |FROM f
         |ORDER BY lag NULLS FIRST, n_pairs NULLS FIRST, ccf NULLS FIRST""".stripMargin,
+
+    "theil_sen" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+        |  FROM orders GROUP BY 1
+        |), d0 AS (SELECT MIN(wk) AS d0 FROM weekly),
+        |pts AS (
+        |  SELECT CAST(datediff('day', d0.d0, weekly.wk) // 7 AS INT) AS x,
+        |    CAST(rev AS DOUBLE) AS y
+        |  FROM weekly CROSS JOIN d0
+        |), sl AS (
+        |  SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS m,
+        |    a.x AS x1, b.x AS x2
+        |  FROM pts a JOIN pts b ON a.x < b.x
+        |), rk AS (
+        |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, x1, x2) AS rn FROM sl
+        |), np AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_pairs FROM sl),
+        |mh AS (
+        |  SELECT n_pairs,
+        |    SUM(CASE WHEN rn - 1 = CAST(floor((n_pairs - 1) * 0.5) AS BIGINT)
+        |          THEN m * (1.0 - ((n_pairs - 1) * 0.5 - floor((n_pairs - 1) * 0.5)))
+        |          ELSE m * ((n_pairs - 1) * 0.5 - floor((n_pairs - 1) * 0.5)) END) AS m
+        |  FROM rk CROSS JOIN np
+        |  WHERE rn - 1 = CAST(floor((n_pairs - 1) * 0.5) AS BIGINT)
+        |     OR (((n_pairs - 1) * 0.5 - floor((n_pairs - 1) * 0.5)) > 0.0
+        |         AND rn - 1 = CAST(floor((n_pairs - 1) * 0.5) AS BIGINT) + 1)
+        |  GROUP BY n_pairs
+        |), res AS (
+        |  SELECT mh.n_pairs, mh.m, CAST(COUNT(1) AS BIGINT) AS n_weeks,
+        |    quantile_cont(pts.y - mh.m * CAST(pts.x AS DOUBLE), 0.5) AS b0
+        |  FROM pts CROSS JOIN mh GROUP BY 1, 2
+        |)
+        |SELECT n_weeks, n_pairs,
+        |  CAST(CAST(floor((m)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+        |  CAST(CAST(floor((b0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS intercept
+        |FROM res
+        |ORDER BY n_weeks NULLS FIRST, n_pairs NULLS FIRST, slope NULLS FIRST, intercept NULLS FIRST""".stripMargin,
 
     "drift_psi" ->
       """WITH b AS (

@@ -93,11 +93,16 @@ class CartesianGuardSpec extends AnyFunSuite {
     "vec_mrl",    // four truncation-width brute legs + the truth leg, all
                   // sim1's declared broadcast-query audit shape (declared
                   // sample-able at scale); the hit joins are equi-keyed
-    "fzj_jw"      // broadcast self-pair of the DISTINCT name domain —
+    "fzj_jw",     // broadcast self-pair of the DISTINCT name domain —
                   // vocabulary-sized by construction (the corpus collapses
                   // through one distinct first); JW has no lossless
                   // equi-key blocking, and a data-sized name domain needs
                   // fzj1's blocking family instead (declared in SURVEY)
+    "theil_sen"   // broadcast self-pair of the DAILY series — calendar-
+                  // bounded by construction (corpus collapses to |days|
+                  // rows first), plus two 1-row scalar attaches (d0, the
+                  // fitted slope); the declared pairwise-median semantics
+                  // have no equi-key
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
