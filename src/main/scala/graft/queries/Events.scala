@@ -502,6 +502,59 @@ object Events {
           col("n_events")))
     }),
 
+    // ---- SURV-1: Kaplan–Meier survival curve (`survival_km`) — the
+    //      churn statistic cohort tables only approximate: per observed
+    //      lifetime day t, the at-risk count, churn events, right-
+    //      censored exits, and the KM survival estimate
+    //      S(t) = Π_{u≤t}(1 − d_u/n_u). Lifetime = first→last activity in
+    //      whole HOURS per user (this corpus is a ~30-day window — day
+    //      grain collapses every user to 3 buckets; grain follows the
+    //      observation span); a user whose last activity is within 24 h
+    //      of the corpus end is CENSORED (still alive for all we know —
+    //      counting them as churn is the classic retention-curve bias KM
+    //      exists to fix). Shape: one per-user min/max aggregate (the only
+    //      data-sized shuffle), collapse to the |distinct lifetimes|
+    //      relation (calendar-bounded), exclusive-prefix risk counts and
+    //      the cumulative product over that domain-sized series — the
+    //      product via exp∘Σln in IDENTICAL term order both engines
+    //      (ulp-level ln differences across engines drift ~1e-13 over a
+    //      calendar of terms, far below dec4 — txt_entropy's precedent);
+    //      a zero factor (everyone at risk dies) short-circuits S to 0
+    //      through an explicit flag rather than ln(0) (NULL in Spark,
+    //      -inf in DuckDB — the one place the engines disagree). ----
+    "survival_km" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val span = e.agg(max(unix_micros(col("ts"))).as("endu"))
+      val life = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("f"),
+          max(unix_micros(col("ts"))).as("l"))
+        .crossJoin(broadcast(span))
+        .select(call_function("div", col("l") - col("f"),
+            lit(3600000000L)).as("t"),
+          (col("endu") - col("l") < 24L * 3600000000L).cast("int").as("cens"))
+      val perT = life.groupBy(col("t")).agg(
+        sum(lit(1) - col("cens")).as("d_n"), sum(col("cens")).as("c_n"))
+      val tot = perT.agg(sum(col("d_n") + col("c_n")).as("total"))
+      val wPre = Window.partitionBy(lit(0)).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(lit(0)).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val st = perT.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("total") -
+          coalesce(sum(col("d_n") + col("c_n")).over(wPre), lit(0L)))
+        .withColumn("factor",
+          when(col("d_n") > 0,
+            (col("n_risk") - col("d_n")).cast("double") /
+              col("n_risk").cast("double")).otherwise(lit(1.0)))
+      val surv = st
+        .withColumn("hit0", max(when(col("factor") === 0.0, 1).otherwise(0)).over(wCum))
+        .withColumn("lnsum",
+          sum(when(col("factor") > 0.0, log(col("factor"))).otherwise(0.0)).over(wCum))
+      ordered(surv.select(col("t"), col("n_risk"), col("d_n"), col("c_n"),
+        dec4S(when(col("hit0") === 1, 0.0).otherwise(exp(col("lnsum"))))
+          .as("survival")))
+    }),
+
     // ---- CHT-1: cohort retention — users grouped by first-activity day
     //      (their cohort), then per (cohort_day, day_offset) distinct
     //      active users — the retention-curve table behind every growth
@@ -948,6 +1001,39 @@ object Events {
     }
 
   val oracle: Map[String, String] = Map(
+    "survival_km" ->
+      """WITH span AS (SELECT MAX(epoch_us(ts)) AS endu FROM events),
+        |life AS (
+        |  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000 AS t,
+        |    CAST(span.endu - MAX(epoch_us(ts)) < 24 * 3600000000 AS INT) AS cens
+        |  FROM events CROSS JOIN span GROUP BY user_id, span.endu
+        |), pert AS (
+        |  SELECT t, CAST(SUM(1 - cens) AS BIGINT) AS d_n,
+        |    CAST(SUM(cens) AS BIGINT) AS c_n
+        |  FROM life GROUP BY t
+        |), tot AS (SELECT CAST(SUM(d_n + c_n) AS BIGINT) AS total FROM pert),
+        |st AS (
+        |  SELECT t, d_n, c_n,
+        |    CAST(total - COALESCE(SUM(d_n + c_n) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM pert CROSS JOIN tot
+        |), fct AS (
+        |  SELECT *, CASE WHEN d_n > 0
+        |      THEN CAST(n_risk - d_n AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      ELSE 1.0 END AS factor
+        |  FROM st
+        |), cum AS (
+        |  SELECT t, n_risk, d_n, c_n,
+        |    MAX(CASE WHEN factor = 0.0 THEN 1 ELSE 0 END) OVER w AS hit0,
+        |    SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END) OVER w AS lnsum
+        |  FROM fct
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT t, n_risk, d_n, c_n,
+        |  CAST(CAST(floor((CASE WHEN hit0 = 1 THEN 0.0 ELSE exp(lnsum) END)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS survival
+        |FROM cum
+        |ORDER BY t NULLS FIRST, n_risk NULLS FIRST, d_n NULLS FIRST, c_n NULLS FIRST, survival NULLS FIRST""".stripMargin,
+
     "funnel_latency" ->
       """WITH fc AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS fc_us
