@@ -2091,6 +2091,53 @@ object LlmOps {
         .select(col("lang"), col("rn"), col("word"), col("n")))
     }),
 
+    // ---- TXT-ZIPF: Zipf's-law fit of the rank–frequency curve
+    //      (`txt_zipf`) — the corpus-health diagnostic every pretraining
+    //      pipeline plots: natural text follows freq ∝ rank^(−s) with
+    //      s ≈ 1; a slope far off (or a poor R²) flags boilerplate,
+    //      templated spam, or tokenizer damage BEFORE training does. Fit
+    //      = OLS of ln(freq) on ln(rank) over the top-500 vocabulary
+    //      (rank via the distributed TakeOrderedAndProject top-k, never a
+    //      full vocab sort), reported with vocab size and corpus token
+    //      total. Determinism: the top-k set and ranks are exact integer
+    //      order statistics; ln/moment sums are doubles whose summation-
+    //      order drift over 500 ln-scale terms is ~1e-11 absolute — far
+    //      below dec4 (survival_km's ln precedent); the OLS finish is
+    //      spelled identically both sides, zero y-variance → NULL by
+    //      guard. Scale: the token count is the only data-sized shuffle
+    //      (map-side combined); everything after lives on top-500 rows. ----
+    "txt_zipf" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val counts = doc.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("vocab"), sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("word").asc).limit(500)
+      val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("word").asc)
+      val pts = top.withColumn("rnk", row_number().over(w))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      val mo = pts.agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val kd = col("k").cast("double")
+      val sxxv = kd * col("sxx") - col("sx") * col("sx")
+      val syyv = kd * col("syy") - col("sy") * col("sy")
+      val sxyv = kd * col("sxy") - col("sx") * col("sy")
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      val withV = mo.withColumn("sxyv", sxyv).withColumn("sxxv", sxxv)
+        .withColumn("syyv", syyv)
+        .withColumn("slope", col("sxyv") / nz(col("sxxv")))
+        .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / kd)
+        .withColumn("r2", col("sxyv") * col("sxyv") / nz(col("sxxv") * col("syyv")))
+      ordered(withV.crossJoin(broadcast(stats))
+        .select(col("vocab"), col("total"), col("k"),
+          dec4S(col("slope")).as("slope"),
+          dec4S(col("intercept")).as("intercept"),
+          dec4S(col("r2")).as("r2")))
+    }),
+
     // ---- BPE-1: byte-pair-encoding merge training (`bpe_train`) — the
     //      tokenizer-training op itself (Sennrich et al. ACL'16; the loop
     //      inside SentencePiece/HF BPE trainers): learn the corpus's first
@@ -4115,6 +4162,41 @@ object LlmOps {
         |  )
         |) WHERE rn <= 5
         |ORDER BY lang NULLS FIRST, rn NULLS FIRST, word NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "txt_zipf" ->
+      """WITH counts AS (
+        |  SELECT word, COUNT(1) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(1) AS BIGINT) AS vocab, CAST(SUM(n) AS BIGINT) AS total FROM counts
+        |), top AS (
+        |  SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 500
+        |), pts AS (
+        |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS DOUBLE)) AS x,
+        |    ln(CAST(n AS DOUBLE)) AS y
+        |  FROM top
+        |), mo AS (
+        |  SELECT CAST(COUNT(1) AS BIGINT) AS k,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |  FROM pts
+        |), f AS (
+        |  SELECT k, sx, sy,
+        |    CAST(k AS DOUBLE) * sxy - sx * sy AS sxyv,
+        |    CAST(k AS DOUBLE) * sxx - sx * sx AS sxxv,
+        |    CAST(k AS DOUBLE) * syy - sy * sy AS syyv
+        |  FROM mo
+        |), g AS (
+        |  SELECT k, sx, sy, sxyv, sxxv, syyv,
+        |    sxyv / NULLIF(sxxv, 0.0) AS slope
+        |  FROM f
+        |)
+        |SELECT vocab, total, k,
+        |  CAST(CAST(floor((slope)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+        |  CAST(CAST(floor(((sy - slope * sx) / CAST(k AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS intercept,
+        |  CAST(CAST(floor((sxyv * sxyv / NULLIF(sxxv * syyv, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS r2
+        |FROM g CROSS JOIN stats
+        |ORDER BY vocab NULLS FIRST, total NULLS FIRST, k NULLS FIRST, slope NULLS FIRST, intercept NULLS FIRST, r2 NULLS FIRST""".stripMargin,
 
     "bpe_apply" -> {
       val rounds = (1 to 6).map { r =>

@@ -98,11 +98,13 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // through one distinct first); JW has no lossless
                   // equi-key blocking, and a data-sized name domain needs
                   // fzj1's blocking family instead (declared in SURVEY)
-    "theil_sen"   // broadcast self-pair of the DAILY series — calendar-
-                  // bounded by construction (corpus collapses to |days|
+    "theil_sen",  // broadcast self-pair of the WEEKLY series — calendar-
+                  // bounded by construction (corpus collapses to |weeks|
                   // rows first), plus two 1-row scalar attaches (d0, the
                   // fitted slope); the declared pairwise-median semantics
                   // have no equi-key
+    "txt_zipf"    // 1-row (vocab, total) scalar attach onto the 1-row
+                  // OLS fit: tfidf1's broadcast shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -840,4 +840,38 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("rank_units") >= 6000000000L),
       "every node keeps at least the teleport term")
   }
+
+  test("txt_zipf: exact power-law corpus recovers slope -2 with r2 = 1") {
+    // Crafted frequencies f_i = 3600 / i^2 for i = 1..6 (3600, 900, 400,
+    // 225, 144, 100 — all exact integers), so ln(freq) is EXACTLY linear
+    // in ln(rank): OLS must return slope -2, r2 1, intercept ln(3600).
+    // Distinct frequencies make the rank order unambiguous (no ties).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("zipf_corpus").toString
+    val freqs = Seq(3600, 900, 400, 225, 144, 100)
+    val text = freqs.zipWithIndex
+      .flatMap { case (f, i) => Seq.fill(f)(s"w$i") }.mkString(" ")
+    Seq((1L, text, "en", "t", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("txt_zipf")(spark, d).collect().head
+    assert(r.getAs[Long]("vocab") == 6L)
+    assert(r.getAs[Long]("total") == freqs.sum.toLong)
+    assert(r.getAs[Long]("k") == 6L, "top-k covers the whole 6-word vocab")
+    assert(r.getAs[String]("slope") == "-2.0000")
+    assert(r.getAs[String]("r2") == "1.0000")
+    // intercept = ln(3600) = 8.18868... -> dec4 8.1887
+    assert(r.getAs[String]("intercept") == "8.1887")
+  }
+
+  test("txt_zipf on the corpus: sane fit domain and top-k cap") {
+    val r = SparkEntry.queries("txt_zipf")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("k") <= 500L)
+    assert(r.getAs[Long]("k") <= r.getAs[Long]("vocab"))
+    assert(r.getAs[Long]("total") >= r.getAs[Long]("vocab"))
+    assert(r.getAs[String]("slope").toDouble < 0.0,
+      "frequency must decrease in rank")
+    val r2 = r.getAs[String]("r2").toDouble
+    assert(r2 >= 0.0 && r2 <= 1.0001)
+  }
 }
