@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Events, Ingestion, LlmOps, Pruning, Relational, Scalars, Stats}
+import graft.queries.{Analytics, Eval, Events, Ingestion, LlmOps, Pruning, Relational, Scalars, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Scalars.all ++ LlmOps.all ++ Events.all ++ Ingestion.all ++ Pruning.all ++ Stats.all ++ Analytics.all
+    Relational.all ++ Scalars.all ++ LlmOps.all ++ Events.all ++ Ingestion.all ++ Pruning.all ++ Stats.all ++ Analytics.all ++ Eval.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Scalars.oracle ++ LlmOps.oracle ++ Events.oracle ++ Ingestion.oracle ++ Pruning.oracle ++ Stats.oracle ++ Analytics.oracle
+    Relational.oracle ++ Scalars.oracle ++ LlmOps.oracle ++ Events.oracle ++ Ingestion.oracle ++ Pruning.oracle ++ Stats.oracle ++ Analytics.oracle ++ Eval.oracle
 }

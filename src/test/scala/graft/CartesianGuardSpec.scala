@@ -103,8 +103,13 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // rows first), plus two 1-row scalar attaches (d0, the
                   // fitted slope); the declared pairwise-median semantics
                   // have no equi-key
-    "txt_zipf"    // 1-row (vocab, total) scalar attach onto the 1-row
+    "txt_zipf",   // 1-row (vocab, total) scalar attach onto the 1-row
                   // OLS fit: tfidf1's broadcast shape
+    "calibration_bins", // 1-row ECE scalar attach onto the 10-row bin
+                  // spine: tfidf1's broadcast shape
+    "survival_km" // two 1-row scalar attaches (corpus-end anchor, the
+                  // at-risk total) onto the |lifetimes|-row series:
+                  // tfidf1's broadcast shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

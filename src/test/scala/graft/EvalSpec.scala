@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-engine invariants for the EVAL model-evaluation family
+  * (`queries/Eval.scala`). The oracle gate certifies cross-engine value
+  * equality; these tests pin the STATISTICS themselves: AUC must equal a
+  * naive pairwise P(score₊ > score₋) replay, ECE must equal a driver-side
+  * binning replay, the confusion matrix must partition the corpus, and
+  * crafted corpora must hit the closed-form answers (perfect separation
+  * → AUC 1, perfectly calibrated bins → ECE 0).
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def scoredDocs(dir: String): Array[(Double, Int)] = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text"), col("lang")).collect().map { r =>
+        val words = r.getString(0).split(" ", -1)
+        val stop = words.count(w => w == "a" || w == "the")
+        (stop.toDouble / words.length.toDouble,
+          if (r.getString(1) == "en") 1 else 0)
+      }
+  }
+
+  test("auc_roc: equals the naive pairwise P(pos>neg)+tie/2 replay") {
+    val Array(r) = SparkEntry.queries("auc_roc")(spark, TestSpark.sfDir).collect()
+    val sc = scoredDocs(TestSpark.sfDir)
+    val pos = sc.filter(_._2 == 1).map(_._1)
+    val neg = sc.filter(_._2 == 0).map(_._1)
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val aucRef = wins / (pos.length.toDouble * neg.length.toDouble)
+    val got = r.getAs[String]("auc").toDouble
+    assert(math.abs(got - aucRef) < 6e-5, s"auc $got vs naive $aucRef")
+    // U statistic consistency: AUC = U / (n_pos * n_neg)
+    val u = r.getAs[String]("u_stat").toDouble
+    assert(math.abs(u - aucRef * pos.length * neg.length) < 0.51)
+    // gini_rank = 2*AUC - 1
+    assert(math.abs(r.getAs[String]("gini_rank").toDouble - (2 * got - 1)) < 2e-4)
+    // range law (discrimination STRENGTH is a data property, not an
+    // operator law — the synthetic corpus's langs share a word model, so
+    // AUC sits near 0.5 here; the crafted-corpus test below pins the
+    // extremes)
+    assert(got >= 0.0 && got <= 1.0)
+  }
+
+  test("auc_roc: perfect separation gives AUC exactly 1, reversal exactly 0") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("auc_sep").toString
+    // en docs saturated with stopwords, others with none -> every pos
+    // score (0.5) beats every neg score (0.0): AUC = 1 by construction.
+    val docs = Seq(
+      (1L, "the x the y", "en"), (2L, "a b the c", "en"),
+      (3L, "w x y z", "de"), (4L, "u v w q", "fr"))
+      .map { case (id, t, l) => (id, t, l, "t", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val Array(r) = SparkEntry.queries("auc_roc")(spark, d).collect()
+    assert(r.getAs[String]("auc") == "1.0000")
+    assert(r.getAs[String]("gini_rank") == "1.0000")
+    // reversed labels: the same scores now rank every positive LAST
+    val rev = docs.map { case (id, t, l, s0, n) =>
+      (id, t, if (l == "en") "de" else "en", s0, n) }
+    rev.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val Array(r2) = SparkEntry.queries("auc_roc")(spark, d).collect()
+    assert(r2.getAs[String]("auc") == "0.0000")
+    assert(r2.getAs[String]("gini_rank") == "-1.0000")
+  }
+
+  test("calibration_bins: full spine, count conservation, ECE equals driver replay") {
+    val rows = SparkEntry.queries("calibration_bins")(spark, TestSpark.sfDir).collect()
+    assert(rows.length == 10, "all 10 bins surface, empty ones included")
+    assert(rows.map(_.getAs[Int]("bin")).sorted.toSeq == (0 until 10))
+    val sc = scoredDocs(TestSpark.sfDir)
+    assert(rows.map(_.getAs[Long]("n")).sum == sc.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == sc.count(_._2 == 1).toLong)
+    // driver-side replay with the query's own quantization discipline
+    def dec4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val byBin = sc.groupBy { case (s, _) => math.min(math.floor(s * 10).toInt, 9) }
+    var we = BigDecimal(0)
+    byBin.foreach { case (b, xs) =>
+      val conf = xs.map(x => BigDecimal(dec4(x._1))).sum.toDouble / xs.length
+      val acc = xs.count(_._2 == 1).toDouble / xs.length
+      we += BigDecimal(dec4(math.abs(acc - conf))) * xs.length
+      val row = rows.find(_.getAs[Int]("bin") == b).get
+      assert(row.getAs[Long]("n") == xs.length.toLong, s"bin $b n")
+      assert(math.abs(row.getAs[String]("acc").toDouble - acc) < 6e-5, s"bin $b acc")
+      assert(math.abs(row.getAs[String]("conf").toDouble - conf) < 6e-5, s"bin $b conf")
+    }
+    val eceRef = (we / sc.length).toDouble
+    val eces = rows.map(_.getAs[String]("ece")).distinct
+    assert(eces.length == 1, "ECE is one corpus-level constant")
+    assert(math.abs(eces.head.toDouble - eceRef) < 6e-5)
+    // empty bins render as zero-count null-rate rows
+    rows.filter(_.getAs[Long]("n") == 0L).foreach { r =>
+      assert(r.getAs[String]("conf") == null && r.getAs[String]("acc") == null)
+    }
+  }
+
+  test("cls_eval: confusion partitions the corpus; F1/MCC identities hold") {
+    val Array(r) = SparkEntry.queries("cls_eval")(spark, TestSpark.sfDir).collect()
+    val sc = scoredDocs(TestSpark.sfDir)
+    val (tp, fp, fn, tn) = sc.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, e), (s, pos)) =>
+        val pred = if (s > 0.05) 1 else 0
+        (a + (if (pred == 1 && pos == 1) 1 else 0),
+         b + (if (pred == 1 && pos == 0) 1 else 0),
+         c + (if (pred == 0 && pos == 1) 1 else 0),
+         e + (if (pred == 0 && pos == 0) 1 else 0))
+    }
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((tp, fp, fn, tn)))
+    assert(tp + fp + fn + tn == sc.length.toLong)
+    val p = r.getAs[String]("precision").toDouble
+    val rc = r.getAs[String]("recall").toDouble
+    val f1 = r.getAs[String]("f1").toDouble
+    // harmonic identity within the dec4 rendering slack of p and rc
+    assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 2e-4)
+    val acc = r.getAs[String]("accuracy").toDouble
+    assert(math.abs(acc - (tp + tn).toDouble / sc.length) < 6e-5)
+    val mcc = r.getAs[String]("mcc").toDouble
+    assert(mcc >= -1.0 - 1e-9 && mcc <= 1.0 + 1e-9)
+    // MCC replay in the query's own double discipline
+    val mccRef = (tp.toDouble * tn - fp.toDouble * fn) /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(mcc - mccRef) < 6e-5)
+  }
+}
