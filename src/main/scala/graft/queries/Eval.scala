@@ -24,6 +24,18 @@ import graft.core.Tables._
 object Eval {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 8-decimal sibling of Tables.dec4, for per-block float terms that get
+    * SUMMED over data-sized block counts (avg_precision's trapezoid): at
+    * dec4 the ~1/|blocks| terms would quantize to zero; at dec8 the
+    * worst-case accumulation error over 10⁴ blocks is 1e-4 while both
+    * engines still floor the identical IEEE double. DuckDB twin:
+    * `CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))`
+    * (vec_pq's DECIMAL(38,8) rendering precedent). */
+  private val dt8 = org.apache.spark.sql.types.DecimalType(38, 8)
+  private def dec8(c: Column): Column =
+    (floor(c * lit(1.0e8) + lit(0.5)) / lit(1.0e8)).cast(dt8)
+  private def dec8S(c: Column): Column = cstr(dec8(c))
+
   /** TXT-3's stopword-ratio score + binary gold label, the shared eval
     * input: score = |{w : w ∈ {a, the}}| / |words| (one correctly-rounded
     * double division of exact ints), label = (lang = 'en'). */
@@ -140,9 +152,193 @@ object Eval {
         dec4S(dz(tp, tp + fn)).as("recall"),
         dec4S(dz(lit(2.0) * tp, lit(2.0) * tp + fp + fn)).as("f1"),
         dec4S(dz(tp * tn - fp * fn, mccDen)).as("mcc")))
+    }),
+
+    // ---- EVAL-4: PR trapezoid + best operating point (`avg_precision`)
+    //      — the precision-recall companion to EVAL-1 (ROC flatters a
+    //      classifier on imbalanced corpora; PR does not): AP = area
+    //      under the PR curve by the lower trapezoid over DISTINCT-SCORE
+    //      blocks in descending-score order, Σ_k ΔR_k·(P_k + P_{k−1})/2
+    //      with P_0 = 1 (the standard empty-prefix convention), plus the
+    //      best reachable F1 over all thresholds and the score achieving
+    //      it (argmax ties → smallest score: drift_ks's rule — the
+    //      doubles are engine-identical, so the tie set is too). Float
+    //      discipline: every prefix count is an exact int64 (GlobalRank),
+    //      each block's P/R is one double division, the per-block term is
+    //      dec8-quantized before the order-free decimal sum (dec4 would
+    //      zero out ~1/|blocks| terms); f1_k = 2TP_k/(n_k + n₊), the
+    //      harmonic identity on exact ints. Degenerate all-negative
+    //      corpus → every ΔR NULL → ap NULL (cls_eval's guard
+    //      convention). Scale: identical envelope to auc_roc — the scan
+    //      collapses to one row per distinct score, GlobalRank's two-pass
+    //      prefix (no single-task sort), and two 1-row broadcast scalar
+    //      attaches (totals + the F1 max; tfidf1's shape). ----
+    "avg_precision" -> ((s, d) => {
+      val perS = scored(s, d).groupBy(col("score")).agg(
+        count(lit(1)).as("ct"), sum(col("pos")).as("cpos"))
+      val withP = graft.operators.GlobalRank.attach(perS,
+        Seq(col("score").desc), None,
+        Seq("ct" -> "nbefore", "cpos" -> "posbefore"))
+      val tot = withP.agg(sum(col("cpos")).as("npos"),
+        sum(col("ct") - col("cpos")).as("nneg"))
+      def nz(c: Column): Column = when(c === 0L, lit(null)).otherwise(c)
+      val b = withP.crossJoin(broadcast(tot))
+        .withColumn("tpk", col("posbefore") + col("cpos"))
+        .withColumn("nk", col("nbefore") + col("ct"))
+        .withColumn("pk", col("tpk").cast("double") / col("nk").cast("double"))
+        .withColumn("pprev", when(col("nbefore") === 0L, lit(1.0))
+          .otherwise(col("posbefore").cast("double") /
+            col("nbefore").cast("double")))
+        .withColumn("dr",
+          col("cpos").cast("double") / nz(col("npos")).cast("double"))
+        .withColumn("f1k", lit(2.0) * col("tpk").cast("double") /
+          (col("nk") + col("npos")).cast("double"))
+      val ap = b.agg(
+        sum(dec8(col("dr") * (col("pk") + col("pprev")) / lit(2.0)))
+          .cast(dt8).as("apd"),
+        max(col("f1k")).as("fmax"))
+      ordered(b.crossJoin(broadcast(ap))
+        .filter(col("f1k") === col("fmax"))
+        .groupBy(col("npos"), col("nneg"), col("apd"), col("fmax"))
+        .agg(min(col("score")).as("ats"))
+        .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+          cstr(col("apd")).as("ap"),
+          dec4S(col("fmax")).as("best_f1"),
+          dec4S(col("ats")).as("at_score")))
+    }),
+
+    // ---- EVAL-5: inter-rater agreement (`cohen_kappa`) — do the
+    //      engine's TWO independent language-ID heuristics agree beyond
+    //      chance? Rater A = TXT-3's stopword rule (en iff stop-ratio >
+    //      0.05), rater B = TXT-LID-NG's trigram-profile argmax (en iff
+    //      the top profile is 'en'), both projected onto the shared
+    //      binary label space {en, ¬en}. κ = (p_o − p_e)/(1 − p_e) with
+    //      p_o = (n11+n00)/N and p_e = (rowA1·colB1 + rowA0·colB0)/N²
+    //      — the chance-corrected agreement every annotation pipeline
+    //      reports before trusting consensus labels. Exactness: the four
+    //      cells are exact int64 from ONE map-side-combined aggregate;
+    //      marginal products in DOUBLE (cls_eval's MCC overflow rule);
+    //      p_e = 1 (degenerate constant raters) → κ NULL. Rater B is the
+    //      GATED txt_langid_ngram builder reused verbatim (its trailing
+    //      global sort is eliminated by Catalyst's EliminateSorts under
+    //      the join — plan-checked), so the kappa audit can never drift
+    //      from the classifier it certifies. Scale: rater B's trigram
+    //      explode is the whole cost (scan-proportional, its own row's
+    //      envelope); the join is doc-keyed, the rollup is 1 row. ----
+    "cohen_kappa" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val a = load(s, d, "documents").select(col("doc_id"),
+        (size(filter(words, w => w.isin("a", "the"))).cast("double") /
+          size(words).cast("double") > 0.05).as("a_en"))
+      val bp = LlmOps.all("txt_langid_ngram")(s, d)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("b_en"))
+      val one = a.join(bp, Seq("doc_id")).agg(
+        sum(when(col("a_en") && col("b_en"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a_en") && !col("b_en"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a_en") && col("b_en"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a_en") && !col("b_en"), 1L).otherwise(0L)).as("n00"))
+      val Seq(n11, n10, n01, n00) =
+        Seq("n11", "n10", "n01", "n00").map(c => col(c).cast("double"))
+      val nn = n11 + n10 + n01 + n00
+      val po = (n11 + n00) / nn
+      val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) /
+        (nn * nn)
+      val kappa = (po - pe) /
+        when(lit(1.0) - pe === 0.0, lit(null)).otherwise(lit(1.0) - pe)
+      ordered(one.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        dec4S(po).as("p_o"), dec4S(pe).as("p_e"),
+        dec4S(kappa).as("kappa")))
     }))
 
   val oracle: Map[String, String] = Map(
+    "avg_precision" ->
+      """WITH sc AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |pers AS (SELECT score, COUNT(1) AS ct, CAST(SUM(pos) AS BIGINT) AS cpos
+        |  FROM sc GROUP BY score),
+        |pre AS (SELECT score, ct, cpos,
+        |    COALESCE(SUM(ct) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nbefore,
+        |    COALESCE(SUM(cpos) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posbefore
+        |  FROM pers),
+        |tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+        |    CAST(SUM(ct - cpos) AS BIGINT) AS nneg FROM pers),
+        |b AS (SELECT score, ct, cpos, nbefore, posbefore, npos, nneg,
+        |    posbefore + cpos AS tpk, nbefore + ct AS nk,
+        |    CAST(posbefore + cpos AS DOUBLE) / CAST(nbefore + ct AS DOUBLE) AS pk,
+        |    CASE WHEN nbefore = 0 THEN 1.0
+        |      ELSE CAST(posbefore AS DOUBLE) / CAST(nbefore AS DOUBLE) END AS pprev,
+        |    CAST(cpos AS DOUBLE) / CAST(NULLIF(npos, 0) AS DOUBLE) AS dr,
+        |    2.0 * CAST(posbefore + cpos AS DOUBLE) /
+        |      CAST(nbefore + ct + npos AS DOUBLE) AS f1k
+        |  FROM pre CROSS JOIN tot),
+        |ap AS (SELECT
+        |    CAST(SUM(CAST(floor((dr * (pk + pprev) / 2.0)*100000000+0.5)/100000000
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS apd,
+        |    MAX(f1k) AS fmax
+        |  FROM b)
+        |SELECT b.npos AS n_pos, b.nneg AS n_neg,
+        |  CAST(ap.apd AS VARCHAR) AS ap,
+        |  CAST(CAST(floor((ap.fmax)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS best_f1,
+        |  CAST(CAST(floor((MIN(b.score))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS at_score
+        |FROM b CROSS JOIN ap
+        |WHERE b.f1k = ap.fmax
+        |GROUP BY b.npos, b.nneg, ap.apd, ap.fmax
+        |ORDER BY n_pos NULLS FIRST, n_neg NULLS FIRST, ap NULLS FIRST,
+        |  best_f1 NULLS FIRST, at_score NULLS FIRST""".stripMargin,
+
+    "cohen_kappa" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE)) > 0.05 AS a_en
+        |  FROM documents),
+        |d3 AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+        |  FROM d3, UNNEST(generate_series(1, length(text) - 2)) AS t(i)),
+        |prof AS (SELECT lang AS cand, tri FROM (
+        |    SELECT lang, tri, COUNT(1) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(1) DESC, tri ASC) AS rn
+        |    FROM tri GROUP BY lang, tri) WHERE rn <= 20),
+        |dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+        |best AS (SELECT doc_id, cand, ov FROM (
+        |    SELECT dt.doc_id, prof.cand, COUNT(1) AS ov
+        |    FROM dt JOIN prof ON dt.tri = prof.tri GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY ov DESC, cand ASC) = 1),
+        |b AS (SELECT doc.doc_id,
+        |    COALESCE(best.cand, 'und') = 'en' AS b_en
+        |  FROM documents doc LEFT JOIN best ON doc.doc_id = best.doc_id),
+        |one AS (SELECT
+        |    CAST(SUM(CASE WHEN a_en AND b_en THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a_en AND NOT b_en THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT a_en AND b_en THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN NOT a_en AND NOT b_en THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM a JOIN b ON a.doc_id = b.doc_id),
+        |k AS (SELECT n11, n10, n01, n00,
+        |    CAST(n11 AS DOUBLE) AS d11, CAST(n10 AS DOUBLE) AS d10,
+        |    CAST(n01 AS DOUBLE) AS d01, CAST(n00 AS DOUBLE) AS d00
+        |  FROM one),
+        |f AS (SELECT n11, n10, n01, n00,
+        |    (d11 + d00) / (d11 + d10 + d01 + d00) AS po,
+        |    ((d11 + d10) * (d11 + d01) + (d01 + d00) * (d10 + d00)) /
+        |      ((d11 + d10 + d01 + d00) * (d11 + d10 + d01 + d00)) AS pe
+        |  FROM k)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(CAST(floor((po)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p_o,
+        |  CAST(CAST(floor((pe)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p_e,
+        |  CAST(CAST(floor(((po - pe) / NULLIF(1.0 - pe, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS kappa
+        |FROM f
+        |ORDER BY n11 NULLS FIRST, n10 NULLS FIRST, n01 NULLS FIRST, n00 NULLS FIRST,
+        |  p_o NULLS FIRST, p_e NULLS FIRST, kappa NULLS FIRST""".stripMargin,
+
     "auc_roc" ->
       """WITH sc AS (
         |  SELECT CAST(len(list_filter(string_split(text, ' '),

@@ -107,6 +107,9 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // OLS fit: tfidf1's broadcast shape
     "calibration_bins", // 1-row ECE scalar attach onto the 10-row bin
                   // spine: tfidf1's broadcast shape
+    "avg_precision", // two 1-row scalar attaches (class totals, then the
+                  // F1 max for the argmax filter): tfidf1's broadcast
+                  // shape twice — drift_ks's dmax pattern
     "survival_km" // two 1-row scalar attaches (corpus-end anchor, the
                   // at-risk total) onto the |lifetimes|-row series:
                   // tfidf1's broadcast shape

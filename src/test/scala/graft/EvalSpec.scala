@@ -102,6 +102,80 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("avg_precision: equals the driver-side trapezoid replay; AP bounds") {
+    val Array(r) = SparkEntry.queries("avg_precision")(spark, TestSpark.sfDir).collect()
+    val sc = scoredDocs(TestSpark.sfDir)
+    val npos = sc.count(_._2 == 1)
+    assert(r.getAs[Long]("n_pos") == npos.toLong)
+    assert(r.getAs[Long]("n_neg") == (sc.length - npos).toLong)
+    // replay: distinct-score blocks descending, lower trapezoid with P0=1
+    val blocks = sc.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (s0, xs) => (s0, xs.length.toLong, xs.count(_._2 == 1).toLong) }
+    var (nPrev, tpPrev) = (0L, 0L)
+    var apRef = BigDecimal(0)
+    var bestF1 = Double.MinValue
+    def dec8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    blocks.foreach { case (_, ct, cpos) =>
+      val (nk, tpk) = (nPrev + ct, tpPrev + cpos)
+      val pPrev = if (nPrev == 0) 1.0 else tpPrev.toDouble / nPrev
+      val pk = tpk.toDouble / nk
+      apRef += BigDecimal(dec8(cpos.toDouble / npos * (pk + pPrev) / 2.0))
+      bestF1 = math.max(bestF1, 2.0 * tpk / (nk + npos).toDouble)
+      nPrev = nk; tpPrev = tpk
+    }
+    val ap = BigDecimal(r.getAs[String]("ap"))
+    assert((ap - apRef).abs < BigDecimal("1e-7"), s"ap $ap vs replay $apRef")
+    assert(ap > 0 && ap <= 1)
+    // a random ranker's AP is the prevalence; the trapezoid can't go below
+    // the final block's contribution floor — just pin the best-F1 replay
+    assert(math.abs(r.getAs[String]("best_f1").toDouble - bestF1) < 6e-5)
+  }
+
+  test("avg_precision: perfect separation gives AP exactly 1") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ap_sep").toString
+    Seq((1L, "the x the y", "en"), (2L, "a b the c a", "en"),
+      (3L, "w x y z", "de"), (4L, "u v w q", "fr"))
+      .map { case (id, t, l) => (id, t, l, "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val Array(r) = SparkEntry.queries("avg_precision")(spark, d).collect()
+    assert(r.getAs[String]("ap") == "1.00000000")
+    assert(r.getAs[String]("best_f1") == "1.0000")
+  }
+
+  test("cohen_kappa: equals the driver replay built from the two gated raters") {
+    val Array(r) = SparkEntry.queries("cohen_kappa")(spark, TestSpark.sfDir).collect()
+    // rater A replayed from raw text; rater B read from the GATED
+    // txt_langid_ngram result (itself oracle-hashed), so the replay pins
+    // exactly the reuse the query claims.
+    val a = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect().map { row =>
+        val words = row.getString(1).split(" ", -1)
+        row.getLong(0) ->
+          (words.count(w => w == "a" || w == "the").toDouble / words.length > 0.05)
+      }.toMap
+    val b = SparkEntry.queries("txt_langid_ngram")(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("pred_lang")).collect()
+      .map(row => row.getLong(0) -> (row.getString(1) == "en")).toMap
+    assert(a.keySet == b.keySet)
+    val cells = a.toSeq.map { case (id, ae) => (ae, b(id)) }
+    val n11 = cells.count { case (x, y) => x && y }.toLong
+    val n10 = cells.count { case (x, y) => x && !y }.toLong
+    val n01 = cells.count { case (x, y) => !x && y }.toLong
+    val n00 = cells.count { case (x, y) => !x && !y }.toLong
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == ((n11, n10, n01, n00)))
+    val nn = (n11 + n10 + n01 + n00).toDouble
+    val po = (n11 + n00) / nn
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (nn * nn)
+    assert(math.abs(r.getAs[String]("p_o").toDouble - po) < 6e-5)
+    assert(math.abs(r.getAs[String]("p_e").toDouble - pe) < 6e-5)
+    val k = r.getAs[String]("kappa").toDouble
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 2e-4)
+    assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+  }
+
   test("cls_eval: confusion partitions the corpus; F1/MCC identities hold") {
     val Array(r) = SparkEntry.queries("cls_eval")(spark, TestSpark.sfDir).collect()
     val sc = scoredDocs(TestSpark.sfDir)

@@ -357,7 +357,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // (The guard reads the OPTIMIZED LOGICAL plan — window partitioning is
     // a logical property, and the physical plan string can't distinguish
     // partitioned from global windows reliably.)
-    Seq("gini", "mann_whitney", "rank_normalize", "drift_ks").foreach { name =>
+    Seq("gini", "mann_whitney", "rank_normalize", "drift_ks",
+        "auc_roc", "avg_precision").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val global = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
