@@ -500,6 +500,62 @@ object Analytics {
           (dec4(col("dmax")) > dec4(thr)).as("reject")))
     }),
 
+    // ---- DRIFT-3: χ² homogeneity drift test (`drift_chi2`) — the
+    //      CATEGORICAL leg of the drift family (PSI bins a numeric
+    //      measure, KS reads numeric ECDFs; neither speaks categorical):
+    //      did the event-TYPE mix shift between the temporal halves?
+    //      Pearson's χ² on the 2×k contingency table, expected counts
+    //      e = rowTot·halfTot/N under homogeneity, χ² = Σ (o−e)²/e,
+    //      df = k−1, reject at the α=0.05 critical value from the SHARED
+    //      literal table (one source feeds both the query and the oracle
+    //      — the ewma weight-table discipline; df > 20 → crit NULL →
+    //      reject NULL, declared). Exactness: cells are exact int64 from
+    //      ONE map-side-combined aggregate; each e and term is pure IEEE
+    //      double; terms dec4-quantized before the order-free decimal
+    //      window sum (drift_psi's rule); empty half → NULLIF degrades
+    //      e/term/χ²/reject to NULL (the family's guard). Scale: the
+    //      corpus collapses to k≈|types| cells in one aggregate — the
+    //      cheapest categorical drift audit at 100 TB, and the cells
+    //      compose incrementally per ingest batch. Output = the full
+    //      per-type table (observed, expected, term) + χ²/df/reject on
+    //      every row (a k-row window — free). ----
+    "drift_chi2" -> ((s, d) => {
+      import s.implicits._
+      val e = load(s, d, "events")
+      val mid = e.agg(call_function("div",
+        unix_micros(min(col("ts"))) + unix_micros(max(col("ts"))), lit(2L)).as("mid"))
+      val cells = e.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L).as("ia"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ia")).as("n_a"), sum(lit(1L) - col("ia")).as("n_b"))
+      val tot = cells.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+        count(lit(1)).as("k"))
+      def nz(c: Column): Column = when(c === 0L, lit(null)).otherwise(c)
+      val rt = (col("n_a") + col("n_b")).cast("double")
+      val nn = (col("ta") + col("tb")).cast("double")
+      val ea = rt * nz(col("ta")).cast("double") / nn
+      val eb = rt * nz(col("tb")).cast("double") / nn
+      val da = col("n_a").cast("double") - ea
+      val db = col("n_b").cast("double") - eb
+      val term = da * da / ea + db * db / eb
+      val wAll = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val critDf = chi2Crit05.toDF("dfree", "crits")
+        .select(col("dfree").cast("long").as("df"),
+          col("crits").cast("double").as("crit"))
+      ordered(cells.crossJoin(broadcast(tot))
+        .withColumn("term_d", dec4(term))
+        .withColumn("chi2d", sum(col("term_d")).over(wAll).cast(dt))
+        .withColumn("df", col("k") - 1L)
+        .join(broadcast(critDf), Seq("df"), "left")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          dec4S(ea).as("exp_a"), dec4S(eb).as("exp_b"),
+          cstr(col("term_d")).as("term"),
+          cstr(col("chi2d")).as("chi2"), col("df"),
+          (col("chi2d").cast("double") > col("crit")).as("reject")))
+    }),
+
     "skyline" -> ((s, d) => {
       val p = load(s, d, "part")
       val g = p.groupBy(col("p_retailprice").as("price"))
@@ -696,6 +752,22 @@ object Analytics {
         dec4S(col("m")).as("slope"), dec4S(col("b0")).as("intercept")))
     })
   )
+
+  /** χ²(df, α=0.05) upper-tail critical values, df=1..20 (Abramowitz &
+    * Stegun table 26.8 / any public stats table) — the ONE source both the
+    * drift_chi2 query and its DuckDB oracle consume (the ewma weight-table
+    * discipline: a retune of α at one site cannot desynchronize the two
+    * sides). df beyond the table → crit NULL → reject NULL, declared. */
+  private val chi2Crit05: Seq[(Int, String)] = Seq(
+    1 -> "3.8415", 2 -> "5.9915", 3 -> "7.8147", 4 -> "9.4877",
+    5 -> "11.0705", 6 -> "12.5916", 7 -> "14.0671", 8 -> "15.5073",
+    9 -> "16.9190", 10 -> "18.3070", 11 -> "19.6751", 12 -> "21.0261",
+    13 -> "22.3620", 14 -> "23.6848", 15 -> "24.9958", 16 -> "26.2962",
+    17 -> "27.5871", 18 -> "28.8693", 19 -> "30.1435", 20 -> "31.4104")
+
+  private val chi2CritValues: String = chi2Crit05.map { case (df, c) =>
+    s"(CAST($df AS BIGINT), CAST($c AS DOUBLE))"
+  }.mkString(", ")
 
   /** 0.7ᵏ as exact scale-18 decimal strings, k=0..18 — the ONE source both
     * the Spark query and the DuckDB oracle consume (a retune of K or α at
@@ -918,6 +990,45 @@ object Analytics {
         |FROM sc CROSS JOIN mx WHERE diff = dmax
         |GROUP BY na, nb, dmax
         |ORDER BY n_a NULLS FIRST, n_b NULLS FIRST, ks_d NULLS FIRST, at_value NULLS FIRST, reject NULLS FIRST""".stripMargin,
+    "drift_chi2" ->
+      s"""WITH b AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events),
+        |cells AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM events CROSS JOIN b GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+        |  CAST(COUNT(1) AS BIGINT) AS k FROM cells),
+        |crit(dfree, crit) AS (VALUES $chi2CritValues),
+        |t AS (
+        |  SELECT event_type, n_a, n_b, k,
+        |    CAST(n_a + n_b AS DOUBLE) * CAST(NULLIF(ta, 0) AS DOUBLE) /
+        |      CAST(ta + tb AS DOUBLE) AS ea,
+        |    CAST(n_a + n_b AS DOUBLE) * CAST(NULLIF(tb, 0) AS DOUBLE) /
+        |      CAST(ta + tb AS DOUBLE) AS eb
+        |  FROM cells CROSS JOIN tot),
+        |u AS (
+        |  SELECT event_type, n_a, n_b, k, ea, eb,
+        |    CAST(floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
+        |                 (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb)
+        |      *10000+0.5)/10000 AS DECIMAL(38,4)) AS term_d
+        |  FROM t),
+        |v AS (
+        |  SELECT event_type, n_a, n_b, ea, eb, term_d,
+        |    CAST(SUM(term_d) OVER () AS DECIMAL(38,4)) AS chi2d,
+        |    k - 1 AS df
+        |  FROM u)
+        |SELECT v.event_type, v.n_a, v.n_b,
+        |  CAST(CAST(floor((ea)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS exp_a,
+        |  CAST(CAST(floor((eb)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS exp_b,
+        |  CAST(term_d AS VARCHAR) AS term,
+        |  CAST(chi2d AS VARCHAR) AS chi2, v.df,
+        |  CAST(chi2d AS DOUBLE) > crit.crit AS reject
+        |FROM v LEFT JOIN crit ON v.df = crit.dfree
+        |ORDER BY event_type NULLS FIRST, n_a NULLS FIRST, n_b NULLS FIRST,
+        |  exp_a NULLS FIRST, exp_b NULLS FIRST, term NULLS FIRST,
+        |  chi2 NULLS FIRST, df NULLS FIRST, reject NULLS FIRST""".stripMargin,
 
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

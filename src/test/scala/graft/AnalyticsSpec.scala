@@ -86,6 +86,55 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(real >= 0.0 && real < 2.0)
   }
 
+  test("drift_chi2: identical halves give zero statistic; replay matches on the real corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("chi2_zero").toString
+    // two time-mirrored copies of the same type multiset: every expected
+    // count equals its observed count, so every term and chi2 are 0 and
+    // the test must not reject
+    val types = Seq("view", "click", "view", "purchase", "click", "view")
+    val rows = types.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, s"2024-01-01 00:0$i:00", 1L, t, 1.0, "{}"),
+          (100L + i, s"2024-01-01 02:0$i:00", 1L, t, 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.queries.Analytics.all("drift_chi2")(spark, d).collect()
+    assert(out.length == 3, "one row per type")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+      assert(r.getAs[String]("term").toDouble == 0.0)
+      assert(r.getAs[String]("chi2").toDouble == 0.0)
+      assert(r.getAs[Long]("df") == 2L)
+      assert(!r.getAs[Boolean]("reject"))
+    }
+    // real corpus: driver replay of cells, expected counts, and chi2 in
+    // the query's own quantization discipline
+    val real = graft.queries.Analytics.all("drift_chi2")(spark, TestSpark.sfDir).collect()
+    val ev = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val cells = ev.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2 < mid).toLong, xs.count(_._2 >= mid).toLong) }.toSeq
+    val (ta, tb) = (cells.map(_._2).sum, cells.map(_._3).sum)
+    def dec4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    var chi2Ref = BigDecimal(0)
+    cells.foreach { case (t, na, nb) =>
+      val rt = (na + nb).toDouble
+      val ea = rt * ta / (ta + tb); val eb = rt * tb / (ta + tb)
+      chi2Ref += BigDecimal(dec4((na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb))
+      val row = real.find(_.getString(0) == t).get
+      assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+      assert(math.abs(row.getAs[String]("exp_a").toDouble - ea) < 6e-5)
+    }
+    val chi2Got = BigDecimal(real.head.getAs[String]("chi2"))
+    assert((chi2Got - chi2Ref).abs < BigDecimal("1e-9"), s"$chi2Got vs $chi2Ref")
+    assert(real.map(_.getAs[Long]("df")).distinct.toSeq == Seq(cells.length - 1L))
+  }
+
   test("graph_hops: distance relaxation equals a driver-side BFS over the same edges") {
     // rebuild the trade edge list exactly as the query declares it
     val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")

@@ -57,6 +57,9 @@ class CartesianGuardSpec extends AnyFunSuite {
     "drift_psi",  // two 1-row scalar attaches (global min/max/mid bounds +
                   // half totals), the tfidf1 shape; the bin aggregate and
                   // spine join are equi-keyed
+    "drift_chi2", // the same two 1-row scalar attaches (mid-ts bound +
+                  // half totals/k) onto the |types|-row cell table; the
+                  // critical-value lookup is an equi-join on df
     "quantile_bin", // decile-cut scalar attach: 1-row broadcast crossJoin
                   // of the global percentile aggregate (tfidf1's N shape)
     "curriculum", // quintile-cut scalar attach, same shape as quantile_bin
