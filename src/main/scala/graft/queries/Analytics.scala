@@ -508,7 +508,7 @@ object Analytics {
     //      e = rowTot·halfTot/N under homogeneity, χ² = Σ (o−e)²/e,
     //      df = k−1, reject at the α=0.05 critical value from the SHARED
     //      literal table (one source feeds both the query and the oracle
-    //      — the ewma weight-table discipline; df > 20 → crit NULL →
+    //      — the ewma weight-table discipline; df > 120 → crit NULL →
     //      reject NULL, declared). Exactness: cells are exact int64 from
     //      ONE map-side-combined aggregate; each e and term is pure IEEE
     //      double; terms dec4-quantized before the order-free decimal
@@ -541,7 +541,7 @@ object Analytics {
       val term = da * da / ea + db * db / eb
       val wAll = Window.partitionBy(lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      val critDf = chi2Crit05.toDF("dfree", "crits")
+      val critDf = Stats.chi2Crit05.toDF("dfree", "crits")
         .select(col("dfree").cast("long").as("df"),
           col("crits").cast("double").as("crit"))
       ordered(cells.crossJoin(broadcast(tot))
@@ -752,22 +752,6 @@ object Analytics {
         dec4S(col("m")).as("slope"), dec4S(col("b0")).as("intercept")))
     })
   )
-
-  /** χ²(df, α=0.05) upper-tail critical values, df=1..20 (Abramowitz &
-    * Stegun table 26.8 / any public stats table) — the ONE source both the
-    * drift_chi2 query and its DuckDB oracle consume (the ewma weight-table
-    * discipline: a retune of α at one site cannot desynchronize the two
-    * sides). df beyond the table → crit NULL → reject NULL, declared. */
-  private val chi2Crit05: Seq[(Int, String)] = Seq(
-    1 -> "3.8415", 2 -> "5.9915", 3 -> "7.8147", 4 -> "9.4877",
-    5 -> "11.0705", 6 -> "12.5916", 7 -> "14.0671", 8 -> "15.5073",
-    9 -> "16.9190", 10 -> "18.3070", 11 -> "19.6751", 12 -> "21.0261",
-    13 -> "22.3620", 14 -> "23.6848", 15 -> "24.9958", 16 -> "26.2962",
-    17 -> "27.5871", 18 -> "28.8693", 19 -> "30.1435", 20 -> "31.4104")
-
-  private val chi2CritValues: String = chi2Crit05.map { case (df, c) =>
-    s"(CAST($df AS BIGINT), CAST($c AS DOUBLE))"
-  }.mkString(", ")
 
   /** 0.7ᵏ as exact scale-18 decimal strings, k=0..18 — the ONE source both
     * the Spark query and the DuckDB oracle consume (a retune of K or α at
@@ -1000,7 +984,7 @@ object Analytics {
         |  FROM events CROSS JOIN b GROUP BY event_type),
         |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
         |  CAST(COUNT(1) AS BIGINT) AS k FROM cells),
-        |crit(dfree, crit) AS (VALUES $chi2CritValues),
+        |crit(dfree, crit) AS (VALUES ${Stats.chi2CritValues}),
         |t AS (
         |  SELECT event_type, n_a, n_b, k,
         |    CAST(n_a + n_b AS DOUBLE) * CAST(NULLIF(ta, 0) AS DOUBLE) /

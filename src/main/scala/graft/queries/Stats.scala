@@ -30,6 +30,49 @@ object Stats {
   private val mdt = DecimalType(18, 4)
   private def m(c: Column): Column = c.cast(mdt)
 
+  /** χ²(df, α=0.05) upper-tail critical values, df=1..120 (Abramowitz &
+    * Stegun table 26.8 / any public stats table) — the ONE source every
+    * χ²-gated statistic AND its DuckDB oracle consume (the ewma
+    * weight-table discipline: a retune of α at one site cannot
+    * desynchronize the two sides). Consumers: drift_chi2 (Analytics),
+    * anova_f (via the large-df2 asymptote df1·F → χ²(df1)), cramers_v.
+    * df beyond the table → crit NULL → reject NULL, declared. */
+  private[queries] val chi2Crit05: Seq[(Int, String)] = Seq(
+    1 -> "3.8415", 2 -> "5.9915", 3 -> "7.8147", 4 -> "9.4877",
+    5 -> "11.0705", 6 -> "12.5916", 7 -> "14.0671", 8 -> "15.5073",
+    9 -> "16.9190", 10 -> "18.3070", 11 -> "19.6751", 12 -> "21.0261",
+    13 -> "22.3620", 14 -> "23.6848", 15 -> "24.9958", 16 -> "26.2962",
+    17 -> "27.5871", 18 -> "28.8693", 19 -> "30.1435", 20 -> "31.4104",
+    21 -> "32.6706", 22 -> "33.9244", 23 -> "35.1725", 24 -> "36.4150",
+    25 -> "37.6525", 26 -> "38.8851", 27 -> "40.1133", 28 -> "41.3371",
+    29 -> "42.5570", 30 -> "43.7730", 31 -> "44.9853", 32 -> "46.1943",
+    33 -> "47.3999", 34 -> "48.6024", 35 -> "49.8018", 36 -> "50.9985",
+    37 -> "52.1923", 38 -> "53.3835", 39 -> "54.5722", 40 -> "55.7585",
+    41 -> "56.9424", 42 -> "58.1240", 43 -> "59.3035", 44 -> "60.4809",
+    45 -> "61.6562", 46 -> "62.8296", 47 -> "64.0011", 48 -> "65.1708",
+    49 -> "66.3386", 50 -> "67.5048", 51 -> "68.6693", 52 -> "69.8322",
+    53 -> "70.9935", 54 -> "72.1532", 55 -> "73.3115", 56 -> "74.4683",
+    57 -> "75.6237", 58 -> "76.7778", 59 -> "77.9305", 60 -> "79.0819",
+    61 -> "80.2321", 62 -> "81.3810", 63 -> "82.5287", 64 -> "83.6753",
+    65 -> "84.8206", 66 -> "85.9649", 67 -> "87.1081", 68 -> "88.2502",
+    69 -> "89.3912", 70 -> "90.5312", 71 -> "91.6702", 72 -> "92.8083",
+    73 -> "93.9453", 74 -> "95.0815", 75 -> "96.2167", 76 -> "97.3510",
+    77 -> "98.4844", 78 -> "99.6169", 79 -> "100.7486", 80 -> "101.8795",
+    81 -> "103.0095", 82 -> "104.1387", 83 -> "105.2672", 84 -> "106.3948",
+    85 -> "107.5217", 86 -> "108.6479", 87 -> "109.7733", 88 -> "110.8980",
+    89 -> "112.0220", 90 -> "113.1453", 91 -> "114.2679", 92 -> "115.3898",
+    93 -> "116.5110", 94 -> "117.6317", 95 -> "118.7516", 96 -> "119.8709",
+    97 -> "120.9896", 98 -> "122.1077", 99 -> "123.2252", 100 -> "124.3421",
+    101 -> "125.4584", 102 -> "126.5741", 103 -> "127.6893", 104 -> "128.8039",
+    105 -> "129.9180", 106 -> "131.0315", 107 -> "132.1444", 108 -> "133.2569",
+    109 -> "134.3688", 110 -> "135.4802", 111 -> "136.5911", 112 -> "137.7015",
+    113 -> "138.8114", 114 -> "139.9208", 115 -> "141.0297", 116 -> "142.1382",
+    117 -> "143.2461", 118 -> "144.3537", 119 -> "145.4607", 120 -> "146.5674")
+
+  private[queries] val chi2CritValues: String = chi2Crit05.map { case (df, c) =>
+    s"(CAST($df AS BIGINT), CAST($c AS DOUBLE))"
+  }.mkString(", ")
+
   val all: Map[String, Q] = Map(
     // ---- STAT-1: Pearson correlation matrix over the lineitem measures,
     //      single-pass. One aggregate reduces the 60k-row (at 100 TB:
@@ -581,6 +624,126 @@ object Stats {
     //      rollup is 12 numbers — the same moment-sketch scaling as
     //      STAT-1; var(X)=0 (useless covariate) degrades θ and the
     //      adjusted columns to NULL via NULLIF, raw columns unaffected. ----
+    // ---- STAT-10: one-way ANOVA F (`anova_f`) — does mean event value
+    //      differ ACROSS the k event types? Completes the hypothesis-test
+    //      family's quadrants: STAT-2 two-proportion z, STAT-7
+    //      Mann-Whitney two-sample ranks, DRIFT-2 two-sample ECDF,
+    //      DRIFT-3 categorical mix — this is the k-sample means test.
+    //      F = (SSB/(k−1))/(SSW/(N−k)) from per-group EXACT decimal
+    //      moments (n_g, Σx, Σx² — corr_matrix's moment-sketch pattern,
+    //      grouped); per-group finish terms (s_g²/n_g and the within
+    //      piece) are each ONE double expression dec4-quantized before
+    //      the order-free decimal sum across groups (drift_psi's rule —
+    //      k-row double summation order is engine-dependent otherwise).
+    //      Decision gate: the exact F critical value needs an (df1, df2)
+    //      surface; at corpus scale df2 = N−k is astronomically large and
+    //      df1·F →d χ²(df1) with error O(1/df2) — the declared semantics
+    //      are the ASYMPTOTIC gate dec4(df1·F) > χ²crit(df1) from the
+    //      SHARED α=0.05 table (second consumer). Zero within-variance or
+    //      k=1 → F NULL (NULLIF); df1 > 20 → reject NULL, declared.
+    //      Scale: one map-side-combined k-group moment aggregate, then
+    //      k-row arithmetic forever — the cells compose per ingest batch. ----
+    "anova_f" -> ((s, d) => {
+      import s.implicits._
+      val e = load(s, d, "events")
+      val g = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_g"),
+        sum(m(col("value"))).cast(dt).as("s_g"),
+        sum(m(col("value")) * m(col("value")))
+          .cast(DecimalType(38, 8)).as("ss_g"))
+      val sgd = col("s_g").cast("double")
+      val t = g.select(col("n_g"), col("s_g"),
+        dec4(sgd * sgd / col("n_g").cast("double")).as("tsq"),
+        dec4(col("ss_g").cast("double") -
+          sgd * sgd / col("n_g").cast("double")).as("w"))
+      val one = t.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).cast(dt).as("stot"),
+        sum(col("tsq")).cast(dt).as("a"),
+        sum(col("w")).cast(dt).as("ssw_d"))
+      val nD = col("n").cast("double")
+      val df1 = col("k") - 1L
+      val df2 = col("n") - col("k")
+      val ssb = col("a").cast("double") -
+        col("stot").cast("double") * col("stot").cast("double") / nD
+      val ssw = col("ssw_d").cast("double")
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      val f = (ssb / nz(df1.cast("double"))) / nz(ssw / nz(df2.cast("double")))
+      val critDf = chi2Crit05.toDF("dfree", "crits")
+        .select(col("dfree").cast("long").as("df1"),
+          col("crits").cast("double").as("crit"))
+      ordered(one.withColumn("df1", df1).withColumn("df2", df2)
+        .join(broadcast(critDf), Seq("df1"), "left")
+        .select(col("k"), col("n"), col("df1"), col("df2"),
+          dec4S(ssb).as("ssb"), dec4S(ssw).as("ssw"),
+          dec4S(f).as("f_stat"),
+          (dec4(f * df1.cast("double")) > col("crit")).as("reject")))
+    }),
+
+    // ---- STAT-11: Cramér's V association audit (`cramers_v`) — how
+    //      strongly do two categorical columns determine each other
+    //      (documents lang × source): the effect-size readout a corpus
+    //      curator needs BEFORE trusting a per-source language mix (a
+    //      high V says language is source-confounded — mixing by source
+    //      silently reweights languages). χ² independence statistic on
+    //      the r×c contingency table (e = n_x·n_y/N), then
+    //      V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1] — deliberately the
+    //      ln-free association measure (mutual information's ln is
+    //      libm-dependent, §5.3-banned; V is the standard χ²-derived
+    //      alternative with the same reading: 0 independent, 1 fully
+    //      determined). Cells exact int64 from ONE map-side-combined
+    //      aggregate; marginals via domain-sized window sums over the
+    //      cell relation; terms dec4 before the decimal window sum
+    //      (drift_psi's rule); min(r,c)=1 → V NULL; reject at
+    //      df=(r−1)(c−1) from the SHARED α=0.05 table (third consumer).
+    //      Scale: the corpus collapses to r·c cells — composes per
+    //      ingest batch; everything after lives on the cell relation. ----
+    "cramers_v" -> ((s, d) => {
+      import s.implicits._
+      val doc = load(s, d, "documents")
+      val cells = doc.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_xy"))
+      // ZERO cells carry χ² mass too ((0−e)²/e = e — without them a
+      // perfectly-associated table reads V≈0.82, not 1): materialize the
+      // full r×c spine as the cross of the two OBSERVED domains (a
+      // domain×domain broadcast cross — bounded by category counts,
+      // never data; DQ-3's absent-digit spine convention).
+      val spine = doc.select(col("lang")).distinct()
+        .crossJoin(broadcast(doc.select(col("source")).distinct()))
+      val full = spine.join(cells, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("n_xy"))
+      val tot = cells.agg(countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"),
+        sum(col("n_xy")).as("nn"))
+      val wX = Window.partitionBy(col("lang"))
+      val wY = Window.partitionBy(col("source"))
+      val wAll = Window.partitionBy(lit(1))
+      val withM = full
+        .withColumn("n_x", sum(col("n_xy")).over(wX))
+        .withColumn("n_y", sum(col("n_xy")).over(wY))
+        .crossJoin(broadcast(tot))
+      val exp = col("n_x").cast("double") * col("n_y").cast("double") /
+        col("nn").cast("double")
+      val dev = col("n_xy").cast("double") - exp
+      val scoredCells = withM.withColumn("exp_d", exp)
+        .withColumn("term_d", dec4(dev * dev / col("exp_d")))
+        .withColumn("chi2d", sum(col("term_d")).over(wAll).cast(dt))
+      val df = (col("r") - 1L) * (col("c") - 1L)
+      def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+      val v = sqrt(col("chi2d").cast("double") /
+        nz(col("nn").cast("double") * (least(col("r"), col("c")) - 1L).cast("double")))
+      val critDf = chi2Crit05.toDF("dfree", "crits")
+        .select(col("dfree").cast("long").as("df"),
+          col("crits").cast("double").as("crit"))
+      ordered(scoredCells.withColumn("df", df)
+        .join(broadcast(critDf), Seq("df"), "left")
+        .select(col("lang"), col("source"), col("n_xy"),
+          dec4S(col("exp_d")).as("expected"),
+          cstr(col("term_d")).as("term"),
+          cstr(col("chi2d")).as("chi2"), col("df"),
+          dec4S(v).as("cramers_v"),
+          (col("chi2d").cast("double") > col("crit")).as("reject")))
+    }),
+
     "cuped" -> ((s, d) => {
       val e = load(s, d, "events")
       val cut = lit("2024-01-16 00:00:00").cast("timestamp")
@@ -734,6 +897,91 @@ object Stats {
          |      NULLIF(sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 0.0) AS c
          |  FROM mo""".stripMargin }.mkString("\n  UNION ALL\n  ")
     Map(
+      // DECIMAL(19,4) in the squared-value sum for the same hugeint reason
+      // as the corr_matrix moments above.
+      "anova_f" ->
+        s"""WITH g AS (
+          |  SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_g,
+          |    CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS s_g,
+          |    CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS ss_g
+          |  FROM events GROUP BY event_type),
+          |t AS (
+          |  SELECT n_g, s_g,
+          |    CAST(floor((CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS tsq,
+          |    CAST(floor((CAST(ss_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS w
+          |  FROM g),
+          |one AS (
+          |  SELECT CAST(COUNT(1) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+          |    CAST(SUM(s_g) AS DECIMAL(38,4)) AS stot,
+          |    CAST(SUM(tsq) AS DECIMAL(38,4)) AS a,
+          |    CAST(SUM(w) AS DECIMAL(38,4)) AS ssw_d
+          |  FROM t),
+          |crit(dfree, crit) AS (VALUES $chi2CritValues),
+          |f AS (
+          |  SELECT k, n, k - 1 AS df1, n - k AS df2,
+          |    CAST(a AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+          |    CAST(ssw_d AS DOUBLE) AS ssw
+          |  FROM one),
+          |ff AS (
+          |  SELECT k, n, df1, df2, ssb, ssw,
+          |    (ssb / NULLIF(CAST(df1 AS DOUBLE), 0.0)) /
+          |      NULLIF(ssw / NULLIF(CAST(df2 AS DOUBLE), 0.0), 0.0) AS fst
+          |  FROM f)
+          |SELECT k, n, df1, df2,
+          |  CAST(CAST(floor((ssb)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ssb,
+          |  CAST(CAST(floor((ssw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ssw,
+          |  CAST(CAST(floor((fst)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS f_stat,
+          |  CAST(floor((fst * CAST(df1 AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) > crit.crit AS reject
+          |FROM ff LEFT JOIN crit ON ff.df1 = crit.dfree
+          |ORDER BY k NULLS FIRST, n NULLS FIRST, df1 NULLS FIRST, df2 NULLS FIRST,
+          |  ssb NULLS FIRST, ssw NULLS FIRST, f_stat NULLS FIRST, reject NULLS FIRST""".stripMargin,
+
+      "cramers_v" ->
+        s"""WITH cells AS (
+          |  SELECT lang, source, CAST(COUNT(1) AS BIGINT) AS n_xy
+          |  FROM documents GROUP BY lang, source),
+          |spine AS (
+          |  SELECT l.lang, s.source
+          |  FROM (SELECT DISTINCT lang FROM documents) l
+          |  CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+          |fcell AS (
+          |  SELECT spine.lang, spine.source, COALESCE(cells.n_xy, 0) AS n_xy
+          |  FROM spine LEFT JOIN cells
+          |    ON spine.lang = cells.lang AND spine.source = cells.source),
+          |tot AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+          |  CAST(SUM(n_xy) AS BIGINT) AS nn FROM cells),
+          |mg AS (
+          |  SELECT lang, source, n_xy,
+          |    SUM(n_xy) OVER (PARTITION BY lang) AS n_x,
+          |    SUM(n_xy) OVER (PARTITION BY source) AS n_y
+          |  FROM fcell),
+          |t AS (
+          |  SELECT lang, source, n_xy, r, c, nn,
+          |    CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE) AS exp_d
+          |  FROM mg CROSS JOIN tot),
+          |u AS (
+          |  SELECT lang, source, n_xy, r, c, nn, exp_d,
+          |    CAST(floor(((CAST(n_xy AS DOUBLE) - exp_d) * (CAST(n_xy AS DOUBLE) - exp_d) / exp_d)*10000+0.5)/10000 AS DECIMAL(38,4)) AS term_d
+          |  FROM t),
+          |v AS (
+          |  SELECT lang, source, n_xy, exp_d, term_d, r, c, nn,
+          |    CAST(SUM(term_d) OVER () AS DECIMAL(38,4)) AS chi2d,
+          |    (r - 1) * (c - 1) AS df
+          |  FROM u),
+          |crit(dfree, crit) AS (VALUES $chi2CritValues)
+          |SELECT v.lang, v.source, v.n_xy,
+          |  CAST(CAST(floor((exp_d)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS expected,
+          |  CAST(term_d AS VARCHAR) AS term,
+          |  CAST(chi2d AS VARCHAR) AS chi2, v.df,
+          |  CAST(CAST(floor((sqrt(CAST(chi2d AS DOUBLE) /
+          |    NULLIF(CAST(nn AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE), 0.0)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS cramers_v,
+          |  CAST(chi2d AS DOUBLE) > crit.crit AS reject
+          |FROM v LEFT JOIN crit ON v.df = crit.dfree
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST, n_xy NULLS FIRST,
+          |  expected NULLS FIRST, term NULLS FIRST, chi2 NULLS FIRST,
+          |  df NULLS FIRST, cramers_v NULLS FIRST, reject NULLS FIRST""".stripMargin,
+
       "corr_matrix" ->
         s"""WITH mo AS (
           |  SELECT $momentSelect

@@ -60,6 +60,10 @@ class CartesianGuardSpec extends AnyFunSuite {
     "drift_chi2", // the same two 1-row scalar attaches (mid-ts bound +
                   // half totals/k) onto the |types|-row cell table; the
                   // critical-value lookup is an equi-join on df
+    "cramers_v",  // the r×c contingency spine is a domain×domain
+                  // broadcast cross (bounded by category counts, never
+                  // data — gap1's dims-proportional shape) + the 1-row
+                  // totals attach
     "quantile_bin", // decile-cut scalar attach: 1-row broadcast crossJoin
                   // of the global percentile aggregate (tfidf1's N shape)
     "curriculum", // quintile-cut scalar attach, same shape as quantile_bin

@@ -28,6 +28,100 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("anova_f: identical group distributions give F near 0; replay + decomposition hold") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("anova_zero").toString
+    // every type carries the same value multiset -> group means equal the
+    // grand mean, SSB is 0 up to the per-group dec4 quantization, no reject
+    val vals = Seq(1.0, 2.5, 4.0, 8.0)
+    val rows = for {
+      (t, ti) <- Seq("view", "click", "purchase").zipWithIndex
+      (v, vi) <- vals.zipWithIndex
+    } yield ((ti * 10 + vi).toLong, s"2024-01-01 0$ti:0$vi:00", 1L, t, v, "{}")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val Array(z) = graft.queries.Stats.all("anova_f")(spark, d).collect()
+    assert(z.getAs[Long]("k") == 3L && z.getAs[Long]("n") == 12L)
+    assert(math.abs(z.getAs[String]("ssb").toDouble) < 1e-3)
+    assert(!z.getAs[Boolean]("reject"))
+    // real corpus: driver replay in the query's own quantization
+    val Array(r) = graft.queries.Stats.all("anova_f")(spark, TestSpark.sfDir).collect()
+    val ev = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(4)))
+    def dec4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val gs = ev.groupBy(_._1).values.map { xs =>
+      val n = xs.length; val s0 = xs.map(_._2).sum
+      val ss = xs.map(x => x._2 * x._2).sum
+      (n, s0, ss)
+    }.toSeq
+    val (k, n) = (gs.length, gs.map(_._1).sum)
+    val a = gs.map { case (ng, s0, _) =>
+      BigDecimal(dec4(s0.toDouble * s0.toDouble / ng)) }.sum
+    val ssw = gs.map { case (ng, s0, ss) =>
+      BigDecimal(dec4(ss.toDouble - s0.toDouble * s0.toDouble / ng)) }.sum
+    val stot = gs.map(_._2).sum
+    val ssb = a.toDouble - stot.toDouble * stot.toDouble / n
+    assert(r.getAs[Long]("k") == k.toLong && r.getAs[Long]("n") == n.toLong)
+    assert(math.abs(r.getAs[String]("ssb").toDouble - ssb) < 1e-3)
+    assert(math.abs(r.getAs[String]("ssw").toDouble - ssw.toDouble) < 1e-3)
+    val fRef = (ssb / (k - 1)) / (ssw.toDouble / (n - k))
+    assert(math.abs(r.getAs[String]("f_stat").toDouble - fRef) < 2e-4)
+    // decomposition: SSB + SSW = SST (total moments, same quantization class)
+    val sst = gs.map(_._3).sum.toDouble - stot.toDouble * stot.toDouble / n
+    assert(math.abs(ssb + ssw.toDouble - sst) < 1e-2)
+  }
+
+  test("cramers_v: perfect association gives V=1, independence gives V=0") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("cramers").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, l, src) => (id, s"text $id", l, src, 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // perfect: source determines lang bijectively (and twice over for n>1)
+    write((0 until 12).map(i =>
+      (i.toLong, s"l${i % 3}", s"s${i % 3}")))
+    val perf = graft.queries.Stats.all("cramers_v")(spark, d).collect()
+    assert(perf.length == 9, "full 3x3 spine incl. zero cells")
+    assert(perf.forall(_.getAs[String]("cramers_v") == "1.0000"))
+    assert(perf.forall(_.getAs[Long]("df") == 4L))
+    // independence: every (lang, source) cell equally filled
+    write((0 until 18).map(i =>
+      (i.toLong, s"l${i % 3}", s"s${(i / 3) % 2}")))
+    val ind = graft.queries.Stats.all("cramers_v")(spark, d).collect()
+    assert(ind.length == 6)
+    ind.foreach { r =>
+      assert(r.getAs[String]("term").toDouble == 0.0)
+      assert(r.getAs[String]("chi2").toDouble == 0.0)
+      assert(r.getAs[String]("cramers_v").toDouble == 0.0)
+      assert(!r.getAs[Boolean]("reject"))
+    }
+    // real corpus: V in [0,1], chi2 equals the cell replay
+    val real = graft.queries.Stats.all("cramers_v")(spark, TestSpark.sfDir).collect()
+    val v = real.head.getAs[String]("cramers_v").toDouble
+    assert(v >= 0.0 && v <= 1.0)
+    val docs = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("lang"), col("source")).collect()
+      .map(r2 => (r2.getString(0), r2.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nx = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ny = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def dec4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // replay over the FULL spine — zero cells carry (0−e)²/e = e mass
+    // keys are Sets — yield through Seqs or equal terms dedupe away
+    val chi2Ref = (for { l <- nx.keys.toSeq; s0 <- ny.keys.toSeq } yield {
+      val o = cells.getOrElse((l, s0), 0L)
+      val e = nx(l).toDouble * ny(s0) / docs.length
+      BigDecimal(dec4((o - e) * (o - e) / e))
+    }).sum
+    assert((BigDecimal(real.head.getAs[String]("chi2")) - chi2Ref).abs
+      < BigDecimal("1e-9"))
+    assert(real.length == nx.size * ny.size, "full r×c spine")
+  }
+
   test("dq_unique: equals a driver-side multiplicity replay; verdict identities hold") {
     val out = SparkEntry.queries("dq_unique")(spark, TestSpark.sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
