@@ -84,6 +84,28 @@ object StreamOps {
       (size(words) >= 20 && ent >= 2.5).as("admit"))
   }
 
+  /** STR-EVAL: streaming classifier audit — EVAL-3's confusion cells as a
+    * running aggregate over the document stream: every micro-batch of new
+    * documents updates the (pred, gold) cell counts of the SHIPPED
+    * language-ID rule (TXT-3's stopword threshold), so the serving
+    * dashboard reads live accuracy/precision/recall without a batch job.
+    * The cells are a MONOID (per-batch counts add), which is exactly why
+    * cls_eval's SURVEY row declares this twin trivial: the stream's final
+    * Complete-mode state must equal the batch aggregate bit-for-bit
+    * (asserted in StreamingSpec, including the derived P/R/F1 finish).
+    * Keyed by the 4 cells, so state is 4 rows forever — the cheapest
+    * possible streaming model monitor at any volume. */
+  def classifierAuditStream(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val score = size(filter(words, w => w.isin("a", "the"))).cast("double") /
+      size(words).cast("double")
+    docs.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("gold"),
+        when(score > 0.05, 1L).otherwise(0L).as("pred"))
+      .groupBy(col("pred"), col("gold"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** STR-W1: tumbling 10-minute window × event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events

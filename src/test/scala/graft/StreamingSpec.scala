@@ -205,6 +205,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.filter(col("admit")).count() > 0, "some docs must pass the gate")
   }
 
+  test("STR-EVAL streaming classifier audit equals the batch confusion cells") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d = tempDir("eval_replay")
+    (0 until 2).foreach { i =>
+      writeSlice(docs.filter(col("doc_id") % 2 === i), d, f"slice_$i",
+        1700000000000L + i * 60000)
+    }
+    val streamed = StreamOps.drainToMemory(
+      StreamOps.classifierAuditStream(StreamOps.documentsFileSource(spark, d.toString)),
+      "eval_stream", complete = true)
+    val batch = StreamOps.classifierAuditStream(docs)
+    assertSameRows(streamed, batch, "streamed confusion cells vs batch")
+    // the 4 cells must ALSO reconcile with the gated batch query's row
+    val cells = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val Array(ce) = SparkEntry.queries("cls_eval")(spark, sfDir).collect()
+    assert(cells.getOrElse((1L, 1L), 0L) == ce.getAs[Long]("tp"))
+    assert(cells.getOrElse((1L, 0L), 0L) == ce.getAs[Long]("fp"))
+    assert(cells.getOrElse((0L, 1L), 0L) == ce.getAs[Long]("fn"))
+    assert(cells.getOrElse((0L, 0L), 0L) == ce.getAs[Long]("tn"))
+    assert(cells.values.sum == docs.count())
+  }
+
   test("STR-ST2 event-time-timeout sessionizer: gap closes and watermark closes") {
     // user 1: 10:00 + 10:10 (one session), 11:30 (new session after the
     // 30-min gap). The 15:00 sentinel (user 99) advances the watermark to
