@@ -26,8 +26,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`rollback` re-points `_CURRENT` at a prior version; the bad
   * version's files stay on disk for audit) for free. A writer crash
   * before the swap leaves orphan `v=N` files that the next publish
-  * ignores (versions only count once pointed at) — the fsck is a
-  * directory sweep deleting `v>current`, never a data repair.
+  * ignores (versions only count once recorded in the `_PUBLISHED`
+  * manifest) — the fsck is a directory sweep deleting unrecorded
+  * versions, never a data repair.
+  *
+  * Version ALLOCATION is independent of the pointer: the next id is
+  * max(on-disk `v=N`) + 1, and the slot is CLAIMED atomically by
+  * staging the data to a hidden temp directory and `rename(2)`-ing it
+  * into `v=N` — the rename fails (EEXIST/ENOTEMPTY) if another writer
+  * took the slot first, and the loser retries with N+1. Two
+  * consequences: (a) after `rollback(to=1)` the next publish does NOT
+  * reuse v=2 — it allocates above every directory that ever existed,
+  * so published versions stay immutable and a concurrent time-travel
+  * read can never observe a torn rewrite; (b) two concurrent
+  * publishers both land, on DISTINCT versions, and the pointer swap
+  * serializes which one reads as current (last swap wins — both
+  * versions remain readable and recorded).
   *
   * 100 TB / object-store note: POSIX `ATOMIC_MOVE` is the local-FS
   * stand-in for the commit primitive. On S3 the SAME layout commits via
@@ -41,9 +55,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table-format dependency.
   */
 object Snapshot {
-  private val POINTER = "_CURRENT"
+  private val POINTER  = "_CURRENT"
+  private val MANIFEST = "_PUBLISHED"
 
   private def vdir(root: String, v: Long): Path = Paths.get(root, s"v=$v")
+
+  /** Every `v=N` directory present on disk (committed or orphaned). */
+  private def diskVersions(root: String): Seq[Long] = {
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) return Nil
+    val kids = dir.toFile.listFiles()
+    if (kids == null) Nil
+    else kids.toSeq.flatMap(f =>
+      if (f.getName.startsWith("v=")) f.getName.drop(2).toLongOption else None)
+  }
+
+  /** Versions recorded as committed in the `_PUBLISHED` manifest, in
+    * publish order. The manifest is append-only — rollback re-points
+    * `_CURRENT` but never erases history, so fsck can tell "committed,
+    * later rolled past" apart from "crashed writer's orphan". */
+  def publishedVersions(root: String): Seq[Long] = {
+    val p = Paths.get(root, MANIFEST)
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).linesIterator.flatMap(_.trim.toLongOption).toSeq
+  }
+
+  private def recordPublished(root: String, v: Long): Unit =
+    Files.writeString(Paths.get(root, MANIFEST), s"$v\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 
   /** The published version id, or None if nothing has been published.
     * Torn reads are impossible: the pointer is only ever replaced by
@@ -64,11 +104,35 @@ object Snapshot {
     * sink-side state that could diverge from the store. */
   def publish(df: DataFrame, root: String,
               meta: Map[String, String] = Map.empty): Long = {
-    val next = currentVersion(root).getOrElse(0L) + 1L
-    df.write.mode("overwrite").parquet(vdir(root, next).toString)
+    Files.createDirectories(Paths.get(root))
+    // Stage fully OUTSIDE any version slot: parquet write + _META land in
+    // a hidden temp directory no reader resolves, so nothing about the
+    // slot is observable until the rename below.
+    val stage = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(stage.toString)
     if (meta.nonEmpty)
-      Files.writeString(vdir(root, next).resolve("_META"),
+      Files.writeString(stage.resolve("_META"),
         meta.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    // Claim a slot ABOVE every directory that ever existed (not the
+    // pointer — after rollback the pointer is behind live versions), via
+    // rename(2): atomic claim because the target existing (even as
+    // another writer's just-renamed data) makes the move fail, and the
+    // loser retries one id higher. No read-modify-write window.
+    var next = (diskVersions(root) :+ 0L).max + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.move(stage, vdir(root, next), StandardCopyOption.ATOMIC_MOVE)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1L
+        case _: java.nio.file.DirectoryNotEmptyException => next += 1L
+        case _: java.nio.file.FileSystemException
+          if Files.exists(vdir(root, next)) => next += 1L
+      }
+    }
+    recordPublished(root, next)
     swapPointer(root, next)
     next
   }
@@ -98,22 +162,34 @@ object Snapshot {
   }
 
   /** The declared fsck (scaladoc above): sweep orphan `v=N` directories
-    * left by crashed writers — every version ABOVE the published pointer
-    * is by construction unpointed data that never committed. A directory
-    * sweep, never a data repair; committed versions (≤ current) are
-    * untouched, so time travel and rollback targets survive. Returns the
-    * removed version ids. */
+    * left by crashed writers — a version that is on disk but NOT in the
+    * `_PUBLISHED` manifest never committed (publish records the id
+    * before the pointer swap, so a manifest miss means the writer died
+    * mid-rename or the directory was hand-planted). Committed versions
+    * are untouched REGARDLESS of the pointer position — after a
+    * rollback, versions above the pointer that were once published are
+    * audit/re-roll-forward targets, not garbage. Also sweeps abandoned
+    * `.staging-*` temp directories from crashed writers. Returns the
+    * removed version ids (staging sweeps are not versioned). */
   def fsck(root: String): Seq[Long] = {
-    val cur = currentVersion(root).getOrElse(0L)
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
+    // Legacy roots (published before the manifest existed) have no
+    // `_PUBLISHED`: fall back to the old invariant — everything up to
+    // the pointer is committed (pre-manifest, publishes were strictly
+    // sequential and the pointer never moved backwards).
+    val recorded = publishedVersions(root)
+    val committed: Long => Boolean =
+      if (recorded.nonEmpty) recorded.toSet
+      else { val cur = currentVersion(root).getOrElse(0L); v => v <= cur }
     val removed = scala.collection.mutable.ArrayBuffer[Long]()
     val kids = dir.toFile.listFiles()
     if (kids != null) kids.foreach { f =>
       val n = f.getName
       if (n.startsWith("v=")) n.drop(2).toLongOption.foreach { v =>
-        if (v > cur) { deleteRec(f); removed += v }
+        if (!committed(v)) { deleteRec(f); removed += v }
       }
+      else if (n.startsWith(".staging-")) deleteRec(f)
     }
     removed.sorted.toSeq
   }

@@ -487,9 +487,13 @@ object Analytics {
         (col("pb") + col("cb")).cast("double") / nz(col("nb")).cast("double"))
       val scored = withP.crossJoin(broadcast(tot)).withColumn("diff", diff)
       val dmax = scored.agg(max(col("diff")).as("dmax"))
+      // na·nb computed in DOUBLE, not int64: at 100 TB half-sizes (~1e12
+      // rows) the int64 product overflows — Spark wraps silently to a
+      // wrong/negative threshold while DuckDB raises, so the engines
+      // diverge (cls_eval/cohen_kappa's count-product rule applied here).
       val thr = lit(1.3581) * sqrt(
         (col("na") + col("nb")).cast("double") /
-          (col("na") * col("nb")).cast("double"))
+          (col("na").cast("double") * col("nb").cast("double")))
       ordered(scored.crossJoin(broadcast(dmax))
         .filter(col("diff") === col("dmax"))
         .groupBy(col("na"), col("nb"), col("dmax"))
@@ -970,7 +974,7 @@ object Analytics {
         |  CAST(CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ks_d,
         |  CAST(CAST(floor((MIN(value))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS at_value,
         |  CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) >
-        |    CAST(floor((1.3581 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS reject
+        |    CAST(floor((1.3581 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS reject
         |FROM sc CROSS JOIN mx WHERE diff = dmax
         |GROUP BY na, nb, dmax
         |ORDER BY n_a NULLS FIRST, n_b NULLS FIRST, ks_d NULLS FIRST, at_value NULLS FIRST, reject NULLS FIRST""".stripMargin,

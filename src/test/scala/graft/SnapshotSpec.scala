@@ -36,9 +36,10 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.currentVersion(root).contains(1L))
     assert(Snapshot.read(spark, root).agg(max(col("v"))).head().getInt(0) == 1,
       "reader must resolve the pointer, never scan unpointed directories")
-    // The next successful publish supersedes the orphan (same version id
-    // is rewritten by the overwrite before the pointer ever moves).
-    assert(Snapshot.publish(table(2, 20), root) == 2L)
+    // The next successful publish allocates ABOVE the orphan (never into
+    // it — an existing v=N slot is taken, committed or not; fsck is the
+    // path that reclaims orphan ids, not publish).
+    assert(Snapshot.publish(table(2, 20), root) == 3L)
     assert(Snapshot.read(spark, root).count() == 20L)
   }
 
@@ -51,10 +52,49 @@ class SnapshotSpec extends AnyFunSuite {
       .head().toSeq == Seq(10L, 1))
     intercept[IllegalArgumentException] { Snapshot.rollback(root, 99L) }
     // Publishing after a rollback continues from the HIGHEST version ever
-    // written? No — from current+1 = 2, overwriting the rolled-back v2:
-    // the rollback declared v2 bad, so its id is reusable by design.
-    assert(Snapshot.publish(table(3, 30), root) == 2L)
+    // written (max-on-disk + 1 = 3), NEVER reusing the rolled-past v2:
+    // version directories are immutable once published, and the bad
+    // version's files stay on disk for audit — a concurrent time-travel
+    // read of v2 must not race an overwrite.
+    assert(Snapshot.publish(table(3, 30), root) == 3L)
     assert(Snapshot.read(spark, root).count() == 30L)
+    assert(Snapshot.read(spark, root, Some(2L)).agg(count(lit(1)), max(col("v")))
+      .head().toSeq == Seq(20L, 2), "rolled-past v2 stays intact for audit")
+    // fsck after the rollback+republish must sweep NOTHING: v2 was
+    // committed (it's in the manifest) even though a pointer-relative
+    // sweep would have called it orphaned while current pointed at v1.
+    assert(Snapshot.fsck(root).isEmpty,
+      "fsck must not confuse rolled-past committed versions with orphans")
+    assert(Snapshot.publishedVersions(root) == Seq(1L, 2L, 3L))
+  }
+
+  test("concurrent publishers claim distinct version slots; both stay readable") {
+    val root = tempDir("snap_cas").toString
+    Snapshot.publish(table(1, 10), root)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val writers = (2 to 5).map { v =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Snapshot.publish(table(v, v * 10), root))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); gate.countDown(); writers.foreach(_.join(60000))
+    assert(errs.isEmpty, s"publishers must not fail under contention: $errs")
+    val vs = { import scala.jdk.CollectionConverters._; results.asScala.toSeq.sorted }
+    assert(vs == Seq(2L, 3L, 4L, 5L),
+      s"4 concurrent publishers must land on 4 DISTINCT versions, got $vs")
+    // Every landed version is complete and self-consistent (rows = 10×v
+    // of its writer's table) — no last-writer-wins data clobbering.
+    vs.foreach { v =>
+      val rows = Snapshot.read(spark, root, Some(v)).select(col("v")).collect().map(_.getInt(0))
+      assert(rows.distinct.length == 1 && rows.length == rows.head * 10,
+        s"v=$v must hold exactly one writer's complete table")
+    }
+    // The pointer ends on one of the four (whichever swapped last).
+    assert(vs.contains(Snapshot.currentVersion(root).get))
   }
 
   test("fsck sweeps crashed-writer orphans and only them; committed versions survive") {
