@@ -146,16 +146,19 @@ object Events {
     //      everything seen so far has ended — touching intervals fuse),
     //      reporting per island its bounds, session count, and exact µs
     //      coverage: the uptime/coverage/concurrency-envelope timeline
-    //      behind capacity planning and SLA attribution. Classic
-    //      two-window form: running max of interval ends over the
-    //      start-ordered sequence marks island breaks, a running sum of
-    //      breaks assigns island ids — all-integer µs. The merge runs on
-    //      the SESSION relation (events compressed per-user first), and
-    //      the global window is over that compressed list; at 100 TB the
-    //      standard distribution is coarse time-bucket partitioning →
-    //      intra-bucket islands → merge the bucket-boundary island list
-    //      (same algebra one level up, boundary list ∝ buckets); here the
-    //      session relation is the small side by construction. ----
+    //      behind capacity planning and SLA attribution. Classic algebra
+    //      (running max of interval ends over the start-ordered sequence
+    //      marks island breaks, a running sum of breaks assigns island
+    //      ids — all-integer µs), executed DISTRIBUTED: the merge runs on
+    //      the SESSION relation (events compressed per-user first), which
+    //      grows with users×activity, so the global window goes through
+    //      [[graft.operators.IslandMerge]] — range-partition on the sort
+    //      key (the sampled-boundary form of coarse time-bucketing),
+    //      intra-partition islands under a per-partition window, and the
+    //      bucket-boundary carry/offset lists (∝ partition COUNT, a
+    //      config) merged driver-side — no session ever moves through a
+    //      single-task exchange, and the island ids (hence the oracle
+    //      hash) are identical to the single-window form's. ----
     "ivl_merge" -> ((s, d) => {
       val e = load(s, d, "events")
       val byUser = Window.partitionBy(col("user_id"))
@@ -170,15 +173,9 @@ object Events {
         .groupBy(col("user_id"), col("sid"))
         .agg(unix_micros(min(col("ts"))).as("stu"),
           unix_micros(max(col("ts"))).as("enu"))
-      val wg = Window.orderBy(col("stu").asc, col("enu").asc,
-        col("user_id").asc, col("sid").asc)
-      val s1 = sess
-        .withColumn("pm", max(col("enu"))
-          .over(wg.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("brk",
-          when(col("pm").isNull || col("stu") > col("pm"), 1L).otherwise(0L))
-      val s2 = s1.withColumn("island",
-        sum(col("brk")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      val s2 = graft.operators.IslandMerge.attach(sess, "stu", "enu",
+        Seq(col("stu").asc, col("enu").asc, col("user_id").asc, col("sid").asc),
+        "island")
       ordered(s2.groupBy(col("island")).agg(
         timestamp_micros(min(col("stu"))).as("island_start"),
         timestamp_micros(max(col("enu"))).as("island_end"),

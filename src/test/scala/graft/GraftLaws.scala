@@ -158,4 +158,33 @@ object GraftLaws extends Properties("graft.laws") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == ref
     }
+
+  // Dense start domain (0..60) with lengths up to 25 → heavy overlap,
+  // touching, containment, AND multi-interval islands that straddle the
+  // forced 5-way range-partition boundaries — the carry path under test.
+  private val intervalGen = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 25L)))
+
+  property("IslandMerge island ids equal the single-window labeling") =
+    forAll(intervalGen) { ivs =>
+      import org.apache.spark.sql.expressions.Window
+      val df = ivs.zipWithIndex.map { case ((s0, len), i) =>
+        (i.toLong, s0, s0 + len) }.toDF("id", "stu", "enu")
+      val sort = Seq(col("stu").asc, col("enu").asc, col("id").asc)
+      val dist = graft.operators.IslandMerge
+        .attach(df, "stu", "enu", sort, "island", numParts = 5)
+        .select("id", "island").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wg = Window.orderBy(sort: _*)
+      val ref = df
+        .withColumn("pm", max(col("enu"))
+          .over(wg.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pm").isNull || col("stu") > col("pm"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "island").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dist == ref
+    }
 }
