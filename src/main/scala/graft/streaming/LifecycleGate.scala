@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** The post-ingestion LIFECYCLE CONSUMER — the executable analog of the
+  * reference's teardown loop ("Sending completion status of process to CW
+  * to terminate EC2", `/root/reference/Untitled Diagram.drawio:147-149`,
+  * `:129-137`): something must READ the completion records and drive an
+  * action, or the status eventing is telemetry with no consumer. Here the
+  * gate consumes a [[StatusListener]]'s records and either RELEASES the
+  * downstream effect or holds it:
+  *
+  *   - `publishIfClean` — the "load the warehouse copy FIRST, signal only
+  *     after it is complete" contract closed end-to-end: the snapshot
+  *     pointer swap (readers' visibility event) happens only when every
+  *     watched action completed successfully. A failed ingest leaves the
+  *     previous published version in place — downstream readers never see
+  *     a half-loaded run.
+  *   - `evaluate` — the bare decision (the "terminate EC2" mark): a run is
+  *     terminable/releasable iff it produced at least one successful
+  *     completion record and zero failures. Callers owning other effects
+  *     (cluster teardown, airflow task success, queue ack) branch on it.
+  *
+  * Cluster note: the same gate logic consumes any transport's status
+  * records (CloudWatch, a Kafka status topic, a metrics table) — the
+  * in-process listener is the sandbox-executable transport, and the
+  * decision rule is transport-independent.
+  */
+object LifecycleGate {
+  /** The gate's verdict over a run's status records. `release` iff the run
+    * recorded ≥1 successful completion and 0 failures — an empty record
+    * list HOLDS (a run that never reported is indistinguishable from a
+    * crashed one; absence of failure is not success). */
+  final case class Decision(release: Boolean, actions: Int, failures: Seq[String])
+
+  private def isFailure(s: String): Boolean = s.contains(""""status":"failed"""")
+  private def isSuccess(s: String): Boolean =
+    s.contains(""""status":"success"""") || s.contains(""""status":"completed"""")
+
+  /** Decide from raw status records (batch [[StatusListener]] or streaming
+    * [[StreamingStatusListener]] formats — both carry `"status":...`). */
+  def evaluate(statuses: Seq[String]): Decision = {
+    val fails = statuses.filter(isFailure)
+    Decision(statuses.exists(isSuccess) && fails.isEmpty, statuses.size, fails)
+  }
+
+  /** Bounded wait for the async listener bus to deliver at least one
+    * record (QueryExecutionListener events post asynchronously — the same
+    * drain rule as `Ingest.runIngestJob`). Returns the records seen. */
+  def awaitStatuses(listener: StatusListener, timeoutMs: Long = 2000): List[String] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (listener.statuses.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    listener.statuses
+  }
+
+  /** Release the snapshot publish ONLY on a clean run: evaluate the
+    * listener's (drained) records; publish `df` as the next version of
+    * `root` iff the gate releases, stamping the decision into the version
+    * `_META`. Returns the published version, or None when the gate held. */
+  def publishIfClean(listener: StatusListener, df: DataFrame, root: String,
+                     meta: Map[String, String] = Map.empty): Option[Long] = {
+    val d = evaluate(awaitStatuses(listener))
+    if (d.release)
+      Some(graft.core.Snapshot.publish(df, root,
+        meta + ("gate_actions" -> d.actions.toString)))
+    else None
+  }
+}

@@ -50,6 +50,57 @@ object StreamOps {
       .option("maxFilesPerTrigger", 1)
       .csv(dir)
 
+  /** STR-NTFY: event-NOTIFICATION trigger — the [REF] S3-event→Lambda flow
+    * (`Untitled Diagram.drawio:150-152`) without the LIST. The polling
+    * sources above discover arrivals by listing the data directory every
+    * trigger — O(#files accumulated forever) per trigger, the known
+    * object-store scaling wall. The notification analog inverts it: the
+    * producer (the S3-event→SQS bridge in the deployed architecture; any
+    * writer here) appends a tiny manifest file to `queueDir` whose LINES
+    * are the newly-arrived data paths, and the stream reads the QUEUE —
+    * listing cost ∝ outstanding notifications (small, drainable), never ∝
+    * the data directory's history, and the data directory is never listed
+    * at all. The queue file source is checkpointed like any other, so the
+    * arrival log replays exactly-once across restarts. */
+  def notificationSource(spark: SparkSession, queueDir: String): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(queueDir)
+
+  /** Drain the notification queue, loading each notified parquet file into
+    * `outDir` — exactly-once at FILE granularity: every loaded row lands in
+    * a partition keyed by a hash of its source path, written with
+    * batch-keyed dynamic partition overwrite, so BOTH redelivery modes
+    * converge to one copy — a replayed micro-batch (writer crash before
+    * checkpoint commit) and a duplicate notification of the same path
+    * (at-least-once queue semantics, the S3-event contract) each rewrite
+    * the same partition with identical content instead of appending a
+    * second copy. The per-batch driver collect is the notification list —
+    * queue-bounded (≤ lines per manifest file), never data-bounded. */
+  def runNotifiedLoad(spark: SparkSession, queueDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      outDir: String, checkpointDir: String): Unit = {
+    val q = notificationSource(spark, queueDir).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.collect().map(_.getString(0).trim).filter(_.nonEmpty)
+        if (paths.nonEmpty) {
+          val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try spark.read.schema(schema).parquet(paths: _*)
+            .withColumn("_src", md5(input_file_name()))
+            .write.partitionBy("_src").mode("overwrite").parquet(outDir)
+          finally prior.fold(
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Documents-schema streaming source over a directory of parquet files —
     * incremental corpus ingestion: each arriving file is a micro-batch of
     * new documents. */

@@ -362,6 +362,47 @@ class IngestSpec extends AnyFunSuite {
     assert(report.statuses.forall(_.contains("\"success\"")))
   }
 
+  test("LifecycleGate: a failed-status run never publishes; a clean run does") {
+    import graft.streaming.{LifecycleGate, StatusListener}
+    import graft.core.Snapshot
+    val root = tempDir("gate_snap").toString
+    val table = spark.range(10).toDF("id")
+
+    // Failed run: the watched action throws → a "failed" record lands →
+    // the gate HOLDS and the snapshot root stays unpublished.
+    val badListener = StatusListener.attach(spark)
+    try {
+      intercept[Exception] {
+        spark.range(1).select(raise_error(lit("ingest blew up"))).collect()
+      }
+      val seen = LifecycleGate.awaitStatuses(badListener)
+      assert(seen.exists(_.contains("\"failed\"")),
+        s"failure record must be observed, got $seen")
+      assert(LifecycleGate.publishIfClean(badListener, table, root).isEmpty,
+        "gate must hold the publish after a failed action")
+      assert(Snapshot.currentVersion(root).isEmpty,
+        "a held publish must leave no published version")
+    } finally spark.listenerManager.unregister(badListener)
+
+    // Also: a run that never reported anything must HOLD (absence of
+    // failure is not success).
+    val silent = new StatusListener
+    assert(!LifecycleGate.evaluate(silent.statuses).release,
+      "an empty status log must not release")
+
+    // Clean run: the watched action succeeds → the gate releases, the
+    // publish happens, and the decision is stamped into the version meta.
+    val goodListener = StatusListener.attach(spark)
+    try {
+      assert(table.count() == 10)
+      val v = LifecycleGate.publishIfClean(goodListener, table, root)
+      assert(v.contains(1L), s"clean run must publish v1, got $v")
+      assert(Snapshot.read(spark, root).count() == 10)
+      assert(Snapshot.meta(root, 1L).contains("gate_actions"),
+        "released publish must carry the gate decision in _META")
+    } finally spark.listenerManager.unregister(goodListener)
+  }
+
   test("ingest_evolve: v1 files genuinely lack the evolved column; merged scan unions both generations") {
     val out = SparkEntry.queries("ingest_evolve")(spark, sfDir)
     val orders = graft.core.Tables.load(spark, sfDir, "orders")

@@ -666,6 +666,50 @@ class StreamingSpec extends AnyFunSuite {
       s"without the cap AvailableNow must drain the backlog in one batch: $unbounded")
   }
 
+  test("STR-NTFY notification-queue load equals the LIST-polling source; replay and duplicate notifications converge") {
+    // The [REF] S3-event→Lambda trigger analog (SURVEY §2.1): arrivals are
+    // announced by manifest lines in a queue directory, and the loader
+    // reads exactly the notified paths — the data directory is NEVER
+    // listed. Must match the polling file source's result on the same
+    // arrival sequence, survive a checkpointed idle rerun, and converge
+    // under at-least-once notification delivery (a duplicate manifest line
+    // for an already-loaded path).
+    val queue = tempDir("ntfy_queue")
+    val out = tempDir("ntfy_out").toString
+    val ckpt = tempDir("ntfy_ckpt").toString
+    def notify(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(queue.resolve(name),
+        lines.mkString("\n") + "\n")
+    val cols = eventsBatch.columns.map(col)
+    def loaded() = spark.read.parquet(out).select(cols: _*)
+
+    // Arrival wave 1: two manifests (one micro-batch each, slices 0/1).
+    notify("n0.txt", s"$replayDir/slice_00.parquet")
+    notify("n1.txt", s"$replayDir/slice_01.parquet")
+    StreamOps.runNotifiedLoad(spark, queue.toString, eventsBatch.schema, out, ckpt)
+    val wave1 = eventsBatch.filter(col("event_id") % 4 < 2)
+    assertSameRows(loaded(), wave1, "notified load, wave 1")
+
+    // Checkpointed replay: an idle rerun re-delivers nothing.
+    StreamOps.runNotifiedLoad(spark, queue.toString, eventsBatch.schema, out, ckpt)
+    assertSameRows(loaded(), wave1, "idle rerun must add nothing")
+
+    // Wave 2 carries a DUPLICATE notification of slice_00 (at-least-once
+    // queue semantics): the path-keyed overwrite must converge, not
+    // double-load.
+    notify("n2.txt", s"$replayDir/slice_02.parquet",
+      s"$replayDir/slice_00.parquet")
+    notify("n3.txt", s"$replayDir/slice_03.parquet")
+    StreamOps.runNotifiedLoad(spark, queue.toString, eventsBatch.schema, out, ckpt)
+    assertSameRows(loaded(), eventsBatch, "wave 2 + duplicate notification")
+
+    // Batch-equivalence with the LIST-polling source over the same files.
+    val polled = StreamOps.drainToMemory(replayStream, "ntfy_polled",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    assertSameRows(loaded(), polled.select(cols: _*),
+      "notification-driven load vs LIST-polling file source")
+  }
+
   test("STR-CDC streaming changelog apply converges to the batch cdc_apply snapshot") {
     import graft.queries.Events
     val orders = Tables.load(spark, sfDir, "orders")
