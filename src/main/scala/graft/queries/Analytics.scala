@@ -564,9 +564,22 @@ object Analytics {
       val p = load(s, d, "part")
       val g = p.groupBy(col("p_retailprice").as("price"))
         .agg(max(col("p_size")).as("gmax"))
-      val w = Window.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val g2 = g.withColumn("prevmax", max(col("gmax")).over(w))
+      // The prefix max runs over the GROUPED (distinct-price) relation —
+      // domain-bounded here, so the single-partition window is fine until
+      // the value domain is data-sized. The declared PACK-2 fallback is
+      // the sharded running max (operators/PrefixMax: range-shard →
+      // per-shard running max → n-row carry offsets), config-FLIPPED like
+      // ddp_ngram's prefilter: `spark.graft.skyline.shardedPrefixMax=true`
+      // — result-identical (AnalyticsSpec pins hash equality of the two
+      // paths; PlanGuardSpec pins no unpartitioned window on the gated
+      // path), ready before a continuous-price corpus makes the domain
+      // grow with the data.
+      val g2 = if (s.conf.getOption("spark.graft.skyline.shardedPrefixMax")
+          .exists(_.toBoolean))
+        graft.operators.PrefixMax.attach(g, Seq(col("price").asc),
+          "gmax", "prevmax")
+      else g.withColumn("prevmax", max(col("gmax")).over(
+        Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, -1)))
       ordered(p.join(broadcast(g2), p("p_retailprice") === g2("price"))
         .filter((col("prevmax").isNull || col("prevmax") < col("p_size")) &&
           col("gmax") === col("p_size"))

@@ -489,4 +489,27 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(p.exists(q => dom(q, x)), s"non-member $x undominated")
     }
   }
+
+  test("skyline: the sharded-prefix-max flag is result-identical (the data-sized-domain reinstate)") {
+    // SKY-1's declared scale fallback: when the price domain grows with
+    // the data, the distinct-price prefix max must shard (PACK-2's
+    // decomposition via operators/PrefixMax) instead of funneling through
+    // one task. The flag must change the PLAN only — identical frontier.
+    val key = "spark.graft.skyline.shardedPrefixMax"
+    def run() = SparkEntry.queries("skyline")(spark, TestSpark.sfDir)
+    val off = run()
+    spark.conf.set(key, "true")
+    try {
+      val on = run()
+      TestSpark.assertSameRows(off, on, "skyline sharded-prefix-max equivalence")
+      // Plan guard on the gated path: no unpartitioned logical Window
+      // survives — the PrefixMax locals are keyed by range-partition id.
+      val global = on.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"sharded skyline still has ${global.size} unpartitioned Window node(s)")
+    } finally spark.conf.unset(key)
+  }
 }
