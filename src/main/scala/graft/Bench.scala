@@ -39,7 +39,25 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     // Optional comma-separated query-name filter for focused local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BOARD=smoke: the per-family smoke board — one or two
+    // headline queries per §2 family (~20 queries, ~60 s) so a round can
+    // gate on a fast signal without running the full 250+-query board
+    // (which keeps growing with every added query). The full board stays
+    // the committed artifact; the smoke board is the iteration loop.
+    val smokeBoard: Set[String] = Set(
+      "agg1", "join2", "win1", "srt1", "pvt1",              // relational core
+      "ddp_minhash", "ddp_ngram", "sim1_ivf", "ddp_exact",  // dedup / ANN
+      "txt_quality", "bpe_train", "tfidf1",                 // text / tokenizer
+      "funnel", "ivl_merge", "cdc_apply", "rate_audit",     // events
+      "drift_ks", "auc_roc", "corr_matrix",                 // stats / eval
+      "graph_triangles", "skyline", "ewma",                 // analytics
+      "ingest_csv", "snap_read", "mm2_decode")              // io / snapshot / mm
+    val board = sys.env.get("SPARK_GRAFT_BOARD") match {
+      case Some("smoke") => Some(smokeBoard)
+      case _             => None
+    }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) && board.forall(_.contains(n)) }
     // Untimed warmup: executor startup, parquet footer reads, and the
     // first codegen compilations otherwise land on whichever query map
     // iteration order puts first (measured ~5s on a sub-second query).

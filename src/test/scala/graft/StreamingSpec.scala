@@ -489,6 +489,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("STR-ST3 transformWithState twin equals the flatMapGroupsWithState counters") {
+    // The Spark 4 arbitrary-state API (StatefulProcessor + named state
+    // slots) is the forward path for the legacy stateful fleet; pin one
+    // operator on it against its legacy twin — SAME replay, equal drained
+    // rows. transformWithState requires the RocksDB provider, which the
+    // RocksDB parity test above already certifies for the legacy API, so
+    // this comparison also spans the two state-store backends.
+    val stream = replayStream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val legacy = StreamOps.drainToMemory(
+      StreamOps.runningCounters(stream).toDF(), "st3_legacy",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = StreamOps.drainToMemory(
+        StreamOps.runningCountersTws(stream).toDF(), "st3_tws",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      // Both APIs emit one updated-state row per (user, micro-batch) over
+      // the same 4-slice replay: the full emission sequences must match,
+      // not just the final states.
+      assertSameRows(tws, legacy, "transformWithState vs flatMapGroupsWithState")
+      // And the final per-user state matches the batch aggregate (the
+      // STR-ST contract, now certified on the new API too).
+      val finalState = tws
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val batch = eventsBatch.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      val joined = finalState.as("s").join(batch.as("b"), "user_id")
+      assert(joined.count() == batch.count(), "one final state row per user")
+      assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+        col("s.last_ts") =!= col("b.last_ts")).count() == 0,
+        "transformWithState final state must match the batch aggregate")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-SNK checkpointed parquet sink is exactly-once across restarts") {
     val d = tempDir("snk_replay")
     writeSlice(ev(
