@@ -579,6 +579,82 @@ object StreamOps {
         })
   }
 
+  /** STR-ST4: [[sessionize]] on the Spark 4 arbitrary-state API with real
+    * EVENT-TIME TIMERS — where STR-ST3 ports a timerless fold, this twin
+    * exercises the part of the new API the legacy one only approximates:
+    * `GroupStateTimeout.EventTimeTimeout` allows ONE implicit timeout per
+    * key, silently rearmed by `setTimeoutTimestamp`; the new API has an
+    * explicit timer REGISTRY (`registerTimer`/`deleteTimer`/`listTimers`)
+    * decoupled from state, so the idle-gap close is a first-class timer
+    * the processor re-arms as the session extends. Session semantics are
+    * byte-identical to [[sessionize]] (same fold, same close rules);
+    * StreamingSpec pins the two twins' drained outputs equal on the same
+    * watermark-advancing replay. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessSt] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessSt]("session",
+        org.apache.spark.sql.Encoders.product[SessSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      val prevTimer = cur.map(s => s.end.getTime + gapMs)
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts.getTime <= s.end.getTime + gapMs =>
+            cur = Some(SessSt(s.start,
+              if (e.ts.getTime > s.end.getTime) e.ts else s.end, s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(uid, s.start, s.end, s.n)
+            cur = Some(SessSt(e.ts, e.ts, 1L))
+          case None =>
+            cur = Some(SessSt(e.ts, e.ts, 1L))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        // Re-arm the idle-gap timer only when the session end moved — the
+        // explicit registry makes the rearm visible (and deletable),
+        // unlike the legacy implicit timeout slot.
+        val t = s.end.getTime + gapMs
+        if (!prevTimer.contains(t)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+        }
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timer: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (st.exists()) {
+        val s = st.get()
+        // Stale-timer guard: only a timer at-or-past the CURRENT session's
+        // idle deadline closes it (deleteTimer above makes stale firings
+        // unreachable in this processor, but the guard keeps the close
+        // rule locally provable).
+        if (expired.getExpiryTimeInMs() >= s.end.getTime + gapMs) {
+          st.clear()
+          Iterator.single(SessionOut(uid, s.start, s.end, s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** The transformWithState twin of [[sessionize]] (STR-ST4). */
+  def sessionizeTws(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
   case class FunnelSt(user_id: Long, first_view: Option[Timestamp],
                       first_click: Option[Timestamp],
                       first_purchase: Option[Timestamp], stage: Int)

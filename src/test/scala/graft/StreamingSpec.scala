@@ -281,6 +281,48 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, batch, "custom sessionizer vs native session_window")
   }
 
+  test("STR-ST4 transformWithState sessionizer (event-time timers) equals the legacy twin") {
+    // Same watermark-advancing replay as the STR-ST2 equivalence test:
+    // time-ordered quartiles + a sentinel 3h past corpus max so every real
+    // session's idle timer fires. The new-API twin must emit the SAME
+    // session set — gap closes and timer closes both covered — proving
+    // the explicit timer registry reproduces EventTimeTimeout's behavior.
+    val d = tempDir("sess_tws_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val sentinelTs = new java.sql.Timestamp(
+      eventsBatch.agg(max(col("ts"))).head.getTimestamp(0).getTime + 3 * 3600 * 1000L)
+    writeSlice(ev((999999L, sentinelTs.toString.substring(0, 19), 999999L, "c", 0.0)),
+      d, "slice_99", 1700000300000L)
+    def stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    val legacy = StreamOps.drainToMemory(
+      StreamOps.sessionize(stream).toDF(), "sess_tws_legacy", complete = false)
+      .filter(col("user_id") =!= 999999L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = StreamOps.drainToMemory(
+        StreamOps.sessionizeTws(stream).toDF(), "sess_tws_new", complete = false)
+        .filter(col("user_id") =!= 999999L)
+      assertSameRows(tws, legacy,
+        "transformWithState sessionizer vs flatMapGroupsWithState sessionizer")
+      // And transitively against the native session_window batch twin.
+      assertSameRows(
+        tws.select(col("user_id"), col("session_start"), col("n_events")),
+        StreamOps.sessionWindow(eventsBatch)
+          .select(col("user_id"), col("session_start"), col("n_events")),
+        "transformWithState sessionizer vs batch session_window")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-EWMA sequential state equals a single-fold recount under time-ordered replay") {
     // Time-ordered quartile slices: the sequential recurrence is only
     // replay-correct when micro-batches arrive in event-time order (the
