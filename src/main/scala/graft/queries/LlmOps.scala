@@ -1699,6 +1699,65 @@ object LlmOps {
         .select(col("d1"), col("d2"), dec4S(col("jac")).as("jac")))
     }),
 
+    // ---- DDP-WIN: winnowing fingerprint near-dup candidates
+    //      (`ddp_winnow`) — the GUARANTEED-detection point on the dedup
+    //      ladder (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    //      algorithm): hash every word 3-gram (k=3), slide a window of
+    //      w=4 consecutive hashes, keep each window's MINIMUM — any two
+    //      docs sharing a run of ≥ w+k−1 = 6 words share a fingerprint
+    //      BY CONSTRUCTION (the shared window's min is selected in both),
+    //      a determinism minhash/simhash can't offer, at expected density
+    //      2/(w+1) ≈ 0.4 of the gram stream. Docs with < w grams winnow
+    //      to their global min (the final partial window). Selection is
+    //      by distinct min VALUE per doc (the robust-winnowing variant:
+    //      value-set selection makes tie-position bookkeeping moot and
+    //      keeps the guarantee). Candidates = fingerprint-postings
+    //      equi-join (lang-scoped, d1<d2), scored by fingerprint-set
+    //      jaccard ≥ 0.35. Cross-engine: the hash is md5 (identical hex
+    //      in both engines), minima compare lexicographically, so the
+    //      fingerprint sets are engine-identical. Scale: postings are
+    //      winnow-SPARSIFIED (~0.4× the gram postings feeding ddp_ngram)
+    //      and the join is the same AQE-skew-splittable shuffle shape;
+    //      the df-prefilter knob composes here exactly as there. The
+    //      per-doc window is position-ordered WITHIN doc (partitioned,
+    //      frame-bounded) — no global sort anywhere. ----
+    "ddp_winnow" -> ((s, d) => {
+      val W = 4
+      val doc = load(s, d, "documents")
+      val t = spread(doc).select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ws"))
+        .withColumn("nw", size(col("ws")))
+        .filter(col("nw") >= 3)
+        .withColumn("ng", col("nw") - 2)
+      val g = t.select(col("doc_id"), col("lang"), col("ng"),
+        posexplode(transform(sequence(lit(1), col("ng")),
+          i => md5(concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(-(W - 1), 0)
+      val fps = g.withColumn("wmin", min(col("h")).over(wd))
+        // full windows only — plus the last (partial) window of short docs
+        .filter(col("p") >= W - 1 || col("p") === col("ng") - 1)
+        .select(col("doc_id"), col("lang"), col("wmin")).distinct()
+        .withColumn("nf", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .pinned
+      val fa = fps.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("nf").as("f1"), col("wmin").as("w1"))
+      val fb = fps.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("nf").as("f2"), col("wmin").as("w2"))
+      val cand = fa.join(fb, col("w1") === col("w2") && col("l1") === col("l2") &&
+          col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"), col("f1"), col("f2"))
+        .agg(count(lit(1)).as("ni"))
+      ordered(cand
+        .withColumn("jac", col("ni").cast("double") /
+          (col("f1") + col("f2") - col("ni")).cast("double"))
+        .filter(col("jac") >= 0.35)
+        .select(col("d1"), col("d2"), col("ni").as("n_shared"),
+          dec4S(col("jac")).as("jac")))
+    }),
+
     // ---- DDP-6: embedding-cosine near-dup pairs, LSH-blocked. Declared
     //      semantics: candidate pairs must share the 4-bit sign bucket of
     //      dims 1-4 (random-hyperplane LSH with axis-aligned planes) — the
@@ -3935,6 +3994,38 @@ object LlmOps {
         |    AND len(a.grams) * 2 >= len(b.grams) AND len(b.grams) * 2 >= len(a.grams)
         |) WHERE jac >= 0.5
         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, jac NULLS FIRST""".stripMargin,
+
+    "ddp_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) - 2 AS ng
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang, ng, i - 1 AS p,
+        |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+        |  FROM t, UNNEST(generate_series(1, ng)) AS r(i)),
+        |m AS (
+        |  SELECT doc_id, lang, ng, p,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, lang, wmin FROM m WHERE p >= 3 OR p = ng - 1),
+        |f2 AS (
+        |  SELECT doc_id, lang, wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS nf FROM fps),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    a.nf AS f1, b.nf AS f2, COUNT(*) AS ni
+        |  FROM f2 a JOIN f2 b ON a.wmin = b.wmin AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2, ni AS n_shared,
+        |  CAST(CAST(floor((jac)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS jac
+        |FROM (SELECT d1, d2, ni,
+        |        CAST(ni AS DOUBLE) / CAST(f1 + f2 - ni AS DOUBLE) AS jac FROM pr)
+        |WHERE jac >= 0.35
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST, n_shared NULLS FIRST, jac NULLS FIRST""".stripMargin,
 
     "ddp_embed" ->
       """WITH base AS (

@@ -202,6 +202,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq == run().toSeq)
   }
 
+  test("ddp_winnow: the winnowing guarantee — any shared >= w+k-1 word run shares a fingerprint") {
+    // MOSS's theorem (k=3, w=4 here): a common substring of >= w+k-1 = 6
+    // words spans a full window of shared 3-gram hashes, whose minimum is
+    // selected in BOTH docs. Drive the exact query pipeline over crafted
+    // doc pairs (shared 6-word run embedded in different surroundings, at
+    // different positions) and assert the posting join finds every pair —
+    // plus a no-overlap control pair that must share nothing.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven", "en"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen", "en"),
+      (3L, s"completely different words with no common run at all here", "en"),
+      (4L, s"pad pad2 pad3 pad4 pad5 pad6 pad7 $shared", "en"))
+      .toDF("doc_id", "text", "lang")
+    val W = 4
+    val t = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws"))).filter(col("nw") >= 3)
+      .withColumn("ng", col("nw") - 2)
+    val g = t.select(col("doc_id"), col("lang"), col("ng"),
+      posexplode(transform(sequence(lit(1), col("ng")),
+        i => md5(concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(W - 1), 0)
+    val fps = g.withColumn("wmin", min(col("h")).over(wd))
+      .filter(col("p") >= W - 1 || col("p") === col("ng") - 1)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // Every pair among {1, 2, 4} shares the 6-word run => shares >= 1 fp.
+    for (a <- Seq(1L, 2L, 4L); b <- Seq(1L, 2L, 4L) if a < b)
+      assert(fps(a).intersect(fps(b)).nonEmpty,
+        s"docs $a/$b share a 6-word run but no fingerprint — guarantee broken")
+    // The control shares nothing with any of them.
+    Seq(1L, 2L, 4L).foreach { a =>
+      assert(fps(3L).intersect(fps(a)).isEmpty,
+        s"control doc shares a fingerprint with $a — false positive")
+    }
+    // Density sanity on the real corpus: winnowing sparsifies — the
+    // fingerprint postings stay well under the full gram stream (expected
+    // density 2/(w+1) = 0.4) — and the gated query finds pairs.
+    val corpus = graft.core.Tables.load(spark, sfDir, "documents")
+    val nGrams = corpus
+      .select(greatest(size(split(col("text"), " ")) - 2, lit(0)).as("ng"))
+      .agg(sum(col("ng"))).head.getLong(0)
+    val tC = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws"))).filter(col("nw") >= 3)
+      .withColumn("ng", col("nw") - 2)
+    val gC = tC.select(col("doc_id"), col("ng"),
+      posexplode(transform(sequence(lit(1), col("ng")),
+        i => md5(concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val nFps = gC.withColumn("wmin", min(col("h")).over(wd))
+      .filter(col("p") >= W - 1 || col("p") === col("ng") - 1)
+      .select(col("doc_id"), col("wmin")).distinct().count()
+    assert(nFps < nGrams / 2,
+      s"winnowing must sparsify: $nFps fingerprints vs $nGrams grams")
+    assert(SparkEntry.queries("ddp_winnow")(spark, sfDir).collect().nonEmpty,
+      "gated ddp_winnow must produce pairs on the corpus")
+  }
+
   test("ddp_ngram: the df>=2 prefilter flag is result-identical (the 100 TB reinstate)") {
     // Singleton (lang, gram) postings cannot form a cross-doc pair, so the
     // config-gated left-semi prune (`spark.graft.ddp.ngram.dfPrefilter`)
