@@ -183,6 +183,51 @@ object Events {
         (max(col("enu")) - min(col("stu"))).as("covered_us")))
     }),
 
+    // ---- IVL-3: concurrency envelope peak (`ivl_concurrency`) — the
+    //      companion statistic to IVL-2's islands: the MAXIMUM number of
+    //      simultaneously-open sessions and the first instant it is
+    //      reached — the capacity-planning headline (how many concurrent
+    //      users must the fleet hold?). Classic sweep-line, distributed:
+    //      sessions become ±1 deltas at [stu, enu+1µs) (closed intervals
+    //      — touching sessions count concurrent at the shared instant),
+    //      deltas collapse per distinct timestamp in one map-side-combined
+    //      aggregate, and the running sum over time order — concurrency
+    //      itself — runs through GlobalRank's two-pass distributed prefix
+    //      (fifth consumer, after gini/mann_whitney/drift_ks/auc_roc): no
+    //      single-task exchange at any width. Peak ties → smallest
+    //      timestamp (drift_ks's argmax rule; integer concurrency, so the
+    //      tie set is engine-identical). Output: one row (peak, first
+    //      instant, session count). ----
+    "ivl_concurrency" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
+      val sess = e
+        .withColumn("is_new", newSession)
+        .withColumn("sid", sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(unix_micros(min(col("ts"))).as("stu"),
+          unix_micros(max(col("ts"))).as("enu"))
+      val deltas = sess.select(col("stu").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select((col("enu") + 1L).as("t"), lit(-1L).as("delta")))
+        .groupBy(col("t")).agg(sum(col("delta")).as("dsum"))
+      val ranked = graft.operators.GlobalRank.attach(deltas,
+        Seq(col("t").asc), None, Seq("dsum" -> "pre"))
+      val conc = ranked.withColumn("conc", col("pre") + col("dsum"))
+      val peak = conc.agg(max(col("conc")).as("peak"))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      ordered(conc.crossJoin(broadcast(peak))
+        .filter(col("conc") === col("peak"))
+        .groupBy(col("peak")).agg(min(col("t")).as("att"))
+        .crossJoin(broadcast(nSess))
+        .select(col("peak").as("peak_concurrency"),
+          timestamp_micros(col("att")).as("at_ts"), col("n_sessions")))
+    }),
+
     // ---- BOT-1: burst-rate audit (`rate_audit`) — the abuse/bot gate an
     //      event platform runs before events enter training data: each
     //      user's PEAK activity inside any trailing 24 h window (the
@@ -1341,6 +1386,42 @@ object Events {
         |    ORDER BY ts ASC, event_id ASC ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p95
         |FROM events
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, p95 NULLS FIRST""".stripMargin,
+
+    "ivl_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, sid, epoch_us(MIN(uts)) AS stu, epoch_us(MAX(uts)) AS enu
+        |  FROM numbered GROUP BY user_id, sid
+        |), deltas AS (
+        |  SELECT t, SUM(delta) AS dsum FROM (
+        |    SELECT stu AS t, 1 AS delta FROM sess
+        |    UNION ALL
+        |    SELECT enu + 1 AS t, -1 AS delta FROM sess
+        |  ) GROUP BY t
+        |), conc AS (
+        |  SELECT t, SUM(dsum) OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas
+        |), pk AS (SELECT MAX(conc) AS peak FROM conc),
+        |ns AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_sessions FROM sess)
+        |SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+        |  make_timestamp(MIN(t)) AS at_ts, n_sessions
+        |FROM conc CROSS JOIN pk CROSS JOIN ns
+        |WHERE conc = peak
+        |GROUP BY peak, n_sessions
+        |ORDER BY peak_concurrency NULLS FIRST, at_ts NULLS FIRST, n_sessions NULLS FIRST""".stripMargin,
 
     "ivl_merge" ->
       """WITH flagged AS (

@@ -358,7 +358,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // a logical property, and the physical plan string can't distinguish
     // partitioned from global windows reliably.)
     Seq("gini", "mann_whitney", "rank_normalize", "drift_ks",
-        "auc_roc", "avg_precision").foreach { name =>
+        "auc_roc", "avg_precision", "ivl_concurrency").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val global = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
