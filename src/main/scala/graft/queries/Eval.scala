@@ -121,6 +121,64 @@ object Eval {
           col("ece")))
     }),
 
+    // ---- EVAL-6: Brier score + Murphy decomposition (`brier_decomp`) —
+    //      calibration_bins' scalar summary with the standard additive
+    //      anatomy: BRIER = REL − RES + UNC + WBV over the same 10-bin
+    //      design, where REL (reliability) penalizes conf≠acc per bin,
+    //      RES (resolution) rewards bins whose accuracy departs from the
+    //      base rate, UNC = base·(1−base) is the irreducible label
+    //      entropy, and the two WITHIN-BIN terms carry what raw-score
+    //      Brier holds beyond the binned forecast: WBV = within-bin
+    //      forecast variance, WCOV = within-bin forecast-label covariance
+    //      (zero when each bin's forecast is constant — the textbook
+    //      3-term identity's hidden assumption; here forecasts vary
+    //      within bins, so the exact identity is the 5-term one, with
+    //      −2·WCOV). Both from per-bin MOMENTS (Σs² − n·conf²,
+    //      Σs·y − conf·Σy) — no second pass over the data. Float
+    //      discipline: per-row squares are
+    //      dec8-quantized before order-free decimal sums (avg_precision's
+    //      dec8 rationale), per-bin component terms dec8-quantized before
+    //      the ≤10-row decimal sum, every ratio one double division; the
+    //      additive identity is recounted driver-side in EvalSpec at dec4.
+    //      Scale: ONE map-side-combined 10-group moment aggregate over
+    //      the scan; everything after lives on ≤10 rows. ----
+    "brier_decomp" -> ((s, d) => {
+      val binned = scored(s, d).withColumn("bin",
+        least(floor(col("score") * lit(10.0)).cast("int"), lit(9)))
+      val sd = col("score") - col("pos").cast("double")
+      val agg = binned.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"), sum(col("pos")).as("npos"),
+        sum(dec4(col("score"))).cast(dt).as("ssc"),
+        sum(dec8(col("score") * col("score"))).cast(dt8).as("ssq"),
+        sum(dec8(col("score") * col("pos").cast("double"))).cast(dt8).as("ssp"),
+        sum(dec8(sd * sd)).cast(dt8).as("sbr"))
+      val tot = agg.agg(sum(col("n")).as("nn"), sum(col("npos")).as("tpos"),
+        sum(col("sbr")).cast(dt8).as("sbrt"))
+      val conf = col("ssc").cast("double") / col("n").cast("double")
+      val acc = col("npos").cast("double") / col("n").cast("double")
+      val base = col("tpos").cast("double") / col("nn").cast("double")
+      val comps = agg.crossJoin(broadcast(tot)).agg(
+        max(col("nn")).as("nn"), max(col("tpos")).as("tpos"),
+        max(col("sbrt")).cast(dt8).as("sbrt"),
+        sum(dec8(col("n").cast("double") * (conf - acc) * (conf - acc)))
+          .cast(dt8).as("relt"),
+        sum(dec8(col("n").cast("double") * (acc - base) * (acc - base)))
+          .cast(dt8).as("rest"),
+        sum(dec8(col("ssq").cast("double") -
+          col("n").cast("double") * conf * conf)).cast(dt8).as("wbvt"),
+        sum(dec8(col("ssp").cast("double") -
+          conf * col("npos").cast("double"))).cast(dt8).as("wcovt"))
+      val nd = col("nn").cast("double")
+      val b = col("tpos").cast("double") / nd
+      ordered(comps.select(col("nn").as("n"),
+        dec4S(col("sbrt").cast("double") / nd).as("brier"),
+        dec4S(col("relt").cast("double") / nd).as("reliability"),
+        dec4S(col("rest").cast("double") / nd).as("resolution"),
+        dec4S(b * (lit(1.0) - b)).as("uncertainty"),
+        dec4S(col("wbvt").cast("double") / nd).as("wbv"),
+        dec4S(col("wcovt").cast("double") / nd).as("wcov")))
+    }),
+
     // ---- EVAL-3: confusion-matrix operating point (`cls_eval`) — the
     //      threshold-ed readout of the same classifier (TXT-3's shipped
     //      rule: predict English iff score > 0.05): TP/FP/FN/TN in ONE
@@ -401,6 +459,51 @@ object Eval {
         |  e.ece AS ece
         |FROM spine LEFT JOIN r ON spine.bin = r.bin CROSS JOIN e
         |ORDER BY bin NULLS FIRST, n NULLS FIRST, n_pos NULLS FIRST, conf NULLS FIRST, acc NULLS FIRST, ece NULLS FIRST""".stripMargin,
+
+    "brier_decomp" ->
+      """WITH sc AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(score * 10.0) AS INT), 9) AS bin, score, pos
+        |  FROM sc),
+        |agg AS (
+        |  SELECT bin, COUNT(1) AS n, CAST(SUM(pos) AS BIGINT) AS npos,
+        |    CAST(SUM(CAST(floor((score)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ssc,
+        |    CAST(SUM(CAST(floor((score * score)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ssq,
+        |    CAST(SUM(CAST(floor((score * CAST(pos AS DOUBLE))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ssp,
+        |    CAST(SUM(CAST(floor(((score - CAST(pos AS DOUBLE)) * (score - CAST(pos AS DOUBLE)))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sbr
+        |  FROM b GROUP BY bin),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(npos) AS BIGINT) AS tpos,
+        |    CAST(SUM(sbr) AS DECIMAL(38,8)) AS sbrt
+        |  FROM agg),
+        |t AS (
+        |  SELECT agg.*, tot.nn, tot.tpos, tot.sbrt,
+        |    CAST(ssc AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+        |    CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |    CAST(tpos AS DOUBLE) / CAST(nn AS DOUBLE) AS base
+        |  FROM agg CROSS JOIN tot),
+        |comps AS (
+        |  SELECT MAX(nn) AS nn, MAX(tpos) AS tpos,
+        |    CAST(MAX(sbrt) AS DECIMAL(38,8)) AS sbrt,
+        |    CAST(SUM(CAST(floor((CAST(n AS DOUBLE) * (conf - acc) * (conf - acc))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS relt,
+        |    CAST(SUM(CAST(floor((CAST(n AS DOUBLE) * (acc - base) * (acc - base))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rest,
+        |    CAST(SUM(CAST(floor((CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * conf * conf)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS wbvt,
+        |    CAST(SUM(CAST(floor((CAST(ssp AS DOUBLE) - conf * CAST(npos AS DOUBLE))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS wcovt
+        |  FROM t)
+        |SELECT nn AS n,
+        |  CAST(CAST(floor((CAST(sbrt AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS brier,
+        |  CAST(CAST(floor((CAST(relt AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS reliability,
+        |  CAST(CAST(floor((CAST(rest AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS resolution,
+        |  CAST(CAST(floor(((CAST(tpos AS DOUBLE) / CAST(nn AS DOUBLE)) * (1.0 - CAST(tpos AS DOUBLE) / CAST(nn AS DOUBLE)))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS uncertainty,
+        |  CAST(CAST(floor((CAST(wbvt AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS wbv,
+        |  CAST(CAST(floor((CAST(wcovt AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS wcov
+        |FROM comps
+        |ORDER BY n NULLS FIRST, brier NULLS FIRST, reliability NULLS FIRST, resolution NULLS FIRST, uncertainty NULLS FIRST, wbv NULLS FIRST, wcov NULLS FIRST""".stripMargin,
 
     "cls_eval" ->
       """WITH sc AS (

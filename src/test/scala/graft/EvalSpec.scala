@@ -176,6 +176,53 @@ class EvalSpec extends AnyFunSuite {
     assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
   }
 
+  test("brier_decomp: Murphy's additive identity holds; components match a driver replay") {
+    val Array(r) = SparkEntry.queries("brier_decomp")(spark, TestSpark.sfDir).collect()
+    val sc = scoredDocs(TestSpark.sfDir)
+    val n = sc.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    val brier = r.getAs[String]("brier").toDouble
+    val rel = r.getAs[String]("reliability").toDouble
+    val res = r.getAs[String]("resolution").toDouble
+    val unc = r.getAs[String]("uncertainty").toDouble
+    val wbv = r.getAs[String]("wbv").toDouble
+    val wcov = r.getAs[String]("wcov").toDouble
+    // Driver replay of all five pieces on the same 10-bin design.
+    def bin(s: Double) = math.min((s * 10.0).toInt, 9)
+    val byBin = sc.groupBy(t => bin(t._1))
+    val base = sc.map(_._2).sum.toDouble / n
+    val brierRef = sc.map { case (s, p) => (s - p) * (s - p) }.sum / n
+    val relRef = byBin.values.map { g =>
+      val conf = g.map(_._1).sum / g.length; val acc = g.map(_._2).sum.toDouble / g.length
+      g.length * (conf - acc) * (conf - acc) }.sum / n
+    val resRef = byBin.values.map { g =>
+      val acc = g.map(_._2).sum.toDouble / g.length
+      g.length * (acc - base) * (acc - base) }.sum / n
+    val wbvRef = byBin.values.map { g =>
+      val conf = g.map(_._1).sum / g.length
+      g.map { case (s, _) => (s - conf) * (s - conf) }.sum }.sum / n
+    val wcovRef = byBin.values.map { g =>
+      val conf = g.map(_._1).sum / g.length
+      g.map { case (s, y) => (s - conf) * y }.sum }.sum / n
+    // dec4 rendering + per-row dec4/dec8 quantization slack
+    assert(math.abs(brier - brierRef) < 1e-3, s"brier $brier vs $brierRef")
+    assert(math.abs(rel - relRef) < 1e-3, s"rel $rel vs $relRef")
+    assert(math.abs(res - resRef) < 1e-3, s"res $res vs $resRef")
+    assert(math.abs(unc - base * (1 - base)) < 1e-4)
+    assert(math.abs(wbv - wbvRef) < 1e-3, s"wbv $wbv vs $wbvRef")
+    assert(math.abs(wcov - wcovRef) < 1e-3, s"wcov $wcov vs $wcovRef")
+    // The anatomy: BRIER = REL − RES + UNC + WBV − 2·WCOV (exact in real
+    // arithmetic — the textbook 3-term identity assumes constant
+    // within-bin forecasts, which raw scores violate; dec4-rendered
+    // pieces leave ≤ 6·dec4 slack).
+    assert(math.abs(brier - (rel - res + unc + wbv - 2 * wcov)) < 6e-4,
+      s"Murphy identity violated: $brier vs ${rel - res + unc + wbv - 2 * wcov}")
+    // Component sanity: variance terms nonnegative, resolution bounded by
+    // uncertainty.
+    assert(rel >= -1e-9 && res >= -1e-9 && wbv >= -1e-9)
+    assert(res <= unc + 1e-9, "resolution cannot exceed uncertainty")
+  }
+
   test("cls_eval: confusion partitions the corpus; F1/MCC identities hold") {
     val Array(r) = SparkEntry.queries("cls_eval")(spark, TestSpark.sfDir).collect()
     val sc = scoredDocs(TestSpark.sfDir)
