@@ -690,6 +690,55 @@ object Analytics {
       ordered(mo.select(col("lag"), col("n_pairs"), dec4S(r).as("ccf")))
     }),
 
+    // ---- STAT-12: Kendall rank correlation (`corr_kendall`) — the
+    //      RANK-based monotone-association reading of TS-6's question
+    //      (does click volume move with purchase volume?): τ-b over the
+    //      joint hourly series, robust to the outliers and nonlinearity
+    //      that bend Pearson (STAT-1/TS-6) — a single burst hour can
+    //      manufacture Pearson correlation; τ counts ORDER agreements.
+    //      Exact: concordant/discordant pairs classified by two sign
+    //      comparisons (never the (Δc·Δp) product — int64-overflow-proof
+    //      at any per-hour volume, the cls_eval discipline), tie terms
+    //      n1/n2 from per-value count collapses, τ_b = (C−D)/√((n₀−n1)
+    //      (n₀−n2)) with every factor a double (zero denominator → NULL).
+    //      Scale: the corpus collapses to the |hours|-sized series first
+    //      (TS-4/TS-6's envelope — the only data-sized work is that scan);
+    //      the pair join is CALENDAR-bounded (|hours|² by construction,
+    //      theil_sen's bounded self-pair precedent), never data-sized. An
+    //      O(n log n) inversion count only pays once the series itself is
+    //      data-proportional — at which point the declared move is
+    //      GlobalRank ranks + a merge-count, same two-pass family. ----
+    "corr_kendall" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val hourly = e.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        .pinned
+      val a = hourly.select(col("hr").as("h1"), col("c").as("c1"), col("p").as("p1"))
+      val b = hourly.select(col("hr").as("h2"), col("c").as("c2"), col("p").as("p2"))
+      val cd = a.join(broadcast(b), col("h1") < col("h2")).agg(
+        sum(when((col("c1") < col("c2") && col("p1") < col("p2")) ||
+                 (col("c1") > col("c2") && col("p1") > col("p2")), 1L)
+          .otherwise(0L)).as("conc"),
+        sum(when((col("c1") < col("c2") && col("p1") > col("p2")) ||
+                 (col("c1") > col("c2") && col("p1") < col("p2")), 1L)
+          .otherwise(0L)).as("disc"))
+      val nh = hourly.agg(count(lit(1)).as("n"))
+      val t1 = hourly.groupBy(col("c")).agg(count(lit(1)).as("tc"))
+        .agg(sum(col("tc").cast("double") * (col("tc") - 1L).cast("double") / lit(2.0)).as("n1"))
+      val t2 = hourly.groupBy(col("p")).agg(count(lit(1)).as("tp"))
+        .agg(sum(col("tp").cast("double") * (col("tp") - 1L).cast("double") / lit(2.0)).as("n2"))
+      val n0 = col("n").cast("double") * (col("n") - 1L).cast("double") / lit(2.0)
+      val den = sqrt((n0 - col("n1")) * (n0 - col("n2")))
+      val tau = (col("conc") - col("disc")).cast("double") /
+        when(den === 0.0, lit(null)).otherwise(den)
+      ordered(cd.crossJoin(broadcast(nh)).crossJoin(broadcast(t1))
+        .crossJoin(broadcast(t2))
+        .select(col("n").as("n_hours"), col("conc"), col("disc"),
+          dec4S(tau).as("tau_b")))
+    }),
+
     // ---- TS-7: Theil–Sen robust trend (`theil_sen`) — AGG-18's OLS line
     //      re-estimated the way a fat-finger-immune dashboard needs it:
     //      slope = MEDIAN of all pairwise slopes of the weekly-revenue
@@ -851,6 +900,35 @@ object Analytics {
         |  CAST(CAST(floor((r)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS acf
         |FROM f
         |ORDER BY event_type NULLS FIRST, lag NULLS FIRST, n_pairs NULLS FIRST, acf NULLS FIRST""".stripMargin,
+
+    "corr_kendall" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |cd AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN (a.c < b.c AND a.p < b.p) OR (a.c > b.c AND a.p > b.p)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN (a.c < b.c AND a.p > b.p) OR (a.c > b.c AND a.p < b.p)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM hourly a JOIN hourly b ON a.hr < b.hr),
+        |nh AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM hourly),
+        |t1 AS (SELECT SUM(CAST(tc AS DOUBLE) * CAST(tc - 1 AS DOUBLE) / 2.0) AS n1
+        |  FROM (SELECT COUNT(1) AS tc FROM hourly GROUP BY c)),
+        |t2 AS (SELECT SUM(CAST(tp AS DOUBLE) * CAST(tp - 1 AS DOUBLE) / 2.0) AS n2
+        |  FROM (SELECT COUNT(1) AS tp FROM hourly GROUP BY p)),
+        |f AS (
+        |  SELECT n AS n_hours, conc, disc,
+        |    CAST(conc - disc AS DOUBLE) /
+        |      NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0 - n1) *
+        |                  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0 - n2)), 0.0) AS tau
+        |  FROM cd CROSS JOIN nh CROSS JOIN t1 CROSS JOIN t2)
+        |SELECT n_hours, conc, disc,
+        |  CAST(CAST(floor((tau)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS tau_b
+        |FROM f
+        |ORDER BY n_hours NULLS FIRST, conc NULLS FIRST, disc NULLS FIRST, tau_b NULLS FIRST""".stripMargin,
 
     "ccf" ->
       """WITH hourly AS (

@@ -470,6 +470,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("corr_kendall: equals the driver-side O(n^2) tau-b replay; bounded in [-1,1]") {
+    val Array(r) = SparkEntry.queries("corr_kendall")(spark, TestSpark.sfDir).collect()
+    // Driver replay from the raw events, same hourly collapse.
+    val hourly = graft.core.Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val n = hourly.length
+    var (conc, disc) = (0L, 0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val ((c1, p1), (c2, p2)) = (hourly(i), hourly(j))
+      if ((c1 < c2 && p1 < p2) || (c1 > c2 && p1 > p2)) conc += 1
+      else if ((c1 < c2 && p1 > p2) || (c1 > c2 && p1 < p2)) disc += 1
+    }
+    val n0 = n.toDouble * (n - 1) / 2.0
+    def ties(f: ((Long, Long)) => Long) = hourly.groupBy(f).values
+      .map(g => g.length.toDouble * (g.length - 1) / 2.0).sum
+    val tauRef = (conc - disc).toDouble /
+      math.sqrt((n0 - ties(_._1)) * (n0 - ties(_._2)))
+    assert(r.getAs[Long]("n_hours") == n.toLong)
+    assert(r.getAs[Long]("conc") == conc && r.getAs[Long]("disc") == disc)
+    val tau = r.getAs[String]("tau_b").toDouble
+    assert(math.abs(tau - tauRef) < 6e-5, s"tau $tau vs replay $tauRef")
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+  }
+
   test("skyline: frontier is mutually non-dominated and dominates every non-member") {
     val p = graft.core.Tables.load(spark, TestSpark.sfDir, "part")
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))

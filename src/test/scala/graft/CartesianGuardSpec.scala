@@ -110,6 +110,14 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // rows first), plus two 1-row scalar attaches (d0, the
                   // fitted slope); the declared pairwise-median semantics
                   // have no equi-key
+    "brier_decomp", // 1-row (N, base-rate, brier-total) scalar attach onto
+                  // the 10-row bin relation: calibration_bins' shape
+    "ivl_concurrency", // two 1-row scalar attaches (peak, session count)
+                  // onto the argmin timestamp rollup: drift_ks's shape
+    "corr_kendall", // broadcast self-pair of the HOURLY series —
+                  // calendar-bounded by construction (theil_sen's shape);
+                  // concordance pairing has no equi-key, plus three 1-row
+                  // scalar attaches (n, tie terms)
     "txt_zipf",   // 1-row (vocab, total) scalar attach onto the 1-row
                   // OLS fit: tfidf1's broadcast shape
     "calibration_bins", // 1-row ECE scalar attach onto the 10-row bin
