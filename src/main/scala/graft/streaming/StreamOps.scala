@@ -342,6 +342,46 @@ object StreamOps {
     }
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** STR-ST5: per-user event-type histogram on MAP state — the third
+    * state primitive of the Spark 4 API exercised (STR-ST3: ValueState,
+    * STR-ST4: timers; here `MapState[String, Long]`): per key the state
+    * is a type→count map updated point-wise — at 100 TB the point is that
+    * `updateValue` touches ONE map entry in RocksDB per arriving type,
+    * never rewriting the whole per-user blob the way a ValueState[case
+    * class with a Map field] must. Emits every touched (user, type, n)
+    * cell per micro-batch; the final cell set must equal the batch
+    * `groupBy(user, type).count()` (StreamingSpec). */
+  class TypeHistogramProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("hist",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { e =>
+        val prev = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(uid, t, st.getValue(t)))
+    }
+  }
+
+  /** The MapState histogram stream (STR-ST5). */
+  def typeHistogramStream(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeHistogramProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
   /** The transformWithState twin of [[runningCounters]] (STR-ST3). */
   def runningCountersTws(events: Dataset[Ev]): Dataset[UserStat] = {
     import events.sparkSession.implicits._

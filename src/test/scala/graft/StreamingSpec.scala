@@ -571,6 +571,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("STR-ST5 MapState histogram: final cells equal the batch groupBy counts") {
+    // Third state primitive (MapState): per-user type->count map updated
+    // point-wise. The last emission per (user, type) across the replay
+    // must equal the batch groupBy count — order of arrival is irrelevant
+    // because counts are monotone per cell.
+    val stream = replayStream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val drained = StreamOps.drainToMemory(
+        StreamOps.typeHistogramStream(stream).toDF(), "st5_hist",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      val finalCells = drained
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("n").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val batch = eventsBatch.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assertSameRows(finalCells, batch,
+        "MapState histogram final cells vs batch groupBy")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-SNK checkpointed parquet sink is exactly-once across restarts") {
     val d = tempDir("snk_replay")
     writeSlice(ev(
