@@ -189,8 +189,26 @@ class PlanGuardSpec extends AnyFunSuite {
       s"user repartition in the pair path disables AQE skew splitting:\n${p.take(2000)}")
   }
 
+  test("ddp_winnow: fingerprint self-join shuffles stay AQE-skew-splittable") {
+    // Same skew story as ddp_ngram one level up: a fingerprint shared by
+    // many docs is the hot key, and only ENSURE_REQUIREMENTS shuffles are
+    // OptimizeSkewedJoin-eligible. Broadcast disabled to surface the
+    // at-scale join shape.
+    val p = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      plan("ddp_winnow")
+    }
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"self-join missing with broadcast disabled:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"), "fingerprint table no longer checkpointed")
+    assert(!p.contains("REPARTITION_BY"),
+      s"user repartition in the pair path disables AQE skew splitting:\n${p.take(2000)}")
+  }
+
   test("near-dup joins are equi-joins — no cartesian/nested-loop products") {
-    for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_embed_multi", "ddp_simhash")) {
+    for (q <- Seq("sim2", "ddp_ngram", "ddp_embed", "ddp_embed_multi", "ddp_simhash",
+                  "ddp_winnow")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
     }

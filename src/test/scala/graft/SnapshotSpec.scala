@@ -116,6 +116,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 30L)
   }
 
+  test("fsck sweeps abandoned staging directories from crashed publishers") {
+    val root = tempDir("snap_stage").toString
+    Snapshot.publish(table(1, 10), root)
+    // Crash simulation: a writer died after staging data but before the
+    // rename-claim — a hidden .staging-* directory no reader resolves.
+    val stage = java.nio.file.Paths.get(root, ".staging-999-123456")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.writeString(stage.resolve("part-0.parquet"), "junk")
+    assert(Snapshot.fsck(root).isEmpty, "no versioned orphans to report")
+    assert(!java.nio.file.Files.exists(stage), "staging dir must be swept")
+    assert(Snapshot.read(spark, root).count() == 10L, "published data untouched")
+  }
+
   test("snap_diff: total key classification; the derived changelog applied to v1 reconstructs v2") {
     val dir = graft.queries.Ingestion.diffOrders(spark, TestSpark.sfDir)
     val diff = SparkEntry.queries("snap_diff")(spark, TestSpark.sfDir).collect()
