@@ -54,6 +54,18 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(pairs("sim2") == Set((3L, 4L, "1.0000"), (6L, 100L, "1.0000")))
   }
 
+  test("ddp_winnow: identical docs pair at 1.0; sub-guarantee overlaps may miss — by theorem") {
+    // Every edge doc is shorter than the w+k-1 = 6-word guarantee window,
+    // so winnowing only PROMISES the byte-identical pairs; the 4-word
+    // shared run of docs 3/5 selects different minima (verified offline:
+    // doc 3 winnows to h("brown fox jumps"), doc 5 to h("quick brown
+    // fox")) and correctly does not pair. Degenerate docs (one word → no
+    // grams; repeated word → one trivial fingerprint) are silent.
+    val got = SparkEntry.queries("ddp_winnow")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(got == Set((3L, 4L, "1.0000"), (6L, 100L, "1.0000")), s"got $got")
+  }
+
   test("dcn1: the full-containment quote of the benchmark doc is flagged") {
     assert(pairs("dcn1") == Set((6L, 100L, "1.0000")))
   }
