@@ -246,6 +246,46 @@ object Ingest {
     (parts.length, after)
   }
 
+  /** GDPR erasure FOLDED INTO the compaction rewrite — the 100 TB
+    * execution of GDPR-1's declared plan ("at 100 TB either folded into
+    * the nightly compaction rewrite — pay a rewrite already being paid —
+    * or expressed as table-format deletion vectors"): the nightly
+    * small-files pass is already reading and rewriting every byte, so the
+    * broadcast `left_anti` against the deletion list rides along for
+    * free — no second data pass, no separate erasure job, and the erasure
+    * SLA collapses to the compaction cadence. Same sizing rule as
+    * [[compact]] (target bytes scaled by the survivor fraction so output
+    * files stay near target size); returns (filesBefore, filesAfter,
+    * rowsErased) — the per-table audit row GDPR-1 requires, derived from
+    * exact counts. */
+  def compactWithErasure(spark: SparkSession, srcDir: String, dstDir: String,
+                         deletionList: org.apache.spark.sql.DataFrame,
+                         keyCol: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val src = spark.read.parquet(srcDir)
+    val total = src.count()
+    // left_anti moves the join key to the front; restore the source
+    // schema order — a compaction rewrite must be layout-invisible.
+    val kept = src.join(
+      org.apache.spark.sql.functions.broadcast(deletionList.select(keyCol).distinct()),
+      Seq(keyCol), "left_anti")
+      .select(src.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val survivors = kept.count()
+    // Size output files by surviving bytes, not source bytes.
+    val keptBytes = if (total == 0) 0.0
+                    else totalBytes.toDouble * survivors / total
+    val n = math.max(1, math.ceil(keptBytes / targetFileBytes).toInt)
+    kept.repartition(n).write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after, total - survivors)
+  }
+
   // ---- The ingestion job (diagram flows 1-3 in miniature) ----
 
   final case class IngestReport(rowsRead: Long, rowsQuarantined: Long,

@@ -334,6 +334,36 @@ class IngestSpec extends AnyFunSuite {
     assertSameRows(spark.read.parquet(dst), orders, "compaction must preserve rows")
   }
 
+  test("compactWithErasure: GDPR anti-join rides the compaction rewrite — one pass, exact audit") {
+    val src = tempDir("cwe_src").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.repartition(40).write.mode(SaveMode.Overwrite).parquet(src)
+    val dst = tempDir("cwe_dst").toString
+    // Erasure list: every customer with custkey % 13 == 0 (plus a
+    // never-present key — erasing an absent entity must be a no-op).
+    import spark.implicits._
+    val deletion = orders.filter(col("o_custkey") % 13 === 0)
+      .select(col("o_custkey")).distinct()
+      .unionByName(Seq(-99L).toDF("o_custkey"))
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val (before, after, erased) = Ingest.compactWithErasure(
+      spark, src, dst, deletion, "o_custkey", targetFileBytes = bytes / 4 + 1)
+    val expected = orders.filter(col("o_custkey") % 13 =!= 0)
+    assert(before == 40)
+    // File count sized by SURVIVING bytes (not source bytes): fewer than
+    // the plain compaction's 4 only if the erased slice was big enough;
+    // at minimum the output must stay near-target, never 40 droppings.
+    assert(after <= 4 && after >= 1, s"got $after files")
+    assert(erased == orders.count() - expected.count(),
+      "audit row must carry the exact erased-row count")
+    assert(erased > 0, "the keyslice must actually erase something")
+    assertSameRows(spark.read.parquet(dst), expected,
+      "exactly the non-erased rows survive the fold")
+  }
+
   test("binaryFile: opaque media files ingest as (path, length, content) rows") {
     val d = tempDir("media_src")
     val img = Array.tabulate[Byte](256)(i => i.toByte)
