@@ -235,6 +235,62 @@ object Ingestion {
     //      both sides bucket by key and the join is exchange-free;
     //      unchanged-row suppression is a filter, kept here as evidence
     //      of exactness). ----
+    // ---- SNAP-PROF: column-profile drift between published versions
+    //      (`snap_profile_diff`) — the DATA-CONTRACT audit a consumer
+    //      runs before trusting a new version: per column, row count,
+    //      null count, exact distinct count, and min/max for v1 vs v2 of
+    //      the snapshot store, with changed-distinct / changed-range
+    //      flags — catches silent contract breaks (a column going
+    //      nullable, a domain growing, a range shift) that row-level
+    //      diffing (snap_diff) reports one key at a time and a schema
+    //      check misses entirely. Shape: ONE aggregate per version over
+    //      the immutable version dir (multi-distinct plans via Expand —
+    //      the standard exact form; at 100 TB the sketch trade is AGG-11's
+    //      HLL per column), stacked to a schema-bounded per-column
+    //      relation, joined on column name (≤|schema| rows). ----
+    "snap_profile_diff" -> ((s, d) => {
+      val dir = diffOrders(s, d)
+      def prof(v: Long): DataFrame = {
+        val t = graft.core.Snapshot.read(s, dir, Some(v))
+        val one = t.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nu_k"),
+          count_distinct(col("o_orderkey")).as("nd_k"),
+          cstr(min(col("o_orderkey"))).as("mn_k"),
+          cstr(max(col("o_orderkey"))).as("mx_k"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nu_s"),
+          count_distinct(col("o_orderstatus")).as("nd_s"),
+          min(col("o_orderstatus")).as("mn_s"),
+          max(col("o_orderstatus")).as("mx_s"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nu_p"),
+          count_distinct(col("o_totalprice")).as("nd_p"),
+          dec4S(min(col("o_totalprice"))).as("mn_p"),
+          dec4S(max(col("o_totalprice"))).as("mx_p"))
+        one.select(explode(array(
+          struct(lit("o_orderkey").as("colname"), col("n"),
+            col("nu_k").as("n_null"), col("nd_k").as("n_distinct"),
+            col("mn_k").as("min_s"), col("mx_k").as("max_s")),
+          struct(lit("o_orderstatus").as("colname"), col("n"),
+            col("nu_s").as("n_null"), col("nd_s").as("n_distinct"),
+            col("mn_s").as("min_s"), col("mx_s").as("max_s")),
+          struct(lit("o_totalprice").as("colname"), col("n"),
+            col("nu_p").as("n_null"), col("nd_p").as("n_distinct"),
+            col("mn_p").as("min_s"), col("mx_p").as("max_s")))).as("p"))
+          .select(col("p.*"))
+      }
+      val (a, b) = (prof(1L).as("a"), prof(2L).as("b"))
+      ordered(a.join(b, Seq("colname"))
+        .select(col("colname"),
+          col("a.n").as("n_v1"), col("b.n").as("n_v2"),
+          col("a.n_null").as("null_v1"), col("b.n_null").as("null_v2"),
+          col("a.n_distinct").as("distinct_v1"), col("b.n_distinct").as("distinct_v2"),
+          col("a.min_s").as("min_v1"), col("a.max_s").as("max_v1"),
+          col("b.min_s").as("min_v2"), col("b.max_s").as("max_v2"),
+          (col("a.n_distinct") =!= col("b.n_distinct")).as("distinct_changed"),
+          (col("a.min_s") =!= col("b.min_s") ||
+            col("a.max_s") =!= col("b.max_s")).as("range_changed")))
+    }),
+
     "snap_diff" -> ((s, d) => {
       val dir = diffOrders(s, d)
       val v1 = graft.core.Snapshot.read(s, dir, Some(1L))
@@ -504,6 +560,64 @@ object Ingestion {
 
     // Both versions recomputed from the parquet original, then the same
     // key-equi full-outer diff classification.
+    "snap_profile_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice + 50.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM o WHERE o_orderkey % 7 = 1),
+        |p1 AS (
+        |  SELECT 'o_orderkey' AS colname, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(COUNT(1) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(COUNT(1) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(CAST(floor((MIN(o_totalprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR),
+        |    CAST(CAST(floor((MAX(o_totalprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)
+        |  FROM v1),
+        |p2 AS (
+        |  SELECT 'o_orderkey' AS colname, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(COUNT(1) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(COUNT(1) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(CAST(floor((MIN(o_totalprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR),
+        |    CAST(CAST(floor((MAX(o_totalprice))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)
+        |  FROM v2)
+        |SELECT p1.colname, p1.n AS n_v1, p2.n AS n_v2,
+        |  p1.n_null AS null_v1, p2.n_null AS null_v2,
+        |  p1.n_distinct AS distinct_v1, p2.n_distinct AS distinct_v2,
+        |  p1.min_s AS min_v1, p1.max_s AS max_v1,
+        |  p2.min_s AS min_v2, p2.max_s AS max_v2,
+        |  p1.n_distinct <> p2.n_distinct AS distinct_changed,
+        |  (p1.min_s <> p2.min_s OR p1.max_s <> p2.max_s) AS range_changed
+        |FROM p1 JOIN p2 USING (colname)
+        |ORDER BY colname NULLS FIRST, n_v1 NULLS FIRST, n_v2 NULLS FIRST, null_v1 NULLS FIRST, null_v2 NULLS FIRST, distinct_v1 NULLS FIRST, distinct_v2 NULLS FIRST, min_v1 NULLS FIRST, max_v1 NULLS FIRST, min_v2 NULLS FIRST, max_v2 NULLS FIRST, distinct_changed NULLS FIRST, range_changed NULLS FIRST""".stripMargin,
+
     "snap_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |v1 AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
