@@ -390,6 +390,62 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
+  case class CtxEv(t: Long, i: Long, y: String)
+  case class CtxOut(event_id: Long, user_id: Long, ts: Timestamp,
+                    ctx_n: Int, ctx: String)
+
+  /** STR-ST6: online pre-conversion context extraction on LIST state —
+    * CTX-1's streaming twin and the fourth state primitive exercised
+    * (STR-ST3: ValueState, ST4: timers, ST5: MapState; here
+    * `ListState[CtxEv]`): per user the state is the trailing-30-min event
+    * buffer, pruned on every arrival (state ∝ the 30-min activity burst,
+    * never history — the same bound the batch RANGE frame enjoys), and
+    * each purchase emits its ordered context ON ARRIVAL — the streaming
+    * form of turning an event stream into (context → outcome) training
+    * examples without a nightly window job. Same semantics as the batch
+    * twin by construction: context = events with t ∈ [tsu−30min, tsu)
+    * (exclusive of the purchase instant), struct-sorted; purchases are
+    * context for later purchases. Time-ordered replay contract
+    * (STR-EWMA's); equivalence with the gated `purchase_context` pinned
+    * in StreamingSpec. */
+  class PurchaseContextProcessor(windowUs: Long = 1800L * 1000000L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, CtxOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[CtxEv] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getListState[CtxEv]("ctx",
+        org.apache.spark.sql.Encoders.product[CtxEv],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def micros(ts: Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[CtxOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      var buf = if (st.exists()) st.get().toVector else Vector.empty[CtxEv]
+      val out = scala.collection.mutable.ArrayBuffer[CtxOut]()
+      sorted.foreach { e =>
+        val tsu = micros(e.ts)
+        buf = buf.filter(_.t >= tsu - windowUs) // prune beyond the window
+        if (e.event_type == "purchase") {
+          val ctx = buf.filter(_.t < tsu).sortBy(c => (c.t, c.i))
+          out += CtxOut(e.event_id, uid, e.ts, ctx.size,
+            ctx.map(c => s"${c.t}:${c.i}:${c.y}").mkString("|"))
+        }
+        buf = buf :+ CtxEv(tsu, e.event_id, e.event_type)
+      }
+      st.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** The ListState context stream (STR-ST6). */
+  def purchaseContextStream(events: Dataset[Ev]): Dataset[CtxOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PurchaseContextProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   case class EwmaSt(s: Double)
   case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 

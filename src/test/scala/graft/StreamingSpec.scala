@@ -323,6 +323,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("STR-ST6 ListState context buffer equals the batch purchase_context under time-ordered replay") {
+    // Fourth state primitive: the trailing-30-min ListState buffer must
+    // reproduce the gated RANGE-frame query exactly — same context sets,
+    // same struct order, same exclusive-of-purchase-instant bound — when
+    // replayed in event-time order (the sequential-state contract).
+    val d = tempDir("ctx_replay")
+    val byTs = eventsBatch.orderBy(col("ts"), col("event_id"))
+      .withColumn("qrt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      writeSlice(byTs.filter(col("qrt") === i).drop("qrt"), d, f"slice_$i%02d",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamOps.drainToMemory(
+        StreamOps.purchaseContextStream(stream).toDF(), "ctx_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ctx_n").cast("int").as("ctx_n"), col("ctx"))
+      val batch = Events.all("purchase_context")(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ctx_n").cast("int").as("ctx_n"), col("ctx"))
+      assertSameRows(streamed, batch,
+        "ListState context stream vs batch purchase_context")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-EWMA sequential state equals a single-fold recount under time-ordered replay") {
     // Time-ordered quartile slices: the sequential recurrence is only
     // replay-correct when micro-batches arrive in event-time order (the
