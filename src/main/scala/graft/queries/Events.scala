@@ -183,6 +183,45 @@ object Events {
         (max(col("enu")) - min(col("stu"))).as("covered_us")))
     }),
 
+    // ---- IVL-4: downtime gaps (`ivl_gaps`) — the COMPLEMENT of IVL-2's
+    //      islands: the quiet intervals between consecutive activity
+    //      islands (gap start = island end, gap end = next island start,
+    //      exact µs width) — the SLA-downtime / quiet-window report
+    //      capacity planning reads next to the coverage timeline. Islands
+    //      are globally time-ordered by construction (ids assigned in
+    //      start order, and a new island opens only STRICTLY after
+    //      everything before it ended), so consecutive pairing is a pure
+    //      EQUI-join on island = island+1 — no window, no sort, fully
+    //      distributed at any island count; gaps are positive by the
+    //      island-break invariant. ----
+    "ivl_gaps" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
+      val sess = e
+        .withColumn("is_new", newSession)
+        .withColumn("sid", sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(unix_micros(min(col("ts"))).as("stu"),
+          unix_micros(max(col("ts"))).as("enu"))
+      val s2 = graft.operators.IslandMerge.attach(sess, "stu", "enu",
+        Seq(col("stu").asc, col("enu").asc, col("user_id").asc, col("sid").asc),
+        "island")
+      val islands = s2.groupBy(col("island")).agg(
+        min(col("stu")).as("ist"), max(col("enu")).as("ien")).pinned
+      val nxt = islands.select((col("island") - 1L).as("island"),
+        col("ist").as("nst"))
+      ordered(islands.join(nxt, Seq("island"))
+        .select(col("island").as("gap_after_island"),
+          timestamp_micros(col("ien")).as("gap_start"),
+          timestamp_micros(col("nst")).as("gap_end"),
+          (col("nst") - col("ien")).as("gap_us")))
+    }),
+
     // ---- IVL-3: concurrency envelope peak (`ivl_concurrency`) — the
     //      companion statistic to IVL-2's islands: the MAXIMUM number of
     //      simultaneously-open sessions and the first instant it is
@@ -1386,6 +1425,43 @@ object Events {
         |    ORDER BY ts ASC, event_id ASC ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p95
         |FROM events
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, p95 NULLS FIRST""".stripMargin,
+
+    "ivl_gaps" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, sid, epoch_us(MIN(uts)) AS stu, epoch_us(MAX(uts)) AS enu
+        |  FROM numbered GROUP BY user_id, sid
+        |), s1 AS (
+        |  SELECT *, MAX(enu) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sess
+        |), s2 AS (
+        |  SELECT *, CASE WHEN pm IS NULL OR stu > pm THEN 1 ELSE 0 END AS brk FROM s1
+        |), s3 AS (
+        |  SELECT *, SUM(brk) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM s2
+        |), islands AS (
+        |  SELECT CAST(island AS BIGINT) AS island,
+        |    MIN(stu) AS ist, MAX(enu) AS ien
+        |  FROM s3 GROUP BY island
+        |)
+        |SELECT a.island AS gap_after_island,
+        |  make_timestamp(a.ien) AS gap_start,
+        |  make_timestamp(b.ist) AS gap_end,
+        |  CAST(b.ist - a.ien AS BIGINT) AS gap_us
+        |FROM islands a JOIN islands b ON b.island = a.island + 1
+        |ORDER BY gap_after_island NULLS FIRST, gap_start NULLS FIRST, gap_end NULLS FIRST, gap_us NULLS FIRST""".stripMargin,
 
     "ivl_concurrency" ->
       """WITH flagged AS (
