@@ -390,6 +390,52 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
+  /** STR-ST7: WARM-START state seeding — the migration story of the new
+    * API ([[RunningCountersProcessor]] extended with
+    * `StatefulProcessorWithInitialState`): a pipeline moving from nightly
+    * batch to streaming seeds each key's state from the LAST BATCH
+    * AGGREGATE (one `handleInitialState` call per seed key before any
+    * input), then streams only the new data — no replay of history, no
+    * cold-start window where dashboards read partial counts. The legacy
+    * API has no equivalent (flatMapGroupsWithState cannot take an initial
+    * state Dataset on the streaming path without a manual union hack).
+    * StreamingSpec pins: seed(batch half) + stream(rest) ≡ batch(all). */
+  class SeededCountersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Ev, UserStat, UserStat] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserStat] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserStat]("counters",
+        org.apache.spark.sql.Encoders.product[UserStat],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(uid: Long, seed: UserStat,
+        timer: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update(seed)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      val prev = if (st.exists()) st.get()
+                 else UserStat(uid, 0L, 0.0, new Timestamp(0))
+      val batch = rows.toSeq
+      val next = UserStat(uid, prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum,
+        (prev.last_ts +: batch.map(_.ts)).maxBy(_.getTime))
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** The warm-started counters stream (STR-ST7): `seed` is the batch
+    * per-user aggregate the stream continues from. */
+  def runningCountersSeeded(events: Dataset[Ev],
+                            seed: Dataset[UserStat]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededCountersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update,
+        seed.groupByKey(_.user_id))
+  }
+
   case class CtxEv(t: Long, i: Long, y: String)
   case class CtxOut(event_id: Long, user_id: Long, ts: Timestamp,
                     ctx_n: Int, ctx: String)

@@ -604,6 +604,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("STR-ST7 warm-start seeding: seed(first half) + stream(rest) equals batch(all)") {
+    // The migration contract: a pipeline switching from nightly batch to
+    // streaming seeds per-key state from the last batch aggregate and
+    // streams only NEW data — the continued state must be
+    // indistinguishable from having streamed everything.
+    val mid = eventsBatch.agg(
+      percentile_approx(unix_micros(col("ts")), lit(0.5), lit(10000)))
+      .head.getLong(0)
+    val firstHalf = eventsBatch.filter(unix_micros(col("ts")) <= mid)
+    val rest = eventsBatch.filter(unix_micros(col("ts")) > mid)
+    assert(firstHalf.count() > 0 && rest.count() > 0)
+    val seed = firstHalf.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+      max(col("ts")).as("last_ts")).as[StreamOps.UserStat]
+    val d = tempDir("seed_replay")
+    writeSlice(rest, d, "rest", 1700000000000L)
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Ev]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val drained = StreamOps.drainToMemory(
+        StreamOps.runningCountersSeeded(stream, seed).toDF(), "st7_seeded",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      val finalState = drained
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      // Users active after the cut: continued state == batch over ALL.
+      val activeUsers = rest.select(col("user_id")).distinct()
+      val batchAll = eventsBatch.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        max(col("ts")).as("last_ts"))
+        .join(activeUsers, "user_id")
+      assert(finalState.count() == activeUsers.count(),
+        "exactly the post-cut-active users emit")
+      val joined = finalState.as("s").join(batchAll.as("b"), "user_id")
+      assert(joined.count() == activeUsers.count())
+      val bad = joined.filter(
+        col("s.n_events") =!= col("b.n_events") ||
+        col("s.last_ts") =!= col("b.last_ts") ||
+        abs(col("s.total_value") - col("b.total_value")) > 1e-6).count()
+      assert(bad == 0,
+        "seeded-and-continued state must equal the batch aggregate over all data")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("STR-ST5 MapState histogram: final cells equal the batch groupBy counts") {
     // Third state primitive (MapState): per-user type->count map updated
     // point-wise. The last emission per (user, type) across the replay
