@@ -312,4 +312,46 @@ object Ingest {
       IngestReport(quarantined + written, quarantined, written, listener.statuses)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  /** [[runIngestJob]] rebuilt on `Dataset.observe` (CollectMetrics) — the
+    * SINGLE-PASS audit: the read/quarantine counters ride the warehouse
+    * write as plan-level metrics instead of being paid as separate count
+    * actions over a cached frame. At 100 TB that is the difference
+    * between scanning the landing data once and three times (cache fill
+    * + two counts + write); the audit numbers are exactly the write
+    * job's own row stream, so they can never diverge from what actually
+    * landed. The quarantine side stays a second (cheap, corrupt-only)
+    * pass — PERMISSIVE parsing only materializes the corrupt column on
+    * the branch that selects it. */
+  def runIngestJobObserved(spark: SparkSession, csvPath: String, schema: StructType,
+                           warehouseDir: String, quarantineDir: String,
+                           partitionCols: Seq[String] = Nil): IngestReport = {
+    import org.apache.spark.sql.functions._
+    val listener = StatusListener.attach(spark)
+    try {
+      val corruptCol = "_corrupt_record"
+      val obs = org.apache.spark.sql.Observation(
+        s"ingest_gate_${System.nanoTime()}")
+      val raw = readCsv(spark, csvPath, schema, Permissive(corruptCol))
+      // One pass: clean rows flow to the warehouse carrying the counters.
+      val clean = raw.observe(obs,
+          count(lit(1)).as("rows_read"),
+          sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L)).as("rows_bad"))
+        .filter(col(corruptCol).isNull).drop(corruptCol)
+      writePartitionedParquet(clean, warehouseDir, partitionCols)
+      // Corrupt-only second scan (tiny by construction) → quarantine.
+      // Full rows, not just the raw-line column: Spark disallows
+      // corrupt-record-only projections from raw CSV
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the parsed-null columns
+      // are the repair operator's context anyway.
+      raw.filter(col(corruptCol).isNotNull)
+        .write.mode(SaveMode.Overwrite).parquet(quarantineDir)
+      val m = obs.get
+      val read = m("rows_read").asInstanceOf[Long]
+      val bad = Option(m("rows_bad")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (listener.statuses.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      IngestReport(read, bad, read - bad, listener.statuses)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

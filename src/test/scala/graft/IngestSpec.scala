@@ -433,6 +433,29 @@ class IngestSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(goodListener)
   }
 
+  test("runIngestJobObserved: single-pass CollectMetrics audit matches the two-pass job") {
+    val src = csvDir(goodRows :+ badRow)
+    val wh = tempDir("ingest_obs_wh").toString
+    val q = tempDir("ingest_obs_q").toString
+    val report = Ingest.runIngestJobObserved(
+      spark, src, Ingestion.csvSchema, wh, q, Seq("ship_date"))
+    // Same numbers the cached two-count job reports — but measured as
+    // plan-level metrics ON the warehouse write itself.
+    assert(report.rowsRead == 3 && report.rowsQuarantined == 1 &&
+      report.rowsWritten == 2, s"got $report")
+    assert(spark.read.parquet(wh).count() == 2)
+    assert(spark.read.parquet(q).count() == 1, "corrupt raw line quarantined")
+    assert(report.statuses.nonEmpty)
+    // The audit is IN the plan: the write's physical plan carries a
+    // CollectMetrics node (no cache, no separate count actions).
+    val probe = Ingest.readCsv(spark, src, Ingestion.csvSchema,
+      Ingest.Permissive("_corrupt_record"))
+      .observe(org.apache.spark.sql.Observation(s"probe_${System.nanoTime()}"),
+        count(lit(1)).as("n"))
+    assert(probe.queryExecution.executedPlan.toString.contains("CollectMetrics"),
+      "observe must plan as CollectMetrics")
+  }
+
   test("ingest_evolve: v1 files genuinely lack the evolved column; merged scan unions both generations") {
     val out = SparkEntry.queries("ingest_evolve")(spark, sfDir)
     val orders = graft.core.Tables.load(spark, sfDir, "orders")
