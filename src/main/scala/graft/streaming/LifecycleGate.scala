@@ -66,4 +66,23 @@ object LifecycleGate {
         meta + ("gate_actions" -> d.actions.toString)))
     else None
   }
+
+  /** The full gated run: attach a listener, execute `work`, and publish
+    * only when BOTH hold — `work` returned (a thrown failure holds the
+    * gate even when it never reached execution, e.g. an analysis-time
+    * missing-path error that no QueryExecutionListener ever sees) AND the
+    * recorded statuses are clean. This is the orchestration shape: the
+    * gate owns the run, so no failure class can slip between the work and
+    * the decision. Returns the published version, or None when held. */
+  def gatedPublish(spark: org.apache.spark.sql.SparkSession,
+                   df: => DataFrame, root: String,
+                   meta: Map[String, String] = Map.empty)(work: => Unit): Option[Long] = {
+    // `df` is by-name: the publishable table typically does not exist
+    // until `work` has run (it IS the load's output).
+    val listener = StatusListener.attach(spark)
+    try {
+      val workOk = try { work; true } catch { case _: Throwable => false }
+      if (workOk) publishIfClean(listener, df, root, meta) else None
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

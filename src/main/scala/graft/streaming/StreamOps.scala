@@ -79,7 +79,8 @@ object StreamOps {
     * queue-bounded (≤ lines per manifest file), never data-bounded. */
   def runNotifiedLoad(spark: SparkSession, queueDir: String,
                       schema: org.apache.spark.sql.types.StructType,
-                      outDir: String, checkpointDir: String): Unit = {
+                      outDir: String, checkpointDir: String,
+                      format: String = "parquet"): Unit = {
     val q = notificationSource(spark, queueDir).writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -87,8 +88,13 @@ object StreamOps {
         if (paths.nonEmpty) {
           val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try spark.read.schema(schema).parquet(paths: _*)
-            .withColumn("_src", md5(input_file_name()))
+          val reader = spark.read.schema(schema)
+          val src = format match {
+            case "csv" => reader.option("header", true).option("escape", "\"")
+              .csv(paths: _*)
+            case _ => reader.parquet(paths: _*)
+          }
+          try src.withColumn("_src", md5(input_file_name()))
             .write.partitionBy("_src").mode("overwrite").parquet(outDir)
           finally prior.fold(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(

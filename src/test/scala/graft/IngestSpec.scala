@@ -392,6 +392,51 @@ class IngestSpec extends AnyFunSuite {
     assert(report.statuses.forall(_.contains("\"success\"")))
   }
 
+  test("reference flow end-to-end: notify → load → status → gate → publish; a poisoned run never publishes") {
+    // The whole [REF] diagram as one executable path: partner CSVs land,
+    // an event notification (not a LIST) announces them, the loader
+    // streams exactly the notified files, completion status is recorded,
+    // and the lifecycle gate releases the snapshot publish only on a
+    // clean run — load the warehouse copy FIRST, signal availability
+    // ONLY after it is complete, then tear down.
+    import graft.streaming.{LifecycleGate, StatusListener, StreamOps}
+    import graft.core.Snapshot
+    val queue = tempDir("flow_queue")
+    val out = tempDir("flow_out").toString
+    val ckpt = tempDir("flow_ckpt").toString
+    val snapRoot = tempDir("flow_snap").toString
+    def notify(name: String, lines: String*): Unit =
+      Files.writeString(queue.resolve(name), lines.mkString("\n") + "\n")
+
+    // Wave 1: two partner files arrive, each announced by a notification.
+    val f1 = csvDir(goodRows)
+    val f2 = csvDir(Seq("9,Sprocket,2,3.50,2024-04-02"))
+    notify("n1.txt", s"$f1/feed.csv")
+    notify("n2.txt", s"$f2/feed.csv")
+    val v1 = LifecycleGate.gatedPublish(spark,
+      spark.read.parquet(out).drop("_src"), snapRoot) {
+      StreamOps.runNotifiedLoad(spark, queue.toString, Ingestion.csvSchema,
+        out, ckpt, format = "csv")
+    }
+    assert(v1.contains(1L), s"clean run must publish v1, got $v1")
+    assert(Snapshot.read(spark, snapRoot).count() == 3,
+      "published snapshot carries all notified rows")
+
+    // Wave 2 is POISONED: the notification points at a path that does not
+    // exist — the load throws at ANALYSIS time (no failed status record
+    // ever lands, which is exactly why the gate owns the run), the gate
+    // holds, readers keep seeing v1.
+    notify("n3.txt", s"$f1/never_arrived.csv")
+    val v2 = LifecycleGate.gatedPublish(spark,
+      spark.read.parquet(out).drop("_src"), snapRoot) {
+      StreamOps.runNotifiedLoad(spark, queue.toString, Ingestion.csvSchema,
+        out, ckpt, format = "csv")
+    }
+    assert(v2.isEmpty, "gate must hold after a failed load")
+    assert(Snapshot.currentVersion(snapRoot).contains(1L),
+      "failed wave must leave the published version untouched")
+  }
+
   test("LifecycleGate: a failed-status run never publishes; a clean run does") {
     import graft.streaming.{LifecycleGate, StatusListener}
     import graft.core.Snapshot
