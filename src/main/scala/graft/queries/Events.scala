@@ -160,19 +160,7 @@ object Events {
     //      single-task exchange, and the island ids (hence the oracle
     //      hash) are identical to the single-window form's. ----
     "ivl_merge" -> ((s, d) => {
-      val e = load(s, d, "events")
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
-        .otherwise(when(col("ts").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
-      val sess = e
-        .withColumn("is_new", newSession)
-        .withColumn("sid", sum(col("is_new"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(unix_micros(min(col("ts"))).as("stu"),
-          unix_micros(max(col("ts"))).as("enu"))
+      val sess = lagGapSessions(s, d)
       val s2 = graft.operators.IslandMerge.attach(sess, "stu", "enu",
         Seq(col("stu").asc, col("enu").asc, col("user_id").asc, col("sid").asc),
         "island")
@@ -182,6 +170,8 @@ object Events {
         count(lit(1)).as("n_sessions"),
         (max(col("enu")) - min(col("stu"))).as("covered_us")))
     }),
+
+    // ---- IVL-2/3/4 shared session relation: see [[lagGapSessions]]. ----
 
     // ---- IVL-4: downtime gaps (`ivl_gaps`) — the COMPLEMENT of IVL-2's
     //      islands: the quiet intervals between consecutive activity
@@ -195,19 +185,7 @@ object Events {
     //      distributed at any island count; gaps are positive by the
     //      island-break invariant. ----
     "ivl_gaps" -> ((s, d) => {
-      val e = load(s, d, "events")
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
-        .otherwise(when(col("ts").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
-      val sess = e
-        .withColumn("is_new", newSession)
-        .withColumn("sid", sum(col("is_new"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(unix_micros(min(col("ts"))).as("stu"),
-          unix_micros(max(col("ts"))).as("enu"))
+      val sess = lagGapSessions(s, d)
       val s2 = graft.operators.IslandMerge.attach(sess, "stu", "enu",
         Seq(col("stu").asc, col("enu").asc, col("user_id").asc, col("sid").asc),
         "island")
@@ -238,19 +216,7 @@ object Events {
     //      tie set is engine-identical). Output: one row (peak, first
     //      instant, session count). ----
     "ivl_concurrency" -> ((s, d) => {
-      val e = load(s, d, "events")
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
-        .otherwise(when(col("ts").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
-      val sess = e
-        .withColumn("is_new", newSession)
-        .withColumn("sid", sum(col("is_new"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(unix_micros(min(col("ts"))).as("stu"),
-          unix_micros(max(col("ts"))).as("enu"))
+      val sess = lagGapSessions(s, d)
       val deltas = sess.select(col("stu").as("t"), lit(1L).as("delta"))
         .unionByName(sess.select((col("enu") + 1L).as("t"), lit(-1L).as("delta")))
         .groupBy(col("t")).agg(sum(col("delta")).as("dsum"))
@@ -997,6 +963,26 @@ object Events {
     * 2). Each generation is internally key-unique, which is exactly the
     * property that makes sequential per-generation apply (the stream)
     * equal to global latest-op-wins (the batch query). */
+  /** The lag-gap session relation (user_id, sid, stu, enu in µs) shared
+    * by the IVL family (IVL-2 islands, IVL-3 concurrency, IVL-4 gaps):
+    * per-user 30-min-gap sessionization, events compressed to one row per
+    * session — one definition so the three interval statistics can never
+    * disagree about what a session is. */
+  private[queries] def lagGapSessions(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+      .otherwise(when(col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1).otherwise(0))
+    e.withColumn("is_new", newSession)
+      .withColumn("sid", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_micros(min(col("ts"))).as("stu"),
+        unix_micros(max(col("ts"))).as("enu"))
+  }
+
   def cdcGenerations(orders: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val o = orders.select(col("o_orderkey").as("k"),
       col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
