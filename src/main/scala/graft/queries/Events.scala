@@ -440,6 +440,45 @@ object Events {
           col("valid_to").isNull.as("is_current")))
     }),
 
+    // ---- SCD-3: point-in-time enrichment (`scd2_pit`) — the read side
+    //      of SCD-2's history: each purchase joined to the dimension
+    //      state VALID AT ITS INSTANT (valid_from ≤ ts < valid_to) — the
+    //      point-in-time-correctness join every feature pipeline needs to
+    //      avoid training-serving leakage (today's dimension row must not
+    //      describe last year's fact). Executed as join11's SINGLE-SORT
+    //      as-of trick, not an interval join: state changes and purchases
+    //      union into one per-user ordered stream (states sort before
+    //      same-µs purchases — exactly the interval semantics, where the
+    //      LAST same-µs change owns the interval), a running
+    //      last-non-null carries the state, purchases filter out enriched
+    //      — one per-user window sort, NO range-join fan-out, no interval
+    //      table materialized at all. The oracle is the honest interval
+    //      join over the SCD-2 relation, so the hash certifies the
+    //      single-sort rewrite against the declarative semantics. ----
+    "scd2_pit" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changed = lag(col("event_type"), 1).over(byU).isNull ||
+        lag(col("event_type"), 1).over(byU) =!= col("event_type")
+      val states = e.withColumn("chg", changed).filter(col("chg"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"), lit(0).as("tag"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("string").as("state"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tagged = states.unionByName(purch)
+        .withColumn("cur", last(col("state"), ignoreNulls = true).over(w))
+        .withColumn("since",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      ordered(tagged.filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("cur").as("state_at"), col("since").as("state_since")))
+    }),
+
     // ---- PTH-1: per-user journey export — the ordered event-type
     //      sequence (first 10 events) as a single path string, the input
     //      to path/Markov analysis and session-replay tooling. Ordering
@@ -1305,6 +1344,24 @@ object Events {
         |  (LEAD(uts) OVER w2 IS NULL) AS is_current
         |FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)
         |ORDER BY user_id NULLS FIRST, state NULLS FIRST, valid_from NULLS FIRST, valid_to NULLS FIRST, is_current NULLS FIRST""".stripMargin,
+
+    "scd2_pit" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |c AS (
+        |  SELECT *, (LAG(event_type) OVER w IS NULL OR LAG(event_type) OVER w <> event_type) AS chg
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)),
+        |f AS (SELECT user_id, event_type, uts, event_id FROM c WHERE chg),
+        |scd AS (
+        |  SELECT user_id, event_type AS state, uts AS valid_from,
+        |    LEAD(uts) OVER w2 AS valid_to
+        |  FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY uts ASC, event_id ASC)),
+        |p AS (SELECT event_id, user_id, uts FROM o WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.uts AS ts,
+        |  s.state AS state_at, s.valid_from AS state_since
+        |FROM p JOIN scd s ON p.user_id = s.user_id
+        |  AND s.valid_from <= p.uts AND (s.valid_to IS NULL OR p.uts < s.valid_to)
+        |ORDER BY event_id NULLS FIRST, p.user_id NULLS FIRST, ts NULLS FIRST, state_at NULLS FIRST, state_since NULLS FIRST""".stripMargin,
 
     "running_reset" ->
       """WITH s AS (
