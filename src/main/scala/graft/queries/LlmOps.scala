@@ -2822,6 +2822,40 @@ object LlmOps {
         cstr(avgKept).as("avg_kept_chars")))
     }),
 
+    // ---- VQ-AUDIT: embedding-quality audit (`vec_norm_audit`) — the
+    //      gate an embedding pipeline runs BEFORE building indexes or
+    //      deduping on cosine: per label, zero-norm vectors (cosine is
+    //      undefined — they poison every downstream similarity), any
+    //      non-finite component (one NaN silently NaN-ifies a whole
+    //      centroid), dimension consistency (a mixed-dim batch breaks
+    //      every dot product), plus the norm distribution (p50/p95 and a
+    //      decimal-summed mean — a collapsed or exploding norm profile is
+    //      the classic embedding-model regression signal). Exactness:
+    //      norms via the left-fold HOF (bit-equal cross-engine — the
+    //      ddp_embed precedent), percentile exact type-7 (AGG-7), mean
+    //      over dec4-quantized norms (order-free decimal sum). Pure scan
+    //      + one 10-group aggregate — the cheapest pre-index audit at any
+    //      corpus size, composes incrementally per ingest batch. ----
+    "vec_norm_audit" -> ((s, d) => {
+      val v = load(s, d, "embeddings")
+      val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val bad = exists(col("embedding"), x =>
+        isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+      val base = v.select(col("label"),
+        size(col("embedding")).as("dim"), nrm.as("nrm"),
+        bad.cast("int").as("bad"))
+      ordered(base.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("nrm") < 1e-12, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("bad")).cast("long").as("n_nonfinite"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        farrS(expr("percentile(nrm, array(0.5D, 0.95D))")).as("norm_pct"),
+        dec4S(sum(dec4(col("nrm"))).cast(dt).cast("double") /
+          count(lit(1)).cast("double")).as("norm_mean")))
+    }),
+
     // ---- VQ-1: int8 vector quantization + reconstruction error — the
     //      embedding-STORAGE op: 64 float32 dims → 64 int8 codes + one
     //      scale (4× smaller, the difference between embeddings fitting
@@ -4836,6 +4870,22 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS keep_rate
         |FROM inv CROSS JOIN t
         |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, share_actual NULLS FIRST, target_tokens NULLS FIRST, keep_rate NULLS FIRST""".stripMargin,
+
+    "vec_norm_audit" ->
+      """WITH b AS (
+        |  SELECT label, CAST(len(embedding) AS INT) AS dim,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CASE WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+        |      THEN 1 ELSE 0 END AS bad
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+        |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+        |  array_to_string(list_transform(quantile_cont(nrm, [0.5, 0.95]), x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS norm_pct,
+        |  CAST(CAST(floor((CAST(CAST(SUM(CAST(floor((nrm)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS norm_mean
+        |FROM b GROUP BY label
+        |ORDER BY label NULLS FIRST, n NULLS FIRST, n_zero NULLS FIRST, n_nonfinite NULLS FIRST, dim_min NULLS FIRST, dim_max NULLS FIRST, norm_pct NULLS FIRST, norm_mean NULLS FIRST""".stripMargin,
 
     "vec_quant" ->
       """WITH b AS (
