@@ -411,6 +411,66 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(rows(3L)._1 == "en" && rows(4L)._1 == "fr")
   }
 
+  test("event edge corpus: interval-family boundary laws and PIT on degenerate inputs") {
+    // Crafted stream covering every boundary the IVL family declares:
+    // single-event sessions (zero-width islands), a gap of EXACTLY 1800 s
+    // (must NOT split — the rule is > 1800), 1801 s (must split), an
+    // overlap (peak concurrency 2), and a TOUCHING island (fuses: an
+    // island ends only when the next start is strictly after everything
+    // seen), plus PIT purchases including a user whose only event is the
+    // purchase itself.
+    val d = Files.createTempDirectory("edge_events").toString
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, t("2024-06-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, t("2024-06-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, t("2024-06-01 11:30:00"), 2L, "purchase", 1.0, "{}"),
+      (4L, t("2024-06-01 13:00:00"), 3L, "view", 1.0, "{}"),
+      (5L, t("2024-06-01 13:30:01"), 3L, "view", 1.0, "{}"),
+      (6L, t("2024-06-01 15:00:00"), 4L, "view", 1.0, "{}"),
+      (7L, t("2024-06-01 15:20:00"), 4L, "view", 1.0, "{}"),
+      (8L, t("2024-06-01 15:10:00"), 5L, "view", 1.0, "{}"),
+      (9L, t("2024-06-01 15:40:00"), 5L, "view", 1.0, "{}"),
+      (10L, t("2024-06-01 15:40:00"), 6L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    // Islands: u1 alone; u2's 1800s gap does NOT split; u3's 1801s DOES;
+    // u4/u5 overlap and u6 touches u5's end → one 3-session island.
+    val isl = SparkEntry.queries("ivl_merge")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(0, 19),
+        r.getTimestamp(2).toString.substring(0, 19), r.getLong(3), r.getLong(4)))
+    assert(isl.toSet == Set(
+      (1L, "2024-06-01 10:00:00", "2024-06-01 10:00:00", 1L, 0L),
+      (2L, "2024-06-01 11:00:00", "2024-06-01 11:30:00", 1L, 1800000000L),
+      (3L, "2024-06-01 13:00:00", "2024-06-01 13:00:00", 1L, 0L),
+      (4L, "2024-06-01 13:30:01", "2024-06-01 13:30:01", 1L, 0L),
+      (5L, "2024-06-01 15:00:00", "2024-06-01 15:40:00", 3L, 2400000000L)),
+      s"islands: ${isl.toSet}")
+
+    // Gaps: exactly the 4 quiet intervals, exact µs widths.
+    val gaps = SparkEntry.queries("ivl_gaps")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gaps == Map(1L -> 3600000000L, 2L -> 5400000000L,
+      3L -> 1801000000L, 4L -> 5399000000L), s"gaps: $gaps")
+
+    // Concurrency: peak 2, first reached at the u4∩u5 overlap start.
+    val Array(conc) = SparkEntry.queries("ivl_concurrency")(spark, d).collect()
+    assert(conc.getLong(0) == 2L &&
+      conc.getTimestamp(1).toString.startsWith("2024-06-01 15:10:00") &&
+      conc.getLong(2) == 7L, s"concurrency: $conc")
+
+    // PIT: both purchases enriched; the single-event user's purchase sees
+    // its OWN state (valid_from = its instant, the boundary case).
+    val pit = SparkEntry.queries("scd2_pit")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        r.getTimestamp(4).toString.substring(0, 19))).toSet
+    assert(pit == Set(
+      (1L, "purchase", "2024-06-01 10:00:00"),
+      (3L, "purchase", "2024-06-01 11:30:00")), s"pit: $pit")
+  }
+
   test("vec_pq: code length follows the dimensionality — 2-d vectors get one subspace") {
     // The edge embeddings are 2-dimensional: the subspace split must yield
     // ceil(2/8) = 1 code, not pad to 8 or crash on missing positions.
