@@ -392,6 +392,18 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2_pit: the point-in-time join is a single-sort union — no join operator at all") {
+    // The whole point of the as-of rewrite: the interval join the oracle
+    // runs never appears in the engine plan — states and purchases union
+    // into one per-user window pass, so there is no range-join fan-out to
+    // pay at any history depth.
+    val p = plan("scd2_pit")
+    assert(!p.contains("Join"),
+      s"scd2_pit must not plan any join — the union+window rewrite was lost:\n${p.take(800)}")
+    assert(p.contains("Union") && p.contains("Window"),
+      "the single-sort shape (union + per-user window) is missing")
+  }
+
   test("ivl_merge: island labeling runs distributed — no unpartitioned window") {
     // VERDICT r8 "What's wrong #1": the island merge ran as ONE
     // Window.orderBy over the session relation, which grows with
