@@ -1736,11 +1736,25 @@ object LlmOps {
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
       val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
         .rowsBetween(-(W - 1), 0)
-      val fps = g.withColumn("wmin", min(col("h")).over(wd))
+      val fps0 = g.withColumn("wmin", min(col("h")).over(wd))
         // full windows only — plus the last (partial) window of short docs
         .filter(col("p") >= W - 1 || col("p") === col("ng") - 1)
         .select(col("doc_id"), col("lang"), col("wmin")).distinct()
         .withColumn("nf", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // ddp_ngram's df>=2 prefilter, one level up: a fingerprint held by a
+      // single doc cannot form a pair, so a left-semi against the df>=2
+      // fingerprint set is result-identical (PipelineOpsSpec pins it) —
+      // `nf` is computed BEFORE the prune (jaccard denominators use the
+      // full fingerprint sets, exactly as the unfiltered join sees them).
+      // Same config flip, same rationale: pays off on open-web Zipf
+      // fingerprint postings, not on this synthetic corpus.
+      val fps = (if (s.conf.getOption("spark.graft.ddp.winnow.dfPrefilter")
+          .exists(_.toBoolean))
+        fps0.join(fps0.groupBy(col("lang"), col("wmin"))
+            .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+            .select(col("lang"), col("wmin")),
+          Seq("lang", "wmin"), "left_semi")
+      else fps0)
         .pinned
       val fa = fps.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("nf").as("f1"), col("wmin").as("w1"))

@@ -267,6 +267,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "gated ddp_winnow must produce pairs on the corpus")
   }
 
+  test("ddp_winnow: the df>=2 fingerprint prefilter flag is result-identical") {
+    // Singleton fingerprints cannot form a pair; the left-semi prune must
+    // change the PLAN only — same pairs, same shared counts, same
+    // jaccards (nf is computed before the prune, so denominators match).
+    val key = "spark.graft.ddp.winnow.dfPrefilter"
+    def run() = SparkEntry.queries("ddp_winnow")(spark, sfDir)
+    val off = run()
+    spark.conf.set(key, "true")
+    try assertSameRows(off, run(), "ddp_winnow df-prefilter equivalence")
+    finally spark.conf.unset(key)
+  }
+
   test("ddp_ngram: the df>=2 prefilter flag is result-identical (the 100 TB reinstate)") {
     // Singleton (lang, gram) postings cannot form a cross-doc pair, so the
     // config-gated left-semi prune (`spark.graft.ddp.ngram.dfPrefilter`)
