@@ -159,6 +159,53 @@ object GraftLaws extends Properties("graft.laws") {
       got == ref
     }
 
+  // Tight domains force same-instant collisions: 3 users, 12 integer
+  // seconds, 20 events — purchases regularly share a timestamp with the
+  // state change they cause (and with other users' changes), which is
+  // exactly the boundary the as-of rewrite must get right.
+  private val pitEvents = Gen.listOfN(20,
+    Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 11L),
+      Gen.oneOf("view", "click", "purchase")))
+
+  property("scd2_pit's single-sort fold equals the interval join") =
+    forAll(pitEvents) { evs =>
+      import org.apache.spark.sql.expressions.Window
+      val df = evs.zipWithIndex.map { case ((u, sec, ty), i) =>
+        (i.toLong, new java.sql.Timestamp(1717200000000L + sec * 1000L), u, ty)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changed = lag(col("event_type"), 1).over(byU).isNull ||
+        lag(col("event_type"), 1).over(byU) =!= col("event_type")
+      val states = df.withColumn("chg", changed).filter(col("chg"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"), lit(0).as("tag"))
+      val purch = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("string").as("state"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fold = states.unionByName(purch)
+        .withColumn("cur", last(col("state"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("cur")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // The declarative twin: SCD2 intervals + honest interval join.
+      val scd = states
+        .withColumn("valid_to", lead(col("ts"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .select(col("user_id").as("su"), col("state").as("ij_state"),
+          col("ts").as("vf"), col("valid_to"))
+      val ij = purch.as("p").join(scd,
+          col("p.user_id") === col("su") && col("vf") <= col("p.ts") &&
+            (col("valid_to").isNull || col("p.ts") < col("valid_to")))
+        .select(col("p.event_id"), col("ij_state")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      fold == ij
+    }
+
   // Dense start domain (0..60) with lengths up to 25 → heavy overlap,
   // touching, containment, AND multi-interval islands that straddle the
   // forced 5-way range-partition boundaries — the carry path under test.
