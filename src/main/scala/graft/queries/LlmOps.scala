@@ -2870,6 +2870,50 @@ object LlmOps {
           count(lit(1)).cast("double")).as("norm_mean")))
     }),
 
+    // ---- VQ-DRIFT: embedding-norm drift (`vec_norm_drift`) — VQ-AUDIT's
+    //      two-sample sibling and the embedding-model REGRESSION detector:
+    //      exact Kolmogorov–Smirnov between the norm distributions of two
+    //      embedding populations (here the even/odd vec_id halves — the
+    //      stand-in for "yesterday's model vs today's"): a re-trained or
+    //      mis-scaled encoder shifts the norm profile long before recall
+    //      metrics notice, and KS reads it distribution-free. DRIFT-2's
+    //      exact distributed machinery verbatim: collapse to one row per
+    //      distinct norm (bit-equal doubles — the left-fold + sqrt is the
+    //      same IEEE program in both engines), GlobalRank's two-pass
+    //      exclusive prefix recovers both ECDFs with no single-task sort,
+    //      argmax ties → smallest norm, reject = D > 1.3581·√((nA+nB)/
+    //      (nA·nB)) with the count product in DOUBLE (drift_ks's overflow
+    //      rule). ----
+    "vec_norm_drift" -> ((s, d) => {
+      val v = load(s, d, "embeddings")
+      val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val perV = v.select(nrm.as("value"),
+          when(col("vec_id") % 2 === 0, 1L).otherwise(0L).as("ia"))
+        .groupBy(col("value"))
+        .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      val withP = graft.operators.GlobalRank.attach(perV,
+        Seq(col("value").asc), None, Seq("ca" -> "pa", "cb" -> "pb"))
+      val tot = withP.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      def nz(c: Column): Column = when(c === 0L, lit(null)).otherwise(c)
+      val diff = abs(
+        (col("pa") + col("ca")).cast("double") / nz(col("na")).cast("double") -
+        (col("pb") + col("cb")).cast("double") / nz(col("nb")).cast("double"))
+      val scored = withP.crossJoin(broadcast(tot)).withColumn("diff", diff)
+      val dmax = scored.agg(max(col("diff")).as("dmax"))
+      val thr = lit(1.3581) * sqrt(
+        (col("na") + col("nb")).cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")))
+      ordered(scored.crossJoin(broadcast(dmax))
+        .filter(col("diff") === col("dmax"))
+        .groupBy(col("na"), col("nb"), col("dmax"))
+        .agg(min(col("value")).as("atv"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          dec4S(col("dmax")).as("ks_d"),
+          dec4S(col("atv")).as("at_norm"),
+          (dec4(col("dmax")) > dec4(thr)).as("reject")))
+    }),
+
     // ---- VQ-1: int8 vector quantization + reconstruction error — the
     //      embedding-STORAGE op: 64 float32 dims → 64 int8 codes + one
     //      scale (4× smaller, the difference between embeddings fitting
@@ -4884,6 +4928,35 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS keep_rate
         |FROM inv CROSS JOIN t
         |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, n_tokens NULLS FIRST, share_actual NULLS FIRST, target_tokens NULLS FIRST, keep_rate NULLS FIRST""".stripMargin,
+
+    "vec_norm_drift" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS value,
+        |    CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM embeddings),
+        |pv AS (
+        |  SELECT value, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM b GROUP BY value),
+        |cum AS (
+        |  SELECT value,
+        |    SUM(ca) OVER (ORDER BY value ASC) AS cuma,
+        |    SUM(cb) OVER (ORDER BY value ASC) AS cumb
+        |  FROM pv),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+        |sc AS (
+        |  SELECT value, na, nb,
+        |    abs(CAST(cuma AS DOUBLE) / CAST(NULLIF(na, 0) AS DOUBLE) -
+        |        CAST(cumb AS DOUBLE) / CAST(NULLIF(nb, 0) AS DOUBLE)) AS diff
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(diff) AS dmax FROM sc)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ks_d,
+        |  CAST(CAST(floor((MIN(value))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS at_norm,
+        |  CAST(floor((dmax)*10000+0.5)/10000 AS DECIMAL(38,4)) >
+        |    CAST(floor((1.3581 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS reject
+        |FROM sc CROSS JOIN mx WHERE diff = dmax
+        |GROUP BY na, nb, dmax
+        |ORDER BY n_a NULLS FIRST, n_b NULLS FIRST, ks_d NULLS FIRST, at_norm NULLS FIRST, reject NULLS FIRST""".stripMargin,
 
     "vec_norm_audit" ->
       """WITH b AS (
