@@ -112,6 +112,8 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // have no equi-key
     "brier_decomp", // 1-row (N, base-rate, brier-total) scalar attach onto
                   // the 10-row bin relation: calibration_bins' shape
+    "vec_norm_drift", // drift_ks's two 1-row scalar attaches (half totals
+                  // + D max) — the same whitelisted shape on norms
     "ivl_concurrency", // two 1-row scalar attaches (peak, session count)
                   // onto the argmin timestamp rollup: drift_ks's shape
     "corr_kendall", // broadcast self-pair of the HOURLY series —

@@ -376,7 +376,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // a logical property, and the physical plan string can't distinguish
     // partitioned from global windows reliably.)
     Seq("gini", "mann_whitney", "rank_normalize", "drift_ks",
-        "auc_roc", "avg_precision", "ivl_concurrency").foreach { name =>
+        "auc_roc", "avg_precision", "ivl_concurrency",
+        "vec_norm_drift").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val global = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
