@@ -1429,11 +1429,20 @@ object Relational {
       val li = load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         dec(col("l_extendedprice")).as("price"),
         col("l_quantity").cast("long").as("w"))
+      // Collapse to one row per (flag, price) FIRST (r9): the map-side-
+      // combined weight sum shrinks the per-group window input from |rows|
+      // to |distinct prices| (drift_ks's value-collapse rule) — the
+      // RANGE-frame cum over raw rows equals the inclusive running sum
+      // over the collapsed relation because price ties share one cum
+      // either way (same filter set, same min, unchanged oracle hash).
+      // The ×10 probe's 13 s one-task-per-group sort priced the raw form;
+      // the collapsed window is distinct-value-sized at any row count.
+      val perP = li.groupBy(col("flag"), col("price")).agg(sum(col("w")).as("pw"))
       val wTot = Window.partitionBy(col("flag"))
       val wCum = Window.partitionBy(col("flag")).orderBy(col("price").asc)
-      val s1 = li
-        .withColumn("wt", sum(col("w")).over(wTot))
-        .withColumn("cum", sum(col("w")).over(wCum)) // default RANGE frame
+      val s1 = perP
+        .withColumn("wt", sum(col("pw")).over(wTot))
+        .withColumn("cum", sum(col("pw")).over(wCum))
       ordered(s1.filter(lit(2L) * col("cum") >= col("wt"))
         .groupBy(col("flag"))
         .agg(min(col("price")).as("wmp"), max(col("wt")).as("w_total"))
