@@ -3228,6 +3228,38 @@ object LlmOps {
     //      (conservation spec-pinned). 100 TB: everything after the
     //      map-side-combined per-lang token count is |langs|-row
     //      arithmetic. ----
+    // ---- MIX-4: repetition / epoch planning (`mix_epochs`) — the
+    //      data-constrained-scaling readout MIX-3 stops short of: give the
+    //      temperature-scaled targets a BUDGET of 4× the corpus (token
+    //      budgets routinely exceed unique data) and ask, per language,
+    //      how many EPOCHS of its data the target implies (epochs =
+    //      ⌈target/available⌉) and whether it crosses the ~4-epoch
+    //      repetition wall (Muennighoff et al. 2023: beyond ~4 epochs
+    //      repeated tokens stop buying loss) — the flag that tells a
+    //      mixture designer which languages need MORE DATA, not more
+    //      quota. Determinism: the √-weight sum reuses MIX-3's sorted
+    //      collect-fold (4 doubles, fixed order), targets are
+    //      floor-quantized longs, the epoch division is exact
+    //      long-over-long in double. |langs|-sized relation throughout. ----
+    "mix_epochs" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val inv = doc.groupBy(col("lang")).agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val denom = inv.agg(
+        aggregate(array_sort(collect_list(struct(col("lang"), col("w")))),
+          lit(0.0), (acc, x) => acc + x("w")).as("wsum"),
+        sum(col("n_tokens")).as("all_tokens"))
+      val t = inv.crossJoin(broadcast(denom))
+        .withColumn("budget", lit(4L) * col("all_tokens"))
+        .withColumn("target",
+          floor(col("budget").cast("double") * col("w") / col("wsum")).cast("long"))
+        .withColumn("epochs",
+          ceil(col("target").cast("double") / col("n_tokens").cast("double")).cast("long"))
+      ordered(t.select(col("lang"), col("n_tokens"), col("target"),
+        col("epochs"), (col("epochs") > 4L).as("over_repeat")))
+    }),
+
     "mix_temp" -> ((s, d) => {
       val B = 1000000L
       val doc = load(s, d, "documents")
@@ -4885,6 +4917,27 @@ object LlmOps {
 
     // sqrt weights (IEEE-exact both engines), lang-ordered fold for the
     // weight sum, quota_alloc's largest-remainder on the double shares.
+    "mix_epochs" ->
+      """WITH inv AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    sqrt(CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang ASC)),
+        |      (acc, x) -> acc + x) AS wsum,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS all_tokens
+        |  FROM inv),
+        |e AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor(CAST(4 * all_tokens AS DOUBLE) * (w / wsum)) AS BIGINT) AS target
+        |  FROM inv CROSS JOIN t)
+        |SELECT lang, n_tokens, target,
+        |  CAST(ceil(CAST(target AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs,
+        |  CAST(ceil(CAST(target AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) > 4 AS over_repeat
+        |FROM e
+        |ORDER BY lang NULLS FIRST, n_tokens NULLS FIRST, target NULLS FIRST, epochs NULLS FIRST, over_repeat NULLS FIRST""".stripMargin,
+
     "mix_temp" ->
       """WITH inv AS (
         |  SELECT lang, COUNT(1) AS n_docs,
