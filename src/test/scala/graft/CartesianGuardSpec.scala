@@ -34,6 +34,8 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // shape as tfidf1
     "mix_plan",   // target-tokens scalar attach: 1-row broadcast
                   // crossJoin of the global min/sum aggregate
+    "mix_epochs", // (wsum, all_tokens) scalar attach: the same 1-row
+                  // broadcast crossJoin shape as mix_temp's
     "bm25",       // (N, avgdl) scalar attach: 1-row broadcast crossJoin,
                   // the tfidf1 shape
     "retrieve_rerank", // same scalar attach inside its BM25 recall stage
