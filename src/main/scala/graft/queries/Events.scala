@@ -200,6 +200,40 @@ object Events {
           (col("nst") - col("ien")).as("gap_us")))
     }),
 
+    // ---- IVL-5: daily uptime / availability (`ivl_uptime`) — the SLA
+    //      NUMBER the whole IVL family feeds: per calendar day, the µs of
+    //      the day covered by any activity island and the availability
+    //      ratio — what an ops review reads ("99.2% covered Tuesday"),
+    //      derived exactly from the islands by clipping each island to
+    //      the day grid (ivl1's bucket-explode pattern at day grain:
+    //      fan-out ∝ island-days, integral µs division for the grid).
+    //      Islands are DISJOINT by maximality, so per-day coverage is a
+    //      plain sum — no overlap correction; day-boundary clipping is
+    //      min/max arithmetic on integral µs, measure-consistent with
+    //      IVL-2's covered_us (= end − start). ----
+    "ivl_uptime" -> ((s, d) => {
+      val DUS = 86400L * 1000000L
+      val sess = lagGapSessions(s, d)
+      val s2 = graft.operators.IslandMerge.attach(sess, "stu", "enu",
+        Seq(col("stu").asc, col("enu").asc, col("user_id").asc, col("sid").asc),
+        "island")
+      val islands = s2.groupBy(col("island")).agg(
+        min(col("stu")).as("ist"), max(col("enu")).as("ien"))
+      def day(c: Column): Column = call_function("div", c, lit(DUS))
+      val spans = islands.select(col("island"), col("ist"), col("ien"),
+        explode(sequence(day(col("ist")), day(col("ien")))).as("dayi"))
+        .withColumn("ds", col("dayi") * DUS)
+        .withColumn("de", (col("dayi") + 1L) * DUS)
+        .withColumn("cov",
+          least(col("ien"), col("de")) - greatest(col("ist"), col("ds")))
+      ordered(spans.groupBy(col("dayi")).agg(
+          count(lit(1)).as("n_islands"), sum(col("cov")).as("covered_us"))
+        .select(timestamp_micros(col("dayi") * DUS).cast("date").as("day"),
+          col("n_islands"), col("covered_us"),
+          dec4S(col("covered_us").cast("double") / lit(DUS.toDouble))
+            .as("uptime_ratio")))
+    }),
+
     // ---- IVL-3: concurrency envelope peak (`ivl_concurrency`) — the
     //      companion statistic to IVL-2's islands: the MAXIMUM number of
     //      simultaneously-open sessions and the first instant it is
@@ -1468,6 +1502,46 @@ object Events {
         |    ORDER BY ts ASC, event_id ASC ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS p95
         |FROM events
         |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST, p95 NULLS FIRST""".stripMargin,
+
+    "ivl_uptime" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, uts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY uts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, sid, epoch_us(MIN(uts)) AS stu, epoch_us(MAX(uts)) AS enu
+        |  FROM numbered GROUP BY user_id, sid
+        |), s1 AS (
+        |  SELECT *, MAX(enu) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sess
+        |), s2 AS (
+        |  SELECT *, CASE WHEN pm IS NULL OR stu > pm THEN 1 ELSE 0 END AS brk FROM s1
+        |), s3 AS (
+        |  SELECT *, SUM(brk) OVER (ORDER BY stu ASC, enu ASC, user_id ASC, sid ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM s2
+        |), islands AS (
+        |  SELECT CAST(island AS BIGINT) AS island, MIN(stu) AS ist, MAX(enu) AS ien
+        |  FROM s3 GROUP BY island
+        |), spans AS (
+        |  SELECT island, ist, ien, i AS dayi,
+        |    i * 86400000000 AS ds, (i + 1) * 86400000000 AS de
+        |  FROM islands, UNNEST(generate_series(ist // 86400000000, ien // 86400000000)) AS r(i)
+        |)
+        |SELECT CAST(make_timestamp(dayi * 86400000000) AS DATE) AS day,
+        |  CAST(COUNT(1) AS BIGINT) AS n_islands,
+        |  CAST(SUM(LEAST(ien, de) - GREATEST(ist, ds)) AS BIGINT) AS covered_us,
+        |  CAST(CAST(floor((CAST(SUM(LEAST(ien, de) - GREATEST(ist, ds)) AS DOUBLE) / 86400000000.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS uptime_ratio
+        |FROM spans GROUP BY dayi
+        |ORDER BY day NULLS FIRST, n_islands NULLS FIRST, covered_us NULLS FIRST, uptime_ratio NULLS FIRST""".stripMargin,
 
     "ivl_gaps" ->
       """WITH flagged AS (
