@@ -80,10 +80,27 @@ object Snapshot {
     else Files.readString(p).linesIterator.flatMap(_.trim.toLongOption).toSeq
   }
 
-  private def recordPublished(root: String, v: Long): Unit =
-    Files.writeString(Paths.get(root, MANIFEST), s"$v\n",
+  private def recordPublished(root: String, v: Long): Unit = {
+    // Mixed-history upgrade: a root published by pre-manifest code has
+    // versions on disk and a pointer but no `_PUBLISHED`. The first
+    // post-upgrade publish would otherwise create a manifest containing
+    // ONLY the new version, and fsck would read every legacy committed
+    // version as an orphan. Backfill first: under the legacy invariant
+    // (strictly sequential publishes, pointer never moved backwards),
+    // every disk version ≤ the pointer is committed — record them before
+    // the new id so the manifest covers the whole committed history.
+    val mp = Paths.get(root, MANIFEST)
+    if (!Files.exists(mp)) currentVersion(root).foreach { cur =>
+      val legacy = diskVersions(root).filter(_ <= cur).sorted
+      if (legacy.nonEmpty)
+        Files.writeString(mp, legacy.mkString("", "\n", "\n"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+    Files.writeString(mp, s"$v\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
 
   /** The published version id, or None if nothing has been published.
     * Torn reads are impossible: the pointer is only ever replaced by
@@ -174,14 +191,20 @@ object Snapshot {
   def fsck(root: String): Seq[Long] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
-    // Legacy roots (published before the manifest existed) have no
-    // `_PUBLISHED`: fall back to the old invariant — everything up to
-    // the pointer is committed (pre-manifest, publishes were strictly
-    // sequential and the pointer never moved backwards).
-    val recorded = publishedVersions(root)
-    val committed: Long => Boolean =
-      if (recorded.nonEmpty) recorded.toSet
-      else { val cur = currentVersion(root).getOrElse(0L); v => v <= cur }
+    // Deleting committed data is the unrecoverable failure mode, so fsck
+    // uses the UNION of both commit invariants: a version is committed if
+    // it is in the `_PUBLISHED` manifest OR ≤ the pointer. The second arm
+    // covers legacy/mixed-history roots — versions published by
+    // pre-manifest code (strictly sequential, pointer never moved
+    // backwards) that a partially-backfilled manifest may not list. The
+    // union is one-sided-safe: a crashed writer's orphan is allocated
+    // above every version alive at its claim time, so an orphan ≤ pointer
+    // only exists if a LATER publish committed above it — such an orphan
+    // is retained (harmless disk, never read) rather than risk sweeping a
+    // committed legacy version.
+    val recorded = publishedVersions(root).toSet
+    val cur = currentVersion(root).getOrElse(Long.MinValue)
+    val committed: Long => Boolean = v => recorded.contains(v) || v <= cur
     val removed = scala.collection.mutable.ArrayBuffer[Long]()
     val kids = dir.toFile.listFiles()
     if (kids != null) kids.foreach { f =>

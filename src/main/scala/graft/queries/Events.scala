@@ -219,7 +219,13 @@ object Events {
         "island")
       val islands = s2.groupBy(col("island")).agg(
         min(col("stu")).as("ist"), max(col("enu")).as("ien"))
-      def day(c: Column): Column = call_function("div", c, lit(DUS))
+      // FLOOR division to the day grid, matching the DuckDB oracle's `//`:
+      // Spark's `div` truncates toward zero, which disagrees with floor for
+      // negative (pre-1970) µs. Subtracting the always-non-negative pmod
+      // first makes the numerator an exact multiple of DUS, so truncating
+      // div == floor div for any sign — exact long arithmetic, no doubles.
+      def day(c: Column): Column =
+        call_function("div", c - pmod(c, lit(DUS)), lit(DUS))
       val spans = islands.select(col("island"), col("ist"), col("ien"),
         explode(sequence(day(col("ist")), day(col("ien")))).as("dayi"))
         .withColumn("ds", col("dayi") * DUS)

@@ -30,23 +30,43 @@ object LifecycleGate {
   /** The gate's verdict over a run's status records. `release` iff the run
     * recorded ≥1 successful completion and 0 failures — an empty record
     * list HOLDS (a run that never reported is indistinguishable from a
-    * crashed one; absence of failure is not success). */
-  final case class Decision(release: Boolean, actions: Int, failures: Seq[String])
+    * crashed one; absence of failure is not success). `timedOut`
+    * distinguishes WHY an empty run held: the await expired before the
+    * async listener bus delivered anything — a held-but-retriable state,
+    * not a recorded failure. */
+  final case class Decision(release: Boolean, actions: Int,
+                            failures: Seq[String], timedOut: Boolean = false)
 
-  private def isFailure(s: String): Boolean = s.contains(""""status":"failed"""")
+  // Status classification PARSES the record as JSON and reads the top-level
+  // `status` field — substring matching on the raw text would misread any
+  // record whose embedded error message quotes another record's
+  // `"status":"failed"`, or miss a serializer that emits `"status": "x"`
+  // with whitespace. Jackson ships with Spark; an unparseable record
+  // classifies as neither success nor failure (it still counts toward
+  // `actions`, so a run of only-garbage records holds the gate).
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def statusOf(s: String): Option[String] =
+    try Option(mapper.readTree(s)).flatMap(n => Option(n.get("status"))).map(_.asText())
+    catch { case _: Exception => None }
+  private def isFailure(s: String): Boolean = statusOf(s).contains("failed")
   private def isSuccess(s: String): Boolean =
-    s.contains(""""status":"success"""") || s.contains(""""status":"completed"""")
+    statusOf(s).exists(v => v == "success" || v == "completed")
 
   /** Decide from raw status records (batch [[StatusListener]] or streaming
-    * [[StreamingStatusListener]] formats — both carry `"status":...`). */
-  def evaluate(statuses: Seq[String]): Decision = {
+    * [[StreamingStatusListener]] formats — both carry a `status` field). */
+  def evaluate(statuses: Seq[String], timedOut: Boolean = false): Decision = {
     val fails = statuses.filter(isFailure)
-    Decision(statuses.exists(isSuccess) && fails.isEmpty, statuses.size, fails)
+    Decision(statuses.exists(isSuccess) && fails.isEmpty, statuses.size,
+      fails, timedOut)
   }
 
   /** Bounded wait for the async listener bus to deliver at least one
     * record (QueryExecutionListener events post asynchronously — the same
-    * drain rule as `Ingest.runIngestJob`). Returns the records seen. */
+    * drain rule as `Ingest.runIngestJob`). Returns the records seen; an
+    * empty return means the wait EXPIRED — callers feed that into
+    * `evaluate(_, timedOut = true)` so a slow bus reads as "timed out",
+    * not as a silent hold. The default 2 s is configurable for loaded
+    * drivers where completion events land late. */
   def awaitStatuses(listener: StatusListener, timeoutMs: Long = 2000): List[String] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (listener.statuses.isEmpty && System.nanoTime() < deadline)
@@ -54,13 +74,30 @@ object LifecycleGate {
     listener.statuses
   }
 
+  /** Best-effort synchronous drain of the shared listener bus so every
+    * already-posted completion event is delivered before the gate reads
+    * the listener — removes the loaded-driver race where a clean run's
+    * success record lands after `awaitStatuses` gave up.
+    * `LiveListenerBus.waitUntilEmpty` is `private[spark]` (public in
+    * bytecode), so this goes through reflection; any failure degrades to
+    * the bounded poll, never to an exception. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Exception => () }
+
   /** Release the snapshot publish ONLY on a clean run: evaluate the
     * listener's (drained) records; publish `df` as the next version of
     * `root` iff the gate releases, stamping the decision into the version
     * `_META`. Returns the published version, or None when the gate held. */
   def publishIfClean(listener: StatusListener, df: DataFrame, root: String,
-                     meta: Map[String, String] = Map.empty): Option[Long] = {
-    val d = evaluate(awaitStatuses(listener))
+                     meta: Map[String, String] = Map.empty,
+                     timeoutMs: Long = 2000): Option[Long] = {
+    val seen = awaitStatuses(listener, timeoutMs)
+    val d = evaluate(seen, timedOut = seen.isEmpty)
     if (d.release)
       Some(graft.core.Snapshot.publish(df, root,
         meta + ("gate_actions" -> d.actions.toString)))
@@ -82,6 +119,11 @@ object LifecycleGate {
     val listener = StatusListener.attach(spark)
     try {
       val workOk = try { work; true } catch { case _: Throwable => false }
+      // Drain the shared bus BEFORE reading the listener: completion
+      // events post asynchronously, and on a loaded driver the bounded
+      // poll alone can miss a clean run's success record (a safe-direction
+      // but flaky false-negative hold).
+      flushListenerBus(spark)
       if (workOk) publishIfClean(listener, df, root, meta) else None
     } finally spark.listenerManager.unregister(listener)
   }

@@ -86,19 +86,21 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val paths = batch.collect().map(_.getString(0).trim).filter(_.nonEmpty)
         if (paths.nonEmpty) {
-          val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           val reader = spark.read.schema(schema)
           val src = format match {
             case "csv" => reader.option("header", true).option("escape", "\"")
               .csv(paths: _*)
             case _ => reader.parquet(paths: _*)
           }
-          try src.withColumn("_src", md5(input_file_name()))
-            .write.partitionBy("_src").mode("overwrite").parquet(outDir)
-          finally prior.fold(
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+          // Dynamic overwrite is a PER-WRITE option, not a session-conf
+          // mutation: toggling the session conf inside foreachBatch would
+          // leak dynamic-overwrite semantics to any concurrent write in
+          // the same SparkSession (and two concurrent notified loads
+          // would race the set/restore).
+          src.withColumn("_src", md5(input_file_name()))
+            .write.partitionBy("_src").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(outDir)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -437,6 +437,34 @@ class IngestSpec extends AnyFunSuite {
       "failed wave must leave the published version untouched")
   }
 
+  test("LifecycleGate: status classification is JSON-parsed, not substring-matched") {
+    import graft.streaming.LifecycleGate
+    // ADVICE r9: a clean record whose NESTED payload quotes a failed status
+    // must not flip the gate — substring matching reads the inner
+    // "status":"failed" as a run failure; the JSON parse reads the
+    // top-level field only.
+    val nested = """{"action":"audit","status":"success","upstream":{"status":"failed"}}"""
+    val d1 = LifecycleGate.evaluate(Seq(nested))
+    assert(d1.release && d1.failures.isEmpty,
+      "nested quoted status must not read as a run failure")
+    // Whitespace in the serialization must still classify.
+    val spaced = """{ "status" : "completed" , "action" : "load" }"""
+    assert(LifecycleGate.evaluate(Seq(spaced)).release,
+      "whitespace around the status field must not hide a success")
+    // A real failure still holds regardless of field order/whitespace.
+    val failed = """{ "error": "boom", "status" : "failed" }"""
+    val d2 = LifecycleGate.evaluate(Seq(spaced, failed))
+    assert(!d2.release && d2.failures == Seq(failed))
+    // Unparseable garbage is neither success nor failure: counted, held.
+    val d3 = LifecycleGate.evaluate(Seq("not json at all"))
+    assert(!d3.release && d3.actions == 1 && d3.failures.isEmpty)
+    // The timed-out distinction: an empty list that EXPIRED is marked
+    // retriable-timeout, distinct from a recorded-failure hold.
+    val dt = LifecycleGate.evaluate(Nil, timedOut = true)
+    assert(!dt.release && dt.timedOut)
+    assert(!LifecycleGate.evaluate(Seq(nested)).timedOut)
+  }
+
   test("LifecycleGate: a failed-status run never publishes; a clean run does") {
     import graft.streaming.{LifecycleGate, StatusListener}
     import graft.core.Snapshot

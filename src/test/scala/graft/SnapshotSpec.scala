@@ -116,6 +116,41 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 30L)
   }
 
+  test("fsck on a mixed-history root keeps pre-manifest committed versions") {
+    // ADVICE r9 (medium): versions published by pre-manifest code, then one
+    // publish with manifest-writing code — the manifest must not read the
+    // legacy committed versions as orphans.
+    val root = tempDir("snap_mixed").toString
+    Snapshot.publish(table(1, 10), root)
+    Snapshot.publish(table(2, 20), root)
+    // Simulate legacy history: these two were published by code that
+    // predates the `_PUBLISHED` manifest.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_PUBLISHED"))
+    // First post-upgrade publish backfills the manifest from the pointer
+    // invariant, so it covers the WHOLE committed history.
+    assert(Snapshot.publish(table(3, 30), root) == 3L)
+    assert(Snapshot.publishedVersions(root) == Seq(1L, 2L, 3L),
+      "post-upgrade publish must backfill legacy committed versions")
+    assert(Snapshot.fsck(root).isEmpty,
+      "fsck must not sweep pre-manifest committed versions")
+    assert(Snapshot.read(spark, root, Some(1L)).count() == 10L)
+    assert(Snapshot.read(spark, root, Some(2L)).count() == 20L)
+
+    // Defense-in-depth: even with a PARTIAL manifest (covers only a later
+    // version), fsck's union invariant keeps every version ≤ the pointer.
+    val root2 = tempDir("snap_mixed2").toString
+    Snapshot.publish(table(1, 10), root2)
+    Snapshot.publish(table(2, 20), root2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root2, "_PUBLISHED"), "2\n")
+    assert(Snapshot.fsck(root2).isEmpty,
+      "union invariant: unrecorded v ≤ pointer is committed, not an orphan")
+    assert(Snapshot.read(spark, root2, Some(1L)).count() == 10L)
+    // Orphans ABOVE the pointer are still swept on the same root.
+    table(4, 5).write.mode("overwrite").parquet(s"$root2/v=4")
+    assert(Snapshot.fsck(root2) == Seq(4L))
+  }
+
   test("fsck sweeps abandoned staging directories from crashed publishers") {
     val root = tempDir("snap_stage").toString
     Snapshot.publish(table(1, 10), root)

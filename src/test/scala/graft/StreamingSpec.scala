@@ -896,6 +896,13 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.runNotifiedLoad(spark, queue.toString, eventsBatch.schema, out, ckpt)
     assertSameRows(loaded(), eventsBatch, "wave 2 + duplicate notification")
 
+    // ADVICE r9: dynamic overwrite is a per-write option — the loader must
+    // not leave (or ever have raced) a session-global overwrite-mode
+    // mutation behind for concurrent writers to observe.
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_.equalsIgnoreCase("static")),
+      "notified load must not mutate session-global partitionOverwriteMode")
+
     // Batch-equivalence with the LIST-polling source over the same files.
     val polled = StreamOps.drainToMemory(replayStream, "ntfy_polled",
       org.apache.spark.sql.streaming.OutputMode.Append)
