@@ -550,6 +550,78 @@ object LlmOps {
       |)""".stripMargin
   }
 
+  /** The IVF-PQ oracle pipeline through its `pranked` CTE — DuckDB twin
+    * of [[ivfPqRanked]]: vec_pq's PQ training/encoding CTEs (p-prefixed
+    * to coexist with the IVF base CTEs) + per-query LUT + ADC scan over
+    * the probe cells + exact re-rank of the ADC top-16. */
+  private lazy val duckIvfPqCtes: String =
+    s"""$duckIvfBaseCtes, plf AS (
+      |  SELECT vec_id, CAST(dim AS INT) AS dim, CAST(x AS DOUBLE) AS xd
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          unnest(generate_series(1, len(embedding))) AS dim
+      |        FROM embeddings)
+      |), plq AS (
+      |  SELECT vec_id, ((dim - 1) // 8) + 1 AS sp, ((dim - 1) % 8) + 1 AS p,
+      |    CAST(floor(xd*10000+0.5)/10000 AS DECIMAL(18,4)) AS xq
+      |  FROM plf
+      |), psign AS (
+      |  SELECT vec_id, sp,
+      |    CAST(SUM(CASE WHEN xq > 0 AND p = 1 THEN 8 WHEN xq > 0 AND p = 2 THEN 4
+      |      WHEN xq > 0 AND p = 3 THEN 2 WHEN xq > 0 AND p = 4 THEN 1
+      |      ELSE 0 END) AS INT) AS cell
+      |  FROM plq GROUP BY 1, 2
+      |), pbook AS (
+      |  SELECT plq.sp, psign.cell, plq.p,
+      |    CAST(floor((CAST(SUM(plq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
+      |  FROM plq JOIN psign ON plq.vec_id = psign.vec_id AND plq.sp = psign.sp
+      |  GROUP BY 1, 2, 3
+      |), pdist AS (
+      |  SELECT plq.vec_id, plq.sp, pbook.cell,
+      |    SUM((plq.xq - pbook.c) * (plq.xq - pbook.c)) AS dist
+      |  FROM plq JOIN pbook ON plq.sp = pbook.sp AND plq.p = pbook.p
+      |  GROUP BY 1, 2, 3
+      |), pcode AS (
+      |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM pdist
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+      |    ORDER BY dist ASC, cell ASC) = 1
+      |), pprobes AS (
+      |  SELECT vec_id AS query_id, cell_label AS pcell
+      |  FROM assigned WHERE vec_id < 10 AND crn <= 2
+      |), pqv AS (
+      |  SELECT vec_id AS query_id, e AS qe, vn AS qn FROM cells WHERE vec_id < 10
+      |), qlut AS (
+      |  SELECT plq.vec_id AS query_id, plq.sp, pbook.cell AS cw,
+      |    SUM(plq.xq * pbook.c) AS ip
+      |  FROM plq JOIN pbook ON plq.sp = pbook.sp AND plq.p = pbook.p
+      |  WHERE plq.vec_id < 10
+      |  GROUP BY 1, 2, 3
+      |), pcand AS (
+      |  SELECT pprobes.query_id, cells.vec_id AS neighbor_id, cells.vn AS cn
+      |  FROM pprobes JOIN cells ON pprobes.pcell = cells.cell
+      |    AND pprobes.query_id <> cells.vec_id
+      |), padc AS (
+      |  SELECT pcand.query_id, pcand.neighbor_id, pcand.cn, SUM(qlut.ip) AS ipsum
+      |  FROM pcand JOIN pcode ON pcand.neighbor_id = pcode.neighbor_id
+      |    JOIN qlut ON pcand.query_id = qlut.query_id
+      |      AND pcode.sp = qlut.sp AND pcode.cw = qlut.cw
+      |  GROUP BY 1, 2, 3
+      |), pshort AS (
+      |  SELECT padc.query_id, padc.neighbor_id,
+      |    CAST(padc.ipsum AS DOUBLE) / (pqv.qn * padc.cn) AS adc_raw
+      |  FROM padc JOIN pqv ON padc.query_id = pqv.query_id
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY padc.query_id
+      |    ORDER BY CAST(padc.ipsum AS DOUBLE) / (pqv.qn * padc.cn) DESC,
+      |      padc.neighbor_id ASC) <= 16
+      |), pranked AS (
+      |  SELECT pshort.query_id, pshort.neighbor_id, pshort.adc_raw,
+      |    list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) AS score_raw,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pshort.query_id ORDER BY
+      |      list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) DESC,
+      |      pshort.neighbor_id ASC) AS INT) AS rn
+      |  FROM pshort JOIN pqv ON pshort.query_id = pqv.query_id
+      |    JOIN cells ON pshort.neighbor_id = cells.vec_id
+      |)""".stripMargin
+
   private lazy val duckIvfCtes: String =
     s"""$duckIvfBaseCtes, probes AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
@@ -726,11 +798,13 @@ object LlmOps {
     * `ivf_eval` (the recall audit joins its raw (query, neighbor) pairs
     * against brute-force truth). Returns the per-query top-3 as
     * (query_id, rn, neighbor_id, score_raw). */
-  /** The certified SIM-1d IVF pipeline. `maxProbe` widens the probed-cell
-    * set; `raw = true` returns the SCORED candidate pool with its
-    * probe_rank (before the per-query top-k) — SIM-CURVE's input. */
-  private def ivfRanked(s: SparkSession, d: String,
-      maxProbe: Int = 2, raw: Boolean = false): DataFrame = {
+  /** The IVF coarse-quantizer ASSIGNMENT shared by the whole IVF family
+    * (`sim1_ivf`, `ivf_eval`, `ivf_curve`, `ivf_pq`): label-trained
+    * centroids, every vector scored against the broadcast centroid table,
+    * `crn` = that vector's cell preference rank (crn=1 is its home cell;
+    * crn≤nprobe are a query's probe cells). Columns:
+    * (vec_id, e, vn, cell_label, cscore, crn). */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val doc = load(s, d, "documents")
     val emb = load(s, d, "embeddings")
     val dbl = transform(col("embedding"), x => x.cast("double"))
@@ -751,9 +825,17 @@ object LlmOps {
       .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cell_label").asc)
-    val assigned = vecs.crossJoin(broadcast(cent))
+    vecs.crossJoin(broadcast(cent))
       .withColumn("cscore", dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
       .withColumn("crn", row_number().over(byVec))
+  }
+
+  /** The certified SIM-1d IVF pipeline. `maxProbe` widens the probed-cell
+    * set; `raw = true` returns the SCORED candidate pool with its
+    * probe_rank (before the per-query top-k) — SIM-CURVE's input. */
+  private def ivfRanked(s: SparkSession, d: String,
+      maxProbe: Int = 2, raw: Boolean = false): DataFrame = {
+    val assigned = ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label").as("cell"))
     val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= maxProbe)
@@ -775,6 +857,117 @@ object LlmOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("score_raw"))
+  }
+
+  /** IVF-PQ composed search — the billion-vector index layout assembled
+    * from this repo's two certified halves: SIM-1d's IVF cells (coarse
+    * quantizer: WHICH vectors to look at) and PQ-1's product-quantizer
+    * codebooks (HOW to score them without touching the raw vectors).
+    * The pipeline is the textbook IVFADC (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) spelled
+    * relationally:
+    *
+    *   1. TRAIN: PQ codebooks exactly as `vec_pq` (8 subspaces × ≤16
+    *      sign-bucket-seeded codewords, dec4-quantized decimal
+    *      centroids) and IVF cells exactly as [[ivfAssigned]].
+    *   2. ENCODE: every vector → (cell, 8-byte PQ code + its exact norm).
+    *      This is the ONLY per-vector state the search touches — at
+    *      100 TB the raw vectors stay in cold storage; the inverted
+    *      lists carry ~9 small values/vector.
+    *   3. LUT: per query, one asymmetric-distance lookup table —
+    *      ip(q, sp, codeword) = Σ_p q[sp,p]·c[sp,cw,p], a query×codebook
+    *      join (≤ |queries|·8·16 rows, broadcast). Exact decimal sums.
+    *   4. ADC SCAN: candidates from the query's 2 probe cells score as
+    *      Σ_sp LUT(q, sp, code(v, sp)) / (‖q‖·‖v‖) — 8 table lookups
+    *      per candidate, never a 64-dim dot product.
+    *   5. RE-RANK: the ADC top-`shortlist` per query re-scores EXACTLY
+    *      (raw-vector cosine) and emits the final top-3 — the standard
+    *      refine step that caps ADC's quantization error at zero for
+    *      the returned ranks.
+    *
+    * Determinism: LUT/ADC sums are exact DECIMAL folds (vec_pq's (18,4)
+    * discipline: products at scale 8 never overflow 38); the only doubles
+    * are single correctly-rounded divides by the two norms, and every
+    * rank breaks ties by neighbor_id. Returns
+    * (query_id, rn, neighbor_id, adc_raw, score_raw). */
+  private def ivfPqRanked(s: SparkSession, d: String,
+      shortlist: Int = 16): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    // --- PQ training + encoding (vec_pq verbatim; see PQ-1 for the
+    //     decimal-width rationale) ---
+    val long = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("p0", "xf")))
+      .select(col("vec_id"),
+        (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
+        (pmod(col("p0"), lit(8)) + 1).as("p"),
+        dec4(col("xf").cast("double")).cast(DecimalType(18, 4)).as("xq"))
+      .pinned
+    val sign = long.groupBy(col("vec_id"), col("sp"))
+      .agg(sum(when(col("xq") > 0,
+          when(col("p") === 1, 8).when(col("p") === 2, 4)
+            .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
+        .otherwise(0)).cast("int").as("cell"))
+    val book = long.join(sign, Seq("vec_id", "sp"))
+      .groupBy(col("sp"), col("cell"), col("p"))
+      .agg(dec4(sum(col("xq")).cast("double") / count(lit(1)))
+        .cast(DecimalType(18, 4)).as("c"))
+      .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
+    val pdist = long.join(broadcast(book), Seq("sp", "p"))
+      .withColumn("dd", (col("xq") - col("c")).cast(DecimalType(18, 4)))
+      .groupBy(col("vec_id"), col("sp"), col("cell"))
+      .agg(sum(col("dd") * col("dd")).as("dist"))
+    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val code = pdist.withColumn("prn", row_number().over(wsp))
+      .filter(col("prn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sp"), col("cell").as("cw"))
+    // --- IVF cells + probes (ivfAssigned verbatim) ---
+    val assigned = ivfAssigned(s, d)
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell_label").as("pcell"))
+    val qv = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("vn").as("qn"))
+    // --- Per-query LUT: inner product of each query SUBVECTOR with each
+    //     codeword — |queries|·8·16 rows, exact decimal sums ---
+    val qlut = long.filter(col("vec_id") < 10)
+      .join(broadcast(book), Seq("sp", "p"))
+      .groupBy(col("vec_id"), col("sp"), col("cell"))
+      .agg(sum(col("xq") * col("c")).as("ip"))
+      .select(col("vec_id").as("query_id"), col("sp"),
+        col("cell").as("cw"), col("ip"))
+    // --- ADC scan over the probed cells: 8 LUT lookups per candidate ---
+    val cand = broadcast(probes).join(
+      cells.select(col("vec_id").as("neighbor_id"), col("vn").as("cn"),
+        col("cell_label")),
+      col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cn"))
+    val adc = cand.join(code, Seq("neighbor_id"))
+      .join(broadcast(qlut), Seq("query_id", "sp", "cw"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cn"))
+      .agg(sum(col("ip")).as("ipsum"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+    val short = adc
+      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .withColumn("adc_raw", col("ipsum").cast("double") / (col("qn") * col("cn")))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+    // --- Exact re-rank of the shortlist only ---
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    short
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+        col("vn").as("cn2")), Seq("neighbor_id"))
+      // `short` already carries qn from the ADC stage; attach qe only.
+      .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
+      .withColumn("score_raw",
+        dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+      .withColumn("rn", row_number().over(wFin))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("adc_raw"), col("score_raw"))
   }
 
   val all: Map[String, Q] = Map(
@@ -941,6 +1134,53 @@ object LlmOps {
       ordered(ivfRanked(s, d)
         .select(col("query_id"), col("rn"), col("neighbor_id"),
           dec4S(col("score_raw")).as("score")))),
+
+    // ---- SIM-1e: IVF-PQ composed search (`ivf_pq`) — the IVFADC
+    //      billion-vector layout assembled from the two certified halves
+    //      (SIM-1d cells + PQ-1 codebooks); see [[ivfPqRanked]] for the
+    //      five stages and the decimal-determinism discipline. Output is
+    //      the final exact-re-ranked top-3 with BOTH scores: the ADC
+    //      approximation that chose the shortlist and the exact cosine
+    //      that ranked it — the pair a recall audit diffs. ----
+    "ivf_pq" -> ((s, d) =>
+      ordered(ivfPqRanked(s, d)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("adc_raw")).as("adc"),
+          dec4S(col("score_raw")).as("score")))),
+
+    // ---- SIM-EVAL3: IVF-PQ recall audit (`ivf_pq_eval`) — ivf_eval's
+    //      rule applied to the composed index: measured recall@3 of the
+    //      IVF-PQ search against brute-force cosine ground truth, per
+    //      query. The composed index stacks TWO approximations (cell
+    //      pruning + PQ scoring); this is the number that says what the
+    //      stack actually costs in recall — ship the index, ship the
+    //      audit. Truth leg identical to ivf_eval's (query-count-bounded,
+    //      sample-able at scale). ----
+    "ivf_pq_eval" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      val truth = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw", dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = ivfPqRanked(s, d).select(col("query_id").as("iq"),
+        col("neighbor_id").as("in_"))
+      ordered(truth.join(pq,
+          col("query_id") === col("iq") && col("neighbor_id") === col("in_"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("iq")).cast("int").as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
+    }),
 
     // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
     //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
@@ -3763,6 +4003,35 @@ object LlmOps {
         |SELECT query_id, rn, neighbor_id, CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_pq" ->
+      s"""WITH $duckIvfPqCtes
+        |SELECT query_id, rn, neighbor_id,
+        |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
+        |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+        |FROM pranked WHERE rn <= 3
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_pq_eval" ->
+      s"""WITH $duckIvfPqCtes, pq AS (
+        |  SELECT query_id, neighbor_id FROM pranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN pq i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
 
     "ivf_curve" -> {
       val perProbe = (1 to 3).map { p =>

@@ -73,6 +73,11 @@ class CartesianGuardSpec extends AnyFunSuite {
     "ivf_eval",   // truth leg = sim1's declared broadcast-query exact
                   // shape (query-count-bounded by construction); the IVF
                   // leg and the audit join are equi-keyed
+    "ivf_pq",     // IVF cell assignment = sim1_ivf's vectors × broadcast
+                  // centroid table; the LUT, ADC, and re-rank joins are
+                  // all equi-keyed
+    "ivf_pq_eval", // ivf_eval's rationale: brute-force truth leg +
+                  // sim1_ivf's cell-assignment cross; audit join equi-keyed
     "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape
     "standard_scale", // the 1-row moment vector attaches twice (checksum
