@@ -437,6 +437,41 @@ class IngestSpec extends AnyFunSuite {
       "failed wave must leave the published version untouched")
   }
 
+  test("committer swap is a config change: file sinks commit through a custom FileCommitProtocol") {
+    // SURVEY §2.1's cloud-committer claim, executed: swap
+    // spark.sql.sources.commitProtocolClass to RecordingCommitProtocol and
+    // show the parquet and csv sinks drive its full job/task lifecycle
+    // with UNCHANGED results — the same substitution a deployment makes
+    // for an S3A/cloud-native committer.
+    val table = spark.range(100).selectExpr("id", "id % 7 AS k")
+    val prior = spark.conf.getOption("spark.sql.sources.commitProtocolClass")
+    RecordingCommitProtocol.reset()
+    try {
+      spark.conf.set("spark.sql.sources.commitProtocolClass",
+        classOf[RecordingCommitProtocol].getName)
+      val pq = tempDir("commit_pq").toString + "/t"
+      val cv = tempDir("commit_csv").toString + "/t"
+      val part = tempDir("commit_part").toString + "/t"
+      table.write.mode("overwrite").parquet(pq)
+      table.write.mode("overwrite").option("header", true).csv(cv)
+      table.write.mode("overwrite").partitionBy("k").parquet(part)
+      assert(RecordingCommitProtocol.jobsSetup.get() == 3,
+        "each write job must set up through the swapped protocol")
+      assert(RecordingCommitProtocol.jobsCommitted.get() == 3,
+        "each write job must commit through the swapped protocol")
+      assert(RecordingCommitProtocol.tempFiles.get() > 0 &&
+        RecordingCommitProtocol.tasksCommitted.get() > 0,
+        "task-side temp-file allocation and task commit must route through it")
+      // Results are unchanged by the committer: full round-trip equality.
+      assert(spark.read.parquet(pq).count() == 100)
+      assert(spark.read.option("header", true).csv(cv).count() == 100)
+      assertSameRows(spark.read.parquet(part).selectExpr("id", "CAST(k AS LONG) AS k"),
+        table, "partitioned write through the swapped committer")
+    } finally prior.fold(
+      spark.conf.unset("spark.sql.sources.commitProtocolClass"))(
+      spark.conf.set("spark.sql.sources.commitProtocolClass", _))
+  }
+
   test("LifecycleGate: status classification is JSON-parsed, not substring-matched") {
     import graft.streaming.LifecycleGate
     // ADVICE r9: a clean record whose NESTED payload quotes a failed status

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
   * so SQL-surface tests can call the custom functions by name. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val builderBase = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 4)
@@ -21,9 +21,21 @@ object TestSpark {
       // own variants — far beyond the default 100-entry codegen cache.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    // Config-matrix axis (r10): GRAFT_TEST_STATESTORE=rocksdb makes the
+    // RocksDB provider the SESSION DEFAULT, so the whole streaming fleet —
+    // including the legacy flatMapGroupsWithState/dedup/join/window
+    // operators that normally run on the HDFS-backed default — executes
+    // against the 100 TB state backend. The transformWithState tests pin
+    // RocksDB per-test regardless (the new API requires it); this axis
+    // proves the REST of the fleet is provider-agnostic by execution.
+    val withStore =
+      if (sys.env.get("GRAFT_TEST_STATESTORE").contains("rocksdb"))
+        builderBase.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else builderBase
+    val s2 = withStore.getOrCreate()
+    s2.sparkContext.setLogLevel("WARN")
+    s2
   }
 
   val sfDir = "/root/testdata/sf0.001"
