@@ -321,13 +321,51 @@ object LlmOps {
 
   /** Verified near-dup pairs (d1 < d2, jac as double) from the MinHash
     * candidate pipeline — shared by the pair queries and ddp_cluster. */
-  private def minhashPairs(doc0: DataFrame, useUdaf: Boolean): DataFrame = {
+  /** LSH candidate pairs → Jaccard-verified near-dup edges.
+    *
+    * `capBuckets = true` (the CLUSTERING consumers only — ddp_cluster /
+    * ddp_keeper_src, where edges feed connected components, never a
+    * shipped pair list) honors `spark.graft.dedup.bucketCap`: a band
+    * bucket with MORE than `cap` members emits a STAR (bucket-min →
+    * member, `size−1` edges) instead of all pairs (`size·(size−1)/2`) —
+    * the bound on dense-clique edge amplification. For component
+    * assignment the star is connectivity-equivalent whenever the star
+    * edges pass verification (a true near-dup clique: every member ≈ the
+    * min member), which is exactly the degenerate case the cap exists
+    * for; a marginal bucket whose members are similar to each other but
+    * not to the bucket min can split differently, which is why the cap
+    * is config-gated default-OFF and pinned result-identical on the
+    * corpus (PipelineOpsSpec). Buckets at/under the cap are untouched,
+    * so an enabled cap only rewrites the pathological buckets. */
+  private[graft] def minhashPairs(doc0: DataFrame, useUdaf: Boolean,
+      capBuckets: Boolean = false): DataFrame = {
     val doc = spread(doc0)
     val bands = minhashBands(doc, useUdaf).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val cand = bands.as("x").join(bands.as("y"),
-      col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val capOpt = if (capBuckets)
+      doc0.sparkSession.conf.getOption("spark.graft.dedup.bucketCap").map(_.toInt)
+    else None
+    val cand = capOpt match {
+      case None =>
+        bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      case Some(cap) =>
+        val wB = Window.partitionBy(col("band_idx"), col("bh"))
+        val sized = bands
+          .withColumn("bsz", count(lit(1)).over(wB))
+          .withColumn("bmin", min(col("doc_id")).over(wB))
+        val small = sized.filter(col("bsz") <= cap)
+          .select(col("band_idx"), col("bh"), col("doc_id"))
+        val pairsSmall = small.as("x").join(small.as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        // bmin is the bucket MIN, so d1 < d2 holds by construction.
+        val pairsStar = sized.filter(col("bsz") > cap && col("doc_id") =!= col("bmin"))
+          .select(col("bmin").as("d1"), col("doc_id").as("d2"))
+        pairsSmall.unionAll(pairsStar).distinct()
+    }
     val verified = minhashVerify(cand, doc)
       // Eagerly materialize the (small) verified edge set, then release the
       // band cache — callers (pair queries, ddp_cluster, pipeline_clean,
@@ -1758,7 +1796,7 @@ object LlmOps {
     // near-dup graph + keeper election (see clusterAssign).
     "ddp_cluster" -> ((s, d) => {
       val doc = load(s, d, "documents")
-      clusterAssign(doc, minhashPairs(doc, useUdaf = true))
+      clusterAssign(doc, minhashPairs(doc, useUdaf = true, capBuckets = true))
     }),
 
     // ---- DDP-KEEPER: cross-source keeper election (`ddp_keeper_src`) —
@@ -1776,7 +1814,8 @@ object LlmOps {
     //      never touching the quadratic pair space. ----
     "ddp_keeper_src" -> ((s, d) => {
       val doc = load(s, d, "documents")
-      val clusters = clusterAssign(doc, minhashPairs(doc, useUdaf = false))
+      val clusters = clusterAssign(doc,
+        minhashPairs(doc, useUdaf = false, capBuckets = true))
         .select(col("doc_id"), col("cluster_id"))
       val withSrc = clusters.join(
         doc.select(col("doc_id"), col("source")), Seq("doc_id"))

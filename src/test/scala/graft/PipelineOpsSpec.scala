@@ -177,6 +177,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cluster.checkpointDir")
   }
 
+  test("ddp_cluster: the bucketCap star mode is result-identical and linear on cliques") {
+    // r10 (verdict task): bound the dense-clique edge amplification. A
+    // band bucket of k near-identical docs emits k(k-1)/2 candidate pairs;
+    // with spark.graft.dedup.bucketCap set, oversized buckets emit the
+    // k-1 star edges (bucket-min → member) instead — connectivity-
+    // equivalent for component assignment when the clique is real.
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    // (a) Result identity on the corpus: capped clusters == default
+    // clusters even with a cap small enough to rewrite real buckets.
+    val dflt = graft.queries.LlmOps.all("ddp_cluster")(spark, sfDir)
+    spark.conf.set("spark.graft.dedup.bucketCap", "2")
+    try {
+      val capped = graft.queries.LlmOps.all("ddp_cluster")(spark, sfDir)
+      assertSameRows(dflt, capped, "bucketCap star mode vs all-pairs clusters")
+    } finally spark.conf.unset("spark.graft.dedup.bucketCap")
+    // (b) Edge linearity on a crafted clique: 60 identical docs — the
+    // degenerate bucket the cap exists for. Star mode must emit exactly
+    // k-1 verified edges where all-pairs emits k(k-1)/2.
+    import spark.implicits._
+    val k = 60
+    val clique = (1 to k).map(i =>
+        (i.toLong, "identical near dup payload words repeated enough to shingle cleanly",
+          "en", "crafted", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val allPairs = graft.queries.LlmOps
+      .minhashPairs(clique, useUdaf = false, capBuckets = true).count()
+    assert(allPairs == k.toLong * (k - 1) / 2,
+      s"uncapped clique must emit k(k-1)/2 pairs, got $allPairs")
+    spark.conf.set("spark.graft.dedup.bucketCap", "8")
+    try {
+      val starPairs = graft.queries.LlmOps
+        .minhashPairs(clique, useUdaf = false, capBuckets = true).count()
+      assert(starPairs == (k - 1).toLong,
+        s"capped clique must emit k-1 star edges, got $starPairs")
+      // And the components are identical either way: one cluster, min keeper.
+      val clusters = graft.queries.LlmOps.clusterAssign(clique,
+        graft.queries.LlmOps.minhashPairs(clique, useUdaf = false, capBuckets = true))
+      assert(clusters.select(col("cluster_id")).distinct().count() == 1,
+        "the clique must collapse to one component under star edges")
+    } finally spark.conf.unset("spark.graft.dedup.bucketCap")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
