@@ -643,13 +643,14 @@ object LlmOps {
       |    JOIN qlut ON pcand.query_id = qlut.query_id
       |      AND pcode.sp = qlut.sp AND pcode.cw = qlut.cw
       |  GROUP BY 1, 2, 3
-      |), pshort AS (
+      |), ppool AS (
       |  SELECT padc.query_id, padc.neighbor_id,
       |    CAST(padc.ipsum AS DOUBLE) / (pqv.qn * padc.cn) AS adc_raw
       |  FROM padc JOIN pqv ON padc.query_id = pqv.query_id
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY padc.query_id
-      |    ORDER BY CAST(padc.ipsum AS DOUBLE) / (pqv.qn * padc.cn) DESC,
-      |      padc.neighbor_id ASC) <= 16
+      |), pshort AS (
+      |  SELECT query_id, neighbor_id, adc_raw FROM ppool
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_raw DESC, neighbor_id ASC) <= 16
       |), pranked AS (
       |  SELECT pshort.query_id, pshort.neighbor_id, pshort.adc_raw,
       |    list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) AS score_raw,
@@ -929,7 +930,7 @@ object LlmOps {
     * rank breaks ties by neighbor_id. Returns
     * (query_id, rn, neighbor_id, adc_raw, score_raw). */
   private def ivfPqRanked(s: SparkSession, d: String,
-      shortlist: Int = 16): DataFrame = {
+      shortlist: Int = 16, raw: Boolean = false): DataFrame = {
     val emb = load(s, d, "embeddings")
     // --- PQ training + encoding (vec_pq verbatim; see PQ-1 for the
     //     decimal-width rationale) ---
@@ -985,27 +986,36 @@ object LlmOps {
       .join(broadcast(qlut), Seq("query_id", "sp", "cw"))
       .groupBy(col("query_id"), col("neighbor_id"), col("cn"))
       .agg(sum(col("ip")).as("ipsum"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
-    val short = adc
+    val pool = adc
       .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
       .withColumn("adc_raw", col("ipsum").cast("double") / (col("qn") * col("cn")))
-      .withColumn("srn", row_number().over(wAdc))
-      .filter(col("srn") <= shortlist)
-    // --- Exact re-rank of the shortlist only ---
-    val wFin = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-    short
-      .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
-        col("vn").as("cn2")), Seq("neighbor_id"))
-      // `short` already carries qn from the ADC stage; attach qe only.
-      .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
-      .withColumn("score_raw",
-        dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
-      .withColumn("rn", row_number().over(wFin))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("rn"), col("neighbor_id"),
-        col("adc_raw"), col("score_raw"))
+    // `raw = true`: the ADC-scored candidate pool before any shortlist cut
+    // — SIM-PQ-CURVE's input (scores don't change with the shortlist
+    // length, only membership does, so the curve reuses ONE pool).
+    if (raw)
+      pool.select(col("query_id"), col("neighbor_id"),
+        col("cn"), col("qn"), col("adc_raw"))
+    else {
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+      val short = pool
+        .withColumn("srn", row_number().over(wAdc))
+        .filter(col("srn") <= shortlist)
+      // --- Exact re-rank of the shortlist only ---
+      val wFin = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      short
+        .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+          col("vn").as("cn2")), Seq("neighbor_id"))
+        // `short` already carries qn from the ADC stage; attach qe only.
+        .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(wFin))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          col("adc_raw"), col("score_raw"))
+    }
   }
 
   val all: Map[String, Q] = Map(
@@ -1431,6 +1441,58 @@ object LlmOps {
             mv.as("n_moved"))
       ordered(round(1, a1, lit(0L))
         .unionByName(round(2, a2, col("nm"))))
+    }),
+
+    // ---- SIM-PQ-CURVE: recall-vs-shortlist tuning curve
+    //      (`ivf_pq_curve`) — the lever SIM-EVAL3's single number says to
+    //      pull, measured: the IVF-PQ stack's recall@3 at shortlist
+    //      lengths {4, 8, 16} (how many ADC candidates the exact re-rank
+    //      touches). ADC scores don't change with the shortlist — only
+    //      membership does — so ONE scored pool (ivfPqRanked raw) feeds
+    //      three tiny rank windows + re-ranks, never three pipelines
+    //      (ivf_curve's one-pool rule). The reading: where the curve
+    //      flattens is the re-rank budget; the gap to SIM-EVAL's
+    //      IVF-exact recall at the same probes is pure PQ quantization
+    //      loss, the number that prices the 64× compression. ----
+    "ivf_pq_curve" -> ((s, d) => {
+      val pool = pin(ivfPqRanked(s, d, raw = true))
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("e"),
+        sqrt(dot_product(dbl, dbl)).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val cc = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn2"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      val truth = pin(broadcast(q).join(cc, col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id")))
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+      val rows = Seq(4, 8, 16).map { ln =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+        val reranked = pool
+          .withColumn("srn", row_number().over(wAdc)).filter(col("srn") <= ln)
+          .join(cc, Seq("neighbor_id"))
+          .join(broadcast(q.select(col("query_id"), col("qe"))), Seq("query_id"))
+          .withColumn("score_raw",
+            dot_product(col("qe"), col("ce")) / (col("qn") * col("cn2")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("query_id").as("iq"), col("neighbor_id").as("in_"))
+        truth.join(reranked,
+            col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("iq")).as("n_hits"))
+          .select(lit(ln).as("shortlist"), col("n_truth"), col("n_hits"))
+      }
+      ordered(rows.reduce(_ unionByName _)
+        .withColumn("recall",
+          dec4S(col("n_hits").cast("double") / col("n_truth").cast("double"))))
     }),
 
     // ---- SIM-CURVE: recall-vs-probes tuning curve (`ivf_curve`) — the
@@ -4050,6 +4112,41 @@ object LlmOps {
         |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
         |FROM pranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_pq_curve" -> {
+      val perL = Seq(4, 8, 16).map { ln =>
+        s"""SELECT $ln AS shortlist, COUNT(1) AS n_truth,
+           |    CAST(COUNT(i.query_id) AS BIGINT) AS n_hits,
+           |    CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+           |  FROM truth t LEFT JOIN (
+           |    SELECT query_id, neighbor_id FROM (
+           |      SELECT sh.query_id, cells.vec_id AS neighbor_id,
+           |        ROW_NUMBER() OVER (PARTITION BY sh.query_id ORDER BY
+           |          list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) DESC,
+           |          cells.vec_id ASC) AS rn
+           |      FROM (SELECT query_id, neighbor_id FROM ppool
+           |            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY adc_raw DESC, neighbor_id ASC) <= $ln) sh
+           |      JOIN pqv ON sh.query_id = pqv.query_id
+           |      JOIN cells ON sh.neighbor_id = cells.vec_id) r WHERE rn <= 3) i
+           |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $duckIvfPqCtes, tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT * FROM (
+        |  $perL
+        |)
+        |ORDER BY shortlist NULLS FIRST, n_truth NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST""".stripMargin
+    },
 
     "ivf_pq_eval" ->
       s"""WITH $duckIvfPqCtes, pq AS (

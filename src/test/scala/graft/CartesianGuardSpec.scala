@@ -78,6 +78,8 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // all equi-keyed
     "ivf_pq_eval", // ivf_eval's rationale: brute-force truth leg +
                   // sim1_ivf's cell-assignment cross; audit join equi-keyed
+    "ivf_pq_curve", // same two declared shapes (truth leg + cell
+                  // assignment); the three shortlist re-ranks are equi-keyed
     "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape
     "standard_scale", // the 1-row moment vector attaches twice (checksum
