@@ -219,6 +219,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dedup.bucketCap")
   }
 
+  test("ivf_pq: shipped exact scores equal brute-force cosine; ADC is a true approximation") {
+    // Consistency-with-certified-surface law (ann_ndcg's rule): the
+    // composed index may APPROXIMATE candidate selection, but the exact
+    // re-rank scores it ships must be bit-identical (at dec4 render) to
+    // the brute-force cosine of the same (query, neighbor) pairs.
+    import graft.core.Tables.dec4S
+    import graft.functions.GraftFunctions.dot_product
+    val pq = graft.queries.LlmOps.all("ivf_pq")(spark, sfDir)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id"), dbl.as("e"))
+      .withColumn("nrm", sqrt(dot_product(col("e"), col("e"))))
+    val joined = pq
+      .join(base.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .withColumn("brute",
+        dec4S(dot_product(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+    assert(joined.count() > 0, "ivf_pq returned no rows at sf0.001")
+    val bad = joined.filter(col("score") =!= col("brute"))
+    assert(bad.count() == 0,
+      s"re-ranked scores must equal brute cosine: ${bad.take(3).mkString(";")}")
+    // And the ADC score is a genuine approximation, not the exact score
+    // smuggled through: at least one shipped row differs.
+    assert(joined.filter(col("adc") =!= col("score")).count() > 0,
+      "ADC column unexpectedly identical to the exact score everywhere")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()

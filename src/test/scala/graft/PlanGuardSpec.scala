@@ -405,6 +405,29 @@ class PlanGuardSpec extends AnyFunSuite {
       "the single-sort shape (union + per-user window) is missing")
   }
 
+  test("ivf_pq: small sides broadcast, rank cuts group-limit, windows stay partitioned") {
+    // The IVFADC scale contract (r10): the codebook (≤1024 rows), the
+    // per-query LUT, the probe list, and the query-vector table must all
+    // reach their joins as broadcasts — the only corpus-sized work is the
+    // encode aggregate and the probed-cell candidate join; the shortlist
+    // and top-3 cuts must push WindowGroupLimit; and every window is
+    // per-vector/per-query partitioned (no single-task rank at any
+    // corpus width).
+    val p = plan("ivf_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook/LUT/query sides should reach their joins as broadcasts")
+    assert(p.contains("WindowGroupLimit"),
+      "srn<=16 / rn<=3 should push group limits below their windows")
+    val df = SparkEntry.queries("ivf_pq")(spark, sfDir)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"ivf_pq: ${global.size} unpartitioned Window node(s):\n" +
+        global.mkString("\n").take(800))
+  }
+
   test("ivl_merge: island labeling runs distributed — no unpartitioned window") {
     // VERDICT r8 "What's wrong #1": the island merge ran as ONE
     // Window.orderBy over the session relation, which grows with
