@@ -109,6 +109,67 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Nearest-centroid cell assignment shared by STR-IVF's streaming index
+    * maintenance and its batch twin: every vector in `vecs`
+    * (vec_id, embedding ARRAY<FLOAT>) scores against the broadcast
+    * centroid table `cent` (cell_label, ce ARRAY<DOUBLE>) and keeps its
+    * argmax-cosine cell (ties → smaller label — the SIM-1d rule). The
+    * centroid table is index METADATA (k rows), so the cross is the
+    * declared vectors × broadcast-k shape, never data × data. */
+  def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.dot_product
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val base = vecs.select(col("vec_id"), dbl.as("e"))
+      .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
+    val centN = cent.withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell_label").asc)
+    base.crossJoin(broadcast(centN))
+      .withColumn("cscore",
+        dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell_label").as("cell"))
+  }
+
+  /** STR-IVF: streaming ANN index maintenance — the arrival half of the
+    * SIM-1d/SIM-1e index kept fresh without rebuilds: each micro-batch of
+    * newly-landed embedding files is assigned to the PUBLISHED centroid
+    * table (index metadata, broadcast) and appended to the cell-partitioned
+    * inverted-list store — the layout `ivf_pq` searches. Windows are not
+    * available on streaming frames, so the per-vector argmin runs inside
+    * foreachBatch (each micro-batch is a batch plan); exactly-once at FILE
+    * granularity via the same path-keyed dynamic-overwrite convergence as
+    * [[runNotifiedLoad]]: a replayed micro-batch or duplicate file
+    * delivery rewrites its own (cell, _src) partitions with identical
+    * content instead of appending a second copy. At 100 TB the centroid
+    * table stays k rows (broadcast), arrivals cost ∝ batch × k, and cell
+    * partitions compact on the usual schedule — centroid RETRAINING is the
+    * batch job (kmeans_iter), republished via Snapshot; this op only
+    * maintains the lists between retrains. */
+  def runIvfIngest(spark: SparkSession, vecDir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   cent: DataFrame, outDir: String,
+                   checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withSrc = batch.withColumn("_src", md5(input_file_name()))
+        assignCells(withSrc, cent)
+          .join(withSrc, Seq("vec_id"))
+          .write.partitionBy("cell", "_src").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Documents-schema streaming source over a directory of parquet files —
     * incremental corpus ingestion: each arriving file is a micro-batch of
     * new documents. */

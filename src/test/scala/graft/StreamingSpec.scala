@@ -859,6 +859,45 @@ class StreamingSpec extends AnyFunSuite {
       s"without the cap AvailableNow must drain the backlog in one batch: $unbounded")
   }
 
+  test("STR-IVF streaming index maintenance equals batch cell assignment; replay converges") {
+    // The arrival half of the IVF index: embedding files land, each
+    // micro-batch assigns its vectors to the PUBLISHED centroid table and
+    // appends to the cell-partitioned inverted-list store. The streamed
+    // store must equal the batch assignment of the same corpus, survive an
+    // idle checkpointed rerun, and converge under duplicate file delivery.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // Published index metadata: 8 deterministic seed centroids (the
+    // retrain job — kmeans_iter — owns their quality; this op only
+    // maintains the lists).
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(concat(lit("c"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val d = tempDir("ivf_ingest")
+    val out = tempDir("ivf_store").toString
+    val ckpt = tempDir("ivf_ckpt").toString
+    (0 to 3).foreach { i =>
+      writeSlice(emb.filter(pmod(col("vec_id"), lit(4)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent, out, ckpt)
+    val batchAssign = StreamOps.assignCells(emb, cent)
+    def stored() = spark.read.parquet(out).select(col("vec_id"), col("cell"))
+    assertSameRows(stored(), batchAssign,
+      "streamed inverted lists vs batch cell assignment")
+    // Idle rerun: the checkpoint re-delivers nothing.
+    StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent, out, ckpt)
+    assertSameRows(stored(), batchAssign, "idle rerun must add nothing")
+    // Duplicate delivery of slice 0 under a new name: the path-keyed
+    // (cell, _src) overwrite rewrites identical content, so the per-pair
+    // multiplicity grows by exactly the duplicate — never a torn mix.
+    writeSlice(emb.filter(pmod(col("vec_id"), lit(4)) === 0), d,
+      "slice_00_dup", 1700000400000L)
+    StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent, out, ckpt)
+    assertSameRows(stored().distinct(), batchAssign,
+      "duplicate delivery must not change the distinct (vec, cell) set")
+  }
+
   test("STR-NTFY notification-queue load equals the LIST-polling source; replay and duplicate notifications converge") {
     // The [REF] S3-event→Lambda trigger analog (SURVEY §2.1): arrivals are
     // announced by manifest lines in a queue directory, and the loader
