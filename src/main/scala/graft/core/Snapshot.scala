@@ -92,10 +92,21 @@ object Snapshot {
     val mp = Paths.get(root, MANIFEST)
     if (!Files.exists(mp)) currentVersion(root).foreach { cur =>
       val legacy = diskVersions(root).filter(_ <= cur).sorted
-      if (legacy.nonEmpty)
-        Files.writeString(mp, legacy.mkString("", "\n", "\n"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+      if (legacy.nonEmpty) {
+        // Atomic CLAIM of the backfill, not check-then-append: two
+        // concurrent first-post-upgrade publishers would both pass the
+        // exists() check and double-append the legacy ids. Staging the
+        // backfill and ATOMIC_MOVE-ing it (no REPLACE) makes exactly one
+        // writer create the manifest; the loser's move fails and it
+        // proceeds straight to appending its own id.
+        val tmp = Paths.get(root,
+          s".manifest.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        Files.writeString(tmp, legacy.mkString("", "\n", "\n"))
+        try Files.move(tmp, mp, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp); ()
+        }
+      }
     }
     Files.writeString(mp, s"$v\n",
       java.nio.file.StandardOpenOption.CREATE,
@@ -179,10 +190,13 @@ object Snapshot {
   }
 
   /** The declared fsck (scaladoc above): sweep orphan `v=N` directories
-    * left by crashed writers — a version that is on disk but NOT in the
-    * `_PUBLISHED` manifest never committed (publish records the id
-    * before the pointer swap, so a manifest miss means the writer died
-    * mid-rename or the directory was hand-planted). Committed versions
+    * left by crashed writers — a manifest-era version that is on disk but
+    * NOT in the `_PUBLISHED` manifest never committed (publish records
+    * the id before the pointer swap, so a manifest miss means the writer
+    * died mid-rename or the directory was hand-planted). Versions
+    * PREDATING the manifest (mixed-history roots) are committed iff ≤ the
+    * pointer — the pre-manifest code's own invariant; see the bounded
+    * union in the body. Committed versions
     * are untouched REGARDLESS of the pointer position — after a
     * rollback, versions above the pointer that were once published are
     * audit/re-roll-forward targets, not garbage. Also sweeps abandoned
@@ -192,19 +206,26 @@ object Snapshot {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
     // Deleting committed data is the unrecoverable failure mode, so fsck
-    // uses the UNION of both commit invariants: a version is committed if
-    // it is in the `_PUBLISHED` manifest OR ≤ the pointer. The second arm
-    // covers legacy/mixed-history roots — versions published by
-    // pre-manifest code (strictly sequential, pointer never moved
-    // backwards) that a partially-backfilled manifest may not list. The
-    // union is one-sided-safe: a crashed writer's orphan is allocated
-    // above every version alive at its claim time, so an orphan ≤ pointer
-    // only exists if a LATER publish committed above it — such an orphan
-    // is retained (harmless disk, never read) rather than risk sweeping a
-    // committed legacy version.
+    // unions two commit invariants — but the legacy arm is BOUNDED so it
+    // cannot shelter manifest-era orphans:
+    //   committed(v) = v ∈ manifest
+    //                ∨ (v ≤ pointer ∧ v < min(manifest))
+    // The second arm covers exactly the pre-manifest history: legacy
+    // publishes were strictly sequential (pointer never moved backwards)
+    // and version ALLOCATION is monotone above every directory that ever
+    // existed, so every legacy version sits strictly below the first
+    // manifest-recorded id — while a manifest-era crashed writer's orphan
+    // was allocated above some already-recorded version and therefore
+    // NEVER satisfies v < min(manifest): it is swept as before. The one
+    // residual blind spot is a PRE-manifest-era orphan later overtaken by
+    // the pointer — indistinguishable from a legacy commit by the legacy
+    // code's own invariant, retained exactly as the old fallback retained
+    // it (never newly-leaked disk).
     val recorded = publishedVersions(root).toSet
+    val minRecorded = if (recorded.isEmpty) Long.MaxValue else recorded.min
     val cur = currentVersion(root).getOrElse(Long.MinValue)
-    val committed: Long => Boolean = v => recorded.contains(v) || v <= cur
+    val committed: Long => Boolean =
+      v => recorded.contains(v) || (v <= cur && v < minRecorded)
     val removed = scala.collection.mutable.ArrayBuffer[Long]()
     val kids = dir.toFile.listFiles()
     if (kids != null) kids.foreach { f =>

@@ -862,11 +862,10 @@ object LlmOps {
     // assigned to a cell and searchable, matching the oracle's vecs CTE.
     val vecs = emb.select(col("vec_id"), dbl.as("e"))
       .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell_label").asc)
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("cscore", dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
-      .withColumn("crn", row_number().over(byVec))
+    // Shared assignment core (operators/IvfAssign): the cosine scoring and
+    // the crn tie-break rule are the SAME code the streaming STR-IVF op
+    // runs, so batch and streamed assignments cannot drift.
+    graft.operators.IvfAssign.ranked(vecs, cent)
   }
 
   /** The certified SIM-1d IVF pipeline. `maxProbe` widens the probed-cell
@@ -897,6 +896,43 @@ object LlmOps {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("score_raw"))
   }
+
+  /** Brute-force cosine top-3 ground truth shared by every ANN recall
+    * audit (`ivf_eval`, `ivf_curve`, `ivf_pq_eval`, `ivf_pq_curve`): the
+    * broadcast-query exact leg (query-count-bounded by construction;
+    * sample-able at 100 TB per ddp_eval's methodology). One definition so
+    * the audits cannot diverge on the query bound or the tie-break. */
+  private def bruteTruthTop3(s: SparkSession, d: String): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id"), dbl.as("e"),
+      sqrt(dot_product(dbl, dbl)).as("nrm"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_raw",
+        dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Per-query recall@3 of an approx (query_id, neighbor_id) pair set
+    * against [[bruteTruthTop3]] — ivf_eval's audit rule, shared verbatim
+    * by the IVF and IVF-PQ evals. */
+  private def recallPerQuery(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.join(
+        approx.select(col("query_id").as("iq"), col("neighbor_id").as("in_")),
+        col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("iq")).cast("int").as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall"))
 
   /** IVF-PQ composed search — the billion-vector index layout assembled
     * from this repo's two certified halves: SIM-1d's IVF cells (coarse
@@ -1204,31 +1240,8 @@ object LlmOps {
     //      stack actually costs in recall — ship the index, ship the
     //      audit. Truth leg identical to ivf_eval's (query-count-bounded,
     //      sample-able at scale). ----
-    "ivf_pq_eval" -> ((s, d) => {
-      val emb = load(s, d, "embeddings")
-      val dbl = transform(col("embedding"), x => x.cast("double"))
-      val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-        col("nrm").as("cn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      val truth = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_raw", dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
-      val pq = ivfPqRanked(s, d).select(col("query_id").as("iq"),
-        col("neighbor_id").as("in_"))
-      ordered(truth.join(pq,
-          col("query_id") === col("iq") && col("neighbor_id") === col("in_"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("iq")).cast("int").as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
-    }),
+    "ivf_pq_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d), ivfPqRanked(s, d)))),
 
     // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
     //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
@@ -1239,31 +1252,8 @@ object LlmOps {
     //      certified sim1_ivf pipeline verbatim. At 100 TB the truth leg
     //      runs on a SAMPLED query set (ddp_eval's rate² lever) — recall
     //      estimates need tens of queries, not the corpus. ----
-    "ivf_eval" -> ((s, d) => {
-      val emb = load(s, d, "embeddings")
-      val dbl = transform(col("embedding"), x => x.cast("double"))
-      val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-        col("nrm").as("cn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      val truth = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_raw", dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = ivfRanked(s, d).select(col("query_id").as("iq"),
-        col("neighbor_id").as("in_"))
-      ordered(truth.join(ivf,
-          col("query_id") === col("iq") && col("neighbor_id") === col("in_"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("iq")).cast("int").as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          dec4S(col("n_hit").cast("double") / lit(3.0)).as("recall")))
-    }),
+    "ivf_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d), ivfRanked(s, d)))),
 
     // ---- SIM-EVAL2: ranked-retrieval quality audit (`ann_ndcg`) —
     //      ivf_eval grades the IVF index on recall alone; this grades the
@@ -1456,6 +1446,10 @@ object LlmOps {
     //      loss, the number that prices the 64× compression. ----
     "ivf_pq_curve" -> ((s, d) => {
       val pool = pin(ivfPqRanked(s, d, raw = true))
+      val truth = pin(bruteTruthTop3(s, d))
+      // Re-rank inputs (query vectors + corpus vectors with norms) — the
+      // truth leg is the shared bruteTruthTop3; only the per-shortlist
+      // exact re-rank needs the raw vectors here.
       val emb = load(s, d, "embeddings")
       val dbl = transform(col("embedding"), x => x.cast("double"))
       val base = emb.select(col("vec_id"), dbl.as("e"),
@@ -1464,13 +1458,6 @@ object LlmOps {
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       val cc = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn2"))
-      val wt = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      val truth = pin(broadcast(q).join(cc, col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_raw",
-          dot_product(col("qe"), col("ce")) / (col("qn") * col("cn2")))
-        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id")))
       val wAdc = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
       val rows = Seq(4, 8, 16).map { ln =>
@@ -1509,21 +1496,7 @@ object LlmOps {
     //      once. ----
     "ivf_curve" -> ((s, d) => {
       val pool = pin(ivfRanked(s, d, maxProbe = 3, raw = true))
-      val emb = load(s, d, "embeddings")
-      val dbl = transform(col("embedding"), x => x.cast("double"))
-      val base = emb.select(col("vec_id"), dbl.as("e"),
-        sqrt(dot_product(dbl, dbl)).as("nrm"))
-      val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val cc = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-        col("nrm").as("cn"))
-      val wt = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      val truth = pin(broadcast(q).join(cc, col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_raw",
-          dot_product(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id")))
+      val truth = pin(bruteTruthTop3(s, d))
       val rows = (1 to 3).map { p =>
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score_raw").desc, col("neighbor_id").asc)

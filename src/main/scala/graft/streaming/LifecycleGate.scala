@@ -41,14 +41,18 @@ object LifecycleGate {
   // `status` field — substring matching on the raw text would misread any
   // record whose embedded error message quotes another record's
   // `"status":"failed"`, or miss a serializer that emits `"status": "x"`
-  // with whitespace. Jackson ships with Spark; an unparseable record
-  // classifies as neither success nor failure (it still counts toward
-  // `actions`, so a run of only-garbage records holds the gate).
+  // with whitespace. Jackson ships with Spark. An UNPARSEABLE record (or
+  // one with no/unknown status field) classifies as a FAILURE: the gate
+  // consumes any transport's records, and a mangled failure report must
+  // hold the publish, never release it — a record we cannot read is a
+  // record we cannot trust.
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def statusOf(s: String): Option[String] =
     try Option(mapper.readTree(s)).flatMap(n => Option(n.get("status"))).map(_.asText())
     catch { case _: Exception => None }
-  private def isFailure(s: String): Boolean = statusOf(s).contains("failed")
+  private def isFailure(s: String): Boolean =
+    !statusOf(s).exists(v => v == "success" || v == "completed" ||
+      v == "started" || v == "progress")
   private def isSuccess(s: String): Boolean =
     statusOf(s).exists(v => v == "success" || v == "completed")
 
@@ -93,11 +97,20 @@ object LifecycleGate {
     * listener's (drained) records; publish `df` as the next version of
     * `root` iff the gate releases, stamping the decision into the version
     * `_META`. Returns the published version, or None when the gate held. */
+  /** Drain the listener and produce the gate's full verdict — the entry
+    * point for callers that must distinguish a held-by-timeout run
+    * (retriable: re-await and re-decide) from a held-by-failure run
+    * (terminal: alert). `publishIfClean`/`gatedPublish` route through
+    * this, so the publish path and the decision path cannot diverge. */
+  def decide(listener: StatusListener, timeoutMs: Long = 2000): Decision = {
+    val seen = awaitStatuses(listener, timeoutMs)
+    evaluate(seen, timedOut = seen.isEmpty)
+  }
+
   def publishIfClean(listener: StatusListener, df: DataFrame, root: String,
                      meta: Map[String, String] = Map.empty,
                      timeoutMs: Long = 2000): Option[Long] = {
-    val seen = awaitStatuses(listener, timeoutMs)
-    val d = evaluate(seen, timedOut = seen.isEmpty)
+    val d = decide(listener, timeoutMs)
     if (d.release)
       Some(graft.core.Snapshot.publish(df, root,
         meta + ("gate_actions" -> d.actions.toString)))

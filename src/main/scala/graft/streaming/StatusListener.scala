@@ -19,13 +19,21 @@ final class StatusListener extends QueryExecutionListener {
 
   def statuses: List[String] = events.asScala.toList
 
+  // Records must be VALID JSON whatever the payload — the gate now parses
+  // them, and an unparseable record classifies as a failure (the safe
+  // direction, but a clean run must never produce one). Jackson owns the
+  // string escaping, so an error message carrying quotes/newlines (e.g. a
+  // path inside an exception message) cannot tear the record.
+  private def jstr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
   private def record(funcName: String, qe: QueryExecution,
                      durationNs: Long, error: Option[String]): Unit = {
     val rows = Option(qe.executedPlan.metrics.get("numOutputRows"))
       .flatten.map(_.value).getOrElse(-1L)
-    val status = error.map(e => s""""failed","error":"$e"""").getOrElse("\"success\"")
+    val status = error.map(e => s""""failed","error":${jstr(e)}""").getOrElse("\"success\"")
     events.add(
-      s"""{"action":"$funcName","status":$status,"output_rows":$rows,""" +
+      s"""{"action":${jstr(funcName)},"status":$status,"output_rows":$rows,""" +
         s""""duration_ms":${durationNs / 1000000}}""")
   }
 

@@ -117,18 +117,9 @@ object StreamOps {
     * centroid table is index METADATA (k rows), so the cross is the
     * declared vectors × broadcast-k shape, never data × data. */
   def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.dot_product
     val dbl = transform(col("embedding"), x => x.cast("double"))
     val base = vecs.select(col("vec_id"), dbl.as("e"))
-      .withColumn("vn", sqrt(dot_product(col("e"), col("e"))))
-    val centN = cent.withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell_label").asc)
-    base.crossJoin(broadcast(centN))
-      .withColumn("cscore",
-        dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
-      .withColumn("crn", row_number().over(byVec))
+    graft.operators.IvfAssign.ranked(base, cent)
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell_label").as("cell"))
   }
@@ -140,14 +131,20 @@ object StreamOps {
     * inverted-list store — the layout `ivf_pq` searches. Windows are not
     * available on streaming frames, so the per-vector argmin runs inside
     * foreachBatch (each micro-batch is a batch plan); exactly-once at FILE
-    * granularity via the same path-keyed dynamic-overwrite convergence as
-    * [[runNotifiedLoad]]: a replayed micro-batch or duplicate file
-    * delivery rewrites its own (cell, _src) partitions with identical
-    * content instead of appending a second copy. At 100 TB the centroid
-    * table stays k rows (broadcast), arrivals cost ∝ batch × k, and cell
-    * partitions compact on the usual schedule — centroid RETRAINING is the
-    * batch job (kmeans_iter), republished via Snapshot; this op only
-    * maintains the lists between retrains. */
+    * granularity by DELETE-THEN-APPEND keyed on the source-file hash: the
+    * store partitions as `_src=<md5(path)>/cell=…`, and each micro-batch
+    * first drops its own `_src` directories, then appends. Unlike a
+    * (cell, _src) dynamic overwrite — which only replaces partitions the
+    * NEW data lands in — this converges even when the centroid table
+    * changed between a crashed attempt and its replay (the retrain case:
+    * a vector reassigned c1→c2 would otherwise survive in both cells,
+    * since the replay's overwrite never touches the stale (c1, src)
+    * partition). The delete list is ≤ files-per-trigger directories,
+    * driver-side, through the Hadoop FileSystem API (any scheme). At
+    * 100 TB the centroid table stays k rows (broadcast), arrivals cost ∝
+    * batch × k, and cell partitions compact on the usual schedule —
+    * centroid RETRAINING is the batch job (kmeans_iter), republished via
+    * Snapshot; this op only maintains the lists between retrains. */
   def runIvfIngest(spark: SparkSession, vecDir: String,
                    schema: org.apache.spark.sql.types.StructType,
                    cent: DataFrame, outDir: String,
@@ -158,11 +155,22 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val withSrc = batch.withColumn("_src", md5(input_file_name()))
-        assignCells(withSrc, cent)
-          .join(withSrc, Seq("vec_id"))
-          .write.partitionBy("cell", "_src").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(outDir)
+        // ≤ maxFilesPerTrigger values — a scan-only distinct, never the
+        // assignment plan (which would run twice otherwise).
+        val srcs = withSrc.select(col("_src")).distinct()
+          .collect().map(_.getString(0))
+        if (srcs.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(conf)
+          srcs.foreach { h =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
+          }
+          assignCells(withSrc, cent)
+            .join(withSrc, Seq("vec_id"))
+            .write.partitionBy("_src", "cell").mode("append")
+            .parquet(outDir)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

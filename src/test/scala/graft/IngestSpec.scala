@@ -490,9 +490,20 @@ class IngestSpec extends AnyFunSuite {
     val failed = """{ "error": "boom", "status" : "failed" }"""
     val d2 = LifecycleGate.evaluate(Seq(spaced, failed))
     assert(!d2.release && d2.failures == Seq(failed))
-    // Unparseable garbage is neither success nor failure: counted, held.
-    val d3 = LifecycleGate.evaluate(Seq("not json at all"))
-    assert(!d3.release && d3.actions == 1 && d3.failures.isEmpty)
+    // Unparseable garbage classifies as a FAILURE (a record the gate
+    // cannot read is a record it cannot trust): it holds even when a
+    // clean success record sits next to it.
+    val d3 = LifecycleGate.evaluate(Seq(nested, "not json at all"))
+    assert(!d3.release && d3.actions == 2 &&
+      d3.failures == Seq("not json at all"),
+      "a malformed record must hold the gate as a failure")
+    // Neutral streaming lifecycle records (started/progress) are neither.
+    val d4 = LifecycleGate.evaluate(Seq(
+      """{"query":"q","status":"started"}""",
+      """{"query":"q","status":"progress","batch":0}""",
+      """{"query":"q","status":"completed"}"""))
+    assert(d4.release && d4.failures.isEmpty,
+      "started/progress records must not hold a completed run")
     // The timed-out distinction: an empty list that EXPIRED is marked
     // retriable-timeout, distinct from a recorded-failure hold.
     val dt = LifecycleGate.evaluate(Nil, timedOut = true)

@@ -149,6 +149,20 @@ class SnapshotSpec extends AnyFunSuite {
     // Orphans ABOVE the pointer are still swept on the same root.
     table(4, 5).write.mode("overwrite").parquet(s"$root2/v=4")
     assert(Snapshot.fsck(root2) == Seq(4L))
+
+    // And a manifest-era orphan BELOW the pointer is swept too — the
+    // legacy arm is bounded by min(manifest), so it cannot shelter a
+    // crashed writer whose slot a later publish overtook: v1 committed
+    // (manifest era), crash plants v2, the next publish lands v3 and
+    // moves the pointer past the orphan.
+    val root3 = tempDir("snap_mixed3").toString
+    Snapshot.publish(table(1, 10), root3)
+    table(2, 5).write.mode("overwrite").parquet(s"$root3/v=2")
+    assert(Snapshot.publish(table(3, 30), root3) == 3L)
+    assert(Snapshot.fsck(root3) == Seq(2L),
+      "an unrecorded manifest-era version under the pointer is an orphan")
+    assert(Snapshot.read(spark, root3).count() == 30L)
+    assert(Snapshot.read(spark, root3, Some(1L)).count() == 10L)
   }
 
   test("fsck sweeps abandoned staging directories from crashed publishers") {

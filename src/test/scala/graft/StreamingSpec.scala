@@ -896,6 +896,18 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent, out, ckpt)
     assertSameRows(stored().distinct(), batchAssign,
       "duplicate delivery must not change the distinct (vec, cell) set")
+    // Replay under RETRAINED centroids (the crashed-attempt-then-restart
+    // case): wiping the checkpoint re-delivers every file; with a new
+    // centroid table the delete-then-append keying must leave NO stale
+    // old-cell rows — the store equals the batch assignment under the new
+    // table only.
+    val cent2 = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(concat(lit("r"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent2, out, ckpt)
+    assertSameRows(stored().distinct(), StreamOps.assignCells(emb, cent2),
+      "full replay under retrained centroids must leave no stale cells")
   }
 
   test("STR-NTFY notification-queue load equals the LIST-polling source; replay and duplicate notifications converge") {
