@@ -592,8 +592,10 @@ object LlmOps {
     * of [[ivfPqRanked]]: vec_pq's PQ training/encoding CTEs (p-prefixed
     * to coexist with the IVF base CTEs) + per-query LUT + ADC scan over
     * the probe cells + exact re-rank of the ADC top-16. */
-  private lazy val duckIvfPqCtes: String =
-    s"""$duckIvfBaseCtes, plf AS (
+  /** Long-form (vec, subspace, position, dec4 value) embedding CTEs shared
+    * by the direct-PQ and residual-PQ oracle pipelines. */
+  private lazy val duckPqLongCtes: String =
+    s"""plf AS (
       |  SELECT vec_id, CAST(dim AS INT) AS dim, CAST(x AS DOUBLE) AS xd
       |  FROM (SELECT vec_id, unnest(embedding) AS x,
       |          unnest(generate_series(1, len(embedding))) AS dim
@@ -602,7 +604,10 @@ object LlmOps {
       |  SELECT vec_id, ((dim - 1) // 8) + 1 AS sp, ((dim - 1) % 8) + 1 AS p,
       |    CAST(floor(xd*10000+0.5)/10000 AS DECIMAL(18,4)) AS xq
       |  FROM plf
-      |), psign AS (
+      |)""".stripMargin
+
+  private lazy val duckIvfPqCtes: String =
+    s"""$duckIvfBaseCtes, $duckPqLongCtes, psign AS (
       |  SELECT vec_id, sp,
       |    CAST(SUM(CASE WHEN xq > 0 AND p = 1 THEN 8 WHEN xq > 0 AND p = 2 THEN 4
       |      WHEN xq > 0 AND p = 3 THEN 2 WHEN xq > 0 AND p = 4 THEN 1
@@ -659,6 +664,92 @@ object LlmOps {
       |      pshort.neighbor_id ASC) AS INT) AS rn
       |  FROM pshort JOIN pqv ON pshort.query_id = pqv.query_id
       |    JOIN cells ON pshort.neighbor_id = cells.vec_id
+      |)""".stripMargin
+
+  /** Residual-IVFADC oracle pipeline through its `rranked` CTE — DuckDB
+    * twin of [[ivfPqResRanked]]: cell centroids in long decimal form,
+    * residuals r = xq − μ, PQ train/encode on residuals, ADC as
+    * q·μ + Σ LUT(raw q, residual codeword), exact re-rank of the top-16. */
+  private lazy val duckIvfPqResCtes: String =
+    s"""$duckIvfBaseCtes, $duckPqLongCtes, mlong AS (
+      |  SELECT embeddings.label AS cell_label, plq.sp, plq.p,
+      |    CAST(floor((CAST(SUM(plq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS m
+      |  FROM plq JOIN embeddings ON plq.vec_id = embeddings.vec_id
+      |    JOIN documents ON plq.vec_id = documents.doc_id
+      |  GROUP BY 1, 2, 3
+      |), rlong AS (
+      |  SELECT plq.vec_id, plq.sp, plq.p,
+      |    CAST(plq.xq - mlong.m AS DECIMAL(18,4)) AS r
+      |  FROM plq JOIN cells ON plq.vec_id = cells.vec_id
+      |    JOIN mlong ON cells.cell = mlong.cell_label
+      |      AND plq.sp = mlong.sp AND plq.p = mlong.p
+      |), rsign AS (
+      |  SELECT vec_id, sp,
+      |    CAST(SUM(CASE WHEN r > 0 AND p = 1 THEN 8 WHEN r > 0 AND p = 2 THEN 4
+      |      WHEN r > 0 AND p = 3 THEN 2 WHEN r > 0 AND p = 4 THEN 1
+      |      ELSE 0 END) AS INT) AS cell
+      |  FROM rlong GROUP BY 1, 2
+      |), rbook AS (
+      |  SELECT rlong.sp, rsign.cell, rlong.p,
+      |    CAST(floor((CAST(SUM(rlong.r) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
+      |  FROM rlong JOIN rsign ON rlong.vec_id = rsign.vec_id AND rlong.sp = rsign.sp
+      |  GROUP BY 1, 2, 3
+      |), rdist AS (
+      |  SELECT rlong.vec_id, rlong.sp, rbook.cell,
+      |    SUM((rlong.r - rbook.c) * (rlong.r - rbook.c)) AS dist
+      |  FROM rlong JOIN rbook ON rlong.sp = rbook.sp AND rlong.p = rbook.p
+      |  GROUP BY 1, 2, 3
+      |), rcode AS (
+      |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM rdist
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+      |    ORDER BY dist ASC, cell ASC) = 1
+      |), pprobes AS (
+      |  SELECT vec_id AS query_id, cell_label AS pcell
+      |  FROM assigned WHERE vec_id < 10 AND crn <= 2
+      |), pqv AS (
+      |  SELECT vec_id AS query_id, e AS qe, vn AS qn FROM cells WHERE vec_id < 10
+      |), qmu AS (
+      |  SELECT plq.vec_id AS query_id, mlong.cell_label, SUM(plq.xq * mlong.m) AS qmu
+      |  FROM plq JOIN mlong ON plq.sp = mlong.sp AND plq.p = mlong.p
+      |  WHERE plq.vec_id < 10
+      |  GROUP BY 1, 2
+      |), rlut AS (
+      |  SELECT plq.vec_id AS query_id, plq.sp, rbook.cell AS cw,
+      |    SUM(plq.xq * rbook.c) AS ip
+      |  FROM plq JOIN rbook ON plq.sp = rbook.sp AND plq.p = rbook.p
+      |  WHERE plq.vec_id < 10
+      |  GROUP BY 1, 2, 3
+      |), rcand AS (
+      |  SELECT pprobes.query_id, cells.vec_id AS neighbor_id, cells.vn AS cn,
+      |    cells.cell
+      |  FROM pprobes JOIN cells ON pprobes.pcell = cells.cell
+      |    AND pprobes.query_id <> cells.vec_id
+      |), radc AS (
+      |  SELECT a.query_id, a.neighbor_id, a.cn, a.cell, a.lutsum, qmu.qmu
+      |  FROM (
+      |    SELECT rcand.query_id, rcand.neighbor_id, rcand.cn, rcand.cell,
+      |      SUM(rlut.ip) AS lutsum
+      |    FROM rcand JOIN rcode ON rcand.neighbor_id = rcode.neighbor_id
+      |      JOIN rlut ON rcand.query_id = rlut.query_id
+      |        AND rcode.sp = rlut.sp AND rcode.cw = rlut.cw
+      |    GROUP BY 1, 2, 3, 4) a
+      |  JOIN qmu ON a.query_id = qmu.query_id AND a.cell = qmu.cell_label
+      |), rpool AS (
+      |  SELECT radc.query_id, radc.neighbor_id,
+      |    CAST(radc.qmu + radc.lutsum AS DOUBLE) / (pqv.qn * radc.cn) AS adc_raw
+      |  FROM radc JOIN pqv ON radc.query_id = pqv.query_id
+      |), rshort AS (
+      |  SELECT query_id, neighbor_id, adc_raw FROM rpool
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_raw DESC, neighbor_id ASC) <= 16
+      |), rranked AS (
+      |  SELECT rshort.query_id, rshort.neighbor_id, rshort.adc_raw,
+      |    list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) AS score_raw,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY rshort.query_id ORDER BY
+      |      list_sum(list_transform(list_zip(pqv.qe, cells.e), x -> x[1] * x[2])) / (pqv.qn * cells.vn) DESC,
+      |      rshort.neighbor_id ASC) AS INT) AS rn
+      |  FROM rshort JOIN pqv ON rshort.query_id = pqv.query_id
+      |    JOIN cells ON rshort.neighbor_id = cells.vec_id
       |)""".stripMargin
 
   private lazy val duckIvfCtes: String =
@@ -1054,6 +1145,127 @@ object LlmOps {
     }
   }
 
+  /** Residual-encoding IVFADC — the quality step real IVF-PQ indexes take
+    * beyond [[ivfPqRanked]]'s direct-vector PQ (Jégou et al. §III.C):
+    * quantize each vector's RESIDUAL against its cell centroid,
+    * r_v = v − μ_cell(v), instead of the vector itself. Residuals are
+    * centered and much lower-variance than raw vectors, so the same
+    * 8×16 codebook budget spends its codewords on the fine structure —
+    * the recall win `ivf_pq_res_eval` measures against `ivf_pq_eval`.
+    *
+    * Scoring identity that keeps ADC table-driven: with v ≈ μ + r̂,
+    *   q·v ≈ q·μ_cell  +  q·r̂
+    * so the scan needs (a) one q·μ scalar per (query, cell) — a
+    * |queries|×|cells| broadcast — and (b) the usual LUT of the RAW
+    * query against the residual codebook. No query-side residual is ever
+    * formed. Decimal discipline identical to PQ-1: centroid dims, xq and
+    * residuals all DECIMAL(18,4) (differences exact — values ≪ 10¹⁴),
+    * products at scale 8, every sum an exact decimal fold; the only
+    * doubles are the final norm divides. Per-vector search state is the
+    * same 9 small values as ivf_pq (cell + 8 codes + norm). */
+  private def ivfPqResRanked(s: SparkSession, d: String,
+      shortlist: Int = 16): DataFrame = {
+    val doc = load(s, d, "documents")
+    val emb = load(s, d, "embeddings")
+    val long = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("p0", "xf")))
+      .select(col("vec_id"),
+        (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
+        (pmod(col("p0"), lit(8)) + 1).as("p"),
+        dec4(col("xf").cast("double")).cast(DecimalType(18, 4)).as("xq"))
+      .pinned
+    // --- IVF cells + probes (shared assignment) ---
+    val assigned = ivfAssigned(s, d)
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell_label").as("pcell"))
+    val qv = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("vn").as("qn"))
+    // --- Cell centroids in LONG decimal form (the same label-trained
+    //     per-dim dec4 means ivfAssigned's centroid table holds: label
+    //     from embeddings, doc join = training-set membership) ---
+    val centLong = long
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(doc.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .groupBy(col("label").as("cell_label"), col("sp"), col("p"))
+      .agg(dec4(sum(col("xq")).cast("double") / count(lit(1)))
+        .cast(DecimalType(18, 4)).as("m"))
+      .pinned // |cells|·64 rows; residual join + q·μ table + LUT-free
+    // --- Residuals: r = xq − μ_cell(v), exact decimal ---
+    val rlong = long
+      .join(cells.select(col("vec_id"), col("cell_label")), Seq("vec_id"))
+      .join(broadcast(centLong), Seq("cell_label", "sp", "p"))
+      .select(col("vec_id"), col("sp"), col("p"),
+        (col("xq") - col("m")).cast(DecimalType(18, 4)).as("r"))
+      .pinned
+    // --- PQ train/encode on residuals (vec_pq's scheme verbatim) ---
+    val rsign = rlong.groupBy(col("vec_id"), col("sp"))
+      .agg(sum(when(col("r") > 0,
+          when(col("p") === 1, 8).when(col("p") === 2, 4)
+            .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
+        .otherwise(0)).cast("int").as("cell"))
+    val rbook = rlong.join(rsign, Seq("vec_id", "sp"))
+      .groupBy(col("sp"), col("cell"), col("p"))
+      .agg(dec4(sum(col("r")).cast("double") / count(lit(1)))
+        .cast(DecimalType(18, 4)).as("c"))
+      .pinned
+    val rdist = rlong.join(broadcast(rbook), Seq("sp", "p"))
+      .withColumn("dd", (col("r") - col("c")).cast(DecimalType(18, 4)))
+      .groupBy(col("vec_id"), col("sp"), col("cell"))
+      .agg(sum(col("dd") * col("dd")).as("dist"))
+    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val rcode = rdist.withColumn("prn", row_number().over(wsp))
+      .filter(col("prn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sp"), col("cell").as("cw"))
+    // --- q·μ per (query, cell): |queries|×|cells| broadcast scalars ---
+    val qmu = long.filter(col("vec_id") < 10)
+      .join(broadcast(centLong), Seq("sp", "p"))
+      .groupBy(col("vec_id"), col("cell_label"))
+      .agg(sum(col("xq") * col("m")).as("qmu"))
+      .select(col("vec_id").as("query_id"), col("cell_label"), col("qmu"))
+    // --- LUT: RAW query × residual codebook ---
+    val qlut = long.filter(col("vec_id") < 10)
+      .join(broadcast(rbook), Seq("sp", "p"))
+      .groupBy(col("vec_id"), col("sp"), col("cell"))
+      .agg(sum(col("xq") * col("c")).as("ip"))
+      .select(col("vec_id").as("query_id"), col("sp"),
+        col("cell").as("cw"), col("ip"))
+    // --- ADC scan: q·μ + Σ_sp LUT, over the probed cells ---
+    val cand = broadcast(probes).join(
+      cells.select(col("vec_id").as("neighbor_id"), col("vn").as("cn"),
+        col("cell_label")),
+      col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cn"), col("cell_label"))
+    val adc = cand.join(rcode, Seq("neighbor_id"))
+      .join(broadcast(qlut), Seq("query_id", "sp", "cw"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cn"), col("cell_label"))
+      .agg(sum(col("ip")).as("lutsum"))
+      .join(broadcast(qmu), Seq("query_id", "cell_label"))
+    val pool = adc
+      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .withColumn("adc_raw",
+        (col("qmu") + col("lutsum")).cast("double") / (col("qn") * col("cn")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+    val short = pool
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    short
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+        col("vn").as("cn2")), Seq("neighbor_id"))
+      .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
+      .withColumn("score_raw",
+        dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+      .withColumn("rn", row_number().over(wFin))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("adc_raw"), col("score_raw"))
+  }
+
   val all: Map[String, Q] = Map(
     // ---- MM-1: multimodal carry — vector columns survive joins ----
     "mm1" -> ((s, d) => {
@@ -1242,6 +1454,24 @@ object LlmOps {
     //      sample-able at scale). ----
     "ivf_pq_eval" -> ((s, d) =>
       ordered(recallPerQuery(bruteTruthTop3(s, d), ivfPqRanked(s, d)))),
+
+    // ---- SIM-1f: residual-encoding IVFADC (`ivf_pq_res`) — see
+    //      [[ivfPqResRanked]]: PQ codebooks trained on CELL RESIDUALS
+    //      (v − μ_cell) instead of raw vectors, scored as q·μ + LUT(q, r̂)
+    //      — the standard quality step over SIM-1e for the same
+    //      per-vector state and scan cost. ----
+    "ivf_pq_res" -> ((s, d) =>
+      ordered(ivfPqResRanked(s, d)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("adc_raw")).as("adc"),
+          dec4S(col("score_raw")).as("score")))),
+
+    // ---- SIM-EVAL4: residual-IVFADC recall audit (`ivf_pq_res_eval`) —
+    //      the number that JUSTIFIES the residual step: recall@3 of the
+    //      residual stack vs brute truth, read against SIM-EVAL3's
+    //      direct-PQ recall at identical probe/shortlist budgets. ----
+    "ivf_pq_res_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d), ivfPqResRanked(s, d)))),
 
     // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
     //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
@@ -4120,6 +4350,35 @@ object LlmOps {
         |)
         |ORDER BY shortlist NULLS FIRST, n_truth NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST""".stripMargin
     },
+
+    "ivf_pq_res" ->
+      s"""WITH $duckIvfPqResCtes
+        |SELECT query_id, rn, neighbor_id,
+        |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
+        |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+        |FROM rranked WHERE rn <= 3
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_pq_res_eval" ->
+      s"""WITH $duckIvfPqResCtes, pq AS (
+        |  SELECT query_id, neighbor_id FROM rranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN pq i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
 
     "ivf_pq_eval" ->
       s"""WITH $duckIvfPqCtes, pq AS (

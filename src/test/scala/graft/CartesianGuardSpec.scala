@@ -80,6 +80,9 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // sim1_ivf's cell-assignment cross; audit join equi-keyed
     "ivf_pq_curve", // same two declared shapes (truth leg + cell
                   // assignment); the three shortlist re-ranks are equi-keyed
+    "ivf_pq_res", // sim1_ivf's cell-assignment cross; residual/LUT/q·μ/
+                  // re-rank joins are all equi-keyed
+    "ivf_pq_res_eval", // ivf_eval's rationale on the residual stack
     "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape
     "standard_scale", // the 1-row moment vector attaches twice (checksum

@@ -413,19 +413,21 @@ class PlanGuardSpec extends AnyFunSuite {
     // and top-3 cuts must push WindowGroupLimit; and every window is
     // per-vector/per-query partitioned (no single-task rank at any
     // corpus width).
-    val p = plan("ivf_pq")
-    assert(p.contains("BroadcastHashJoin"),
-      "codebook/LUT/query sides should reach their joins as broadcasts")
-    assert(p.contains("WindowGroupLimit"),
-      "srn<=16 / rn<=3 should push group limits below their windows")
-    val df = SparkEntry.queries("ivf_pq")(spark, sfDir)
-    val global = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-        if w.partitionSpec.isEmpty => w
+    Seq("ivf_pq", "ivf_pq_res").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: codebook/LUT/query sides should reach their joins as broadcasts")
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: srn<=16 / rn<=3 should push group limits below their windows")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name: ${global.size} unpartitioned Window node(s):\n" +
+          global.mkString("\n").take(800))
     }
-    assert(global.isEmpty,
-      s"ivf_pq: ${global.size} unpartitioned Window node(s):\n" +
-        global.mkString("\n").take(800))
   }
 
   test("ivl_merge: island labeling runs distributed — no unpartitioned window") {
