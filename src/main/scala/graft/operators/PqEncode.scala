@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The ONE product-quantizer train/encode core behind every PQ surface —
+  * `vec_pq`'s shapes, shared by the direct (`ivf_pq`) and residual
+  * (`ivf_pq_res`) IVFADC pipelines and by the streaming encode
+  * (`StreamOps.encodePq`), so a codebook trained by the batch job and the
+  * codes assigned to streamed arrivals cannot drift.
+  *
+  * Input is the LONG decimal form: (vec_id, sp ∈ 1..8, p ∈ 1..8,
+  * <v> DECIMAL(18,4)) — one row per vector × dimension, subspace-split.
+  * Decimal discipline per PQ-1: (18,4) operands keep the squared-diff /
+  * product terms at exact scale 8 under Spark's 38-digit cap. */
+object PqEncode {
+  /** Sign-bucket-seeded codebook: each (vec, sp) pairs into the sign cell
+    * of its first four positions, and the codeword is the per-(sp, cell,
+    * p) dec4 mean — the deterministic one-step k-means stand-in
+    * (`vec_pq`'s scheme; ≤ 8·16·8 = 1024 rows). */
+  def codebook(long: DataFrame, v: String): DataFrame = {
+    val sign = long.groupBy(col("vec_id"), col("sp"))
+      .agg(sum(when(col(v) > 0,
+          when(col("p") === 1, 8).when(col("p") === 2, 4)
+            .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
+        .otherwise(0)).cast("int").as("cell"))
+    long.join(sign, Seq("vec_id", "sp"))
+      .groupBy(col("sp"), col("cell"), col("p"))
+      .agg(graft.core.Tables.dec4(
+          sum(col(v)).cast("double") / count(lit(1)))
+        .cast(DecimalType(18, 4)).as("c"))
+  }
+
+  /** Nearest-codeword assignment: per (vec_id, sp) the cell minimizing the
+    * exact-decimal squared distance to the codeword (ties → smaller
+    * cell). Returns (vec_id, sp, cw). */
+  def encode(long: DataFrame, book: DataFrame, v: String): DataFrame = {
+    val dist = long.join(broadcast(book), Seq("sp", "p"))
+      .withColumn("dd", (col(v) - col("c")).cast(DecimalType(18, 4)))
+      .groupBy(col("vec_id"), col("sp"), col("cell"))
+      .agg(sum(col("dd") * col("dd")).as("dist"))
+    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    dist.withColumn("prn", row_number().over(wsp))
+      .filter(col("prn") === 1)
+      .select(col("vec_id"), col("sp"), col("cell").as("cw"))
+  }
+
+  /** Wide embedding rows → the long decimal form the core operates on. */
+  def toLong(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("p0", "xf")))
+      .select(col("vec_id"),
+        (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
+        (pmod(col("p0"), lit(8)) + 1).as("p"),
+        graft.core.Tables.dec4(col("xf").cast("double"))
+          .cast(DecimalType(18, 4)).as("xq"))
+}

@@ -1059,34 +1059,13 @@ object LlmOps {
   private def ivfPqRanked(s: SparkSession, d: String,
       shortlist: Int = 16, raw: Boolean = false): DataFrame = {
     val emb = load(s, d, "embeddings")
-    // --- PQ training + encoding (vec_pq verbatim; see PQ-1 for the
-    //     decimal-width rationale) ---
-    val long = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("p0", "xf")))
-      .select(col("vec_id"),
-        (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
-        (pmod(col("p0"), lit(8)) + 1).as("p"),
-        dec4(col("xf").cast("double")).cast(DecimalType(18, 4)).as("xq"))
-      .pinned
-    val sign = long.groupBy(col("vec_id"), col("sp"))
-      .agg(sum(when(col("xq") > 0,
-          when(col("p") === 1, 8).when(col("p") === 2, 4)
-            .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
-        .otherwise(0)).cast("int").as("cell"))
-    val book = long.join(sign, Seq("vec_id", "sp"))
-      .groupBy(col("sp"), col("cell"), col("p"))
-      .agg(dec4(sum(col("xq")).cast("double") / count(lit(1)))
-        .cast(DecimalType(18, 4)).as("c"))
+    // --- PQ training + encoding (the shared operators/PqEncode core —
+    //     vec_pq's scheme; see PQ-1 for the decimal-width rationale) ---
+    val long = graft.operators.PqEncode.toLong(emb).pinned
+    val book = graft.operators.PqEncode.codebook(long, "xq")
       .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
-    val pdist = long.join(broadcast(book), Seq("sp", "p"))
-      .withColumn("dd", (col("xq") - col("c")).cast(DecimalType(18, 4)))
-      .groupBy(col("vec_id"), col("sp"), col("cell"))
-      .agg(sum(col("dd") * col("dd")).as("dist"))
-    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
-      .orderBy(col("dist").asc, col("cell").asc)
-    val code = pdist.withColumn("prn", row_number().over(wsp))
-      .filter(col("prn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("sp"), col("cell").as("cw"))
+    val code = graft.operators.PqEncode.encode(long, book, "xq")
+      .withColumnRenamed("vec_id", "neighbor_id")
     // --- IVF cells + probes (ivfAssigned verbatim) ---
     val assigned = ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
@@ -1167,13 +1146,7 @@ object LlmOps {
       shortlist: Int = 16): DataFrame = {
     val doc = load(s, d, "documents")
     val emb = load(s, d, "embeddings")
-    val long = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("p0", "xf")))
-      .select(col("vec_id"),
-        (call_function("div", col("p0"), lit(8)) + 1).as("sp"),
-        (pmod(col("p0"), lit(8)) + 1).as("p"),
-        dec4(col("xf").cast("double")).cast(DecimalType(18, 4)).as("xq"))
-      .pinned
+    val long = graft.operators.PqEncode.toLong(emb).pinned
     // --- IVF cells + probes (shared assignment) ---
     val assigned = ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
@@ -1199,26 +1172,11 @@ object LlmOps {
       .select(col("vec_id"), col("sp"), col("p"),
         (col("xq") - col("m")).cast(DecimalType(18, 4)).as("r"))
       .pinned
-    // --- PQ train/encode on residuals (vec_pq's scheme verbatim) ---
-    val rsign = rlong.groupBy(col("vec_id"), col("sp"))
-      .agg(sum(when(col("r") > 0,
-          when(col("p") === 1, 8).when(col("p") === 2, 4)
-            .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
-        .otherwise(0)).cast("int").as("cell"))
-    val rbook = rlong.join(rsign, Seq("vec_id", "sp"))
-      .groupBy(col("sp"), col("cell"), col("p"))
-      .agg(dec4(sum(col("r")).cast("double") / count(lit(1)))
-        .cast(DecimalType(18, 4)).as("c"))
-      .pinned
-    val rdist = rlong.join(broadcast(rbook), Seq("sp", "p"))
-      .withColumn("dd", (col("r") - col("c")).cast(DecimalType(18, 4)))
-      .groupBy(col("vec_id"), col("sp"), col("cell"))
-      .agg(sum(col("dd") * col("dd")).as("dist"))
-    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
-      .orderBy(col("dist").asc, col("cell").asc)
-    val rcode = rdist.withColumn("prn", row_number().over(wsp))
-      .filter(col("prn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("sp"), col("cell").as("cw"))
+    // --- PQ train/encode on residuals (the shared operators/PqEncode
+    //     core, applied to the residual column) ---
+    val rbook = graft.operators.PqEncode.codebook(rlong, "r").pinned
+    val rcode = graft.operators.PqEncode.encode(rlong, rbook, "r")
+      .withColumnRenamed("vec_id", "neighbor_id")
     // --- q·μ per (query, cell): |queries|×|cells| broadcast scalars ---
     val qmu = long.filter(col("vec_id") < 10)
       .join(broadcast(centLong), Seq("sp", "p"))

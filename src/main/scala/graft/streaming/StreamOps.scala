@@ -178,6 +178,18 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-IVF's PQ half: encode arriving vectors against a PUBLISHED
+    * codebook (index metadata, like the centroid table) through the SAME
+    * `operators/PqEncode` core the batch ivf_pq pipeline uses — streamed
+    * codes and batch codes cannot drift. Stateless per row (the codebook
+    * is fixed between retrains), so it composes into `runIvfIngest`'s
+    * foreachBatch exactly like `assignCells`: an arrival lands as
+    * (vec_id, cell, 8 codes, norm) — the complete IVFADC search state —
+    * without ever storing the raw vector in the hot index. */
+  def encodePq(vecs: DataFrame, book: DataFrame): DataFrame =
+    graft.operators.PqEncode.encode(
+      graft.operators.PqEncode.toLong(vecs), book, "xq")
+
   /** Documents-schema streaming source over a directory of parquet files —
     * incremental corpus ingestion: each arriving file is a micro-batch of
     * new documents. */

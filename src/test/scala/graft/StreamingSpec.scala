@@ -908,6 +908,18 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent2, out, ckpt)
     assertSameRows(stored().distinct(), StreamOps.assignCells(emb, cent2),
       "full replay under retrained centroids must leave no stale cells")
+
+    // The PQ half: encoding the corpus slice-by-slice against a published
+    // codebook equals encoding it whole — the stateless-per-row contract,
+    // through the same PqEncode core the batch ivf_pq pipeline uses.
+    val book = graft.operators.PqEncode.codebook(
+      graft.operators.PqEncode.toLong(emb), "xq")
+    val whole = StreamOps.encodePq(emb, book)
+    val sliced = (0 to 3).map(i =>
+        StreamOps.encodePq(emb.filter(pmod(col("vec_id"), lit(4)) === i), book))
+      .reduce(_ unionByName _)
+    assertSameRows(sliced, whole,
+      "per-slice PQ encode must equal the whole-corpus encode")
   }
 
   test("STR-NTFY notification-queue load equals the LIST-polling source; replay and duplicate notifications converge") {
