@@ -47,6 +47,7 @@ object Bench {
     val smokeBoard: Set[String] = Set(
       "agg1", "join2", "win1", "srt1", "pvt1",              // relational core
       "ddp_minhash", "ddp_ngram", "sim1_ivf", "ddp_exact",  // dedup / ANN
+      "ivf_pq",                                             // composed IVFADC
       "txt_quality", "bpe_train", "tfidf1",                 // text / tokenizer
       "funnel", "ivl_merge", "cdc_apply", "rate_audit",     // events
       "drift_ks", "auc_roc", "corr_matrix",                 // stats / eval
