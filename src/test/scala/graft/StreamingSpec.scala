@@ -922,6 +922,62 @@ class StreamingSpec extends AnyFunSuite {
       "per-slice PQ encode must equal the whole-corpus encode")
   }
 
+  test("index lifecycle end-to-end: train → publish metadata → stream arrivals → search") {
+    // The composed story the subsystems exist for: index METADATA
+    // (centroids + PQ codebook) is trained by a batch job and published
+    // as Snapshot versions; arrivals stream into the cell-partitioned
+    // store against the PUBLISHED centroid table; a search served from
+    // the streamed store equals the same search over the batch
+    // assignment. Four subsystems, one executable flow.
+    import graft.core.Snapshot
+    import graft.operators.PqEncode
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(concat(lit("c"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val book = PqEncode.codebook(PqEncode.toLong(emb), "xq")
+    // 1. Publish the index metadata; both versions round-trip losslessly.
+    val metaRoot = tempDir("idx_meta").toString
+    val vCent = Snapshot.publish(cent, metaRoot, Map("kind" -> "centroids"))
+    val vBook = Snapshot.publish(book, metaRoot, Map("kind" -> "codebook"))
+    assert(Snapshot.meta(metaRoot, vCent).get("kind").contains("centroids"))
+    assertSameRows(Snapshot.read(spark, metaRoot, Some(vBook)), book,
+      "published codebook must read back bit-identical")
+    val centPub = Snapshot.read(spark, metaRoot, Some(vCent))
+    // 2. Stream arrivals against the PUBLISHED centroid table.
+    val d = tempDir("idx_arrivals")
+    val out = tempDir("idx_store").toString
+    val ckpt = tempDir("idx_ckpt").toString
+    (0 to 1).foreach { i =>
+      writeSlice(emb.filter(pmod(col("vec_id"), lit(2)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runIvfIngest(spark, d.toString, emb.schema, centPub, out, ckpt)
+    val store = spark.read.parquet(out).select(col("vec_id"), col("cell"))
+    // 3. Search: query 0 probes its 2 nearest published cells; exact
+    // cosine top-3 among the STREAMED store's members of those cells must
+    // equal the same search over the batch assignment.
+    import graft.functions.GraftFunctions.dot_product
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val vecs = emb.select(col("vec_id"), dbl.as("e"))
+    val probes = graft.operators.IvfAssign.ranked(
+        vecs.filter(col("vec_id") === 0), centPub)
+      .filter(col("crn") <= 2).select(col("cell_label").as("pcell"))
+      .collect().map(_.getString(0)).toSeq
+    val qe = vecs.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), sqrt(dot_product(col("e"), col("e"))).as("qn"))
+    def top3(assignment: org.apache.spark.sql.DataFrame) =
+      assignment.filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+        .join(vecs, Seq("vec_id")).crossJoin(broadcast(qe))
+        .withColumn("score", dot_product(col("qe"), col("e")) /
+          (col("qn") * sqrt(dot_product(col("e"), col("e")))))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(3)
+        .select(col("vec_id"), graft.core.Tables.dec4S(col("score")).as("s"))
+    assertSameRows(top3(store), top3(StreamOps.assignCells(emb, centPub)),
+      "search over the streamed store vs the batch assignment")
+  }
+
   test("STR-NTFY notification-queue load equals the LIST-polling source; replay and duplicate notifications converge") {
     // The [REF] S3-event→Lambda trigger analog (SURVEY §2.1): arrivals are
     // announced by manifest lines in a queue directory, and the loader
