@@ -15,7 +15,20 @@ package graft.core
   * the other is mid-scan on.
   */
 object Warehouse {
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Memoized build slot: the map only ever stores cheap cells (created
+    * under `computeIfAbsent`'s bin lock), and the EXPENSIVE write runs
+    * under the cell's own `lazy val` lock — so two concurrent builds of
+    * unrelated datasets that happen to share a hash bin never serialize
+    * on each other's multi-minute writes, and a build that transitively
+    * triggers another `once` (a derived dataset) cannot hit
+    * ConcurrentHashMap's recursive-update failure mode. */
+  private final class Cell(thunk: () => String) {
+    @volatile private var builtDir: String = null
+    lazy val value: String = { val v = thunk(); builtDir = v; v }
+    def ifBuilt: Option[String] = Option(builtDir)
+  }
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   // Every dir this process builds is deleted at JVM exit: the pid suffix
   // that isolates concurrent processes also means no other process can be
@@ -25,16 +38,20 @@ object Warehouse {
   private def registerCleanup(): Unit =
     if (cleanupHook.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        built.values.forEach { dir =>
+        built.values.forEach { cell =>
           def rm(p: java.io.File): Unit = {
             val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
             p.delete(); ()
           }
-          try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+          // Only fully-built dirs are deleted; a cell whose write is still
+          // in flight at JVM exit leaves its partial dir (pid-suffixed,
+          // never read by another process).
+          cell.ifBuilt.foreach(dir =>
+            try rm(new java.io.File(dir)) catch { case _: Throwable => () })
         }))
 
   def once(srcDir: String, name: String)(write: String => Unit): String =
-    built.computeIfAbsent(s"$name|$srcDir", _ => {
+    built.computeIfAbsent(s"$name|$srcDir", _ => new Cell(() => {
       registerCleanup()
       val stem = srcDir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
       val key = f"${srcDir.hashCode}%08x"
@@ -42,5 +59,5 @@ object Warehouse {
       val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/${name}_${stem}_${key}_$pid"
       write(out)
       out
-    })
+    })).value
 }

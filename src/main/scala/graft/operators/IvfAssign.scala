@@ -30,9 +30,16 @@ object IvfAssign {
       else cent.withColumn("cn", sqrt(dot_product(col("ce"), col("ce"))))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cell_label").asc)
+    // Zero-norm guard: cosine against a zero vector is 0/0 = NaN, and NaN
+    // sorts ABOVE every real score under desc — one degenerate centroid
+    // (or vector) would otherwise silently capture crn=1 for the whole
+    // corpus. Pin such pairs to -Infinity so they rank strictly LAST
+    // (ties among them still break by cell_label).
     vecsN.crossJoin(broadcast(centN))
       .withColumn("cscore",
-        dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
+        when(col("vn") * col("cn") > 0.0,
+          dot_product(col("e"), col("ce")) / (col("vn") * col("cn")))
+        .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("crn", row_number().over(byVec))
   }
 }

@@ -78,7 +78,12 @@ object Multimodal {
     * memory/shuffle planning can rely on it. Deterministic in the payload:
     * same bytes → same resized bytes, any partitioning (MultimodalSpec). */
   def resizeTo(blobs: Dataset[Blob], tw: Int, th: Int): Dataset[ResizedBlob] = {
-    require(tw > 0 && th > 0)
+    // Guard the product, not just the factors: tw*th overflows Int for
+    // targets ≥ 2^31 bytes (65536×65536 wraps to 0), which would allocate
+    // a wrong-sized buffer exactly where downstream memory planning
+    // depends on the documented tw*th contract.
+    require(tw > 0 && th > 0 && tw.toLong * th <= Int.MaxValue,
+      s"target $tw x $th exceeds a single row's addressable payload")
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { rows =>
       rows.map { b =>

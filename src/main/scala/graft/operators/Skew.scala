@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   * and plain joins; only the data distribution changes.
   */
 object Skew {
-  /** Deterministic-within-a-run salt. Hashing only the row content would
-    * send byte-identical rows of a hot key (the common skew case) to one
-    * bucket; mixing in the physical position (partition id + per-partition
-    * row id) spreads them while staying rand()-free. */
+  /** RETRY-SAFE salt: a pure content hash of the full row. An earlier
+    * version mixed in the physical position (spark_partition_id +
+    * monotonically_increasing_id) to also spread byte-identical duplicate
+    * rows — but position is NOT stable across task recomputation, and
+    * under a partial map-stage retry (executor loss after some reducers
+    * fetched) a repositioned row lands in a different (key, salt) group
+    * than the one already fetched: double-counted or dropped, silently.
+    * On a 1000-executor cluster where task retries are routine, retry
+    * determinism beats duplicate spreading. Residual limitation, by
+    * choice: byte-identical DUPLICATE rows of a hot key share one bucket
+    * — a corpus whose skew is dominated by exact duplicate rows should
+    * dedup or pre-aggregate first (the usual pipeline shape anyway);
+    * hot KEYS with varying payloads (the common case) spread fully. */
   private def saltCol(df: DataFrame, buckets: Int): Column =
-    pmod(hash(struct(df.columns.map(col).toIndexedSeq: _*),
-      spark_partition_id(), monotonically_increasing_id()), lit(buckets))
+    pmod(hash(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets))
 
   /** Two-phase salted aggregation: rows of one key spread over `buckets`
     * partial groups (salt derived from the full row — deterministic, no

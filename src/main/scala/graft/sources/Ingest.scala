@@ -111,13 +111,21 @@ object Ingest {
   /** The exact option set a JDBC writer/reader is configured with — a pure
     * function so the offline tests can assert the wiring (SURVEY §7.4-5:
     * no live database in this env, correctness is plan/config-level). */
-  def jdbcOptions(t: JdbcTarget): Map[String, String] = Map(
-    "url" -> t.url,
-    "dbtable" -> t.table,
-    "user" -> t.user,
-    "password" -> t.password,
-    "driver" -> t.driver,
-    "batchsize" -> t.batchSize.toString)
+  def jdbcOptions(t: JdbcTarget): Map[String, String] = {
+    val base = Map(
+      "url" -> t.url,
+      "dbtable" -> t.table,
+      "driver" -> t.driver,
+      "batchsize" -> t.batchSize.toString)
+    // Credentials only when actually set: an explicit empty `user`
+    // property OVERRIDES URL-embedded credentials on several drivers
+    // (PostgreSQL included), which would fail the bulk load while the
+    // merge connection — which already omits empty creds — succeeds.
+    // Both halves of JdbcUpsertWriter now agree.
+    base ++
+      (if (t.user.nonEmpty) Map("user" -> t.user) else Map.empty) ++
+      (if (t.password.nonEmpty) Map("password" -> t.password) else Map.empty)
+  }
 
   /** Bulk JDBC load — the [REF] warehouse flow. `configured` exposes the
     * fully-specified writer so tests can assert format/options without a
@@ -171,7 +179,16 @@ object Ingest {
     * failed merge rolls the transaction back and leaves the target
     * byte-identical (certified in IngestSpec). */
   final class JdbcUpsertWriter(target: JdbcTarget, keyCols: Seq[String]) {
-    val stagingTable: String = target.table + "_stage"
+    // Per-WRITER staging name: a fixed `<table>_stage` would let two
+    // concurrent upserts into the same target clobber each other's staged
+    // delta between load and merge (silent row loss/duplication) — each
+    // writer stages into its own table, and the merge only ever reads its
+    // own staging. The staging table is dropped after a successful merge;
+    // a crashed run's leftover is overwritten by that writer's next
+    // attempt (SaveMode.Overwrite) and never read by anyone else.
+    val stagingTable: String =
+      s"${target.table}_stage_${ProcessHandle.current().pid()}_" +
+        java.lang.Long.toUnsignedString(System.nanoTime(), 36)
     def upsert(df: DataFrame): Unit = {
       new JdbcWarehouseWriter(target.copy(table = stagingTable))
         .write(df, SaveMode.Overwrite)
@@ -195,6 +212,10 @@ object Ingest {
             s"(SELECT 1 FROM $stagingTable s WHERE $keyMatch)")
           st.executeUpdate(
             s"INSERT INTO ${target.table} ($cols) SELECT $cols FROM $stagingTable")
+          // Drop the per-writer staging inside the same transaction (DDL
+          // is transactional on Derby/PostgreSQL): success leaves no
+          // staging debris; a rollback restores it for post-mortem.
+          st.executeUpdate(s"DROP TABLE $stagingTable")
         } finally st.close()
         conn.commit()
       } catch { case e: Throwable =>
@@ -231,13 +252,41 @@ object Ingest {
     * round-robin (`repartition(n)`) so output files are uniform. Returns
     * (filesBefore, filesAfter). Content-preserving by construction —
     * certified in IngestSpec. */
+  /** Recursive parquet-leaf listing for the compaction sizing pass, with a
+    * flat-layout guard: a hive-partitioned directory (the
+    * `writePartitionedParquet` + partitionCols output) has its part files
+    * one level down, so a top-level-only listing reads totalBytes=0 and
+    * the rewrite both mis-sizes to one file AND silently flattens the
+    * partition layout. Compaction of a partitioned table is per partition
+    * directory — fail fast instead of flattening. */
+  private def flatParquetLeaves(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path): Seq[Long] = {
+    // listFiles returns scheme-qualified paths; qualify the input dir the
+    // same way or every top-level file reads as "nested".
+    val qdir = fs.makeQualified(dir)
+    val it = fs.listFiles(qdir, true)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    var nested = false
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) {
+        sizes += s.getLen
+        if (s.getPath.getParent != qdir) nested = true
+      }
+    }
+    require(!nested,
+      s"$dir holds parquet files in subdirectories (a partitioned layout): " +
+        "compact each partition directory instead — compacting across " +
+        "partitions would silently flatten the layout")
+    sizes.toSeq
+  }
+
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
+    val parts = flatParquetLeaves(fs, new org.apache.hadoop.fs.Path(srcDir))
+    val totalBytes = parts.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(srcDir).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
@@ -264,10 +313,11 @@ object Ingest {
                          targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
+    val parts = flatParquetLeaves(fs, new org.apache.hadoop.fs.Path(srcDir))
+    val totalBytes = parts.sum
     val src = spark.read.parquet(srcDir)
+    // Metadata-only on an unfiltered parquet scan (footer row counts) —
+    // not a data pass.
     val total = src.count()
     // left_anti moves the join key to the front; restore the source
     // schema order — a compaction rewrite must be layout-invisible.
@@ -275,12 +325,22 @@ object Ingest {
       org.apache.spark.sql.functions.broadcast(deletionList.select(keyCol).distinct()),
       Seq(keyCol), "left_anti")
       .select(src.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    val survivors = kept.count()
-    // Size output files by surviving bytes, not source bytes.
+    // Sizing uses an ESTIMATE (total − deletion-list keys: a lower bound
+    // on survivors, since unmatched deletions erase nothing) so the exact
+    // survivor count can ride the write itself as a CollectMetrics
+    // observation instead of being paid as a separate full anti-join pass
+    // — the 'no second data pass' contract, kept honest. A low estimate
+    // only makes output files slightly larger than target.
+    val delKeys = deletionList.select(keyCol).distinct().count()
+    val survivorsEst = math.max(0L, total - delKeys)
     val keptBytes = if (total == 0) 0.0
-                    else totalBytes.toDouble * survivors / total
+                    else totalBytes.toDouble * survivorsEst / total
     val n = math.max(1, math.ceil(keptBytes / targetFileBytes).toInt)
-    kept.repartition(n).write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val obs = new org.apache.spark.sql.Observation()
+    kept.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("survivors"))
+      .repartition(n).write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val survivors = obs.get("survivors").asInstanceOf[Long]
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (parts.length, after, total - survivors)
@@ -305,8 +365,12 @@ object Ingest {
       writePartitionedParquet(clean, warehouseDir, partitionCols)
       val written = spark.read.parquet(warehouseDir).count()
       raw.unpersist()
-      // QueryExecutionListener events post asynchronously; give the bus a
-      // bounded moment to drain before reporting.
+      // QueryExecutionListener events post asynchronously AND in order, so
+      // waiting for merely non-empty can report before the WRITE action's
+      // completion record lands (an earlier count's event satisfies the
+      // poll). Drain the shared bus synchronously first; the bounded poll
+      // remains only as a belt-and-braces fallback.
+      graft.streaming.LifecycleGate.flushListenerBus(spark)
       val deadline = System.nanoTime() + 2_000_000_000L
       while (listener.statuses.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       IngestReport(quarantined + written, quarantined, written, listener.statuses)
@@ -349,6 +413,10 @@ object Ingest {
       val m = obs.get
       val read = m("rows_read").asInstanceOf[Long]
       val bad = Option(m("rows_bad")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // Same drain rule as runIngestJob: flush the shared bus so the
+      // write's own completion record is in the report, not just the
+      // first action's.
+      graft.streaming.LifecycleGate.flushListenerBus(spark)
       val deadline = System.nanoTime() + 2_000_000_000L
       while (listener.statuses.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       IngestReport(read, bad, read - bad, listener.statuses)

@@ -317,6 +317,21 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(quar).count() == 1, "full re-replay must not duplicate quarantine")
   }
 
+  test("compact: a hive-partitioned source fails fast instead of flattening the layout") {
+    // Review finding r10: a top-level-only listing on a partitioned dir
+    // measured totalBytes=0, sized the rewrite to ONE file and silently
+    // flattened the partition layout. The guard rejects nested parquet.
+    val src = tempDir("compact_part").toString
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      Ingest.compact(spark, src, tempDir("compact_part_dst").toString)
+    }
+    assert(e.getMessage.contains("partition"),
+      s"guard must name the partitioned layout, got: ${e.getMessage}")
+  }
+
   test("compact: small files collapse toward the target size, content-identical") {
     val src = tempDir("compact_src").toString
     val orders = Tables.load(spark, sfDir, "orders")
