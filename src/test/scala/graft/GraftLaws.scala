@@ -252,4 +252,59 @@ object GraftLaws extends Properties("graft.laws") {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       dist == ref
     }
+
+  // r10 operators: the IVF assignment and PQ encode cores power both the
+  // batch index family and the streaming maintenance ops, so their laws
+  // are the contract that keeps those surfaces interchangeable.
+  private val vecRows = Gen.listOfN(12,
+    Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 25.0f)))
+  // PqEncode's subspace split assumes the corpus's 64-dim layout.
+  private val vecRows64 = Gen.listOfN(6,
+    Gen.listOfN(64, Gen.choose(-100, 100).map(_ / 25.0f)))
+
+  property("IvfAssign: partitioning-invariant, total per-vector rank, zero-norm pairs last") =
+    forAll(vecRows) { vs =>
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val vecs = emb.select(col("vec_id"), dbl.as("e"))
+      // 3 centroids from the first rows plus one DEGENERATE all-zero cell.
+      val cent = vecs.filter(col("vec_id") < 3)
+        .select(concat(lit("c"), col("vec_id")).as("cell_label"), col("e").as("ce"))
+        .unionByName(spark.range(1).select(lit("zzz").as("cell_label"),
+          array((1 to 8).map(_ => lit(0.0)): _*).as("ce")))
+      def ranked(v: org.apache.spark.sql.DataFrame) =
+        graft.operators.IvfAssign.ranked(v, cent)
+          .select("vec_id", "cell_label", "crn").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+      val once = ranked(vecs)
+      val reparted = ranked(vecs.repartition(7))
+      val ranksTotal = once.groupBy(_._1._1).forall { case (_, cells) =>
+        cells.values.toSeq.sorted == (1 to cells.size).toSeq }
+      val zeroLast = once.filter(_._1._2 == "zzz").values
+        .forall(_ == 4) // the all-zero centroid ranks strictly last
+      (once == reparted) && ranksTotal && zeroLast
+    }
+
+  property("PqEncode: codes land in trained cells; identical vectors share codes") =
+    forAll(vecRows64) { vs0 =>
+      // Shrink-proof: PqEncode's subspace split assumes 64 dims — pad or
+      // truncate whatever ScalaCheck hands us back to that layout.
+      val vs = (if (vs0.isEmpty) List(List.fill(64)(1.0f)) else vs0)
+        .map(v => (v ++ List.fill(64)(0.0f)).take(64))
+      val emb = (vs ++ vs.take(1)).zipWithIndex // duplicate row 0 under a new id
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val long = graft.operators.PqEncode.toLong(emb)
+      val book = graft.operators.PqEncode.codebook(long, "xq")
+      val cells = book.select("sp", "cell").distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val code = graft.operators.PqEncode.encode(long, book, "xq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val n = vs.size.toLong
+      val totality = (0L until n + 1).forall(v => (1L to 8L).forall(sp =>
+        code.contains(v -> sp)))
+      val inBook = code.forall { case ((_, sp), cw) => cells.contains(sp -> cw) }
+      val dupShares = (1L to 8L).forall(sp => code(0L -> sp) == code(n -> sp))
+      totality && inBook && dupShares
+    }
 }
