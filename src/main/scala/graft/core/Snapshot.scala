@@ -202,6 +202,12 @@ object Snapshot {
     * audit/re-roll-forward targets, not garbage. Also sweeps abandoned
     * `.staging-*` temp directories from crashed writers. Returns the
     * removed version ids (staging sweeps are not versioned). */
+  /** EXCLUSIVITY: fsck is an offline maintenance pass — run it with no
+    * concurrent publisher on the root. Like any GC without a lock, a
+    * publish racing the sweep can have its just-renamed `v=N` (manifest
+    * append still in flight) or its live `.staging-*` read as orphaned.
+    * The manifest re-read below narrows that window per candidate but
+    * cannot close it; schedule fsck the way compaction is scheduled. */
   def fsck(root: String): Seq[Long] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
@@ -231,7 +237,13 @@ object Snapshot {
     if (kids != null) kids.foreach { f =>
       val n = f.getName
       if (n.startsWith("v=")) n.drop(2).toLongOption.foreach { v =>
-        if (!committed(v)) { deleteRec(f); removed += v }
+        // Re-read the manifest immediately before each delete: a publish
+        // that appended its id after this fsck's initial snapshot must
+        // not have its data swept (narrows, not closes, the race window —
+        // see the exclusivity note above).
+        if (!committed(v) && !publishedVersions(root).contains(v)) {
+          deleteRec(f); removed += v
+        }
       }
       else if (n.startsWith(".staging-")) deleteRec(f)
     }
@@ -249,7 +261,12 @@ object Snapshot {
     * relies on, applied to one tiny file instead of a directory tree. */
   private def swapPointer(root: String, v: Long): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s".$POINTER.tmp.${ProcessHandle.current().pid()}")
+    // Unique per ATTEMPT (pid + thread + nanotime), not per process: the
+    // module supports concurrent publishers, and two threads in one JVM
+    // sharing a pid-keyed temp path could interleave a write with the
+    // other's rename — tearing the very pointer this move keeps atomic.
+    val tmp = Paths.get(root, s".$POINTER.tmp.${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}")
     Files.writeString(tmp, v.toString)
     Files.move(tmp, Paths.get(root, POINTER),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -84,7 +84,13 @@ object StreamOps {
     val q = notificationSource(spark, queueDir).writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val paths = batch.collect().map(_.getString(0).trim).filter(_.nonEmpty)
+        // .distinct: an at-least-once producer can write the SAME path
+        // twice within one manifest (intra-batch duplicate) — without the
+        // dedup both copies land in one _src partition and the overwrite
+        // commits doubled content; cross-batch duplicates converge via the
+        // partition rewrite, same-batch ones must converge here.
+        val paths = batch.collect().map(_.getString(0).trim)
+          .filter(_.nonEmpty).distinct
         if (paths.nonEmpty) {
           val reader = spark.read.schema(schema)
           val src = format match {
@@ -391,7 +397,8 @@ object StreamOps {
             uid,
             prev.n_events + batch.size,
             prev.total_value + batch.map(_.value).sum,
-            (prev.last_ts +: batch.map(_.ts)).maxBy(_.getTime))
+            (prev.last_ts +: batch.map(_.ts)).max(Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[java.sql.Timestamp]())))
           state.update(next)
           Iterator.single(next)
         })
@@ -425,7 +432,8 @@ object StreamOps {
       // micro-batches is arbitrary, so max against the stored last_ts.
       val next = UserStat(uid, prev.n_events + batch.size,
         prev.total_value + batch.map(_.value).sum,
-        (prev.last_ts +: batch.map(_.ts)).maxBy(_.getTime))
+        (prev.last_ts +: batch.map(_.ts)).max(Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[java.sql.Timestamp]())))
       st.update(next)
       Iterator.single(next)
     }
@@ -508,7 +516,8 @@ object StreamOps {
       val batch = rows.toSeq
       val next = UserStat(uid, prev.n_events + batch.size,
         prev.total_value + batch.map(_.value).sum,
-        (prev.last_ts +: batch.map(_.ts)).maxBy(_.getTime))
+        (prev.last_ts +: batch.map(_.ts)).max(Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[java.sql.Timestamp]())))
       st.update(next)
       Iterator.single(next)
     }
@@ -770,7 +779,16 @@ object StreamOps {
     * state by ACTIVE users. Append mode: each session emitted once, when
     * closed. Equivalence with the batch lag-gap/session_window semantics
     * under time-ordered replay is pinned in StreamingSpec (a sentinel
-    * batch advances the watermark so the final sessions flush). */
+    * batch advances the watermark so the final sessions flush).
+    *
+    * Boundary convention, stated so the twins' domains are explicit: a
+    * gap of EXACTLY `gapMinutes` EXTENDS the session here (<=, matching
+    * the batch lag-gap queries' `> 1800s` new-session test), while
+    * Spark's `session_window` opens a new session at exactly the gap;
+    * and this fold compares at millisecond resolution where the lag-gap
+    * oracle compares whole seconds. Neither divergence is reachable on
+    * the event corpus (second-granularity timestamps, no exact-gap
+    * pairs), and the batch-equivalence pins hold on that domain. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
@@ -972,25 +990,24 @@ object StreamOps {
     val q = parsed.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         // Batch-keyed DYNAMIC partition overwrite, not a plain append: a
         // writer crash between the clean append and the checkpoint commit
         // replays this batch, and overwrite of ONLY its batch_id=N
         // partition converges to one copy (the file-sink analog of
-        // runToJdbcWarehouse's delete-then-insert).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // runToJdbcWarehouse's delete-then-insert). Dynamic overwrite is
+        // a PER-WRITE option (runNotifiedLoad's rule): mutating the
+        // session conf here would race any concurrent writer's set/
+        // restore, and a lost race downgrades these overwrites to STATIC
+        // — which deletes EVERY prior batch's partition.
         val c = batch.withColumn("batch_id", lit(batchId)).cache()
         try {
           c.filter(col(corruptCol).isNull).drop(corruptCol)
-            .write.partitionBy("batch_id").mode("overwrite").parquet(cleanDir)
+            .write.partitionBy("batch_id").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(cleanDir)
           c.filter(col(corruptCol).isNotNull).select(col(corruptCol), col("batch_id"))
-            .write.partitionBy("batch_id").mode("overwrite").parquet(quarantineDir)
-        } finally {
-          c.unpersist()
-          prior.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-        }
+            .write.partitionBy("batch_id").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(quarantineDir)
+        } finally c.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -1020,9 +1037,14 @@ object StreamOps {
           // transient DELETE failure (lock timeout, dropped connection)
           // must abort the batch — silently proceeding to the append
           // would double-load the rows the delete was there to scrub.
-          val exists = {
-            val rs = conn.getMetaData.getTables(
-              null, null, target.table.toUpperCase, Array("TABLE"))
+          // Probe every identifier-folding convention: Derby stores the
+          // unquoted name UPPER-folded, PostgreSQL lower-folded, DuckDB
+          // as-typed. Probing only the upper-case form silently misses the
+          // table on lower-folding engines — exists=false skips the DELETE
+          // scrub and a redelivered batch double-loads.
+          val exists = Seq(target.table.toUpperCase, target.table.toLowerCase,
+              target.table).distinct.exists { name =>
+            val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
             try rs.next() finally rs.close()
           }
           // Spark's JDBC writer creates COLUMNS as quoted (case-sensitive)
@@ -1089,16 +1111,21 @@ object StreamOps {
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select(col("k").as("ck"), col("op"),
               col("price").as("cp"), col("status").as("cst"))
+          val snapSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("price",
+              org.apache.spark.sql.types.DecimalType(38, 4)),
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.StringType)))
+          // Always read with the EXPLICIT schema: a legal all-delete batch
+          // leaves a snapshot dir with zero part files, and schema
+          // inference on it throws on every subsequent batch — bricking
+          // the pipeline right after the one batch that emptied the view.
           val cur =
-            if (curDir.exists()) s.read.parquet(snapshotDir)
-            else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("k",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("price",
-                  org.apache.spark.sql.types.DecimalType(38, 4)),
-                org.apache.spark.sql.types.StructField("status",
-                  org.apache.spark.sql.types.StringType))))
+            if (curDir.exists()) s.read.schema(snapSchema).parquet(snapshotDir)
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
           val merged = cur.join(latest, col("k") === col("ck"), "full_outer")
             .filter(col("op").isNull || col("op") =!= "D")
             .select(coalesce(col("k"), col("ck")).as("k"),
@@ -1183,8 +1210,15 @@ object StreamOps {
                       logDir: String, checkpointDir: String,
                       alarmAt: Double = 0.25): Unit = {
     val spark = reference.sparkSession
+    // One job computes the profile bounds AND size; fail with an
+    // actionable message on an empty/all-null reference instead of an
+    // NPE out of getDouble — a monitor with no training profile cannot
+    // define bins.
     val b = reference.agg(min(col("value")).cast("double").as("vmin"),
-      max(col("value")).cast("double").as("vmax")).head()
+      max(col("value")).cast("double").as("vmax"),
+      count(col("value")).as("n")).head()
+    require(b.getLong(2) > 0 && !b.isNullAt(0),
+      "drift monitor needs a non-empty reference profile with non-null values")
     val (vmin, vmax) = (b.getDouble(0), b.getDouble(1))
     val width = if (vmax == vmin) 1.0 else (vmax - vmin) / 10.0
     def binOf(c: Column): Column =
@@ -1226,9 +1260,16 @@ object StreamOps {
     * id, or None when the guard skipped. */
   def publishEpochGuarded(batch: DataFrame, root: String,
                           epoch: Long): Option[Long] = {
-    val published = graft.core.Snapshot.currentVersion(root)
+    // The guard must survive an INTERLEAVED plain publish (a batch
+    // seeding/repair job stamps no epoch): reading only the CURRENT
+    // version's meta would see no epoch there and wave a redelivered
+    // stale epoch through. Scan the published history back to the last
+    // epoch-stamped version — the manifest is append-only and tiny.
+    val published = graft.core.Snapshot.publishedVersions(root).reverse
+      .iterator
       .flatMap(v => graft.core.Snapshot.meta(root, v).get("epoch"))
       .map(_.toLong)
+      .nextOption()
     if (published.exists(_ >= epoch)) None
     else Some(graft.core.Snapshot.publish(batch, root,
       Map("epoch" -> epoch.toString)))
