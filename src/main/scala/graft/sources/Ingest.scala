@@ -183,12 +183,51 @@ object Ingest {
     // concurrent upserts into the same target clobber each other's staged
     // delta between load and merge (silent row loss/duplication) — each
     // writer stages into its own table, and the merge only ever reads its
-    // own staging. The staging table is dropped after a successful merge;
-    // a crashed run's leftover is overwritten by that writer's next
-    // attempt (SaveMode.Overwrite) and never read by anyone else.
+    // own staging. The staging table is dropped after a successful merge.
+    // A CRASHED run's leftover is never reused (the next writer gets a
+    // fresh name), so without a sweep the target database accumulates
+    // `<table>_stage_*` debris forever; `dropStaleStaging` below reclaims
+    // same-host debris on writer start. The name embeds host + pid so the
+    // sweep can prove the owner dead: a pid is only meaningful on the
+    // host that minted it.
+    private val host: String =
+      java.net.InetAddress.getLocalHost.getHostName
+        .replaceAll("[^A-Za-z0-9]", "")
     val stagingTable: String =
-      s"${target.table}_stage_${ProcessHandle.current().pid()}_" +
+      s"${target.table}_stage_${host}_${ProcessHandle.current().pid()}_" +
         java.lang.Long.toUnsignedString(System.nanoTime(), 36)
+
+    /** Best-effort reclaim of crashed-run staging debris: drop every
+      * `<table>_stage_<thisHost>_<pid>_*` table whose pid is no longer a
+      * live process on THIS host. Same-host only — a pid from another
+      * host can't be liveness-checked here, so cross-host debris is left
+      * for that host's next writer (or an ops sweep). A live concurrent
+      * writer's staging is never touched: its pid is alive. Failures are
+      * swallowed — cleanup must never fail the upsert it rides on. */
+    private def dropStaleStaging(conn: java.sql.Connection): Unit = {
+      val Pat = s"(?i)${java.util.regex.Pattern.quote(target.table)}_STAGE_${host}_(\\d+)_.*".r
+      try {
+        val md = conn.getMetaData
+        val rs = md.getTables(null, null, "%", Array("TABLE"))
+        val stale = scala.collection.mutable.ArrayBuffer[String]()
+        while (rs.next()) {
+          rs.getString("TABLE_NAME") match {
+            // Unprovable liveness (overflowed pid digits, platform quirks)
+            // reads as ALIVE — never drop what might be a live writer's.
+            case t @ Pat(pid)
+                if scala.util.Try(ProcessHandle.of(pid.toLong).isEmpty)
+                  .getOrElse(false) => stale += t
+            case _ =>
+          }
+        }
+        rs.close()
+        stale.foreach { t =>
+          try { val st = conn.createStatement()
+            try st.executeUpdate(s"DROP TABLE $t") finally st.close() }
+          catch { case _: java.sql.SQLException => () } // raced another sweep
+        }
+      } catch { case _: java.sql.SQLException => () }
+    }
     def upsert(df: DataFrame): Unit = {
       new JdbcWarehouseWriter(target.copy(table = stagingTable))
         .write(df, SaveMode.Overwrite)
@@ -205,6 +244,9 @@ object Ingest {
         if (target.user.isEmpty) java.sql.DriverManager.getConnection(target.url)
         else java.sql.DriverManager.getConnection(target.url, target.user, target.password)
       try {
+        // Reclaim same-host debris from crashed runs before staging more
+        // (autocommit still on here — metadata reads + independent DROPs).
+        dropStaleStaging(conn)
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
@@ -212,12 +254,22 @@ object Ingest {
             s"(SELECT 1 FROM $stagingTable s WHERE $keyMatch)")
           st.executeUpdate(
             s"INSERT INTO ${target.table} ($cols) SELECT $cols FROM $stagingTable")
-          // Drop the per-writer staging inside the same transaction (DDL
-          // is transactional on Derby/PostgreSQL): success leaves no
-          // staging debris; a rollback restores it for post-mortem.
-          st.executeUpdate(s"DROP TABLE $stagingTable")
         } finally st.close()
         conn.commit()
+        // Drop the staging AFTER the commit, in its own statement: inside
+        // the merge transaction it would rely on transactional DDL, and on
+        // engines with implicit-commit DDL (MySQL, Oracle) the DROP would
+        // commit the preceding DELETE+INSERT mid-transaction — silently
+        // voiding the rollback-leaves-target-byte-identical guarantee.
+        // Out here the guarantee holds on ANY engine; a failed merge rolls
+        // back and leaves the staging table intact for post-mortem (the
+        // next writer's dropStaleStaging reclaims it once this pid dies).
+        // Best-effort: the merge is already committed, so a DROP failure
+        // must not surface as an upsert failure — the sweep reclaims it.
+        conn.setAutoCommit(true)
+        try { val drop = conn.createStatement()
+          try drop.executeUpdate(s"DROP TABLE $stagingTable") finally drop.close() }
+        catch { case _: java.sql.SQLException => () }
       } catch { case e: Throwable =>
         // Rollback best-effort: if the MERGE failed because the connection
         // died, rollback() throws too — that failure must not mask the
@@ -267,9 +319,24 @@ object Ingest {
     val it = fs.listFiles(qdir, true)
     val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     var nested = false
+    // Spark's own hidden-file convention: any path component starting
+    // with '_' or '.' is metadata/debris (_temporary from a crashed
+    // write, .staging-* dirs, _SUCCESS). Debris below such a component
+    // must neither count toward sizing nor flip the partitioned-layout
+    // flag — a legitimately flat directory with a leftover _temporary
+    // tree would otherwise fail compaction with a misleading error.
+    def hiddenBelow(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qdir) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     while (it.hasNext) {
       val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) {
+      if (s.getPath.getName.endsWith(".parquet") && !hiddenBelow(s.getPath)) {
         sizes += s.getLen
         if (s.getPath.getParent != qdir) nested = true
       }

@@ -25,7 +25,7 @@ final class StatusListener extends QueryExecutionListener {
   // string escaping, so an error message carrying quotes/newlines (e.g. a
   // path inside an exception message) cannot tear the record.
   private def jstr(s: String): String =
-    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+    StatusListener.mapper.writeValueAsString(s)
 
   private def record(funcName: String, qe: QueryExecution,
                      durationNs: Long, error: Option[String]): Unit = {
@@ -45,6 +45,11 @@ final class StatusListener extends QueryExecutionListener {
 }
 
 object StatusListener {
+  // One shared mapper: ObjectMapper construction is heavy and the class is
+  // thread-safe after configuration — per-event construction (one per
+  // query execution) was avoidable hot-path overhead.
+  private[streaming] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Attach a fresh batch-status listener to the session and return it. */
   def attach(spark: SparkSession): StatusListener = {
     val l = new StatusListener

@@ -1265,8 +1265,16 @@ object StreamOps {
     // version's meta would see no epoch there and wave a redelivered
     // stale epoch through. Scan the published history back to the last
     // epoch-stamped version — the manifest is append-only and tiny.
-    val published = graft.core.Snapshot.publishedVersions(root).reverse
-      .iterator
+    // Legacy roots (published before the _PUBLISHED manifest existed)
+    // have an empty history until recordPublished backfills at the NEXT
+    // publish — i.e. after this guard has already run — so an empty
+    // manifest must fall back to the current version's meta, or the
+    // first post-upgrade call waves any redelivered stale epoch through.
+    val history = graft.core.Snapshot.publishedVersions(root)
+    val scan =
+      if (history.nonEmpty) history.reverse.iterator
+      else graft.core.Snapshot.currentVersion(root).iterator
+    val published = scan
       .flatMap(v => graft.core.Snapshot.meta(root, v).get("epoch"))
       .map(_.toLong)
       .nextOption()

@@ -332,6 +332,81 @@ class IngestSpec extends AnyFunSuite {
       s"guard must name the partitioned layout, got: ${e.getMessage}")
   }
 
+  test("compact: hidden/underscore debris neither fails the flat-layout guard nor skews sizing") {
+    // ADVICE r10: the recursive leaf listing read ANY nested .parquet as
+    // "partitioned layout" — including _temporary droppings from a crashed
+    // write — so a legitimately flat directory with debris failed
+    // compaction with a misleading error. Hidden components must be
+    // invisible to both the guard and the byte sizing.
+    val src = tempDir("compact_debris").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.repartition(8).write.mode(SaveMode.Overwrite).parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // Crashed-write debris: a huge fake parquet under _temporary and a
+    // .staging dir. If either counted, sizing would inflate well past the
+    // real total; if either set the nested flag, compact would throw.
+    val debris = java.nio.file.Paths.get(src, "_temporary", "0", "task_0")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("part-junk.parquet"),
+      Array.fill[Byte](8 * 1024 * 1024)(0x5a))
+    val hidden = java.nio.file.Paths.get(src, ".staging-job1")
+    Files.createDirectories(hidden)
+    Files.write(hidden.resolve("part-junk2.parquet"), Array.fill[Byte](1024)(1))
+    val dst = tempDir("compact_debris_dst").toString
+    // Target half the REAL bytes → exactly 2 files iff debris was excluded
+    // (the 8 MB fake alone would force ≥3 if it counted).
+    val (before, after) = Ingest.compact(spark, src, dst, targetFileBytes = bytes / 2 + 1)
+    assert(before == 8, s"debris must not count as input files, got $before")
+    assert(after == 2, s"sizing must ignore debris bytes, got $after files")
+    assertSameRows(spark.read.parquet(dst), orders, "debris-tolerant compaction content")
+  }
+
+  test("JDBC staged upsert: crashed-run staging debris is swept on the next writer's merge") {
+    // ADVICE r10: per-writer staging names orphan a crashed run's table
+    // forever. The sweep drops same-host staging tables whose pid is dead,
+    // leaves live-pid tables alone, and a successful merge leaves zero
+    // staging tables of its own behind.
+    val target = Ingestion.upsertOrders(spark, sfDir)
+    Class.forName(target.driver)
+    val conn = java.sql.DriverManager.getConnection(target.url)
+    def tables(): Set[String] = {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val b = Set.newBuilder[String]
+      while (rs.next()) b += rs.getString("TABLE_NAME").toUpperCase
+      rs.close(); b.result()
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+      .replaceAll("[^A-Za-z0-9]", "")
+    // Same predicate the sweep uses: provably-dead only.
+    val deadPid = Iterator.from(3000000)
+      .find(p => scala.util.Try(ProcessHandle.of(p.toLong).isEmpty).getOrElse(false))
+      .get
+    val livePid = ProcessHandle.current().pid()
+    val stale = s"${target.table}_stage_${host}_${deadPid}_zz"
+    val live = s"${target.table}_stage_${host}_${livePid}_zz"
+    val st = conn.createStatement()
+    st.executeUpdate(s"CREATE TABLE $stale (i INT)")
+    st.executeUpdate(s"CREATE TABLE $live (i INT)")
+    st.close()
+    assert(tables().contains(stale.toUpperCase) && tables().contains(live.toUpperCase))
+    new Ingest.JdbcUpsertWriter(target, Seq("o_orderkey"))
+      .upsert(Ingestion.upsertDelta(spark, sfDir).repartition(2))
+    val after = tables()
+    assert(!after.contains(stale.toUpperCase),
+      "dead-pid staging debris must be dropped by the sweep")
+    assert(after.contains(live.toUpperCase),
+      "a live writer's staging table must never be touched")
+    assert(!after.exists(t => t.startsWith(s"${target.table}_STAGE_".toUpperCase) &&
+        t != live.toUpperCase),
+      s"a successful merge must leave no staging of its own: $after")
+    val st2 = conn.createStatement()
+    st2.executeUpdate(s"DROP TABLE $live")
+    st2.close(); conn.close()
+  }
+
   test("compact: small files collapse toward the target size, content-identical") {
     val src = tempDir("compact_src").toString
     val orders = Tables.load(spark, sfDir, "orders")

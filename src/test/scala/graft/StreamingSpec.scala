@@ -1148,6 +1148,37 @@ class StreamingSpec extends AnyFunSuite {
       "a new epoch must publish")
   }
 
+  test("STR-SNAP replay guard: a legacy pre-manifest root still blocks redelivered epochs") {
+    // ADVICE r10 (medium): the guard reads epochs from the _PUBLISHED
+    // manifest history; on a root published before the manifest existed
+    // the history is empty until recordPublished backfills — which runs
+    // at publish time, AFTER the guard. Without the currentVersion
+    // fallback the first post-upgrade call waves any redelivered stale
+    // epoch straight through as a duplicate version.
+    import graft.core.Snapshot
+    val root = tempDir("snap_legacy").toString
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(StreamOps.publishEpochGuarded(df, root, 0L).contains(1L))
+    assert(StreamOps.publishEpochGuarded(df, root, 1L).contains(2L))
+    // Simulate the pre-manifest root: versions + pointer exist, no manifest.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_PUBLISHED"))
+    assert(Snapshot.publishedVersions(root).isEmpty, "legacy root precondition")
+    assert(StreamOps.publishEpochGuarded(df, root, 1L).isEmpty,
+      "redelivered stale epoch must be blocked on a legacy root")
+    assert(StreamOps.publishEpochGuarded(df, root, 0L).isEmpty,
+      "an older stale epoch must be blocked on a legacy root")
+    assert(Snapshot.currentVersion(root).contains(2L),
+      "blocked replays must not move the pointer")
+    // A genuinely new epoch publishes, and the manifest backfill then
+    // restores the full history for subsequent guards.
+    assert(StreamOps.publishEpochGuarded(df, root, 2L).contains(3L))
+    assert(Snapshot.publishedVersions(root) == Seq(1L, 2L, 3L),
+      "first post-upgrade publish must backfill the manifest")
+    assert(StreamOps.publishEpochGuarded(df, root, 2L).isEmpty,
+      "guard must hold again on the backfilled manifest")
+  }
+
   test("STR-DRIFT monitor: identical replay converges to exactly zero; a shifted stream alarms") {
     val ref = eventsBatch.select(col("value"))
     val log1 = tempDir("drift_log").toString
