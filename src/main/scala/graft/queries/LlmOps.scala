@@ -1138,8 +1138,93 @@ object LlmOps {
     * are single correctly-rounded divides by the two norms, and every
     * rank breaks ties by neighbor_id. Returns
     * (query_id, rn, neighbor_id, adc_raw, score_raw). */
+  /** The IVFADC SEARCH tail — ADC scan over the probed cells + exact
+    * re-rank — against a per-vector search-state relation
+    * `state` = (neighbor_id, cell_label, sp, cw, vn): 8 rows per vector,
+    * THE inverted-list layout. Shared verbatim by the batch pipeline
+    * ([[ivfPqRanked]] assembles state from its own encode) and the
+    * streamed-store parity query `ivf_pq_stream` (state read back from
+    * STR-IVF's composed ingest), so the search side cannot drift between
+    * the two index maintenance paths. `rerank` = (neighbor_id, ce2, cn2)
+    * raw vectors — the cold-storage fetch, touched only for the ADC
+    * top-`shortlist` rows per query. */
+  private def ivfAdcSearchTail(state: DataFrame, probes: DataFrame,
+      qv: DataFrame, qlut: DataFrame, rerank: DataFrame,
+      shortlist: Int, raw: Boolean): DataFrame = {
+    // --- ADC scan over the probed cells: 8 LUT lookups per candidate ---
+    val cand = broadcast(probes).join(state,
+      col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("vn").as("cn"),
+        col("sp"), col("cw"))
+    val adc = cand
+      .join(broadcast(qlut), Seq("query_id", "sp", "cw"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cn"))
+      .agg(sum(col("ip")).as("ipsum"))
+    val pool = adc
+      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .withColumn("adc_raw", col("ipsum").cast("double") / (col("qn") * col("cn")))
+    // `raw = true`: the ADC-scored candidate pool before any shortlist cut
+    // — SIM-PQ-CURVE's input (scores don't change with the shortlist
+    // length, only membership does, so the curve reuses ONE pool).
+    if (raw)
+      pool.select(col("query_id"), col("neighbor_id"),
+        col("cn"), col("qn"), col("adc_raw"))
+    else {
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+      val short = pool
+        .withColumn("srn", row_number().over(wAdc))
+        .filter(col("srn") <= shortlist)
+      // --- Exact re-rank of the shortlist only ---
+      val wFin = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+      short
+        .join(rerank, Seq("neighbor_id"))
+        // `short` already carries qn from the ADC stage; attach qe only.
+        .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
+        .withColumn("score_raw",
+          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(wFin))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          col("adc_raw"), col("score_raw"))
+    }
+  }
+
+  /** Build the STR-IVF streamed IVFADC store for `ivf_pq_stream`: the
+    * corpus lands as FOUR arrival files (one micro-batch each under
+    * maxFilesPerTrigger=1), assigned + PQ-encoded against the published
+    * index metadata (the SAME Lloyd centroids and codebook the batch
+    * pipeline trains) by [[graft.streaming.StreamOps.runIvfAdcIngest]].
+    * Layout under `out`: arrivals/ (the landing zone), store/ (the
+    * cell-partitioned inverted lists), ckpt/ (the stream checkpoint). */
+  private def buildIvfAdcStreamStore(s: SparkSession, d: String,
+      out: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val emb = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = ivfKmeansCentroids(s, d)
+    val book = graft.operators.PqEncode.codebook(
+      graft.operators.PqEncode.toLong(emb), "xq")
+    val arrivals = Paths.get(out, "arrivals")
+    Files.createDirectories(arrivals)
+    (0 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory("ivf_slice")
+      emb.filter(pmod(col("vec_id"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(
+          s"no parquet part written under $tmp"))
+      Files.move(part, arrivals.resolve(f"slice_$i%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.streaming.StreamOps.runIvfAdcIngest(s, arrivals.toString,
+      emb.schema, cent, book, s"$out/store", s"$out/ckpt")
+  }
+
   private def ivfPqRanked(s: SparkSession, d: String,
-      shortlist: Int = 16, raw: Boolean = false): DataFrame = {
+      shortlist: Int = 16, raw: Boolean = false,
+      extState: Option[DataFrame] = None): DataFrame = {
     val emb = load(s, d, "embeddings")
     // --- PQ training + encoding (the shared operators/PqEncode core —
     //     vec_pq's scheme; see PQ-1 for the decimal-width rationale) ---
@@ -1164,46 +1249,16 @@ object LlmOps {
       .agg(sum(col("xq") * col("c")).as("ip"))
       .select(col("vec_id").as("query_id"), col("sp"),
         col("cell").as("cw"), col("ip"))
-    // --- ADC scan over the probed cells: 8 LUT lookups per candidate ---
-    val cand = broadcast(probes).join(
-      cells.select(col("vec_id").as("neighbor_id"), col("vn").as("cn"),
-        col("cell_label")),
-      col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cn"))
-    val adc = cand.join(code, Seq("neighbor_id"))
-      .join(broadcast(qlut), Seq("query_id", "sp", "cw"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("cn"))
-      .agg(sum(col("ip")).as("ipsum"))
-    val pool = adc
-      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
-      .withColumn("adc_raw", col("ipsum").cast("double") / (col("qn") * col("cn")))
-    // `raw = true`: the ADC-scored candidate pool before any shortlist cut
-    // — SIM-PQ-CURVE's input (scores don't change with the shortlist
-    // length, only membership does, so the curve reuses ONE pool).
-    if (raw)
-      pool.select(col("query_id"), col("neighbor_id"),
-        col("cn"), col("qn"), col("adc_raw"))
-    else {
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
-      val short = pool
-        .withColumn("srn", row_number().over(wAdc))
-        .filter(col("srn") <= shortlist)
-      // --- Exact re-rank of the shortlist only ---
-      val wFin = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      short
-        .join(cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
-          col("vn").as("cn2")), Seq("neighbor_id"))
-        // `short` already carries qn from the ADC stage; attach qe only.
-        .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
-        .withColumn("score_raw",
-          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
-        .withColumn("rn", row_number().over(wFin))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          col("adc_raw"), col("score_raw"))
-    }
+    // --- Per-vector search state: this pipeline's own encode, or (the
+    //     `ivf_pq_stream` parity case) the state STR-IVF streamed into
+    //     the cell-partitioned store ---
+    val state = extState.getOrElse(
+      code.join(cells.select(col("vec_id").as("neighbor_id"), col("vn"),
+        col("cell_label")), Seq("neighbor_id")))
+    ivfAdcSearchTail(state, probes, qv, qlut,
+      cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+        col("vn").as("cn2")),
+      shortlist, raw)
   }
 
   /** Residual-encoding IVFADC — the quality step real IVF-PQ indexes take
@@ -1490,6 +1545,34 @@ object LlmOps {
         .select(col("query_id"), col("rn"), col("neighbor_id"),
           dec4S(col("adc_raw")).as("adc"),
           dec4S(col("score_raw")).as("score")))),
+
+    // ---- STR-IVF-SEARCH: search the STREAMED IVFADC store
+    //      (`ivf_pq_stream`) — the parity gate that closes the last drift
+    //      channel between streamed and batch index state (r11, the r10
+    //      verdict's task 3): the per-vector search state (cell, 8 PQ
+    //      codes, norm) comes from STR-IVF's composed ingest — embeddings
+    //      landed file-by-file as micro-batches, assigned/encoded against
+    //      the published Lloyd centroids + PQ codebook, written to the
+    //      cell-partitioned store — and the SAME ivfPqRanked ADC scan +
+    //      exact re-rank runs against it. Gated with ivf_pq's own oracle
+    //      SQL: the streamed index must hash-match the batch index's
+    //      search results exactly, or the maintenance path drifted. Store
+    //      built once per (process, corpus) via Warehouse.once; the query
+    //      itself reads only (neighbor_id, cell, sp, cw, vn) — the raw
+    //      vectors stay cold and are fetched only for the bounded
+    //      re-rank leg, exactly the 100 TB read pattern. ----
+    "ivf_pq_stream" -> ((s, d) => {
+      val root = graft.core.Warehouse.once(d, "ivfadc_stream") { out =>
+        buildIvfAdcStreamStore(s, d, out)
+      }
+      val state = s.read.parquet(s"$root/store")
+        .select(col("vec_id").as("neighbor_id"),
+          col("cell").as("cell_label"), col("sp"), col("cw"), col("vn"))
+      ordered(ivfPqRanked(s, d, extState = Some(state))
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("adc_raw")).as("adc"),
+          dec4S(col("score_raw")).as("score")))
+    }),
 
     // ---- SIM-EVAL3: IVF-PQ recall audit (`ivf_pq_eval`) — ivf_eval's
     //      rule applied to the composed index: measured recall@3 of the
@@ -4045,6 +4128,16 @@ object LlmOps {
     })
   )
 
+  /** ivf_pq's oracle — shared verbatim with `ivf_pq_stream` (the parity
+    * contract: streamed store search ≡ batch index search). */
+  private lazy val duckIvfPqSql: String =
+    s"""WITH $duckIvfPqCtes
+      |SELECT query_id, rn, neighbor_id,
+      |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
+      |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+      |FROM pranked WHERE rn <= 3
+      |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "split_leakage" ->
       s"""WITH $duckMinhashCtes, spl AS (
@@ -4355,13 +4448,13 @@ object LlmOps {
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, score NULLS FIRST""".stripMargin,
 
-    "ivf_pq" ->
-      s"""WITH $duckIvfPqCtes
-        |SELECT query_id, rn, neighbor_id,
-        |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
-        |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
-        |FROM pranked WHERE rn <= 3
-        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+    "ivf_pq" -> duckIvfPqSql,
+
+    // The streamed-store search must return EXACTLY the batch index's
+    // results — same oracle, same hash. A drift between STR-IVF's
+    // maintained state and the batch encode shows up here as a hash
+    // mismatch.
+    "ivf_pq_stream" -> duckIvfPqSql,
 
     "ivf_pq_curve" -> {
       val perL = Seq(4, 8, 16).map { ln =>

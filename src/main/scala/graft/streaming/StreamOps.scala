@@ -196,6 +196,57 @@ object StreamOps {
     graft.operators.PqEncode.encode(
       graft.operators.PqEncode.toLong(vecs), book, "xq")
 
+  /** STR-IVF composed: the COMPLETE IVFADC search-state ingest — each
+    * arriving embedding file lands as (vec_id, sp, cw, vn) rows
+    * partitioned by (_src, cell): cell assignment against the PUBLISHED
+    * centroid table ([[assignCells]]), PQ codes against the PUBLISHED
+    * codebook ([[encodePq]]), and the exact vector norm — the full
+    * per-vector state `ivf_pq`'s ADC scan + re-rank shortlist needs,
+    * with the raw vector never stored in the hot index. Exactly-once per
+    * file by the same DELETE-THEN-APPEND keying as [[runIvfIngest]]
+    * (survives replay, duplicate delivery, and centroid retrain between
+    * crash and replay). The gated parity query `ivf_pq_stream` searches
+    * this store and must hash-match batch `ivf_pq` on the same corpus —
+    * the executable proof that streamed and batch index state cannot
+    * drift. */
+  def runIvfAdcIngest(spark: SparkSession, vecDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      cent: DataFrame, book: DataFrame, outDir: String,
+                      checkpointDir: String): Unit = {
+    import graft.functions.GraftFunctions.dot_product
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withSrc = batch.withColumn("_src", md5(input_file_name()))
+        val srcs = withSrc.select(col("_src")).distinct()
+          .collect().map(_.getString(0))
+        if (srcs.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(conf)
+          srcs.foreach { h =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
+          }
+          val dbl = transform(col("embedding"), x => x.cast("double"))
+          // vn uses the IDENTICAL expression the batch assignment computes
+          // (sqrt of the codegen'd in-order dot fold) — bit-equal doubles.
+          val meta = withSrc.select(col("vec_id"), col("_src"),
+            sqrt(dot_product(dbl, dbl)).as("vn"))
+          assignCells(withSrc, cent)
+            .join(encodePq(withSrc, book), Seq("vec_id"))
+            .join(meta, Seq("vec_id"))
+            .write.partitionBy("_src", "cell").mode("append")
+            .parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Documents-schema streaming source over a directory of parquet files —
     * incremental corpus ingestion: each arriving file is a micro-batch of
     * new documents. */

@@ -82,6 +82,10 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // assignment); the three shortlist re-ranks are equi-keyed
     "ivf_pq_res", // sim1_ivf's cell-assignment cross; residual/LUT/q·μ/
                   // re-rank joins are all equi-keyed
+    "ivf_pq_stream", // ivf_pq's rationale: the Lloyd-training and
+                  // cell-assignment crosses are vectors × broadcast-k
+                  // index metadata; the store-state ADC/re-rank joins
+                  // are all equi-keyed
     "ivf_pq_res_eval", // ivf_eval's rationale on the residual stack
     "rfm",        // two 1-row scalar attaches (global anchor ts + the
                   // three quintile cut arrays), the tfidf1 shape

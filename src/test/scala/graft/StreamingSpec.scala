@@ -922,6 +922,48 @@ class StreamingSpec extends AnyFunSuite {
       "per-slice PQ encode must equal the whole-corpus encode")
   }
 
+  test("STR-IVF composed ADC ingest: streamed search state equals batch encode; replay and duplicates converge") {
+    // runIvfAdcIngest lands the COMPLETE per-vector IVFADC search state
+    // (cell, 8 PQ codes, norm). The streamed store must equal the batch
+    // assignment+encode of the same corpus — the relation the gated
+    // ivf_pq_stream parity query searches — and keep runIvfIngest's
+    // exactly-once discipline under idle rerun and duplicate delivery.
+    import graft.operators.PqEncode
+    import graft.functions.GraftFunctions.dot_product
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(concat(lit("c"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val book = PqEncode.codebook(PqEncode.toLong(emb), "xq")
+    val d = tempDir("adc_ingest")
+    val out = tempDir("adc_store").toString
+    val ckpt = tempDir("adc_ckpt").toString
+    (0 to 3).foreach { i =>
+      writeSlice(emb.filter(pmod(col("vec_id"), lit(4)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val batchState = StreamOps.assignCells(emb, cent)
+      .join(StreamOps.encodePq(emb, book), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), sqrt(dot_product(dbl, dbl)).as("vn")),
+        Seq("vec_id"))
+    def stored() = spark.read.parquet(out)
+      .select(col("vec_id"), col("cell"), col("sp"), col("cw"), col("vn"))
+    assertSameRows(stored(), batchState,
+      "streamed ADC state vs batch assignment+encode+norm")
+    // Idle checkpointed rerun adds nothing.
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    assertSameRows(stored(), batchState, "idle rerun must add nothing")
+    // Duplicate delivery under a new name: distinct state set unchanged.
+    writeSlice(emb.filter(pmod(col("vec_id"), lit(4)) === 0), d,
+      "slice_00_dup", 1700000400000L)
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    assertSameRows(stored().distinct(), batchState,
+      "duplicate delivery must not change the distinct state set")
+  }
+
   test("index lifecycle end-to-end: train → publish metadata → stream arrivals → search") {
     // The composed story the subsystems exist for: index METADATA
     // (centroids + PQ codebook) is trained by a batch job and published
