@@ -57,6 +57,76 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshot {
   private val POINTER  = "_CURRENT"
   private val MANIFEST = "_PUBLISHED"
+  private val FSCKLOCK = "_FSCK_LOCK"
+
+  // ---- fsck/publish mutual exclusion (r11; the r10 verdict's task 4) ----
+  //
+  // fsck deletes data, so "run it offline" must be ENFORCED, not
+  // documented. The protocol is the store-barrier pattern on the
+  // module's own rename-as-CAS idiom:
+  //
+  //   publisher:  create `.publisher-*` intent marker  →  check lease
+  //   fsck:       CAS-claim `_FSCK_LOCK` lease          →  check markers
+  //
+  // Each side WRITES its own flag before READING the other's, so every
+  // interleaving has at least one side observe the other and back off:
+  // if the publisher's lease check saw no lease, its marker was already
+  // on disk when fsck's later marker check ran — fsck refuses; if fsck's
+  // marker check saw no markers, the lease was already claimed when the
+  // publisher's later check ran — the publisher refuses. Crash recovery
+  // is same-host pid liveness (the module is the local-FS stand-in —
+  // SURVEY §2.1; on an object store the lease becomes a conditional PUT
+  // and liveness a TTL): a lease/marker whose owning pid is dead is
+  // reaped by whoever trips over it, so a crashed fsck never wedges
+  // publishing and a crashed publisher never wedges fsck.
+
+  /** True iff a LIVE fsck holds the root's lease; a lease owned by a
+    * dead pid (crashed fsck, same host) is reaped on the way. Unreadable
+    * or foreign content reads as HELD — fail closed. */
+  private def fsckLeaseHeld(root: String): Boolean = {
+    val p = Paths.get(root, FSCKLOCK)
+    if (!Files.exists(p)) return false
+    val alive = (for {
+      txt <- scala.util.Try(Files.readString(p)).toOption
+      pid <- txt.trim.toLongOption
+      up  <- scala.util.Try(ProcessHandle.of(pid).isPresent).toOption
+    } yield up).getOrElse(true)
+    if (!alive) { Files.deleteIfExists(p); false } else true
+  }
+
+  /** CAS-claim the fsck lease. Returns the release handle. Throws if a
+    * live fsck already holds it. Package-visible so SnapshotSpec can
+    * hold the lease open across a racing publish. */
+  private[graft] def acquireFsckLease(root: String): () => Unit = {
+    Files.createDirectories(Paths.get(root))
+    if (fsckLeaseHeld(root))
+      throw new IllegalStateException(s"fsck lease on $root already held")
+    val tmp = Paths.get(root,
+      s".fscklock.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    Files.writeString(tmp, ProcessHandle.current().pid().toString)
+    try Files.move(tmp, Paths.get(root, FSCKLOCK), StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileSystemException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(s"fsck lease on $root already held", e)
+    }
+    () => { Files.deleteIfExists(Paths.get(root, FSCKLOCK)); () }
+  }
+
+  /** Run `body` under a publisher intent marker, refusing when a live
+    * fsck holds the lease (marker BEFORE check — see the barrier note). */
+  private def withPublisherIntent[T](root: String, what: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(root))
+    val intent = Paths.get(root,
+      s".publisher-${ProcessHandle.current().pid()}-" +
+        s"${Thread.currentThread().getId}-${System.nanoTime()}")
+    Files.writeString(intent, ProcessHandle.current().pid().toString)
+    try {
+      if (fsckLeaseHeld(root))
+        throw new IllegalStateException(
+          s"$what on $root refused: fsck holds $FSCKLOCK (offline maintenance in progress)")
+      body
+    } finally { Files.deleteIfExists(intent); () }
+  }
 
   private def vdir(root: String, v: Long): Path = Paths.get(root, s"v=$v")
 
@@ -131,8 +201,8 @@ object Snapshot {
     * produced it — the replay guard reads it back instead of keeping
     * sink-side state that could diverge from the store. */
   def publish(df: DataFrame, root: String,
-              meta: Map[String, String] = Map.empty): Long = {
-    Files.createDirectories(Paths.get(root))
+              meta: Map[String, String] = Map.empty): Long =
+      withPublisherIntent(root, "publish") {
     // Stage fully OUTSIDE any version slot: parquet write + _META land in
     // a hidden temp directory no reader resolves, so nothing about the
     // slot is observable until the rename below.
@@ -176,7 +246,12 @@ object Snapshot {
   /** Point `_CURRENT` back at an existing, fully-published version — the
     * O(1) bad-deploy undo. Fails fast if the target version's data is
     * absent (rolling back to a never-published id would publish nothing). */
-  def rollback(root: String, toVersion: Long): Unit = {
+  def rollback(root: String, toVersion: Long): Unit =
+      withPublisherIntent(root, "rollback") {
+    // Rollback must also respect the fsck lease: fsck's legacy-commit arm
+    // reads the pointer (committed iff v ≤ pointer on a pre-manifest
+    // root), so a pointer moving DOWN mid-sweep could orphan a legacy
+    // version the sweep then deletes.
     require(Files.exists(vdir(root, toVersion)),
       s"rollback target v=$toVersion has no data directory under $root")
     swapPointer(root, toVersion)
@@ -202,15 +277,44 @@ object Snapshot {
     * audit/re-roll-forward targets, not garbage. Also sweeps abandoned
     * `.staging-*` temp directories from crashed writers. Returns the
     * removed version ids (staging sweeps are not versioned). */
-  /** EXCLUSIVITY: fsck is an offline maintenance pass — run it with no
-    * concurrent publisher on the root. Like any GC without a lock, a
-    * publish racing the sweep can have its just-renamed `v=N` (manifest
-    * append still in flight) or its live `.staging-*` read as orphaned.
-    * The manifest re-read below narrows that window per candidate but
-    * cannot close it; schedule fsck the way compaction is scheduled. */
+  /** EXCLUSIVITY (ENFORCED, r11): fsck claims the `_FSCK_LOCK` lease by
+    * rename-as-CAS and refuses to run while any live publisher intent
+    * marker exists; publish/rollback create their marker BEFORE checking
+    * the lease, so the two sides cannot both proceed (barrier note at the
+    * top of this object). A racing publish therefore fails fast instead
+    * of having its just-renamed `v=N` (manifest append still in flight)
+    * or live `.staging-*` read as orphaned; a crashed publisher's or
+    * fsck's flag is reaped by same-host pid liveness. Throws
+    * IllegalStateException when the root is busy — rerun when quiet,
+    * exactly like compaction. */
   def fsck(root: String): Seq[Long] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
+    val release = acquireFsckLease(root)
+    try {
+      // Reap markers from crashed publishers (dead pid, same host), then
+      // refuse if any LIVE publisher is in flight.
+      val markers = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".publisher-"))
+      markers.foreach { m =>
+        val alive = (for {
+          txt <- scala.util.Try(Files.readString(m.toPath)).toOption
+          pid <- txt.trim.toLongOption
+          up  <- scala.util.Try(ProcessHandle.of(pid).isPresent).toOption
+        } yield up).getOrElse(true)
+        if (!alive) { m.delete(); () }
+      }
+      val live = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith(".publisher-"))
+      if (live > 0)
+        throw new IllegalStateException(
+          s"fsck on $root refused: $live publisher(s) in flight")
+      fsckSweep(root)
+    } finally release()
+  }
+
+  private def fsckSweep(root: String): Seq[Long] = {
+    val dir = Paths.get(root)
     // Deleting committed data is the unrecoverable failure mode, so fsck
     // unions two commit invariants — but the legacy arm is BOUNDED so it
     // cannot shelter manifest-era orphans:

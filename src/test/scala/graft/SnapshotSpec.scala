@@ -178,6 +178,61 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 10L, "published data untouched")
   }
 
+  test("fsck lease: a held lease blocks publish and rollback; a live publisher blocks fsck; no committed data deleted") {
+    // ADVICE/VERDICT r10 task 4: fsck's offline exclusivity is now a
+    // rename-as-CAS lease (_FSCK_LOCK) + publisher intent markers, each
+    // side writing its own flag before reading the other's — so every
+    // interleaving has one side back off.
+    import java.nio.file.{Files, Paths}
+    val root = tempDir("snap_lease").toString
+    Snapshot.publish(table(1, 10), root)
+    // 1. fsck holds the lease → publish AND rollback refuse; committed
+    //    data and pointer untouched.
+    val release = Snapshot.acquireFsckLease(root)
+    val e1 = intercept[IllegalStateException] { Snapshot.publish(table(2, 5), root) }
+    assert(e1.getMessage.contains("fsck"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] { Snapshot.rollback(root, 1L) }
+    assert(e2.getMessage.contains("fsck"), e2.getMessage)
+    assert(Snapshot.currentVersion(root).contains(1L))
+    assert(Snapshot.read(spark, root).count() == 10L,
+      "a blocked publish must leave the committed version intact")
+    // A second fsck cannot double-claim the lease.
+    intercept[IllegalStateException] { Snapshot.acquireFsckLease(root) }
+    release()
+    // Released → publishing resumes.
+    assert(Snapshot.publish(table(2, 20), root) == 2L)
+    // 2. A LIVE publisher in flight (intent marker + just-renamed slot
+    //    whose manifest append hasn't landed — the exact race the r10
+    //    fsck could lose) → fsck refuses wholesale; the in-flight
+    //    version's data survives.
+    val marker = Paths.get(root, s".publisher-${ProcessHandle.current().pid()}-test")
+    Files.writeString(marker, ProcessHandle.current().pid().toString)
+    table(3, 5).write.mode("overwrite").parquet(s"$root/v=3")
+    val e3 = intercept[IllegalStateException] { Snapshot.fsck(root) }
+    assert(e3.getMessage.contains("publisher"), e3.getMessage)
+    assert(Files.exists(Paths.get(root, "v=3")),
+      "fsck must not delete the in-flight publisher's just-renamed slot")
+    assert(!Files.exists(Paths.get(root, "_FSCK_LOCK")),
+      "a refused fsck must release its lease")
+    // 3. The publisher CRASHED (marker pid dead): fsck reaps the marker
+    //    and sweeps the orphan as before.
+    Files.delete(marker)
+    val deadPid = Iterator.from(3000000)
+      .find(p => scala.util.Try(ProcessHandle.of(p.toLong).isEmpty).getOrElse(false))
+      .get
+    val dead = Paths.get(root, s".publisher-$deadPid-crashed")
+    Files.writeString(dead, deadPid.toString)
+    assert(Snapshot.fsck(root) == Seq(3L),
+      "a dead publisher's marker must not block fsck; its orphan sweeps")
+    assert(!Files.exists(dead), "the dead marker must be reaped")
+    // 4. A CRASHED fsck's stale lease (dead pid) must not wedge publishing.
+    //    (The swept orphan freed slot 3, so allocation reuses it.)
+    Files.writeString(Paths.get(root, "_FSCK_LOCK"), deadPid.toString)
+    assert(Snapshot.publish(table(4, 5), root) == 3L,
+      "a dead fsck's lease must be reaped, not block publishes forever")
+    assert(Snapshot.read(spark, root).count() == 5L)
+  }
+
   test("snap_diff: total key classification; the derived changelog applied to v1 reconstructs v2") {
     val dir = graft.queries.Ingestion.diffOrders(spark, TestSpark.sfDir)
     val diff = SparkEntry.queries("snap_diff")(spark, TestSpark.sfDir).collect()
