@@ -391,7 +391,11 @@ class IngestSpec extends AnyFunSuite {
     st.executeUpdate(s"CREATE TABLE $stale (i INT)")
     st.executeUpdate(s"CREATE TABLE $live (i INT)")
     st.close()
-    assert(tables().contains(stale.toUpperCase) && tables().contains(live.toUpperCase))
+    // Other tests in this process may have left their own live-pid
+    // staging (the rollback test's post-mortem staging is BY DESIGN not
+    // swept while its pid lives) — assert relative to the pre-state.
+    val before = tables()
+    assert(before.contains(stale.toUpperCase) && before.contains(live.toUpperCase))
     new Ingest.JdbcUpsertWriter(target, Seq("o_orderkey"))
       .upsert(Ingestion.upsertDelta(spark, sfDir).repartition(2))
     val after = tables()
@@ -399,9 +403,9 @@ class IngestSpec extends AnyFunSuite {
       "dead-pid staging debris must be dropped by the sweep")
     assert(after.contains(live.toUpperCase),
       "a live writer's staging table must never be touched")
-    assert(!after.exists(t => t.startsWith(s"${target.table}_STAGE_".toUpperCase) &&
-        t != live.toUpperCase),
-      s"a successful merge must leave no staging of its own: $after")
+    assert(after == before - stale.toUpperCase,
+      s"a successful merge must drop exactly the dead staging and its own: " +
+        s"before=$before after=$after")
     val st2 = conn.createStatement()
     st2.executeUpdate(s"DROP TABLE $live")
     st2.close(); conn.close()
