@@ -6,31 +6,51 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** The ONE product-quantizer train/encode core behind every PQ surface —
-  * `vec_pq`'s shapes, shared by the direct (`ivf_pq`) and residual
-  * (`ivf_pq_res`) IVFADC pipelines and by the streaming encode
-  * (`StreamOps.encodePq`), so a codebook trained by the batch job and the
-  * codes assigned to streamed arrivals cannot drift.
+  * `vec_pq`'s sign-seeded scheme plus per-subspace Lloyd refinement
+  * (r11), shared by the direct (`ivf_pq`) and residual (`ivf_pq_res`)
+  * IVFADC pipelines and by the streaming encode (`StreamOps.encodePq`),
+  * so a codebook trained by the batch job and the codes assigned to
+  * streamed arrivals cannot drift. (`vec_pq` itself stays the gated
+  * audit of the deterministic SEED step.)
   *
   * Input is the LONG decimal form: (vec_id, sp ∈ 1..8, p ∈ 1..8,
   * <v> DECIMAL(18,4)) — one row per vector × dimension, subspace-split.
   * Decimal discipline per PQ-1: (18,4) operands keep the squared-diff /
   * product terms at exact scale 8 under Spark's 38-digit cap. */
 object PqEncode {
-  /** Sign-bucket-seeded codebook: each (vec, sp) pairs into the sign cell
-    * of its first four positions, and the codeword is the per-(sp, cell,
-    * p) dec4 mean — the deterministic one-step k-means stand-in
-    * (`vec_pq`'s scheme; ≤ 8·16·8 = 1024 rows). */
-  def codebook(long: DataFrame, v: String): DataFrame = {
+  /** Sign-bucket-seeded, Lloyd-REFINED codebook: each (vec, sp) pairs
+    * into the sign cell of its first four positions, the seed codeword is
+    * the per-(sp, cell, p) dec4 mean (`vec_pq`'s deterministic one-step
+    * scheme, which PQ-1 gates as the seeding audit), then `refineRounds`
+    * per-subspace Lloyd rounds re-assign every (vec, sp) to its nearest
+    * codeword and recompute the dec4 means — kmeans_iter's certified
+    * update discipline applied inside each subspace. r11 measurement
+    * (sf0.01, the prototype the flip shipped on): IVF-PQ recall@3 0.467
+    * with the raw seed book → 0.667 after two refinements at identical
+    * probe/shortlist budgets. Codeword ids are inherited from the seeds
+    * (a codeword that loses every member drops out — identical group-by
+    * semantics on both engines); each round is one broadcast-book join +
+    * one map-side-combined aggregate over the long relation, linear at
+    * any corpus size. ≤ 8·16·8 = 1024 rows throughout. */
+  def codebook(long: DataFrame, v: String, refineRounds: Int = 2): DataFrame = {
     val sign = long.groupBy(col("vec_id"), col("sp"))
       .agg(sum(when(col(v) > 0,
           when(col("p") === 1, 8).when(col("p") === 2, 4)
             .when(col("p") === 3, 2).when(col("p") === 4, 1).otherwise(0))
         .otherwise(0)).cast("int").as("cell"))
-    long.join(sign, Seq("vec_id", "sp"))
+    val seed = long.join(sign, Seq("vec_id", "sp"))
       .groupBy(col("sp"), col("cell"), col("p"))
       .agg(graft.core.Tables.dec4(
           sum(col(v)).cast("double") / count(lit(1)))
         .cast(DecimalType(18, 4)).as("c"))
+    (1 to refineRounds).foldLeft(seed) { (book, _) =>
+      long.join(encode(long, book, v).withColumnRenamed("cw", "cell"),
+          Seq("vec_id", "sp"))
+        .groupBy(col("sp"), col("cell"), col("p"))
+        .agg(graft.core.Tables.dec4(
+            sum(col(v)).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 4)).as("c"))
+    }
   }
 
   /** Nearest-codeword assignment: per (vec_id, sp) the cell minimizing the

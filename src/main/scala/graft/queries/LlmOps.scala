@@ -640,6 +640,36 @@ object LlmOps {
       |  FROM plf
       |)""".stripMargin
 
+  /** DuckDB twin of PqEncode's Lloyd refinement (r11): `rounds` CTE
+    * triples re-assign every (vec, sp) of `long`.`v` to its nearest
+    * codeword of the previous book and recompute the dec4 means. Final
+    * book CTE is named `<pre>b<rounds>`. */
+  private def duckPqRefineCtes(pre: String, long: String, v: String,
+      book0: String, rounds: Int): (String, String) = {
+    var prev = book0
+    val sb = new StringBuilder
+    (1 to rounds).foreach { r =>
+      sb.append(s""", ${pre}d$r AS (
+        |  SELECT $long.vec_id, $long.sp, $prev.cell,
+        |    SUM(($long.$v - $prev.c) * ($long.$v - $prev.c)) AS dist
+        |  FROM $long JOIN $prev ON $long.sp = $prev.sp AND $long.p = $prev.p
+        |  GROUP BY 1, 2, 3
+        |), ${pre}a$r AS (
+        |  SELECT vec_id, sp, cell FROM ${pre}d$r
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+        |    ORDER BY dist ASC, cell ASC) = 1
+        |), ${pre}b$r AS (
+        |  SELECT $long.sp, ${pre}a$r.cell, $long.p,
+        |    CAST(floor((CAST(SUM($long.$v) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
+        |  FROM $long JOIN ${pre}a$r
+        |    ON $long.vec_id = ${pre}a$r.vec_id AND $long.sp = ${pre}a$r.sp
+        |  GROUP BY 1, 2, 3
+        |)""".stripMargin)
+      prev = s"${pre}b$r"
+    }
+    (sb.toString, prev)
+  }
+
   private lazy val duckIvfPqCtes: String =
     s"""$duckIvfBaseCtes, $duckPqLongCtes, psign AS (
       |  SELECT vec_id, sp,
@@ -652,10 +682,10 @@ object LlmOps {
       |    CAST(floor((CAST(SUM(plq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
       |  FROM plq JOIN psign ON plq.vec_id = psign.vec_id AND plq.sp = psign.sp
       |  GROUP BY 1, 2, 3
-      |), pdist AS (
-      |  SELECT plq.vec_id, plq.sp, pbook.cell,
-      |    SUM((plq.xq - pbook.c) * (plq.xq - pbook.c)) AS dist
-      |  FROM plq JOIN pbook ON plq.sp = pbook.sp AND plq.p = pbook.p
+      |)${duckPqRefineCtes("pf", "plq", "xq", "pbook", 2)._1}, pdist AS (
+      |  SELECT plq.vec_id, plq.sp, pfb2.cell,
+      |    SUM((plq.xq - pfb2.c) * (plq.xq - pfb2.c)) AS dist
+      |  FROM plq JOIN pfb2 ON plq.sp = pfb2.sp AND plq.p = pfb2.p
       |  GROUP BY 1, 2, 3
       |), pcode AS (
       |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM pdist
@@ -667,9 +697,9 @@ object LlmOps {
       |), pqv AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn FROM cells WHERE vec_id < 10
       |), qlut AS (
-      |  SELECT plq.vec_id AS query_id, plq.sp, pbook.cell AS cw,
-      |    SUM(plq.xq * pbook.c) AS ip
-      |  FROM plq JOIN pbook ON plq.sp = pbook.sp AND plq.p = pbook.p
+      |  SELECT plq.vec_id AS query_id, plq.sp, pfb2.cell AS cw,
+      |    SUM(plq.xq * pfb2.c) AS ip
+      |  FROM plq JOIN pfb2 ON plq.sp = pfb2.sp AND plq.p = pfb2.p
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2, 3
       |), pcand AS (
@@ -729,10 +759,10 @@ object LlmOps {
       |    CAST(floor((CAST(SUM(rlong.r) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
       |  FROM rlong JOIN rsign ON rlong.vec_id = rsign.vec_id AND rlong.sp = rsign.sp
       |  GROUP BY 1, 2, 3
-      |), rdist AS (
-      |  SELECT rlong.vec_id, rlong.sp, rbook.cell,
-      |    SUM((rlong.r - rbook.c) * (rlong.r - rbook.c)) AS dist
-      |  FROM rlong JOIN rbook ON rlong.sp = rbook.sp AND rlong.p = rbook.p
+      |)${duckPqRefineCtes("rf", "rlong", "r", "rbook", 2)._1}, rdist AS (
+      |  SELECT rlong.vec_id, rlong.sp, rfb2.cell,
+      |    SUM((rlong.r - rfb2.c) * (rlong.r - rfb2.c)) AS dist
+      |  FROM rlong JOIN rfb2 ON rlong.sp = rfb2.sp AND rlong.p = rfb2.p
       |  GROUP BY 1, 2, 3
       |), rcode AS (
       |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM rdist
@@ -749,9 +779,9 @@ object LlmOps {
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2
       |), rlut AS (
-      |  SELECT plq.vec_id AS query_id, plq.sp, rbook.cell AS cw,
-      |    SUM(plq.xq * rbook.c) AS ip
-      |  FROM plq JOIN rbook ON plq.sp = rbook.sp AND plq.p = rbook.p
+      |  SELECT plq.vec_id AS query_id, plq.sp, rfb2.cell AS cw,
+      |    SUM(plq.xq * rfb2.c) AS ip
+      |  FROM plq JOIN rfb2 ON plq.sp = rfb2.sp AND plq.p = rfb2.p
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2, 3
       |), rcand AS (
