@@ -80,36 +80,81 @@ object Snapshot {
   // reaped by whoever trips over it, so a crashed fsck never wedges
   // publishing and a crashed publisher never wedges fsck.
 
-  /** True iff a LIVE fsck holds the root's lease; a lease owned by a
-    * dead pid (crashed fsck, same host) is reaped on the way. Unreadable
-    * or foreign content reads as HELD — fail closed. */
-  private def fsckLeaseHeld(root: String): Boolean = {
-    val p = Paths.get(root, FSCKLOCK)
-    if (!Files.exists(p)) return false
-    val alive = (for {
+  // Lock protocol invariants (the r11 review found rename-onto-a-file is
+  // NOT a CAS on POSIX — rename(2) silently replaces, so a move-based
+  // claim lets two fscks both "win" and a release then deletes the
+  // other's lock):
+  //   CLAIM  = Files.createFile (O_EXCL — the one true file-level CAS),
+  //            then write the owner pid. A reader between the create and
+  //            the write sees empty content and treats the lease as HELD.
+  //   RELEASE = the owner deletes its own lock by path. Safe because no
+  //            other actor ever deletes or replaces a LIVE owner's lock
+  //            (see REAP), so the path still names the owner's file.
+  //   REAP   = on reading a provably-dead pid, move the lock ASIDE to a
+  //            unique graveyard name (atomic; exactly one reaper wins,
+  //            losers get NoSuchFile and re-read). Between the read and
+  //            the move the content cannot have changed hands: claims
+  //            only go through createFile, which fails while the dead
+  //            file still occupies the path. The moved-aside file is
+  //            inert and deleted by its reaper.
+  private def reapDeadLock(p: Path): Unit = {
+    val grave = p.resolveSibling(
+      s".${p.getFileName}.dead.${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try { Files.move(p, grave, StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(grave); () }
+    catch { case _: java.nio.file.FileSystemException => () } // lost the reap race
+  }
+
+  /** Owner pid of the lock at `p`: Some(alive?) when readable, None when
+    * the lock is absent. Empty/unreadable content reads as ALIVE — the
+    * claim's pid write may still be in flight; fail closed — UNLESS the
+    * file is over ten minutes old (a claimer that died between the
+    * exclusive create and the pid write would otherwise wedge the root
+    * forever: its empty lock never parses, so it never reads as dead). */
+  private def lockAlive(p: Path): Option[Boolean] = {
+    if (!Files.exists(p)) return None
+    val parsed = for {
       txt <- scala.util.Try(Files.readString(p)).toOption
       pid <- txt.trim.toLongOption
       up  <- scala.util.Try(ProcessHandle.of(pid).isPresent).toOption
-    } yield up).getOrElse(true)
-    if (!alive) { Files.deleteIfExists(p); false } else true
+    } yield up
+    Some(parsed.getOrElse {
+      val age = scala.util.Try(
+        System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis)
+      age.toOption.forall(_ < 10L * 60 * 1000)
+    })
   }
 
-  /** CAS-claim the fsck lease. Returns the release handle. Throws if a
-    * live fsck already holds it. Package-visible so SnapshotSpec can
-    * hold the lease open across a racing publish. */
+  /** True iff a LIVE fsck holds the root's lease; a provably-dead
+    * owner's lock (crashed fsck, same host) is reaped on the way. */
+  private def fsckLeaseHeld(root: String): Boolean = {
+    val p = Paths.get(root, FSCKLOCK)
+    lockAlive(p) match {
+      case None        => false
+      case Some(true)  => true
+      case Some(false) => reapDeadLock(p); false
+    }
+  }
+
+  /** Claim the fsck lease via exclusive create. Returns the release
+    * handle. Throws if a live fsck already holds it. Package-visible so
+    * SnapshotSpec can hold the lease open across a racing publish. */
   private[graft] def acquireFsckLease(root: String): () => Unit = {
     Files.createDirectories(Paths.get(root))
-    if (fsckLeaseHeld(root))
-      throw new IllegalStateException(s"fsck lease on $root already held")
-    val tmp = Paths.get(root,
-      s".fscklock.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    Files.writeString(tmp, ProcessHandle.current().pid().toString)
-    try Files.move(tmp, Paths.get(root, FSCKLOCK), StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileSystemException =>
-      Files.deleteIfExists(tmp)
-      throw new IllegalStateException(s"fsck lease on $root already held", e)
+    val p = Paths.get(root, FSCKLOCK)
+    var claimed = false
+    while (!claimed) {
+      lockAlive(p) match {
+        case Some(true) =>
+          throw new IllegalStateException(s"fsck lease on $root already held")
+        case Some(false) => reapDeadLock(p)
+        case None => ()
+      }
+      try { Files.createFile(p); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // re-read
     }
-    () => { Files.deleteIfExists(Paths.get(root, FSCKLOCK)); () }
+    Files.writeString(p, ProcessHandle.current().pid().toString)
+    () => { Files.deleteIfExists(p); () }
   }
 
   /** Run `body` under a publisher intent marker, refusing when a live
@@ -130,8 +175,10 @@ object Snapshot {
 
   private def vdir(root: String, v: Long): Path = Paths.get(root, s"v=$v")
 
-  /** Every `v=N` directory present on disk (committed or orphaned). */
-  private def diskVersions(root: String): Seq[Long] = {
+  /** Every `v=N` directory present on disk (committed or orphaned).
+    * Package-visible: the streaming epoch guard's legacy-root fallback
+    * scans these when the `_PUBLISHED` manifest doesn't exist yet. */
+  private[graft] def diskVersions(root: String): Seq[Long] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return Nil
     val kids = dir.toFile.listFiles()
@@ -165,17 +212,17 @@ object Snapshot {
       if (legacy.nonEmpty) {
         // Atomic CLAIM of the backfill, not check-then-append: two
         // concurrent first-post-upgrade publishers would both pass the
-        // exists() check and double-append the legacy ids. Staging the
-        // backfill and ATOMIC_MOVE-ing it (no REPLACE) makes exactly one
-        // writer create the manifest; the loser's move fails and it
-        // proceeds straight to appending its own id.
-        val tmp = Paths.get(root,
-          s".manifest.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        Files.writeString(tmp, legacy.mkString("", "\n", "\n"))
-        try Files.move(tmp, mp, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp); ()
-        }
+        // exists() check and double-append the legacy ids. CREATE_NEW
+        // (O_EXCL) makes exactly one writer create the manifest; the
+        // loser proceeds straight to appending its own id. (The previous
+        // stage-and-ATOMIC_MOVE claim was NOT a claim on POSIX: rename
+        // onto an existing file silently replaces it, so the losing
+        // publisher's move could overwrite a manifest the winner had
+        // already appended its new id to — erasing a committed version
+        // from the manifest and exposing it to the fsck sweep.)
+        try Files.writeString(mp, legacy.mkString("", "\n", "\n"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
     }
     Files.writeString(mp, s"$v\n",

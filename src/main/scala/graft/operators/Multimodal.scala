@@ -119,17 +119,30 @@ object Multimodal {
         finally r.dispose()
       } finally in.close()
     }
+    /** COLOR bands only (alpha excluded — transparency is not intensity)
+      * with each band's right-shift to an 8-bit range: a 16-bit
+      * TYPE_USHORT_GRAY sample truncated with .toByte would wrap mod 256
+      * into noise; >> (sampleSize-8) scales it. */
+    private def colorBandShifts(img: java.awt.image.BufferedImage): Array[Int] = {
+      val raster = img.getRaster
+      val colorBands = img.getColorModel.getNumColorComponents
+        .min(raster.getNumBands)
+      Array.tabulate(colorBands) { b =>
+        math.max(0, raster.getSampleModel.getSampleSize(b) - 8)
+      }
+    }
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val img = readImage(payload)
       val raster = img.getRaster
-      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val shifts = colorBandShifts(img)
+      val (w, h, bands) = (img.getWidth, img.getHeight, shifts.length)
       var s = 0L
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           var b = 0
-          while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+          while (b < bands) { s += (raster.getSample(x, y, b) >> shifts(b)); b += 1 }
           x += 1
         }
         y += 1
@@ -139,7 +152,8 @@ object Multimodal {
     def resample(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
       val img = readImage(payload)
       val raster = img.getRaster
-      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val shifts = colorBandShifts(img)
+      val (w, h, bands) = (img.getWidth, img.getHeight, shifts.length)
       val out = new Array[Byte](tw * th)
       var y = 0
       while (y < th) {
@@ -148,7 +162,7 @@ object Multimodal {
         while (x < tw) {
           val sx = (x.toLong * w / tw).toInt
           var s = 0; var b = 0
-          while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+          while (b < bands) { s += (raster.getSample(sx, sy, b) >> shifts(b)); b += 1 }
           out(y * tw + x) = (s / bands).toByte
           x += 1
         }

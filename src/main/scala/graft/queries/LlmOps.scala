@@ -670,7 +670,8 @@ object LlmOps {
     (sb.toString, prev)
   }
 
-  private lazy val duckIvfPqCtes: String =
+  private lazy val duckIvfPqCtes: String = {
+    val (pqRefine, pqBook) = duckPqRefineCtes("pf", "plq", "xq", "pbook", 2)
     s"""$duckIvfBaseCtes, $duckPqLongCtes, psign AS (
       |  SELECT vec_id, sp,
       |    CAST(SUM(CASE WHEN xq > 0 AND p = 1 THEN 8 WHEN xq > 0 AND p = 2 THEN 4
@@ -682,10 +683,10 @@ object LlmOps {
       |    CAST(floor((CAST(SUM(plq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
       |  FROM plq JOIN psign ON plq.vec_id = psign.vec_id AND plq.sp = psign.sp
       |  GROUP BY 1, 2, 3
-      |)${duckPqRefineCtes("pf", "plq", "xq", "pbook", 2)._1}, pdist AS (
-      |  SELECT plq.vec_id, plq.sp, pfb2.cell,
-      |    SUM((plq.xq - pfb2.c) * (plq.xq - pfb2.c)) AS dist
-      |  FROM plq JOIN pfb2 ON plq.sp = pfb2.sp AND plq.p = pfb2.p
+      |)$pqRefine, pdist AS (
+      |  SELECT plq.vec_id, plq.sp, $pqBook.cell,
+      |    SUM((plq.xq - $pqBook.c) * (plq.xq - $pqBook.c)) AS dist
+      |  FROM plq JOIN $pqBook ON plq.sp = $pqBook.sp AND plq.p = $pqBook.p
       |  GROUP BY 1, 2, 3
       |), pcode AS (
       |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM pdist
@@ -697,9 +698,9 @@ object LlmOps {
       |), pqv AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn FROM cells WHERE vec_id < 10
       |), qlut AS (
-      |  SELECT plq.vec_id AS query_id, plq.sp, pfb2.cell AS cw,
-      |    SUM(plq.xq * pfb2.c) AS ip
-      |  FROM plq JOIN pfb2 ON plq.sp = pfb2.sp AND plq.p = pfb2.p
+      |  SELECT plq.vec_id AS query_id, plq.sp, $pqBook.cell AS cw,
+      |    SUM(plq.xq * $pqBook.c) AS ip
+      |  FROM plq JOIN $pqBook ON plq.sp = $pqBook.sp AND plq.p = $pqBook.p
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2, 3
       |), pcand AS (
@@ -729,12 +730,14 @@ object LlmOps {
       |  FROM pshort JOIN pqv ON pshort.query_id = pqv.query_id
       |    JOIN cells ON pshort.neighbor_id = cells.vec_id
       |)""".stripMargin
+  }
 
   /** Residual-IVFADC oracle pipeline through its `rranked` CTE — DuckDB
     * twin of [[ivfPqResRanked]]: cell centroids in long decimal form,
     * residuals r = xq − μ, PQ train/encode on residuals, ADC as
     * q·μ + Σ LUT(raw q, residual codeword), exact re-rank of the top-16. */
-  private lazy val duckIvfPqResCtes: String =
+  private lazy val duckIvfPqResCtes: String = {
+    val (rqRefine, rqBook) = duckPqRefineCtes("rf", "rlong", "r", "rbook", 2)
     s"""$duckIvfBaseCtes, $duckPqLongCtes, mlong AS (
       |  SELECT cell_label, CAST(((dim - 1) // 8) + 1 AS INT) AS sp,
       |    CAST(((dim - 1) % 8) + 1 AS INT) AS p,
@@ -759,10 +762,10 @@ object LlmOps {
       |    CAST(floor((CAST(SUM(rlong.r) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
       |  FROM rlong JOIN rsign ON rlong.vec_id = rsign.vec_id AND rlong.sp = rsign.sp
       |  GROUP BY 1, 2, 3
-      |)${duckPqRefineCtes("rf", "rlong", "r", "rbook", 2)._1}, rdist AS (
-      |  SELECT rlong.vec_id, rlong.sp, rfb2.cell,
-      |    SUM((rlong.r - rfb2.c) * (rlong.r - rfb2.c)) AS dist
-      |  FROM rlong JOIN rfb2 ON rlong.sp = rfb2.sp AND rlong.p = rfb2.p
+      |)$rqRefine, rdist AS (
+      |  SELECT rlong.vec_id, rlong.sp, $rqBook.cell,
+      |    SUM((rlong.r - $rqBook.c) * (rlong.r - $rqBook.c)) AS dist
+      |  FROM rlong JOIN $rqBook ON rlong.sp = $rqBook.sp AND rlong.p = $rqBook.p
       |  GROUP BY 1, 2, 3
       |), rcode AS (
       |  SELECT vec_id AS neighbor_id, sp, cell AS cw FROM rdist
@@ -779,9 +782,9 @@ object LlmOps {
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2
       |), rlut AS (
-      |  SELECT plq.vec_id AS query_id, plq.sp, rfb2.cell AS cw,
-      |    SUM(plq.xq * rfb2.c) AS ip
-      |  FROM plq JOIN rfb2 ON plq.sp = rfb2.sp AND plq.p = rfb2.p
+      |  SELECT plq.vec_id AS query_id, plq.sp, $rqBook.cell AS cw,
+      |    SUM(plq.xq * $rqBook.c) AS ip
+      |  FROM plq JOIN $rqBook ON plq.sp = $rqBook.sp AND plq.p = $rqBook.p
       |  WHERE plq.vec_id < 10
       |  GROUP BY 1, 2, 3
       |), rcand AS (
@@ -816,6 +819,7 @@ object LlmOps {
       |  FROM rshort JOIN pqv ON rshort.query_id = pqv.query_id
       |    JOIN cells ON rshort.neighbor_id = cells.vec_id
       |)""".stripMargin
+  }
 
   private lazy val duckIvfCtes: String =
     s"""$duckIvfBaseCtes, probes AS (
@@ -1232,21 +1236,32 @@ object LlmOps {
       out: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val emb = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val cent = ivfKmeansCentroids(s, d)
+    // Pin the index metadata: each of the 4 foreachBatch invocations
+    // below broadcasts these — unpinned, every micro-batch would re-run
+    // the full Lloyd training and codebook-refinement DAGs (4× redundant
+    // training per store build).
+    val cent = pin(ivfKmeansCentroids(s, d))
     val book = graft.operators.PqEncode.codebook(
-      graft.operators.PqEncode.toLong(emb), "xq")
+      graft.operators.PqEncode.toLong(emb), "xq").pinned
     val arrivals = Paths.get(out, "arrivals")
     Files.createDirectories(arrivals)
     (0 to 3).foreach { i =>
       val tmp = Files.createTempDirectory("ivf_slice")
       emb.filter(pmod(col("vec_id"), lit(4)) === i)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(
-          s"no parquet part written under $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(
+            s"no parquet part written under $tmp"))
+        finally listing.close()
       Files.move(part, arrivals.resolve(f"slice_$i%02d.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
+      // Drop the write's leftovers (_SUCCESS, .crc) with the dir itself.
+      val rest = Files.list(tmp)
+      try rest.forEach(p => { Files.deleteIfExists(p); () })
+      finally rest.close()
+      Files.deleteIfExists(tmp)
     }
     graft.streaming.StreamOps.runIvfAdcIngest(s, arrivals.toString,
       emb.schema, cent, book, s"$out/store", s"$out/ckpt")
@@ -1595,9 +1610,16 @@ object LlmOps {
       val root = graft.core.Warehouse.once(d, "ivfadc_stream") { out =>
         buildIvfAdcStreamStore(s, d, out)
       }
+      // DISTINCT guards ADC correctness against at-least-once residue:
+      // the store keeps a duplicate-DELIVERED file (same content, new
+      // name) as a second _src partition, and a duplicated state row
+      // would double that neighbor's ADC sum and let it occupy two
+      // top-3 ranks. At scale the periodic store compaction dedups;
+      // search-side distinct is the correctness guard between passes.
       val state = s.read.parquet(s"$root/store")
         .select(col("vec_id").as("neighbor_id"),
           col("cell").as("cell_label"), col("sp"), col("cw"), col("vn"))
+        .distinct()
       ordered(ivfPqRanked(s, d, extState = Some(state))
         .select(col("query_id"), col("rn"), col("neighbor_id"),
           dec4S(col("adc_raw")).as("adc"),

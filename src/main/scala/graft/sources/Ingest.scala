@@ -190,11 +190,16 @@ object Ingest {
     // same-host debris on writer start. The name embeds host + pid so the
     // sweep can prove the owner dead: a pid is only meaningful on the
     // host that minted it.
-    private val host: String =
-      java.net.InetAddress.getLocalHost.getHostName
-        .replaceAll("[^A-Za-z0-9]", "")
+    // None when the hostname doesn't resolve (minimal containers often
+    // lack their own /etc/hosts entry): the writer must still WORK — it
+    // falls back to a constant name tag and skips the sweep, since a
+    // same-host liveness proof is impossible without a host identity.
+    private val host: Option[String] =
+      scala.util.Try(java.net.InetAddress.getLocalHost.getHostName
+        .replaceAll("[^A-Za-z0-9]", "")).toOption.filter(_.nonEmpty)
     val stagingTable: String =
-      s"${target.table}_stage_${host}_${ProcessHandle.current().pid()}_" +
+      s"${target.table}_stage_${host.getOrElse("unknownhost")}_" +
+        s"${ProcessHandle.current().pid()}_" +
         java.lang.Long.toUnsignedString(System.nanoTime(), 36)
 
     /** Best-effort reclaim of crashed-run staging debris: drop every
@@ -204,8 +209,8 @@ object Ingest {
       * for that host's next writer (or an ops sweep). A live concurrent
       * writer's staging is never touched: its pid is alive. Failures are
       * swallowed — cleanup must never fail the upsert it rides on. */
-    private def dropStaleStaging(conn: java.sql.Connection): Unit = {
-      val Pat = s"(?i)${java.util.regex.Pattern.quote(target.table)}_STAGE_${host}_(\\d+)_.*".r
+    private def dropStaleStaging(conn: java.sql.Connection): Unit = host.foreach { h =>
+      val Pat = s"(?i)${java.util.regex.Pattern.quote(target.table)}_STAGE_${h}_(\\d+)_.*".r
       try {
         val md = conn.getMetaData
         val rs = md.getTables(null, null, "%", Array("TABLE"))

@@ -1319,12 +1319,19 @@ object StreamOps {
     // Legacy roots (published before the _PUBLISHED manifest existed)
     // have an empty history until recordPublished backfills at the NEXT
     // publish — i.e. after this guard has already run — so an empty
-    // manifest must fall back to the current version's meta, or the
-    // first post-upgrade call waves any redelivered stale epoch through.
+    // manifest must fall back to scanning the on-disk versions at or
+    // below the pointer, newest-first (the legacy commit invariant), or
+    // the first post-upgrade call waves any redelivered stale epoch
+    // through. Scanning ONLY the current version is not enough: a
+    // rollback or one plain un-stamped publish can leave the tip without
+    // an epoch while older epoch-stamped versions exist.
     val history = graft.core.Snapshot.publishedVersions(root)
     val scan =
       if (history.nonEmpty) history.reverse.iterator
-      else graft.core.Snapshot.currentVersion(root).iterator
+      else graft.core.Snapshot.currentVersion(root).iterator.flatMap { cur =>
+        graft.core.Snapshot.diskVersions(root).filter(_ <= cur)
+          .sorted.reverse.iterator
+      }
     val published = scan
       .flatMap(v => graft.core.Snapshot.meta(root, v).get("epoch"))
       .map(_.toLong)

@@ -118,6 +118,29 @@ class MultimodalSpec extends AnyFunSuite {
     // Non-image bytes fail actionably instead of decoding garbage.
     intercept[IllegalArgumentException] {
       Multimodal.ImageIoDecoder.decode("not an image".getBytes) }
+    // Review r11: 16-bit grayscale must SCALE to the 8-bit range, not
+    // wrap mod 256 — sample 0x8000 (32768) is mid-gray 128, not 0.
+    val b16 = new ByteArrayOutputStream()
+    val img16 = new BufferedImage(4, 4, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) img16.getRaster.setSample(x, y, 0, 0x8000)
+    assert(javax.imageio.ImageIO.write(img16, "png", b16))
+    val (w16, h16, m16) = Multimodal.ImageIoDecoder.decode(b16.toByteArray)
+    assert((w16, h16) == (4, 4))
+    assert(math.abs(m16 - 128.0) < 1.0,
+      s"16-bit mid-gray must decode near 128, got $m16 (mod-256 wrap would give 0)")
+    assert(Multimodal.ImageIoDecoder.resample(b16.toByteArray, 2, 2)
+      .forall(b => (b & 0xff) >= 127 && (b & 0xff) <= 129),
+      "16-bit resample plane must be scaled, not truncated")
+    // Alpha is transparency, not intensity: a constant-gray ARGB image
+    // with varying alpha must average to the gray value alone.
+    val ba = new ByteArrayOutputStream()
+    val imga = new BufferedImage(4, 4, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      imga.setRGB(x, y, ((x * 60 + 15) << 24) | (100 << 16) | (100 << 8) | 100)
+    assert(javax.imageio.ImageIO.write(imga, "png", ba))
+    val (_, _, ma) = Multimodal.ImageIoDecoder.decode(ba.toByteArray)
+    assert(math.abs(ma - 100.0) < 1e-9,
+      s"mean must exclude the alpha band, got $ma")
   }
 
   test("sampleFrames is bounded and lossless at stride 1") {

@@ -231,6 +231,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.publish(table(4, 5), root) == 3L,
       "a dead fsck's lease must be reaped, not block publishes forever")
     assert(Snapshot.read(spark, root).count() == 5L)
+    // 5. Review r11: the claim must be a REAL file-level CAS. A losing
+    //    claim must not have replaced the winner's lock (rename onto a
+    //    file silently replaces on POSIX — the bug the createFile claim
+    //    fixes), so after the winner releases, the lock is GONE, not a
+    //    zombie copy of the loser's.
+    val rel2 = Snapshot.acquireFsckLease(root)
+    intercept[IllegalStateException] { Snapshot.acquireFsckLease(root) }
+    rel2()
+    assert(!Files.exists(Paths.get(root, "_FSCK_LOCK")),
+      "after release, no losing claimer's lock may remain")
+    assert(Snapshot.publish(table(5, 2), root) > 0L)
+    // 6. A claimer that died between createFile and the pid write leaves
+    //    an EMPTY lock: fresh → held (the write may be in flight); aged
+    //    past the escape hatch → reaped, publishing resumes.
+    val lock = Paths.get(root, "_FSCK_LOCK")
+    Files.createFile(lock)
+    intercept[IllegalStateException] { Snapshot.publish(table(6, 2), root) }
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 11L * 60 * 1000))
+    assert(Snapshot.publish(table(6, 2), root) > 0L,
+      "an aged empty lock (claimer died mid-claim) must not wedge the root")
   }
 
   test("snap_diff: total key classification; the derived changelog applied to v1 reconstructs v2") {

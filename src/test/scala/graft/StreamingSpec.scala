@@ -1212,10 +1212,20 @@ class StreamingSpec extends AnyFunSuite {
       "an older stale epoch must be blocked on a legacy root")
     assert(Snapshot.currentVersion(root).contains(2L),
       "blocked replays must not move the pointer")
+    // Review r11: an UN-STAMPED tip must not blind the fallback — a
+    // plain publish (batch seeding/repair job, no epoch meta) on the
+    // legacy root moves the pointer to a version with no epoch, and the
+    // guard must still find the older stamped versions on disk.
+    Snapshot.publish(df, root)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_PUBLISHED"))
+    assert(Snapshot.meta(root, Snapshot.currentVersion(root).get).get("epoch").isEmpty,
+      "precondition: tip carries no epoch stamp")
+    assert(StreamOps.publishEpochGuarded(df, root, 1L).isEmpty,
+      "stale epoch must be blocked even when the legacy tip is un-stamped")
     // A genuinely new epoch publishes, and the manifest backfill then
     // restores the full history for subsequent guards.
-    assert(StreamOps.publishEpochGuarded(df, root, 2L).contains(3L))
-    assert(Snapshot.publishedVersions(root) == Seq(1L, 2L, 3L),
+    assert(StreamOps.publishEpochGuarded(df, root, 2L).contains(4L))
+    assert(Snapshot.publishedVersions(root) == Seq(1L, 2L, 3L, 4L),
       "first post-upgrade publish must backfill the manifest")
     assert(StreamOps.publishEpochGuarded(df, root, 2L).isEmpty,
       "guard must hold again on the backfilled manifest")
