@@ -307,4 +307,31 @@ object GraftLaws extends Properties("graft.laws") {
       val dupShares = (1L to 8L).forall(sp => code(0L -> sp) == code(n -> sp))
       totality && inBook && dupShares
     }
+
+  property("PqEncode: Lloyd refinement never increases total quantization error") =
+    forAll(vecRows64) { vs0 =>
+      // The r11 refinement's correctness certificate — Lloyd's theorem
+      // per subspace: each refine round (re-assign to nearest codeword,
+      // recompute means) must not increase the summed squared
+      // quantization error. dec4 rounding of the means can perturb a
+      // step by at most the quantization grid, so allow that epsilon.
+      val vs = (if (vs0.isEmpty) List(List.fill(64)(1.0f)) else vs0)
+        .map(v => (v ++ List.fill(64)(0.0f)).take(64))
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val long = graft.operators.PqEncode.toLong(emb)
+      def totalErr(rounds: Int): Double = {
+        val book = graft.operators.PqEncode.codebook(long, "xq", rounds)
+        val code = graft.operators.PqEncode.encode(long, book, "xq")
+          .withColumnRenamed("cw", "cell")
+        long.join(code, Seq("vec_id", "sp"))
+          .join(book, Seq("sp", "cell", "p"))
+          .select(sum(((col("xq") - col("c")).cast("double")) *
+            ((col("xq") - col("c")).cast("double"))))
+          .head().getDouble(0)
+      }
+      val eps = 1e-4 * vs.size * 64 // one dec4 grid step per coordinate
+      val (e0, e1, e2) = (totalErr(0), totalErr(1), totalErr(2))
+      (e1 <= e0 + eps) && (e2 <= e1 + eps)
+    }
 }

@@ -413,7 +413,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // and top-3 cuts must push WindowGroupLimit; and every window is
     // per-vector/per-query partitioned (no single-task rank at any
     // corpus width).
-    Seq("ivf_pq", "ivf_pq_res").foreach { name =>
+    // ivf_pq_stream shares the search tail but sources state from the
+    // streamed store — the same broadcast/group-limit/partitioned-window
+    // contract must hold over the store-scan plan (r11).
+    Seq("ivf_pq", "ivf_pq_res", "ivf_pq_stream").foreach { name =>
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin"),
         s"$name: codebook/LUT/query sides should reach their joins as broadcasts")

@@ -255,6 +255,69 @@ class SnapshotSpec extends AnyFunSuite {
       "an aged empty lock (claimer died mid-claim) must not wedge the root")
   }
 
+  test("lease protocol under concurrent fsck/publish stress: one holder, no committed version lost") {
+    // The r11 review proved the original move-based claim let two fscks
+    // both "win" (rename onto a file replaces on POSIX). This drives the
+    // createFile-claim protocol hard: concurrent lease claimers must
+    // never BOTH hold it, real fsck() calls must refuse (not sweep)
+    // around live publishers, and every publish that RETURNED an id must
+    // still have its data and manifest entry at the end.
+    import java.nio.file.{Files, Paths}
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tempDir("snap_stress").toString
+    Snapshot.publish(table(1, 5), root)
+    val holders = new AtomicInteger(0)
+    val maxHolders = new AtomicInteger(0)
+    val leaseWins = new AtomicInteger(0)
+    val published = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val leasers = (1 to 2).map(_ => Future {
+      (1 to 20).foreach { _ =>
+        try {
+          val release = Snapshot.acquireFsckLease(root)
+          try {
+            val h = holders.incrementAndGet()
+            maxHolders.updateAndGet(m => math.max(m, h))
+            leaseWins.incrementAndGet()
+            Thread.sleep(1)
+          } finally { holders.decrementAndGet(); release() }
+        } catch { case _: IllegalStateException => () }
+      }
+    })
+    val sweepers = (1 to 2).map(_ => Future {
+      (1 to 8).foreach { _ =>
+        try { Snapshot.fsck(root); () }
+        catch { case _: IllegalStateException => () } // busy root: refused
+        Thread.sleep(1)
+      }
+    })
+    val publishers = (1 to 3).map(i => Future {
+      (1 to 8).foreach { k =>
+        try { published.add(Snapshot.publish(table(i * 100 + k, 3), root)); () }
+        catch { case _: IllegalStateException => () } // fsck held the lease
+      }
+    })
+    Await.result(Future.sequence(leasers ++ sweepers ++ publishers), 180.seconds)
+    pool.shutdown()
+    assert(maxHolders.get() == 1,
+      s"${maxHolders.get()} concurrent lease holders — the claim is not exclusive")
+    assert(leaseWins.get() > 0, "no lease was ever won — vacuous run")
+    assert(published.size > 0, "no publish ever succeeded — vacuous run")
+    import scala.jdk.CollectionConverters._
+    val manifest = Snapshot.publishedVersions(root).toSet
+    published.asScala.foreach { v =>
+      assert(Files.exists(Paths.get(root, s"v=$v")),
+        s"published v=$v lost its data directory under the race")
+      assert(manifest.contains(v),
+        s"published v=$v missing from the manifest under the race")
+    }
+    assert(!Files.exists(Paths.get(root, "_FSCK_LOCK")),
+      "no lease may survive the stress run")
+  }
+
   test("snap_diff: total key classification; the derived changelog applied to v1 reconstructs v2") {
     val dir = graft.queries.Ingestion.diffOrders(spark, TestSpark.sfDir)
     val diff = SparkEntry.queries("snap_diff")(spark, TestSpark.sfDir).collect()
