@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -55,17 +54,24 @@ object PqEncode {
 
   /** Nearest-codeword assignment: per (vec_id, sp) the cell minimizing the
     * exact-decimal squared distance to the codeword (ties → smaller
-    * cell). Returns (vec_id, sp, cw). */
+    * cell). Returns (vec_id, sp, cw).
+    *
+    * The argmin is `min(struct(dist, cell))` — struct ordering compares
+    * dist first, then cell, which IS the (dist asc, cell asc) tie-break —
+    * rather than a row_number window: the aggregate partial-combines
+    * map-side, so the n·8·16 candidate-distance relation never feeds a
+    * sort-based window exchange. With the r11 refinement rounds this
+    * argmin runs 3× per codebook build, so the shape matters at scale
+    * (measured: the ×100 probe's dominant term). Result-identical to the
+    * window form — decimal comparison is exact on both paths. */
   def encode(long: DataFrame, book: DataFrame, v: String): DataFrame = {
     val dist = long.join(broadcast(book), Seq("sp", "p"))
       .withColumn("dd", (col(v) - col("c")).cast(DecimalType(18, 4)))
       .groupBy(col("vec_id"), col("sp"), col("cell"))
       .agg(sum(col("dd") * col("dd")).as("dist"))
-    val wsp = Window.partitionBy(col("vec_id"), col("sp"))
-      .orderBy(col("dist").asc, col("cell").asc)
-    dist.withColumn("prn", row_number().over(wsp))
-      .filter(col("prn") === 1)
-      .select(col("vec_id"), col("sp"), col("cell").as("cw"))
+    dist.groupBy(col("vec_id"), col("sp"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("sp"), col("m.cell").as("cw"))
   }
 
   /** Wide embedding rows → the long decimal form the core operates on. */

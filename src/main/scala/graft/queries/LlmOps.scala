@@ -1023,16 +1023,19 @@ object LlmOps {
     val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
         dot_product(dbl, dbl).as("vv"))
       .pinned
-    def assign(seeds: DataFrame): DataFrame = {
-      val wv = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cid").asc)
+    // Argmin as min(struct(dist, cid, v)) — struct order IS the
+    // (dist asc, cid asc) tie-break (cid is unique per vector's candidate
+    // set, so the trailing v never decides) and the aggregate
+    // partial-combines map-side, unlike a sort-based row_number window
+    // over the vectors × k cross. Result-identical to the oracle's
+    // ROW_NUMBER argmin.
+    def assign(seeds: DataFrame): DataFrame =
       base.crossJoin(broadcast(seeds))
         .withColumn("dist",
           col("vv") + col("cc") - lit(2.0) * dot_product(col("v"), col("c")))
-        .withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
     val centCols = (1 to 64).map { i =>
       dec4(dsum4(element_at(col("v"), i)).cast("double") / count(lit(1)))
         .cast("double").as(s"m$i")
