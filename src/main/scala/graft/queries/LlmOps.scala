@@ -47,6 +47,12 @@ object LlmOps {
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Tie-safe round-half-up at 8 decimals (Eval's dec8 — used where dec4
+    * would quantize small per-term contributions to zero). DuckDB twin:
+    * `CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))`. */
+  private def dec8(c: Column): Column =
+    (floor(c * lit(1e8) + lit(0.5)) / lit(1e8)).cast(DecimalType(38, 8))
+
   /** Distinct word-bigram shingles of a text column (same gram expression
     * as ddp_ngram). Sketch queries use SHINGLES, not unigrams: the corpus
     * vocabulary is ~31 words with document frequencies up to 78%, so every
@@ -821,6 +827,59 @@ object LlmOps {
       |)""".stripMargin
   }
 
+  /** Scalar-quantizer oracle pipeline through its `sranked` CTE — DuckDB
+    * twin of [[ivfSqRanked]]: per-dim [min,max] on the dec4 grid, 8-bit
+    * codes by round-half-up integer division (floor of a double division
+    * proven exact — see the Spark-side scaladoc), dequantized-numerator
+    * ADC dot over the probed cells, exact re-rank of the ADC top-16. */
+  private lazy val duckIvfSqCtes: String =
+    s"""$duckIvfBaseCtes, slf AS (
+      |  SELECT vec_id, CAST(dim AS INT) AS dim,
+      |    CAST(floor(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT) AS xi
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          unnest(generate_series(1, len(embedding))) AS dim
+      |        FROM embeddings)
+      |), sstat AS (
+      |  SELECT dim, MIN(xi) AS mi, MAX(xi) AS ma FROM slf GROUP BY dim
+      |), snq AS (
+      |  SELECT vec_id, list(CAST(nq AS DOUBLE) ORDER BY dim) AS nqa FROM (
+      |    SELECT slf.vec_id, slf.dim,
+      |      255 * sstat.mi + (CASE WHEN sstat.ma = sstat.mi THEN 0
+      |        ELSE CAST(floor(CAST((slf.xi - sstat.mi) * 510 + (sstat.ma - sstat.mi) AS DOUBLE)
+      |          / CAST((sstat.ma - sstat.mi) * 2 AS DOUBLE)) AS BIGINT) END) * (sstat.ma - sstat.mi) AS nq
+      |    FROM slf JOIN sstat ON slf.dim = sstat.dim)
+      |  GROUP BY vec_id
+      |), sqx AS (
+      |  SELECT vec_id AS query_id, list(CAST(xi AS DOUBLE) ORDER BY dim) AS qxa
+      |  FROM slf WHERE vec_id < 10 GROUP BY vec_id
+      |), sprobes AS (
+      |  SELECT vec_id AS query_id, cell_label AS pcell
+      |  FROM assigned WHERE vec_id < 10 AND crn <= 2
+      |), sqv AS (
+      |  SELECT vec_id AS query_id, e AS qe, vn AS qn FROM cells WHERE vec_id < 10
+      |), spool AS (
+      |  SELECT sprobes.query_id, cells.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(sqx.qxa, snq.nqa), x -> x[1] * x[2]))
+      |      / 25500000000.0 / (sqv.qn * cells.vn) AS adc_raw
+      |  FROM sprobes JOIN cells ON sprobes.pcell = cells.cell
+      |      AND sprobes.query_id <> cells.vec_id
+      |    JOIN snq ON cells.vec_id = snq.vec_id
+      |    JOIN sqx ON sprobes.query_id = sqx.query_id
+      |    JOIN sqv ON sprobes.query_id = sqv.query_id
+      |), sshort AS (
+      |  SELECT query_id, neighbor_id, adc_raw FROM spool
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_raw DESC, neighbor_id ASC) <= 16
+      |), sranked AS (
+      |  SELECT sshort.query_id, sshort.neighbor_id, sshort.adc_raw,
+      |    list_sum(list_transform(list_zip(sqv.qe, cells.e), x -> x[1] * x[2])) / (sqv.qn * cells.vn) AS score_raw,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sshort.query_id ORDER BY
+      |      list_sum(list_transform(list_zip(sqv.qe, cells.e), x -> x[1] * x[2])) / (sqv.qn * cells.vn) DESC,
+      |      sshort.neighbor_id ASC) AS INT) AS rn
+      |  FROM sshort JOIN sqv ON sshort.query_id = sqv.query_id
+      |    JOIN cells ON sshort.neighbor_id = cells.vec_id
+      |)""".stripMargin
+
   private lazy val duckIvfCtes: String =
     s"""$duckIvfBaseCtes, probes AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
@@ -1206,26 +1265,124 @@ object LlmOps {
     if (raw)
       pool.select(col("query_id"), col("neighbor_id"),
         col("cn"), col("qn"), col("adc_raw"))
-    else {
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
-      val short = pool
-        .withColumn("srn", row_number().over(wAdc))
-        .filter(col("srn") <= shortlist)
-      // --- Exact re-rank of the shortlist only ---
-      val wFin = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_raw").desc, col("neighbor_id").asc)
-      short
-        .join(rerank, Seq("neighbor_id"))
-        // `short` already carries qn from the ADC stage; attach qe only.
-        .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
-        .withColumn("score_raw",
-          dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
-        .withColumn("rn", row_number().over(wFin))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          col("adc_raw"), col("score_raw"))
-    }
+    else adcShortlistRerank(pool, qv, rerank, shortlist)
+  }
+
+  /** ADC-pool → shortlist → exact-re-rank tail shared by EVERY
+    * approximate-scoring index variant (`ivf_pq`, `ivf_pq_res`,
+    * `ivf_pq_stream` via [[ivfAdcSearchTail]]; `ivf_sq` directly): `pool`
+    * = (query_id, neighbor_id, cn, qn, adc_raw) from ANY approximate
+    * scorer — PQ lookup tables or SQ dequantized dots — shortlisted by
+    * approximate score, the survivors re-scored EXACTLY (raw-vector
+    * cosine against `rerank` = (neighbor_id, ce2, cn2), the cold-storage
+    * fetch), final top-3 per query. One tail, so no variant can drift on
+    * the shortlist or tie-break rules. */
+  private def adcShortlistRerank(pool: DataFrame, qv: DataFrame,
+      rerank: DataFrame, shortlist: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+    val short = pool
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+    // --- Exact re-rank of the shortlist only ---
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    short
+      .join(rerank, Seq("neighbor_id"))
+      // `short` already carries qn from the ADC stage; attach qe only.
+      .join(broadcast(qv.select(col("query_id"), col("qe"))), Seq("query_id"))
+      .withColumn("score_raw",
+        dot_product(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+      .withColumn("rn", row_number().over(wFin))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("adc_raw"), col("score_raw"))
+  }
+
+  /** Scalar-quantized IVF search — the SQ8 rung of the quantization
+    * ladder (Faiss `IndexScalarQuantizer`/IVFSQ lineage, public): each
+    * dimension quantized INDEPENDENTLY to an 8-bit code on the corpus's
+    * per-dim [min, max] grid. Per-vector state = cell + 64 byte codes +
+    * norm ≈ 64 B — 8× IVF-PQ's 8 B, in exchange for near-exact scoring
+    * (the whole "codebook" is 128 longs of per-dim stats, vs PQ's learned
+    * 8×16×8 table; nothing is trained, so nothing can be mistrained).
+    * `ivf_sq_eval` measures the trade against `ivf_pq_eval` at identical
+    * probe/shortlist budgets — the storage-vs-recall pair a 100 TB index
+    * designer prices.
+    *
+    * Determinism (§5.3): vectors enter on the dec4 grid as scaled int64;
+    * codes are round-half-up integer divisions — computed as
+    * floor(double-division) which is PROVABLY exact here (operands ≤
+    * 2·10⁷, so a non-integer true quotient p/q with q ≤ 4·10⁴ sits ≥
+    * 2.5·10⁻⁵ from any wrong integer while the double error is ≤
+    * half-ulp ≈ 10⁻¹¹); dequantized numerators nq_d = 255·mi_d +
+    * code_d·(ma_d − mi_d) and the ADC dot Σ qi_d·nq_d stay < 2⁵³, so the
+    * double fold IS the exact integer sum (dot_product's in-order fold ≡
+    * DuckDB list_sum). The only approximations are the quantization grid
+    * itself and the two final norm divides; ranks tie-break by
+    * neighbor_id and the tail re-ranks exactly ([[adcShortlistRerank]]).
+    *
+    * Scale shape: the per-dim stats are ONE map-side-combined aggregate
+    * (no explode — 128 aggregate expressions over element_at) broadcast
+    * back as index metadata; encode is a per-row zip_with chain
+    * (scan-proportional, zero shuffle); the ADC scan costs one exact
+    * 64-element dot per candidate from the probed cells only — the same
+    * probed-cell-proportional search mass as ivf_pq with no LUT join. */
+  private def ivfSqRanked(s: SparkSession, d: String,
+      shortlist: Int = 16): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    val xiC = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+    val base = emb.select(col("vec_id"), xiC.as("xi")).pinned
+    // --- TRAIN: per-dim [min, max] on the dec4 grid ---
+    val mm = (1 to 64).map(i => min(element_at(col("xi"), i)).as(s"mi$i")) ++
+      (1 to 64).map(i => max(element_at(col("xi"), i)).as(s"ma$i"))
+    val stats = base.agg(mm.head, mm.tail: _*)
+      .select(array((1 to 64).map(i => col(s"mi$i")): _*).as("mi"),
+        array((1 to 64).map(i => col(s"ma$i")): _*).as("ma"))
+      .withColumn("rng", zip_with(col("ma"), col("mi"), (a, b) => a - b))
+    // --- ENCODE: code_d = round-half-up((xi−mi)·255/(ma−mi)) ∈ [0,255],
+    //     carried as its dequantized numerator nq_d (units 10⁻⁴/255) ---
+    val enc = base.crossJoin(broadcast(stats))
+      .withColumn("sh", zip_with(col("xi"), col("mi"), (x, m) => x - m))
+      .withColumn("code", zip_with(col("sh"), col("rng"), (sft, r) =>
+        when(r === lit(0L), lit(0L)).otherwise(
+          floor((sft * lit(510L) + r).cast("double") /
+            (r * lit(2L)).cast("double")).cast("long"))))
+      .withColumn("cr", zip_with(col("code"), col("rng"), (c, r) => c * r))
+      .withColumn("nq", zip_with(col("cr"), col("mi"),
+        (c, m) => c + lit(255L) * m))
+      .select(col("vec_id"), col("nq"))
+    // --- IVF cells + probes + queries (the shared assignment, verbatim) ---
+    val assigned = ivfAssigned(s, d)
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell_label").as("pcell"))
+    val qv = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("vn").as("qn"))
+    val qxi = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        transform(col("xi"), _.cast("double")).as("qxa"))
+    // --- Per-vector search state: cell + dequantized code numerators +
+    //     norm (the inverted-list relation; raw vectors stay cold) ---
+    val state = enc.join(cells.select(col("vec_id"), col("vn"),
+        col("cell_label")), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell_label"),
+        transform(col("nq"), _.cast("double")).as("nqa"), col("vn"))
+    // --- ADC scan: ONE exact integer dot per probed-cell candidate ---
+    val pool = broadcast(probes).join(state,
+        col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qxi), Seq("query_id"))
+      .join(broadcast(qv.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .withColumn("adc_raw",
+        dot_product(col("qxa"), col("nqa")) / lit(2.55e10) /
+          (col("qn") * col("vn")))
+      .select(col("query_id"), col("neighbor_id"), col("vn").as("cn"),
+        col("qn"), col("adc_raw"))
+    adcShortlistRerank(pool, qv,
+      cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
+        col("vn").as("cn2")), shortlist)
   }
 
   /** Build the STR-IVF streamed IVFADC store for `ivf_pq_stream`: the
@@ -1657,6 +1814,28 @@ object LlmOps {
     //      direct-PQ recall at identical probe/shortlist budgets. ----
     "ivf_pq_res_eval" -> ((s, d) =>
       ordered(recallPerQuery(bruteTruthTop3(s, d), ivfPqResRanked(s, d)))),
+
+    // ---- SIM-1g: scalar-quantized IVF search (`ivf_sq`) — the SQ8 rung
+    //      of the quantization ladder (see [[ivfSqRanked]]): per-dim
+    //      8-bit codes on the corpus [min,max] grid, 64 B/vector state
+    //      (8× PQ's 8 B), nothing trained. Same probes, shortlist, exact
+    //      re-rank and output shape as ivf_pq — the two indexes differ
+    //      ONLY in how the ADC approximates, which is exactly what their
+    //      paired evals price. ----
+    "ivf_sq" -> ((s, d) =>
+      ordered(ivfSqRanked(s, d)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("adc_raw")).as("adc"),
+          dec4S(col("score_raw")).as("score")))),
+
+    // ---- SIM-EVAL5: SQ-IVF recall audit (`ivf_sq_eval`) — the number
+    //      that PRICES the SQ-vs-PQ storage trade: recall@3 of the SQ8
+    //      stack vs brute truth at ivf_pq_eval's identical probe/
+    //      shortlist budgets. Read the pair: if SQ at 64 B/vector only
+    //      matches PQ at 8 B, buy PQ; if SQ recovers the IVF-exact
+    //      ceiling, the 8× storage buys real recall. ----
+    "ivf_sq_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d), ivfSqRanked(s, d)))),
 
     // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
     //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
@@ -3828,6 +4007,73 @@ object LlmOps {
           dec4S(col("prio")).as("priority")))
     }),
 
+    // ---- SEL-1: DSIR importance-weighted data selection (`dsir_select`)
+    //      — Data Selection with Importance Resampling (Xie et al. 2023,
+    //      public): score every raw-pool doc by how much it looks drawn
+    //      from a TARGET distribution under bag-of-hashed-ngram unigram
+    //      models — the targeted-selection step the sampling family
+    //      lacks (SMP-3/4 weight by metadata; this weights by CONTENT
+    //      distribution match). Features = every unigram + word-bigram
+    //      OCCURRENCE (counts, not distinct — DSIR's bag model), hashed
+    //      into B=256 buckets (md5 first byte — the paper's 10k buckets
+    //      right-sized to this corpus's ~31-word vocabulary; at 100 TB
+    //      widen the prefix). Target = the `en` slice (stand-in for
+    //      "looks like the high-quality reference corpus"); source = the
+    //      whole pool. Per bucket the add-1-smoothed log likelihood
+    //      ratio lr_b = ln((ct_b+1)/(T+B)) − ln((cs_b+1)/(S+B)) is
+    //      dec8-quantized ONCE into a 256-row broadcast table (dec4
+    //      would zero small-ratio buckets; the ln itself is the
+    //      lm_score/bm25 precedent — identical IEEE double arguments in
+    //      both engines, quantized one level up; ratio arguments are
+    //      exact-int64 products < 2⁵³ cast to double). A doc's
+    //      importance log-weight is then the EXACT decimal sum
+    //      Σ n_b·lr_b over its bucket counts — order-free,
+    //      engine-identical ((9,0)×(28,8) products cap at precision 38,
+    //      PQ-1's no-silent-rescale discipline). `selected` = weight > 0
+    //      (more target-like than the pool average — the deterministic
+    //      variant of the paper's Gumbel resampling, which would need
+    //      engine-matched randomness for no audit gain). Scale shape:
+    //      one gram explode (scan-proportional) feeding two map-side-
+    //      combined aggregates (256-row census + per-doc bucket counts),
+    //      one 256-row broadcast join, one per-doc aggregate — no pair
+    //      join, no window, nothing data² anywhere; the bucket census is
+    //      index metadata exactly like SIM-1g's [min,max] grid. ----
+    "dsir_select" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val B = 256
+      val words = split(col("text"), " ")
+      val unis = filter(words, w => w =!= "")
+      val bigs = when(size(words) >= 2,
+        transform(sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val feat = docs
+        .select(col("doc_id"), col("lang"), explode(concat(unis, bigs)).as("g"))
+        .withColumn("b", conv(substring(md5(col("g")), 1, 2), 16, 10)
+          .cast("long"))
+        .pinned
+      val perBucket = feat.groupBy(col("b")).agg(
+        count(lit(1)).as("cs"),
+        sum((col("lang") === "en").cast("long")).as("ct"))
+      val tot = perBucket.agg(
+        sum(col("cs")).as("stot"), sum(col("ct")).as("ttot"))
+      val ratio = perBucket.crossJoin(broadcast(tot))
+        .select(col("b"), dec8(log(
+          ((col("ct") + 1) * (col("stot") + B)).cast("double") /
+            ((col("cs") + 1) * (col("ttot") + B)).cast("double")))
+          .cast(DecimalType(28, 8)).as("lr"))
+      val perDoc = feat.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      ordered(perDoc.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n")).as("n_feat"),
+          sum(col("n").cast(DecimalType(9, 0)) * col("lr"))
+            .cast(DecimalType(38, 8)).as("w"))
+        .select(col("doc_id"), col("lang"), col("n_feat"),
+          cstr(col("w")).as("weight"),
+          (col("w") > lit(0)).cast("int").as("selected")))
+    }),
+
     // ---- MIX-1: dataset mixing PLAN — the step before smp_rate/
     //      smp_weighted can run: given per-language token inventories,
     //      compute the per-stratum keep rates for the LARGEST uniform-mix
@@ -4574,6 +4820,68 @@ object LlmOps {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    "ivf_sq" ->
+      s"""WITH $duckIvfSqCtes
+        |SELECT query_id, rn, neighbor_id,
+        |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
+        |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+        |FROM sranked WHERE rn <= 3
+        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+
+    "ivf_sq_eval" ->
+      s"""WITH $duckIvfSqCtes, sq3 AS (
+        |  SELECT query_id, neighbor_id FROM sranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN sq3 i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    "dsir_select" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), feat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 2)) AS BIGINT) AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(list_concat(
+        |      list_filter(ws, w -> w <> ''),
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+        |    )) AS g
+        |    FROM wrds)
+        |), pb AS (
+        |  SELECT b, COUNT(1) AS cs,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM feat GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(SUM(cs) AS BIGINT) AS stot, CAST(SUM(ct) AS BIGINT) AS ttot FROM pb
+        |), ratio AS (
+        |  SELECT b, CAST(floor(ln(CAST((ct + 1) * (stot + 256) AS DOUBLE)
+        |      / CAST((cs + 1) * (ttot + 256) AS DOUBLE))*100000000+0.5)/100000000
+        |    AS DECIMAL(28,8)) AS lr
+        |  FROM pb, tot
+        |), pd AS (
+        |  SELECT doc_id, lang, b, COUNT(1) AS n FROM feat GROUP BY 1, 2, 3
+        |)
+        |SELECT pd.doc_id, pd.lang, CAST(SUM(pd.n) AS BIGINT) AS n_feat,
+        |  CAST(CAST(SUM(CAST(pd.n AS DECIMAL(9,0)) * ratio.lr) AS DECIMAL(38,8)) AS VARCHAR) AS weight,
+        |  CASE WHEN SUM(CAST(pd.n AS DECIMAL(9,0)) * ratio.lr) > 0 THEN 1 ELSE 0 END AS selected
+        |FROM pd JOIN ratio ON pd.b = ratio.b
+        |GROUP BY pd.doc_id, pd.lang
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_feat NULLS FIRST, weight NULLS FIRST, selected NULLS FIRST""".stripMargin,
 
     "ivf_pq_eval" ->
       s"""WITH $duckIvfPqCtes, pq AS (

@@ -248,6 +248,78 @@ class PipelineOpsSpec extends AnyFunSuite {
       "ADC column unexpectedly identical to the exact score everywhere")
   }
 
+  test("ivf_sq: exact scores equal brute cosine; SQ recall at/above PQ recall") {
+    // Law 1 (ivf_pq's consistency rule): the exact re-rank scores the SQ
+    // index ships must be bit-identical (dec4 render) to brute cosine.
+    import graft.core.Tables.dec4S
+    import graft.functions.GraftFunctions.dot_product
+    val sq = graft.queries.LlmOps.all("ivf_sq")(spark, sfDir)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id"), dbl.as("e"))
+      .withColumn("nrm", sqrt(dot_product(col("e"), col("e"))))
+    val joined = sq
+      .join(base.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .withColumn("brute",
+        dec4S(dot_product(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+    assert(joined.count() > 0, "ivf_sq returned no rows")
+    assert(joined.filter(col("score") =!= col("brute")).count() == 0,
+      "re-ranked scores must equal brute cosine")
+    // Law 2 — the reason SQ8 exists: per-dim 8-bit codes (64 B/vector)
+    // must recall at least as much as the 8 B/vector PQ codebooks at
+    // identical probe/shortlist budgets. Equality allowed (both can hit
+    // the IVF-exact ceiling); an SQ dip below PQ means the grid math
+    // regressed.
+    def meanHits(q: String): Double = {
+      val r = graft.queries.LlmOps.all(q)(spark, sfDir)
+        .agg(avg(col("n_hit"))).collect()(0).getDouble(0)
+      r
+    }
+    val sqR = meanHits("ivf_sq_eval")
+    val pqR = meanHits("ivf_pq_eval")
+    assert(sqR >= pqR, s"SQ recall $sqR fell below PQ recall $pqR")
+    // And SQ's ADC is still a genuine approximation (not the exact score
+    // smuggled through): some shipped row differs at dec4.
+    assert(sq.filter(col("adc") =!= col("score")).count() > 0,
+      "SQ ADC unexpectedly identical to the exact score everywhere")
+  }
+
+  test("dsir_select: target slice scores highest; flag consistent; census exact") {
+    val out = SparkEntry.queries("dsir_select")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getString(3)), r.getInt(4)))
+    // Law 1 — the selection signal: the target (`en`) slice's mean
+    // importance log-weight exceeds every other language's (DSIR's whole
+    // point: target-like docs score high).
+    val byLang = out.groupBy(_._2).map { case (l, rows) =>
+      l -> rows.map(_._4).sum / rows.length }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en not above $l mean $m") }
+    // Law 2 — flag definition: selected ⇔ weight > 0, row for row.
+    out.foreach { case (id, _, _, w, sel) =>
+      assert((w > 0) == (sel == 1), s"doc $id: weight $w selected $sel") }
+    // Law 3 — feature census is exact: Σ n_feat over the output equals
+    // the independently recomputed corpus gram count (unigrams + word
+    // bigrams, occurrences not distinct).
+    val doc = graft.core.Tables.load(spark, sfDir, "documents")
+    val words = split(col("text"), " ")
+    val expected = doc.select(
+      (size(filter(words, w => w =!= "")) +
+        greatest(size(words) - 1, lit(0))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out.map(_._3).sum == expected,
+      s"n_feat sum ${out.map(_._3).sum} != recomputed gram count $expected")
+    // Law 4 — rerun bit-stability (hash-free determinism check).
+    val again = SparkEntry.queries("dsir_select")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getString(3)), r.getInt(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
