@@ -143,9 +143,17 @@ class CartesianGuardSpec extends AnyFunSuite {
     "avg_precision", // two 1-row scalar attaches (class totals, then the
                   // F1 max for the argmax filter): tfidf1's broadcast
                   // shape twice — drift_ks's dmax pattern
-    "survival_km" // two 1-row scalar attaches (corpus-end anchor, the
+    "survival_km", // two 1-row scalar attaches (corpus-end anchor, the
                   // at-risk total) onto the |lifetimes|-row series:
                   // tfidf1's broadcast shape
+    "ivf_sq",     // ivf_pq's rationale (the Lloyd cell-assignment cross)
+                  // plus ONE 1-row scalar attach: the 128-long per-dim
+                  // [min,max] stats row broadcast onto the encode scan —
+                  // index metadata, tfidf1's broadcast shape
+    "ivf_sq_eval", // ivf_pq_eval's rationale: brute-force truth leg +
+                  // the ivf_sq shapes above
+    "dsir_select" // 1-row (corpus-total, target-total) scalar attach onto
+                  // the 256-row bucket census: tfidf1's broadcast shape
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {
