@@ -1968,6 +1968,85 @@ object LlmOps {
       }.reduce(_ unionByName _))
     }),
 
+    // ---- SIM-JL: random-projection recall curve (`vec_jl`) — the
+    //      DATA-INDEPENDENT dimension-reduction audit complementing
+    //      SIM-MRL: Matryoshka truncation only works if the embedding was
+    //      TRAINED nested; a Johnson–Lindenstrauss ±1 projection
+    //      (Achlioptas 2003, public — database-friendly random signs,
+    //      no Gaussians needed) works on ANY embedding, at the cost the
+    //      JL lemma bounds by the projected width. Measured at the same
+    //      widths as vec_mrl (8/16/32) against the same raw-cosine truth
+    //      rule, so the two curves read side by side: trained truncation
+    //      vs oblivious projection at equal serving budgets. ONE 32-wide
+    //      projection is computed and each width ranks over its PREFIX —
+    //      a prefix of a ±1 sign matrix is itself a ±1 sign matrix, so
+    //      the narrower widths are honest JL projections (ivf_curve's
+    //      one-pool rule, with dimension as the axis). Determinism: the
+    //      sign matrix is md5-derived IN BOTH ENGINES (first hex char
+    //      0–7 → +1), vectors enter on the dec4 grid as scaled int64,
+    //      projections are exact integer sums (|y_j| ≤ 64·2·10⁴ ≈ 10⁶),
+    //      projected dots stay < 2⁵³ so the double fold is exact; the
+    //      only doubles are the final norm divides, ranks tie by
+    //      neighbor_id. Scale shape: the 2048-row sign matrix broadcasts
+    //      (index metadata, like SIM-1g's grid); projection = explode +
+    //      two map-side-combined aggregates, scan-proportional; the
+    //      brute legs are the measured audit (query-batch × corpus,
+    //      declared sample-able — ddp_eval's rationale); production
+    //      serves the chosen width through the IVF/LSH paths unchanged. ----
+    "vec_jl" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val xiC = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+      val lf = emb.select(col("vec_id"), posexplode(xiC).as(Seq("d0", "x")))
+        .select(col("vec_id"), (col("d0") + 1).as("dd"), col("x"))
+      val mat = s.range(1, 33).select(col("id").as("j"),
+          explode(sequence(lit(1L), lit(64L))).as("dd"))
+        .withColumn("sgn", when(substring(md5(concat(
+            col("j").cast("string"), lit("_"), col("dd").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+          .otherwise(lit(-1L)))
+      val proj = lf.join(broadcast(mat), Seq("dd"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("sgn") * col("x")).as("yj"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("yj")))).as("pp"))
+        .select(col("vec_id"), transform(col("pp"),
+          p => p.getField("yj").cast("double")).as("p"))
+        .pinned // read by all three width legs
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("neighbor_id").asc)
+      def top3(w: Int) = {
+        val q = proj.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), slice(col("p"), 1, w).as("qe"))
+        val c = proj.select(col("vec_id").as("neighbor_id"),
+          slice(col("p"), 1, w).as("ce"))
+        broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("cs", dot_product(col("qe"), col("ce")) /
+            (sqrt(dot_product(col("qe"), col("qe"))) *
+              sqrt(dot_product(col("ce"), col("ce")))))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select(col("query_id"), col("rn"), col("neighbor_id"))
+      }
+      // Truth = the RAW 64-d cosine top-3 (the shared audit rule): JL is
+      // judged against the original space, not against itself.
+      val truth = bruteTruthTop3(s, d)
+        .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+        .pinned // probed by every width
+      ordered(Seq(8, 16, 32).map { w =>
+        val a = top3(w)
+        a.join(truth, col("query_id") === col("tq") &&
+            col("neighbor_id") === col("tn"), "left")
+          .groupBy(col("query_id")).agg(
+            count(col("tn")).as("nh"),
+            min(when(col("tn").isNotNull, col("rn"))).as("frank"))
+          .agg(sum(col("nh")).as("n_hits"),
+            dec4S(sum(col("nh")).cast("double") / lit(30.0)).as("recall"),
+            dec4S(sum(dec4(coalesce(lit(1.0) / col("frank"), lit(0.0))))
+              .cast("double") / lit(10.0)).as("mrr"))
+          .select(lit(w).as("width"), col("n_hits"), col("recall"), col("mrr"))
+      }.reduce(_ unionByName _))
+    }),
+
     // ---- KM-2: two Lloyd rounds + the monotone certificate
     //      (`kmeans_iter`) — KM-1 is one assignment; this CLOSES the
     //      loop: assign to the 8 seeds, recompute centroids EXACTLY
@@ -4992,6 +5071,58 @@ object LlmOps {
          |${Seq(8, 16, 32, 64).map(ranked).mkString(",\n")},
          |truth AS (SELECT query_id AS tq, neighbor_id AS tn FROM r64)
          |${Seq(8, 16, 32, 64).map(widthRow).mkString("\nUNION ALL\n")}
+         |ORDER BY width NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST, mrr NULLS FIRST""".stripMargin
+    },
+
+    "vec_jl" -> {
+      def ranked(w: Int) =
+        s"""r$w AS (SELECT query_id, neighbor_id, rn FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(list_slice(q.p, 1, $w), list_slice(c.p, 1, $w)), x -> x[1] * x[2])) /
+           |        (sqrt(list_sum(list_transform(list_slice(q.p, 1, $w), x -> x * x))) *
+           |         sqrt(list_sum(list_transform(list_slice(c.p, 1, $w), x -> x * x)))) DESC,
+           |        c.vec_id ASC) AS rn
+           |    FROM proj q JOIN proj c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |  ) WHERE rn <= 3)""".stripMargin
+      def widthRow(w: Int) =
+        s"""SELECT $w AS width, CAST(SUM(nh) AS BIGINT) AS n_hits,
+           |  CAST(CAST(floor((CAST(SUM(nh) AS DOUBLE) / 30.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall,
+           |  CAST(CAST(floor((CAST(SUM(rr4) AS DOUBLE) / 10.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS mrr
+           |FROM (
+           |  SELECT a.query_id, COUNT(t.tn) AS nh,
+           |    CAST(floor((COALESCE(CAST(1.0 AS DOUBLE) / MIN(CASE WHEN t.tn IS NOT NULL THEN a.rn END), 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS rr4
+           |  FROM r$w a LEFT JOIN truth t
+           |    ON a.query_id = t.tq AND a.neighbor_id = t.tn
+           |  GROUP BY a.query_id)""".stripMargin
+      s"""WITH xlf AS (
+         |  SELECT vec_id, CAST(dim AS INT) AS dd,
+         |    CAST(floor(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT) AS xi
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |          unnest(generate_series(1, len(embedding))) AS dim
+         |        FROM embeddings)
+         |), mat AS (
+         |  SELECT j, dd, CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(dd AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(1, 33)) AS j) a, (SELECT unnest(range(1, 65)) AS dd) b
+         |), proj AS (
+         |  SELECT vec_id, list(CAST(yj AS DOUBLE) ORDER BY j) AS p FROM (
+         |    SELECT xlf.vec_id, mat.j, SUM(mat.sgn * xlf.xi) AS yj
+         |    FROM xlf JOIN mat ON xlf.dd = mat.dd GROUP BY 1, 2)
+         |  GROUP BY vec_id
+         |), tbase AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |), tt AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) AS INT) AS rn
+         |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |), truth AS (SELECT query_id AS tq, neighbor_id AS tn FROM tt WHERE rn <= 3),
+         |${Seq(8, 16, 32).map(ranked).mkString(",\n")}
+         |${Seq(8, 16, 32).map(widthRow).mkString("\nUNION ALL\n")}
          |ORDER BY width NULLS FIRST, n_hits NULLS FIRST, recall NULLS FIRST, mrr NULLS FIRST""".stripMargin
     },
 

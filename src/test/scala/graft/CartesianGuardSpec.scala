@@ -152,8 +152,11 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // index metadata, tfidf1's broadcast shape
     "ivf_sq_eval", // ivf_pq_eval's rationale: brute-force truth leg +
                   // the ivf_sq shapes above
-    "dsir_select" // 1-row (corpus-total, target-total) scalar attach onto
+    "dsir_select", // 1-row (corpus-total, target-total) scalar attach onto
                   // the 256-row bucket census: tfidf1's broadcast shape
+    "vec_jl"      // vec_mrl's rationale: the truth leg and the three
+                  // projected-width legs are all sim1's declared
+                  // broadcast-query audit shape (sample-able at scale)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -320,6 +320,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("vec_jl: width rows match a full driver-side md5-projection replay") {
+    // Independent oracle (fzj1's brute-replay rule): rebuild the ±1 sign
+    // matrix from md5 in plain Scala, project the dec4-grid vectors,
+    // recount top-3 hits against raw-cosine truth per width, and demand
+    // the gated rows agree exactly.
+    val out = SparkEntry.queries("vec_jl")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .collect().map { r =>
+        val xs = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+        r.getLong(r.fieldIndex("vec_id")) -> xs.map(_.toDouble)
+      }.sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val sgn = Array.tabulate(64, 32) { (d0, j0) =>
+      if ("01234567".contains(md5hex(s"${j0 + 1}_${d0 + 1}")(0))) 1L else -1L }
+    val xi = emb.map { case (id, xs) =>
+      id -> xs.map(x => math.floor(x * 10000.0 + 0.5).toLong) }
+    val proj = xi.map { case (id, v) =>
+      id -> Array.tabulate(32)(j => (0 until 64).map(d => sgn(d)(j) * v(d)).sum) }
+    def top3(vs: Array[(Long, Array[Double])]): Map[Long, Set[Long]] = {
+      val withN = vs.map { case (id, v) =>
+        (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      withN.filter(_._1 < 10).map { case (q, qv, qn) =>
+        q -> withN.filter(_._1 != q).map { case (c, cv, cn) =>
+          (qv.zip(cv).map { case (a, b) => a * b }.sum / (qn * cn), c)
+        }.sortBy { case (s, c) => (-s, c) }.take(3).map(_._2).toSet
+      }.toMap
+    }
+    val truth = top3(emb)
+    Seq(8, 16, 32).foreach { w =>
+      val approx = top3(proj.map { case (id, p) =>
+        id -> p.take(w).map(_.toDouble) })
+      val hits = truth.keys.toSeq.map(q => (truth(q) & approx(q)).size).sum
+      assert(out(w)._1 == hits.toLong,
+        s"w=$w gated n_hits ${out(w)._1} != replay $hits")
+    }
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
