@@ -3910,6 +3910,74 @@ object LlmOps {
     //      error ‖x − q·s‖/‖x‖ as the quality metric (~0.5% on this
     //      corpus — the standard int8 result). Pure per-row projection,
     //      scan-bound; left-fold HOF sums keep the oracle bit-equal. ----
+    // ---- PCA-1: dominant principal component by distributed power
+    //      iteration (`vec_pca`) — the SPECTRAL embedding diagnostic
+    //      (whitening, anisotropy checks, ABTT "all-but-the-top" dominant
+    //      -direction removal, Mu & Viswanath 2018, public): 3 fixed
+    //      power-iteration rounds on the centered covariance, C·t spelled
+    //      as ONE map-side-combined aggregate per round — per row the
+    //      projection s = c·t (dot_product's in-order fold), per dim
+    //      Σ_rows s·c_d accumulated as dec8-quantized EXACT decimal sums
+    //      (order-free across rows — the §5.3 float-accumulation hazard
+    //      designed out, graph_pagerank's fixed-iteration discipline on
+    //      dense vectors); the covariance matrix itself is NEVER
+    //      materialized (64×64 would be fine; d×d at production widths
+    //      is not — the matvec form is the one that scales). Per round
+    //      the output ships the Rayleigh quotient λ = Σs²/n (monotone
+    //      non-decreasing across power-iteration rounds — the
+    //      convergence certificate, kmeans_iter's ship-the-certificate
+    //      rule), the explained-variance ratio λ/tv, and the dec4
+    //      iterate itself. Seed t₀ = e₁ (deterministic; a seed exactly
+    //      orthogonal to PC1 is measure-zero and would surface as a
+    //      non-converging λ — visible in the shipped certificate).
+    //      Scale shape: each round = one broadcast of the 64-double
+    //      iterate + one aggregate (no shuffle beyond the 1-row
+    //      combine), rounds chain by pinned 1-row relations — at 100 TB
+    //      this is the standard distributed power method (work
+    //      scan-proportional per round, state = one vector). ----
+    "vec_pca" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val raw = emb.select(col("vec_id"), dbl.as("e"))
+      // Per-dim dec4 means (ivfKmeansCentroids' centroid discipline) —
+      // identical doubles in both engines, so centering is exact-equal.
+      val muCols = (1 to 64).map(i =>
+        dec4(dsum4(element_at(col("e"), i)).cast("double") / count(lit(1)))
+          .cast("double").as(s"m$i"))
+      val mu = raw.agg(muCols.head, muCols.tail: _*)
+        .select(array((1 to 64).map(i => col(s"m$i")): _*).as("mu"))
+      val cent = raw.crossJoin(broadcast(mu))
+        .select(col("vec_id"),
+          zip_with(col("e"), col("mu"), (a, b) => a - b).as("c"))
+        .pinned // read by all three rounds + the total-variance pass
+      val tv = cent.agg((sum(dec8(dot_product(col("c"), col("c"))))
+        .cast("double") / count(lit(1))).as("tv"))
+      var t: DataFrame = s.range(1).select(
+        array((1 to 64).map(i => lit(if (i == 1) 1.0 else 0.0)): _*).as("t"))
+      val rounds = (1 to 3).map { r =>
+        val scored = cent.crossJoin(broadcast(t))
+          .withColumn("sc", dot_product(col("c"), col("t")))
+        val aggCols = (1 to 64).map(i =>
+          sum(dec8(col("sc") * element_at(col("c"), i)))
+            .cast(DecimalType(38, 8)).as(s"v$i")) ++ Seq(
+          sum(dec8(col("sc") * col("sc"))).cast(DecimalType(38, 8)).as("ss"),
+          count(lit(1)).as("nn"))
+        val va = scored.agg(aggCols.head, aggCols.tail: _*)
+          .select(array((1 to 64).map(i => col(s"v$i").cast("double")): _*)
+            .as("v"), (col("ss").cast("double") / col("nn")).as("lambda"))
+        val tn = va.select(transform(col("v"), x =>
+            dec4(x / sqrt(dot_product(col("v"), col("v")))).cast("double"))
+          .as("t"), col("lambda")).pinned
+        t = tn.select(col("t"))
+        tn.select(lit(r).as("rnd"), col("lambda"), col("t"))
+      }
+      ordered(rounds.reduce(_ unionByName _).crossJoin(broadcast(tv))
+        .select(col("rnd"),
+          dec4S(col("lambda")).as("lambda"),
+          dec4S(col("lambda") / col("tv")).as("evr"),
+          farrS(col("t")).as("component")))
+    }),
+
     "vec_quant" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val e = transform(col("embedding"), x => x.cast("double"))
@@ -6297,6 +6365,332 @@ object LlmOps {
         |  CAST(CAST(floor((CAST(CAST(SUM(CAST(floor((nrm)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS norm_mean
         |FROM b GROUP BY label
         |ORDER BY label NULLS FIRST, n NULLS FIRST, n_zero NULLS FIRST, n_nonfinite NULLS FIRST, dim_min NULLS FIRST, dim_max NULLS FIRST, norm_pct NULLS FIRST, norm_mean NULLS FIRST""".stripMargin,
+
+    // DuckDB twin of the 3-round power iteration: centering on the dec4
+    // means (the Lloyd-centroid idiom), per-round matvec as dec8-quantized
+    // decimal sums, dec4-normalized iterates.
+    "vec_pca" ->
+      """WITH rawe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), muc AS (
+        |  SELECT [m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52, m53, m54, m55, m56, m57, m58, m59, m60, m61, m62, m63, m64] AS mu FROM (SELECT
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[1])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m1,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[2])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m2,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[3])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m3,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[4])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m4,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[5])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m5,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[6])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m6,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[7])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m7,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[8])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m8,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[9])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m9,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[10])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m10,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[11])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m11,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[12])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m12,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[13])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m13,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[14])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m14,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[15])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m15,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[16])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m16,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[17])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m17,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[18])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m18,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[19])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m19,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[20])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m20,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[21])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m21,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[22])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m22,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[23])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m23,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[24])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m24,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[25])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m25,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[26])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m26,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[27])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m27,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[28])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m28,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[29])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m29,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[30])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m30,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[31])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m31,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[32])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m32,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[33])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m33,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[34])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m34,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[35])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m35,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[36])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m36,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[37])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m37,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[38])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m38,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[39])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m39,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[40])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m40,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[41])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m41,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[42])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m42,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[43])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m43,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[44])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m44,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[45])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m45,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[46])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m46,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[47])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m47,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[48])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m48,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[49])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m49,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[50])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m50,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[51])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m51,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[52])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m52,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[53])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m53,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[54])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m54,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[55])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m55,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[56])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m56,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[57])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m57,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[58])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m58,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[59])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m59,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[60])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m60,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[61])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m61,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[62])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m62,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[63])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m63,
+        |    CAST(CAST(floor((CAST(SUM(CAST(floor((e[64])*10000+0.5)/10000 AS DECIMAL(38,4))) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE) AS m64
+        |  FROM rawe)
+        |), cent AS (
+        |  SELECT vec_id, list_transform(list_zip(e, mu), p -> p[1] - p[2]) AS c
+        |  FROM rawe, muc
+        |), tv AS (
+        |  SELECT CAST(SUM(CAST(floor((list_sum(list_transform(c, x -> x * x)))*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE)/COUNT(1) AS tv
+        |  FROM cent
+        |), t0 AS (SELECT [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS t),
+        |s1 AS (
+        |  SELECT c, list_sum(list_transform(list_zip(c, t), p -> p[1] * p[2])) AS sc
+        |  FROM cent, t0
+        |), g1 AS (
+        |  SELECT CAST(SUM(CAST(floor((sc*c[1])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v1,
+        |    CAST(SUM(CAST(floor((sc*c[2])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v2,
+        |    CAST(SUM(CAST(floor((sc*c[3])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v3,
+        |    CAST(SUM(CAST(floor((sc*c[4])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v4,
+        |    CAST(SUM(CAST(floor((sc*c[5])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v5,
+        |    CAST(SUM(CAST(floor((sc*c[6])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v6,
+        |    CAST(SUM(CAST(floor((sc*c[7])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v7,
+        |    CAST(SUM(CAST(floor((sc*c[8])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v8,
+        |    CAST(SUM(CAST(floor((sc*c[9])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v9,
+        |    CAST(SUM(CAST(floor((sc*c[10])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v10,
+        |    CAST(SUM(CAST(floor((sc*c[11])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v11,
+        |    CAST(SUM(CAST(floor((sc*c[12])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v12,
+        |    CAST(SUM(CAST(floor((sc*c[13])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v13,
+        |    CAST(SUM(CAST(floor((sc*c[14])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v14,
+        |    CAST(SUM(CAST(floor((sc*c[15])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v15,
+        |    CAST(SUM(CAST(floor((sc*c[16])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v16,
+        |    CAST(SUM(CAST(floor((sc*c[17])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v17,
+        |    CAST(SUM(CAST(floor((sc*c[18])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v18,
+        |    CAST(SUM(CAST(floor((sc*c[19])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v19,
+        |    CAST(SUM(CAST(floor((sc*c[20])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v20,
+        |    CAST(SUM(CAST(floor((sc*c[21])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v21,
+        |    CAST(SUM(CAST(floor((sc*c[22])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v22,
+        |    CAST(SUM(CAST(floor((sc*c[23])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v23,
+        |    CAST(SUM(CAST(floor((sc*c[24])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v24,
+        |    CAST(SUM(CAST(floor((sc*c[25])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v25,
+        |    CAST(SUM(CAST(floor((sc*c[26])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v26,
+        |    CAST(SUM(CAST(floor((sc*c[27])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v27,
+        |    CAST(SUM(CAST(floor((sc*c[28])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v28,
+        |    CAST(SUM(CAST(floor((sc*c[29])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v29,
+        |    CAST(SUM(CAST(floor((sc*c[30])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v30,
+        |    CAST(SUM(CAST(floor((sc*c[31])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v31,
+        |    CAST(SUM(CAST(floor((sc*c[32])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v32,
+        |    CAST(SUM(CAST(floor((sc*c[33])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v33,
+        |    CAST(SUM(CAST(floor((sc*c[34])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v34,
+        |    CAST(SUM(CAST(floor((sc*c[35])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v35,
+        |    CAST(SUM(CAST(floor((sc*c[36])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v36,
+        |    CAST(SUM(CAST(floor((sc*c[37])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v37,
+        |    CAST(SUM(CAST(floor((sc*c[38])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v38,
+        |    CAST(SUM(CAST(floor((sc*c[39])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v39,
+        |    CAST(SUM(CAST(floor((sc*c[40])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v40,
+        |    CAST(SUM(CAST(floor((sc*c[41])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v41,
+        |    CAST(SUM(CAST(floor((sc*c[42])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v42,
+        |    CAST(SUM(CAST(floor((sc*c[43])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v43,
+        |    CAST(SUM(CAST(floor((sc*c[44])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v44,
+        |    CAST(SUM(CAST(floor((sc*c[45])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v45,
+        |    CAST(SUM(CAST(floor((sc*c[46])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v46,
+        |    CAST(SUM(CAST(floor((sc*c[47])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v47,
+        |    CAST(SUM(CAST(floor((sc*c[48])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v48,
+        |    CAST(SUM(CAST(floor((sc*c[49])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v49,
+        |    CAST(SUM(CAST(floor((sc*c[50])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v50,
+        |    CAST(SUM(CAST(floor((sc*c[51])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v51,
+        |    CAST(SUM(CAST(floor((sc*c[52])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v52,
+        |    CAST(SUM(CAST(floor((sc*c[53])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v53,
+        |    CAST(SUM(CAST(floor((sc*c[54])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v54,
+        |    CAST(SUM(CAST(floor((sc*c[55])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v55,
+        |    CAST(SUM(CAST(floor((sc*c[56])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v56,
+        |    CAST(SUM(CAST(floor((sc*c[57])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v57,
+        |    CAST(SUM(CAST(floor((sc*c[58])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v58,
+        |    CAST(SUM(CAST(floor((sc*c[59])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v59,
+        |    CAST(SUM(CAST(floor((sc*c[60])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v60,
+        |    CAST(SUM(CAST(floor((sc*c[61])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v61,
+        |    CAST(SUM(CAST(floor((sc*c[62])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v62,
+        |    CAST(SUM(CAST(floor((sc*c[63])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v63,
+        |    CAST(SUM(CAST(floor((sc*c[64])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v64,
+        |    CAST(SUM(CAST(floor((sc*sc)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ss,
+        |    COUNT(1) AS nn
+        |  FROM s1
+        |), va1 AS (
+        |  SELECT [CAST(v1 AS DOUBLE), CAST(v2 AS DOUBLE), CAST(v3 AS DOUBLE), CAST(v4 AS DOUBLE), CAST(v5 AS DOUBLE), CAST(v6 AS DOUBLE), CAST(v7 AS DOUBLE), CAST(v8 AS DOUBLE), CAST(v9 AS DOUBLE), CAST(v10 AS DOUBLE), CAST(v11 AS DOUBLE), CAST(v12 AS DOUBLE), CAST(v13 AS DOUBLE), CAST(v14 AS DOUBLE), CAST(v15 AS DOUBLE), CAST(v16 AS DOUBLE), CAST(v17 AS DOUBLE), CAST(v18 AS DOUBLE), CAST(v19 AS DOUBLE), CAST(v20 AS DOUBLE), CAST(v21 AS DOUBLE), CAST(v22 AS DOUBLE), CAST(v23 AS DOUBLE), CAST(v24 AS DOUBLE), CAST(v25 AS DOUBLE), CAST(v26 AS DOUBLE), CAST(v27 AS DOUBLE), CAST(v28 AS DOUBLE), CAST(v29 AS DOUBLE), CAST(v30 AS DOUBLE), CAST(v31 AS DOUBLE), CAST(v32 AS DOUBLE), CAST(v33 AS DOUBLE), CAST(v34 AS DOUBLE), CAST(v35 AS DOUBLE), CAST(v36 AS DOUBLE), CAST(v37 AS DOUBLE), CAST(v38 AS DOUBLE), CAST(v39 AS DOUBLE), CAST(v40 AS DOUBLE), CAST(v41 AS DOUBLE), CAST(v42 AS DOUBLE), CAST(v43 AS DOUBLE), CAST(v44 AS DOUBLE), CAST(v45 AS DOUBLE), CAST(v46 AS DOUBLE), CAST(v47 AS DOUBLE), CAST(v48 AS DOUBLE), CAST(v49 AS DOUBLE), CAST(v50 AS DOUBLE), CAST(v51 AS DOUBLE), CAST(v52 AS DOUBLE), CAST(v53 AS DOUBLE), CAST(v54 AS DOUBLE), CAST(v55 AS DOUBLE), CAST(v56 AS DOUBLE), CAST(v57 AS DOUBLE), CAST(v58 AS DOUBLE), CAST(v59 AS DOUBLE), CAST(v60 AS DOUBLE), CAST(v61 AS DOUBLE), CAST(v62 AS DOUBLE), CAST(v63 AS DOUBLE), CAST(v64 AS DOUBLE)] AS v, CAST(ss AS DOUBLE)/nn AS lambda FROM g1
+        |), t1 AS (
+        |  SELECT list_transform(v, x -> CAST(CAST(floor((x / sqrt(list_sum(list_transform(v, y -> y * y))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE)) AS t,
+        |    lambda
+        |  FROM va1
+        |),
+        |s2 AS (
+        |  SELECT c, list_sum(list_transform(list_zip(c, t), p -> p[1] * p[2])) AS sc
+        |  FROM cent, t1
+        |), g2 AS (
+        |  SELECT CAST(SUM(CAST(floor((sc*c[1])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v1,
+        |    CAST(SUM(CAST(floor((sc*c[2])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v2,
+        |    CAST(SUM(CAST(floor((sc*c[3])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v3,
+        |    CAST(SUM(CAST(floor((sc*c[4])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v4,
+        |    CAST(SUM(CAST(floor((sc*c[5])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v5,
+        |    CAST(SUM(CAST(floor((sc*c[6])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v6,
+        |    CAST(SUM(CAST(floor((sc*c[7])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v7,
+        |    CAST(SUM(CAST(floor((sc*c[8])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v8,
+        |    CAST(SUM(CAST(floor((sc*c[9])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v9,
+        |    CAST(SUM(CAST(floor((sc*c[10])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v10,
+        |    CAST(SUM(CAST(floor((sc*c[11])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v11,
+        |    CAST(SUM(CAST(floor((sc*c[12])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v12,
+        |    CAST(SUM(CAST(floor((sc*c[13])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v13,
+        |    CAST(SUM(CAST(floor((sc*c[14])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v14,
+        |    CAST(SUM(CAST(floor((sc*c[15])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v15,
+        |    CAST(SUM(CAST(floor((sc*c[16])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v16,
+        |    CAST(SUM(CAST(floor((sc*c[17])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v17,
+        |    CAST(SUM(CAST(floor((sc*c[18])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v18,
+        |    CAST(SUM(CAST(floor((sc*c[19])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v19,
+        |    CAST(SUM(CAST(floor((sc*c[20])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v20,
+        |    CAST(SUM(CAST(floor((sc*c[21])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v21,
+        |    CAST(SUM(CAST(floor((sc*c[22])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v22,
+        |    CAST(SUM(CAST(floor((sc*c[23])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v23,
+        |    CAST(SUM(CAST(floor((sc*c[24])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v24,
+        |    CAST(SUM(CAST(floor((sc*c[25])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v25,
+        |    CAST(SUM(CAST(floor((sc*c[26])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v26,
+        |    CAST(SUM(CAST(floor((sc*c[27])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v27,
+        |    CAST(SUM(CAST(floor((sc*c[28])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v28,
+        |    CAST(SUM(CAST(floor((sc*c[29])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v29,
+        |    CAST(SUM(CAST(floor((sc*c[30])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v30,
+        |    CAST(SUM(CAST(floor((sc*c[31])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v31,
+        |    CAST(SUM(CAST(floor((sc*c[32])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v32,
+        |    CAST(SUM(CAST(floor((sc*c[33])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v33,
+        |    CAST(SUM(CAST(floor((sc*c[34])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v34,
+        |    CAST(SUM(CAST(floor((sc*c[35])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v35,
+        |    CAST(SUM(CAST(floor((sc*c[36])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v36,
+        |    CAST(SUM(CAST(floor((sc*c[37])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v37,
+        |    CAST(SUM(CAST(floor((sc*c[38])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v38,
+        |    CAST(SUM(CAST(floor((sc*c[39])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v39,
+        |    CAST(SUM(CAST(floor((sc*c[40])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v40,
+        |    CAST(SUM(CAST(floor((sc*c[41])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v41,
+        |    CAST(SUM(CAST(floor((sc*c[42])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v42,
+        |    CAST(SUM(CAST(floor((sc*c[43])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v43,
+        |    CAST(SUM(CAST(floor((sc*c[44])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v44,
+        |    CAST(SUM(CAST(floor((sc*c[45])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v45,
+        |    CAST(SUM(CAST(floor((sc*c[46])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v46,
+        |    CAST(SUM(CAST(floor((sc*c[47])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v47,
+        |    CAST(SUM(CAST(floor((sc*c[48])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v48,
+        |    CAST(SUM(CAST(floor((sc*c[49])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v49,
+        |    CAST(SUM(CAST(floor((sc*c[50])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v50,
+        |    CAST(SUM(CAST(floor((sc*c[51])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v51,
+        |    CAST(SUM(CAST(floor((sc*c[52])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v52,
+        |    CAST(SUM(CAST(floor((sc*c[53])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v53,
+        |    CAST(SUM(CAST(floor((sc*c[54])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v54,
+        |    CAST(SUM(CAST(floor((sc*c[55])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v55,
+        |    CAST(SUM(CAST(floor((sc*c[56])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v56,
+        |    CAST(SUM(CAST(floor((sc*c[57])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v57,
+        |    CAST(SUM(CAST(floor((sc*c[58])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v58,
+        |    CAST(SUM(CAST(floor((sc*c[59])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v59,
+        |    CAST(SUM(CAST(floor((sc*c[60])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v60,
+        |    CAST(SUM(CAST(floor((sc*c[61])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v61,
+        |    CAST(SUM(CAST(floor((sc*c[62])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v62,
+        |    CAST(SUM(CAST(floor((sc*c[63])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v63,
+        |    CAST(SUM(CAST(floor((sc*c[64])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v64,
+        |    CAST(SUM(CAST(floor((sc*sc)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ss,
+        |    COUNT(1) AS nn
+        |  FROM s2
+        |), va2 AS (
+        |  SELECT [CAST(v1 AS DOUBLE), CAST(v2 AS DOUBLE), CAST(v3 AS DOUBLE), CAST(v4 AS DOUBLE), CAST(v5 AS DOUBLE), CAST(v6 AS DOUBLE), CAST(v7 AS DOUBLE), CAST(v8 AS DOUBLE), CAST(v9 AS DOUBLE), CAST(v10 AS DOUBLE), CAST(v11 AS DOUBLE), CAST(v12 AS DOUBLE), CAST(v13 AS DOUBLE), CAST(v14 AS DOUBLE), CAST(v15 AS DOUBLE), CAST(v16 AS DOUBLE), CAST(v17 AS DOUBLE), CAST(v18 AS DOUBLE), CAST(v19 AS DOUBLE), CAST(v20 AS DOUBLE), CAST(v21 AS DOUBLE), CAST(v22 AS DOUBLE), CAST(v23 AS DOUBLE), CAST(v24 AS DOUBLE), CAST(v25 AS DOUBLE), CAST(v26 AS DOUBLE), CAST(v27 AS DOUBLE), CAST(v28 AS DOUBLE), CAST(v29 AS DOUBLE), CAST(v30 AS DOUBLE), CAST(v31 AS DOUBLE), CAST(v32 AS DOUBLE), CAST(v33 AS DOUBLE), CAST(v34 AS DOUBLE), CAST(v35 AS DOUBLE), CAST(v36 AS DOUBLE), CAST(v37 AS DOUBLE), CAST(v38 AS DOUBLE), CAST(v39 AS DOUBLE), CAST(v40 AS DOUBLE), CAST(v41 AS DOUBLE), CAST(v42 AS DOUBLE), CAST(v43 AS DOUBLE), CAST(v44 AS DOUBLE), CAST(v45 AS DOUBLE), CAST(v46 AS DOUBLE), CAST(v47 AS DOUBLE), CAST(v48 AS DOUBLE), CAST(v49 AS DOUBLE), CAST(v50 AS DOUBLE), CAST(v51 AS DOUBLE), CAST(v52 AS DOUBLE), CAST(v53 AS DOUBLE), CAST(v54 AS DOUBLE), CAST(v55 AS DOUBLE), CAST(v56 AS DOUBLE), CAST(v57 AS DOUBLE), CAST(v58 AS DOUBLE), CAST(v59 AS DOUBLE), CAST(v60 AS DOUBLE), CAST(v61 AS DOUBLE), CAST(v62 AS DOUBLE), CAST(v63 AS DOUBLE), CAST(v64 AS DOUBLE)] AS v, CAST(ss AS DOUBLE)/nn AS lambda FROM g2
+        |), t2 AS (
+        |  SELECT list_transform(v, x -> CAST(CAST(floor((x / sqrt(list_sum(list_transform(v, y -> y * y))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE)) AS t,
+        |    lambda
+        |  FROM va2
+        |),
+        |s3 AS (
+        |  SELECT c, list_sum(list_transform(list_zip(c, t), p -> p[1] * p[2])) AS sc
+        |  FROM cent, t2
+        |), g3 AS (
+        |  SELECT CAST(SUM(CAST(floor((sc*c[1])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v1,
+        |    CAST(SUM(CAST(floor((sc*c[2])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v2,
+        |    CAST(SUM(CAST(floor((sc*c[3])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v3,
+        |    CAST(SUM(CAST(floor((sc*c[4])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v4,
+        |    CAST(SUM(CAST(floor((sc*c[5])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v5,
+        |    CAST(SUM(CAST(floor((sc*c[6])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v6,
+        |    CAST(SUM(CAST(floor((sc*c[7])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v7,
+        |    CAST(SUM(CAST(floor((sc*c[8])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v8,
+        |    CAST(SUM(CAST(floor((sc*c[9])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v9,
+        |    CAST(SUM(CAST(floor((sc*c[10])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v10,
+        |    CAST(SUM(CAST(floor((sc*c[11])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v11,
+        |    CAST(SUM(CAST(floor((sc*c[12])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v12,
+        |    CAST(SUM(CAST(floor((sc*c[13])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v13,
+        |    CAST(SUM(CAST(floor((sc*c[14])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v14,
+        |    CAST(SUM(CAST(floor((sc*c[15])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v15,
+        |    CAST(SUM(CAST(floor((sc*c[16])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v16,
+        |    CAST(SUM(CAST(floor((sc*c[17])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v17,
+        |    CAST(SUM(CAST(floor((sc*c[18])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v18,
+        |    CAST(SUM(CAST(floor((sc*c[19])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v19,
+        |    CAST(SUM(CAST(floor((sc*c[20])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v20,
+        |    CAST(SUM(CAST(floor((sc*c[21])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v21,
+        |    CAST(SUM(CAST(floor((sc*c[22])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v22,
+        |    CAST(SUM(CAST(floor((sc*c[23])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v23,
+        |    CAST(SUM(CAST(floor((sc*c[24])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v24,
+        |    CAST(SUM(CAST(floor((sc*c[25])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v25,
+        |    CAST(SUM(CAST(floor((sc*c[26])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v26,
+        |    CAST(SUM(CAST(floor((sc*c[27])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v27,
+        |    CAST(SUM(CAST(floor((sc*c[28])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v28,
+        |    CAST(SUM(CAST(floor((sc*c[29])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v29,
+        |    CAST(SUM(CAST(floor((sc*c[30])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v30,
+        |    CAST(SUM(CAST(floor((sc*c[31])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v31,
+        |    CAST(SUM(CAST(floor((sc*c[32])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v32,
+        |    CAST(SUM(CAST(floor((sc*c[33])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v33,
+        |    CAST(SUM(CAST(floor((sc*c[34])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v34,
+        |    CAST(SUM(CAST(floor((sc*c[35])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v35,
+        |    CAST(SUM(CAST(floor((sc*c[36])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v36,
+        |    CAST(SUM(CAST(floor((sc*c[37])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v37,
+        |    CAST(SUM(CAST(floor((sc*c[38])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v38,
+        |    CAST(SUM(CAST(floor((sc*c[39])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v39,
+        |    CAST(SUM(CAST(floor((sc*c[40])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v40,
+        |    CAST(SUM(CAST(floor((sc*c[41])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v41,
+        |    CAST(SUM(CAST(floor((sc*c[42])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v42,
+        |    CAST(SUM(CAST(floor((sc*c[43])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v43,
+        |    CAST(SUM(CAST(floor((sc*c[44])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v44,
+        |    CAST(SUM(CAST(floor((sc*c[45])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v45,
+        |    CAST(SUM(CAST(floor((sc*c[46])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v46,
+        |    CAST(SUM(CAST(floor((sc*c[47])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v47,
+        |    CAST(SUM(CAST(floor((sc*c[48])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v48,
+        |    CAST(SUM(CAST(floor((sc*c[49])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v49,
+        |    CAST(SUM(CAST(floor((sc*c[50])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v50,
+        |    CAST(SUM(CAST(floor((sc*c[51])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v51,
+        |    CAST(SUM(CAST(floor((sc*c[52])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v52,
+        |    CAST(SUM(CAST(floor((sc*c[53])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v53,
+        |    CAST(SUM(CAST(floor((sc*c[54])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v54,
+        |    CAST(SUM(CAST(floor((sc*c[55])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v55,
+        |    CAST(SUM(CAST(floor((sc*c[56])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v56,
+        |    CAST(SUM(CAST(floor((sc*c[57])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v57,
+        |    CAST(SUM(CAST(floor((sc*c[58])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v58,
+        |    CAST(SUM(CAST(floor((sc*c[59])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v59,
+        |    CAST(SUM(CAST(floor((sc*c[60])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v60,
+        |    CAST(SUM(CAST(floor((sc*c[61])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v61,
+        |    CAST(SUM(CAST(floor((sc*c[62])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v62,
+        |    CAST(SUM(CAST(floor((sc*c[63])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v63,
+        |    CAST(SUM(CAST(floor((sc*c[64])*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS v64,
+        |    CAST(SUM(CAST(floor((sc*sc)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ss,
+        |    COUNT(1) AS nn
+        |  FROM s3
+        |), va3 AS (
+        |  SELECT [CAST(v1 AS DOUBLE), CAST(v2 AS DOUBLE), CAST(v3 AS DOUBLE), CAST(v4 AS DOUBLE), CAST(v5 AS DOUBLE), CAST(v6 AS DOUBLE), CAST(v7 AS DOUBLE), CAST(v8 AS DOUBLE), CAST(v9 AS DOUBLE), CAST(v10 AS DOUBLE), CAST(v11 AS DOUBLE), CAST(v12 AS DOUBLE), CAST(v13 AS DOUBLE), CAST(v14 AS DOUBLE), CAST(v15 AS DOUBLE), CAST(v16 AS DOUBLE), CAST(v17 AS DOUBLE), CAST(v18 AS DOUBLE), CAST(v19 AS DOUBLE), CAST(v20 AS DOUBLE), CAST(v21 AS DOUBLE), CAST(v22 AS DOUBLE), CAST(v23 AS DOUBLE), CAST(v24 AS DOUBLE), CAST(v25 AS DOUBLE), CAST(v26 AS DOUBLE), CAST(v27 AS DOUBLE), CAST(v28 AS DOUBLE), CAST(v29 AS DOUBLE), CAST(v30 AS DOUBLE), CAST(v31 AS DOUBLE), CAST(v32 AS DOUBLE), CAST(v33 AS DOUBLE), CAST(v34 AS DOUBLE), CAST(v35 AS DOUBLE), CAST(v36 AS DOUBLE), CAST(v37 AS DOUBLE), CAST(v38 AS DOUBLE), CAST(v39 AS DOUBLE), CAST(v40 AS DOUBLE), CAST(v41 AS DOUBLE), CAST(v42 AS DOUBLE), CAST(v43 AS DOUBLE), CAST(v44 AS DOUBLE), CAST(v45 AS DOUBLE), CAST(v46 AS DOUBLE), CAST(v47 AS DOUBLE), CAST(v48 AS DOUBLE), CAST(v49 AS DOUBLE), CAST(v50 AS DOUBLE), CAST(v51 AS DOUBLE), CAST(v52 AS DOUBLE), CAST(v53 AS DOUBLE), CAST(v54 AS DOUBLE), CAST(v55 AS DOUBLE), CAST(v56 AS DOUBLE), CAST(v57 AS DOUBLE), CAST(v58 AS DOUBLE), CAST(v59 AS DOUBLE), CAST(v60 AS DOUBLE), CAST(v61 AS DOUBLE), CAST(v62 AS DOUBLE), CAST(v63 AS DOUBLE), CAST(v64 AS DOUBLE)] AS v, CAST(ss AS DOUBLE)/nn AS lambda FROM g3
+        |), t3 AS (
+        |  SELECT list_transform(v, x -> CAST(CAST(floor((x / sqrt(list_sum(list_transform(v, y -> y * y))))*10000+0.5)/10000 AS DECIMAL(38,4)) AS DOUBLE)) AS t,
+        |    lambda
+        |  FROM va3
+        |)
+        |SELECT rnd,
+        |  CAST(CAST(floor((lambda)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS lambda,
+        |  CAST(CAST(floor((lambda/tv)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS evr,
+        |  array_to_string(list_transform(t, x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR)), ',') AS component
+        |FROM (
+        |  SELECT 1 AS rnd, lambda, t FROM t1
+        |  UNION ALL SELECT 2 AS rnd, lambda, t FROM t2
+        |  UNION ALL SELECT 3 AS rnd, lambda, t FROM t3
+        |), tv
+        |ORDER BY rnd NULLS FIRST, lambda NULLS FIRST, evr NULLS FIRST, component NULLS FIRST""".stripMargin,
 
     "vec_quant" ->
       """WITH b AS (

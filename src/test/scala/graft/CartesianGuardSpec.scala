@@ -154,9 +154,13 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // the ivf_sq shapes above
     "dsir_select", // 1-row (corpus-total, target-total) scalar attach onto
                   // the 256-row bucket census: tfidf1's broadcast shape
-    "vec_jl"      // vec_mrl's rationale: the truth leg and the three
+    "vec_jl",     // vec_mrl's rationale: the truth leg and the three
                   // projected-width legs are all sim1's declared
                   // broadcast-query audit shape (sample-able at scale)
+    "vec_pca"     // per round ONE 64-double iterate broadcast onto the
+                  // centered scan (tfidf1's 1-row scalar-attach shape),
+                  // plus the 1-row mean/total-variance attaches — the
+                  // distributed power method's declared state exchange
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

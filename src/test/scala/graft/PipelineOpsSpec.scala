@@ -360,6 +360,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_pca: Rayleigh certificate monotone, iterate unit-norm, evr bounded") {
+    val rows = SparkEntry.queries("vec_pca")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), BigDecimal(r.getString(1)),
+        BigDecimal(r.getString(2)), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // Power-iteration law: the Rayleigh quotient is non-decreasing across
+    // rounds (the shipped convergence certificate; dec4 rendering can eat
+    // at most 1e-4 per term).
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 - BigDecimal("0.0002"),
+        s"lambda decreased: round ${a._1} ${a._2} -> round ${b._1} ${b._2}")
+    }
+    rows.foreach { case (r, _, evr, comp) =>
+      // Explained variance is a fraction of total variance.
+      assert(evr >= 0 && evr <= 1, s"round $r evr $evr out of [0,1]")
+      // The shipped iterate is unit-norm (up to dec4 per-element error).
+      val t = comp.split(",").map(_.toDouble)
+      assert(t.length == 64, s"round $r component has ${t.length} dims")
+      val nrm = math.sqrt(t.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 0.01, s"round $r iterate norm $nrm")
+    }
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
