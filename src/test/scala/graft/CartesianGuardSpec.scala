@@ -157,10 +157,14 @@ class CartesianGuardSpec extends AnyFunSuite {
     "vec_jl",     // vec_mrl's rationale: the truth leg and the three
                   // projected-width legs are all sim1's declared
                   // broadcast-query audit shape (sample-able at scale)
-    "vec_pca"     // per round ONE 64-double iterate broadcast onto the
+    "vec_pca",    // per round ONE 64-double iterate broadcast onto the
                   // centered scan (tfidf1's 1-row scalar-attach shape),
                   // plus the 1-row mean/total-variance attaches — the
                   // distributed power method's declared state exchange
+    "quality_lr"  // per round three 1-row scalar attaches (N, the z
+                  // constant K, the residual total R) — the sparse
+                  // relational GD's declared state exchange; the
+                  // posting/weight joins are all equi-keyed
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

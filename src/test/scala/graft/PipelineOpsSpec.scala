@@ -384,6 +384,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_lr: beats majority AND the generative rule on one feature space") {
+    val lr = SparkEntry.queries("quality_lr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getString(2)), r.getInt(3)))
+    // Flag definition: pred ⇔ score > 0, row for row.
+    lr.foreach { case (id, _, sc, pr) =>
+      assert((sc > 0) == (pr == 1), s"doc $id score $sc pred $pr") }
+    val n = lr.length.toDouble
+    def acc(pred: ((Long, String, BigDecimal, Int)) => Boolean): Double =
+      lr.count(r => pred(r) == (r._2 == "en")) / n
+    val lrAcc = acc(_._4 == 1)
+    val majority = math.max(lr.count(_._2 == "en") / n,
+      1.0 - lr.count(_._2 == "en") / n)
+    assert(lrAcc > majority + 0.1,
+      s"classifier $lrAcc not clearly above majority $majority")
+    // The point of paying for training: the discriminative boundary beats
+    // the generative likelihood-ratio sign rule on the SAME hashed-ngram
+    // features (dsir_select's selected flag read as a classifier).
+    val dsir = SparkEntry.queries("dsir_select")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getInt(4)))
+    val dsirAcc = dsir.count { case (l, sel) => (sel == 1) == (l == "en") } /
+      dsir.length.toDouble
+    assert(lrAcc > dsirAcc,
+      s"trained classifier $lrAcc did not beat DSIR sign rule $dsirAcc")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
