@@ -4230,6 +4230,78 @@ object LlmOps {
           (col("w") > lit(0)).cast("int").as("selected")))
     }),
 
+    // ---- DDP-CDC: content-defined chunking dedup census (`ddp_cdc`) —
+    //      the STORAGE-dedup primitive (LBFS, Muthitacharoen et al.
+    //      SOSP'01; FastCDC lineage — all public): cut every doc at
+    //      positions where the hash of the trailing 8-char window lands
+    //      in 1/16 of the hash space (mean chunk ≈ 16 chars), so
+    //      IDENTICAL SUBSTRINGS ALIGN AT IDENTICAL BOUNDARIES REGARDLESS
+    //      OF OFFSET — the shift-resistance fixed-size blocks cannot
+    //      have and the property the whole scheme exists for
+    //      (spec-pinned on crafted offset-shifted docs). Complements the
+    //      dedup ladder's other granularities: DDP-X is doc-granular,
+    //      DDP-SEG/SCRUB are fixed word-grid segments, DDP-WIN SAMPLES
+    //      fingerprints for candidate detection — this COVERS the full
+    //      byte stream with aligned chunks, the semantics a dedup STORE
+    //      needs (every duplicated byte is actually deduplicated, not
+    //      just detected). Per doc: chunk count, chunked chars
+    //      (= doc length, the partition law), instance-duplicated chunk
+    //      count/chars (global instance count ≥ 2), and the dedupable
+    //      fraction. Window hash = md5 of the window (portable to the
+    //      oracle verbatim); production swaps in a Gear/Rabin ROLLING
+    //      hash for O(1)/byte — same boundaries-from-content semantics,
+    //      this query IS the census that prices the chunk store. ----
+    "ddp_cdc" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      // Boundary at i (window = chars i−7…i) iff the window md5 starts
+      // '0'; a boundary at the last char is a no-op cut and is dropped so
+      // the tail chunk is never empty (mirrored in the oracle).
+      //
+      // SHAPE NOTE: the window md5 runs in a PLAIN projection after an
+      // explode, never inside a HOF lambda — higher-order functions are
+      // CodegenFallback and re-evaluate captured subtrees per element,
+      // which turned the one-pass scan into O(len²) md5 calls per doc in
+      // the array-only formulation (measured 34 s → 1.5 s at sf0.01).
+      // Boundary positions group back per doc, so the chunk-extraction
+      // lambdas below touch only materialized small arrays.
+      val base = doc.filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).as("n"))
+        .pinned // read by the window scan and the cut join
+      val wins = base.filter(col("n") >= 8)
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(8), col("n")), i =>
+            col("text").substr(i - 7, lit(8)))).as(Seq("k", "w")))
+        .select(col("doc_id"), (col("k") + 8).as("i"), col("n"), col("w"))
+        .filter(substring(md5(col("w")), 1, 1) === "0" && col("i") =!= col("n"))
+      val bps = wins.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("i").cast("int"))).as("bp"))
+      val cuts = concat(array(lit(0)),
+        coalesce(col("bp"), array().cast("array<int>")), array(col("n")))
+      val chunks = base.join(bps, Seq("doc_id"), "left")
+        .withColumn("cuts", cuts)
+        .select(col("doc_id"), col("lang"), explode(transform(
+          sequence(lit(1), size(col("cuts")) - 1), k =>
+            col("text").substr(element_at(col("cuts"), k) + 1,
+              element_at(col("cuts"), k + 1) - element_at(col("cuts"), k))))
+          .as("ck"))
+        .select(col("doc_id"), col("lang"), length(col("ck")).as("cl"),
+          md5(col("ck")).as("ch"))
+        .pinned // read by the census and the per-doc rollup
+      val census = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+      ordered(chunks.join(census, Seq("ch"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("cl").cast("long")).as("chunked_chars"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("cnt") >= 2, col("cl").cast("long")).otherwise(0L))
+            .as("dup_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chunks"),
+          col("chunked_chars"), col("n_dup_chunks"), col("dup_chars"),
+          dec4S(col("dup_chars").cast("double") /
+            col("chunked_chars").cast("double")).as("dup_ratio")))
+    }),
+
     // ---- CLS-1: in-engine quality-classifier training + fleet apply
     //      (`quality_lr`) — the DISCRIMINATIVE selector beside SEL-1's
     //      generative one (the GPT-3/PaLM recipe: train a linear
@@ -5103,6 +5175,35 @@ object LlmOps {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    "ddp_cdc" ->
+      """WITH cs AS (
+        |  SELECT doc_id, lang, text, len(text) AS n FROM documents WHERE len(text) > 0
+        |), bnd AS (
+        |  SELECT doc_id, lang, text, n,
+        |    CASE WHEN n >= 8 THEN list_filter(range(8, n + 1), i ->
+        |      i <> n AND substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1) = '0')
+        |    ELSE [] END AS bp
+        |  FROM cs
+        |), ck AS (
+        |  SELECT doc_id, lang, len(c) AS cl, md5(c) AS ch FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(cuts)), k ->
+        |      substr(text, CAST(cuts[k] + 1 AS INT), CAST(cuts[k + 1] - cuts[k] AS INT)))) AS c
+        |    FROM (SELECT doc_id, lang, text,
+        |      list_concat(list_concat([CAST(0 AS BIGINT)], bp), [CAST(n AS BIGINT)]) AS cuts FROM bnd))
+        |), census AS (
+        |  SELECT ch, COUNT(1) AS cnt FROM ck GROUP BY ch
+        |)
+        |SELECT ck.doc_id, ck.lang,
+        |  COUNT(1) AS n_chunks,
+        |  CAST(SUM(ck.cl) AS BIGINT) AS chunked_chars,
+        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(ck.cl) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
+        |FROM ck JOIN census ON ck.ch = census.ch
+        |GROUP BY ck.doc_id, ck.lang
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chunks NULLS FIRST, chunked_chars NULLS FIRST, n_dup_chunks NULLS FIRST, dup_chars NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
 
     // DuckDB twin of the 5-round sparse relational GD: identical feature
     // stream as dsir_select, per-bucket moments, and per round the same

@@ -410,6 +410,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"trained classifier $lrAcc did not beat DSIR sign rule $dsirAcc")
   }
 
+  test("ddp_cdc: chunks partition every doc; shared runs align across offsets") {
+    // Partition law on the real corpus: every doc's chunks cover exactly
+    // its bytes (chunked_chars == len(text)) — the invariant that makes
+    // the census a true storage-dedup account.
+    val out = SparkEntry.queries("ddp_cdc")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+    val lens = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == lens.filter(_._2 > 0).keySet)
+    out.foreach { case (id, (cc, _)) =>
+      assert(cc == lens(id), s"doc $id chunked $cc != len ${lens(id)}") }
+    // Shift-resistance (the property CDC exists for): a ~200-char run
+    // shared by two docs at DIFFERENT offsets still yields shared chunks;
+    // an alphabet-disjoint control shares none. Fixed-size blocks would
+    // find nothing here — the boundaries come from content, so they
+    // re-synchronize inside the shared run regardless of prefix length.
+    import spark.implicits._
+    val shared = (0 until 50).map(i => f"s$i%02d").mkString(" ")
+    val a = "AAAA BBBB CCCC " + shared + " tail one"
+    val b = ("Z" * 37) + shared + " other end"
+    val c = (0 until 50).map(i => f"Q$i%02d").mkString("-")
+    val dir = java.nio.file.Files.createTempDirectory("cdc_shift").toString
+    Seq((1L, a, "en", "t", a.length.toLong), (2L, b, "en", "t", b.length.toLong),
+        (3L, c, "en", "t", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val crafted = SparkEntry.queries("ddp_cdc")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(crafted(1L) >= 100, s"doc A shared only ${crafted(1L)} chars")
+    assert(crafted(2L) >= 100, s"doc B shared only ${crafted(2L)} chars")
+    assert(crafted(3L) == 0, s"control doc shared ${crafted(3L)} chars")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
