@@ -72,6 +72,99 @@ object LlmOps {
         .cast("long"))
   }
 
+  /** CLS-1 feature relation: per (doc, bucket) the tf weight
+    * x = n/Σn over [[hashedGramBuckets]], plus the weak label
+    * y = (lang = 'en'). Per-doc quantities only — computable on any
+    * SLICE of the corpus identically to the whole (the property the
+    * streamed scorer STR-CLS relies on). */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame =
+    hashedGramBuckets(docs)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("lang"),
+        (col("lang") === "en").cast("double").as("y"), col("b"),
+        (col("n").cast("double") / col("tot").cast("double")).as("x"))
+
+  /** CLS-1 trained model: the standardization stats, the 256 bucket
+    * weights after 5 gradient rounds, the bias, and the training-corpus
+    * feature relation (so the gated apply reuses one feature pass). All
+    * broadcast-sized — the publishable index-metadata of the classifier
+    * (Snapshot-publish these three relations to serve the model, exactly
+    * like the IVF centroids/codebook). */
+  private[graft] case class LrModel(pd: DataFrame, stats: DataFrame,
+      wt: DataFrame, w0: DataFrame)
+
+  /** CLS-1 scorer shared VERBATIM by the gated batch apply and the
+    * streamed scorer ([[graft.streaming.StreamOps.runScoredIngest]]):
+    * z_d = w0 − Σ_b w_b·μ_b/σ_b + Σ_present w_b·x_db/σ_b with the same
+    * dec8-quantized decimal folds — one implementation, so batch and
+    * streamed scores cannot drift. */
+  private[graft] def lrScore(pd: DataFrame, m: LrModel): DataFrame = {
+    val dt8 = DecimalType(38, 8)
+    val kk = m.wt.join(m.stats, Seq("b"))
+      .agg(sum(dec8(col("w") * col("mu") / col("sd"))).cast(dt8).as("kk"))
+    pd.join(broadcast(m.wt.join(m.stats.select(col("b"), col("sd")),
+        Seq("b"))), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("y"))
+      .agg(sum(dec8(col("w") * col("x") / col("sd"))).cast(dt8).as("zs"))
+      .crossJoin(broadcast(m.w0)).crossJoin(broadcast(kk))
+      .withColumn("z",
+        col("w0") - col("kk").cast("double") + col("zs").cast("double"))
+  }
+
+  /** CLS-1 trainer: 5 full-batch gradient rounds (η = 2, w₀ = 0) of the
+    * sparse relational GD — see the `quality_lr` query doc for the
+    * standardization-folded-into-constants derivation and the decimal
+    * discipline. */
+  private[graft] def lrTrain(s: SparkSession, d: String): LrModel = {
+    val dt8 = DecimalType(38, 8)
+    val pd = lrFeatures(load(s, d, "documents"))
+      .pinned // read by the stats pass and every training round
+    val nrow = pd.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    // Per-bucket standardization stats over ALL docs (absent ⇒ x = 0,
+    // so present-only sums over N docs are the full-population moments).
+    val stats = pd.groupBy(col("b")).agg(
+        sum(dec8(col("x"))).cast(dt8).as("sx"),
+        sum(dec8(col("x") * col("x"))).cast(dt8).as("sxx"))
+      .crossJoin(broadcast(nrow))
+      .withColumn("mu", col("sx").cast("double") / col("nd"))
+      .withColumn("vr",
+        col("sxx").cast("double") / col("nd") - col("mu") * col("mu"))
+      .select(col("b"), col("mu"),
+        when(col("vr") <= lit(0.0), lit(1.0))
+          .otherwise(sqrt(col("vr"))).as("sd"))
+      .pinned
+    var wt = stats.select(col("b"), lit(0.0).as("w")).pinned
+    var w0 = s.range(1).select(lit(0.0).as("w0"))
+    (1 to 5).foreach { _ =>
+      val zd = lrScore(pd, LrModel(pd, stats, wt, w0))
+        .withColumn("p",
+          dec8(lit(1.0) / (lit(1.0) + exp(-col("z")))).cast("double"))
+        .select(col("doc_id"), col("y"), col("p"))
+        .pinned // read by the residual total and the gradient pass
+      val rq = zd.agg(sum(dec8(col("y") - col("p"))).cast(dt8).as("rr"))
+      val gb = pd.join(broadcast(zd.select(col("doc_id"), col("p"))),
+          Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(dec8((col("y") - col("p")) * col("x"))).cast(dt8).as("sb"))
+      wt = wt.join(stats, Seq("b")).join(gb, Seq("b"))
+        .crossJoin(broadcast(rq)).crossJoin(broadcast(nrow))
+        .select(col("b"), dec8(col("w") + lit(2.0) *
+            ((col("sb").cast("double") / col("sd") -
+              col("mu") / col("sd") * col("rr").cast("double")) / col("nd")))
+          .cast("double").as("w"))
+        .pinned // lineage truncation per round (ddp_cluster's rule)
+      w0 = w0.crossJoin(broadcast(rq)).crossJoin(broadcast(nrow))
+        .select(dec8(col("w0") +
+            lit(2.0) * (col("rr").cast("double") / col("nd")))
+          .cast("double").as("w0"))
+        .pinned
+    }
+    LrModel(pd, stats, wt, w0)
+  }
+
   /** Distinct word-bigram shingles of a text column (same gram expression
     * as ddp_ngram). Sketch queries use SHINGLES, not unigrams: the corpus
     * vocabulary is ~31 words with document frequencies up to 78%, so every
@@ -4332,69 +4425,8 @@ object LlmOps {
     //      precedent); every scalar chain is spelled with the same
     //      left-association in both engines. ----
     "quality_lr" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-      val dt8 = DecimalType(38, 8)
-      val pd = hashedGramBuckets(docs)
-        .groupBy(col("doc_id"), col("lang"), col("b"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("tot", sum(col("n")).over(
-          Window.partitionBy(col("doc_id"))))
-        .select(col("doc_id"), col("lang"),
-          (col("lang") === "en").cast("double").as("y"), col("b"),
-          (col("n").cast("double") / col("tot").cast("double")).as("x"))
-        .pinned // read by the stats pass and every training round
-      val nrow = pd.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
-      // Per-bucket standardization stats over ALL docs (absent ⇒ x = 0,
-      // so present-only sums over N docs are the full-population moments).
-      val stats = pd.groupBy(col("b")).agg(
-          sum(dec8(col("x"))).cast(dt8).as("sx"),
-          sum(dec8(col("x") * col("x"))).cast(dt8).as("sxx"))
-        .crossJoin(broadcast(nrow))
-        .withColumn("mu", col("sx").cast("double") / col("nd"))
-        .withColumn("vr",
-          col("sxx").cast("double") / col("nd") - col("mu") * col("mu"))
-        .select(col("b"), col("mu"),
-          when(col("vr") <= lit(0.0), lit(1.0))
-            .otherwise(sqrt(col("vr"))).as("sd"))
-        .pinned
-      var wt = stats.select(col("b"), lit(0.0).as("w")).pinned
-      var w0 = s.range(1).select(lit(0.0).as("w0"))
-      def zOf(wtab: DataFrame, w0tab: DataFrame): DataFrame = {
-        val kk = wtab.join(stats, Seq("b"))
-          .agg(sum(dec8(col("w") * col("mu") / col("sd"))).cast(dt8).as("kk"))
-        pd.join(broadcast(wtab.join(stats.select(col("b"), col("sd")),
-            Seq("b"))), Seq("b"))
-          .groupBy(col("doc_id"), col("lang"), col("y"))
-          .agg(sum(dec8(col("w") * col("x") / col("sd"))).cast(dt8).as("zs"))
-          .crossJoin(broadcast(w0tab)).crossJoin(broadcast(kk))
-          .withColumn("z",
-            col("w0") - col("kk").cast("double") + col("zs").cast("double"))
-      }
-      (1 to 5).foreach { _ =>
-        val zd = zOf(wt, w0)
-          .withColumn("p",
-            dec8(lit(1.0) / (lit(1.0) + exp(-col("z")))).cast("double"))
-          .select(col("doc_id"), col("y"), col("p"))
-          .pinned // read by the residual total and the gradient pass
-        val rq = zd.agg(sum(dec8(col("y") - col("p"))).cast(dt8).as("rr"))
-        val gb = pd.join(broadcast(zd.select(col("doc_id"), col("p"))),
-            Seq("doc_id"))
-          .groupBy(col("b"))
-          .agg(sum(dec8((col("y") - col("p")) * col("x"))).cast(dt8).as("sb"))
-        wt = wt.join(stats, Seq("b")).join(gb, Seq("b"))
-          .crossJoin(broadcast(rq)).crossJoin(broadcast(nrow))
-          .select(col("b"), dec8(col("w") + lit(2.0) *
-              ((col("sb").cast("double") / col("sd") -
-                col("mu") / col("sd") * col("rr").cast("double")) / col("nd")))
-            .cast("double").as("w"))
-          .pinned // lineage truncation per round (ddp_cluster's rule)
-        w0 = w0.crossJoin(broadcast(rq)).crossJoin(broadcast(nrow))
-          .select(dec8(col("w0") +
-              lit(2.0) * (col("rr").cast("double") / col("nd")))
-            .cast("double").as("w0"))
-          .pinned
-      }
-      ordered(zOf(wt, w0)
+      val m = lrTrain(s, d)
+      ordered(lrScore(m.pd, m)
         .select(col("doc_id"), col("lang"),
           dec4S(col("z")).as("score"),
           (col("z") > lit(0.0)).cast("int").as("pred")))

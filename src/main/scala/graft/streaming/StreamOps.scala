@@ -247,6 +247,57 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-CLS: streamed model application (`runScoredIngest`) — the
+    * MODEL half of the maintained-artifact story whose INDEX half is
+    * [[runIvfAdcIngest]]: a quality classifier is trained by a batch job
+    * (CLS-1, `quality_lr`) and its three broadcast-sized relations
+    * (standardization stats, bucket weights, bias) are published as
+    * index metadata; every arriving document file is scored against the
+    * PUBLISHED model by the SAME `LlmOps.lrScore` implementation the
+    * gated batch apply runs — one scorer, so streamed and batch scores
+    * cannot drift (pinned in StreamingSpec). Per-doc features (tf over
+    * hashed-gram buckets) are slice-local by construction, so scoring a
+    * file in isolation is exactly scoring it inside the whole corpus.
+    * Exactly-once per FILE by [[runIvfIngest]]'s DELETE-THEN-APPEND
+    * `_src` keying — replay and duplicate delivery leave the distinct
+    * score set unchanged, and re-scoring under a RETRAINED model leaves
+    * no stale-model rows. At 100 TB this is the standard serving shape:
+    * retrain periodically in batch, re-publish, and let the arrival
+    * stream score against whatever model version is current. */
+  def runScoredIngest(spark: SparkSession, docDir: String,
+                      model: graft.queries.LlmOps.LrModel, outDir: String,
+                      checkpointDir: String): Unit = {
+    val q = documentsFileSource(spark, docDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withSrc = batch.withColumn("_src", md5(input_file_name()))
+        val srcs = withSrc.select(col("_src")).distinct()
+          .collect().map(_.getString(0))
+        if (srcs.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(conf)
+          srcs.foreach { h =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
+          }
+          val pd = graft.queries.LlmOps.lrFeatures(
+            withSrc.select(col("doc_id"), col("text"), col("lang")))
+          val src = withSrc.select(col("doc_id"), col("_src"))
+          graft.queries.LlmOps.lrScore(pd, model)
+            .join(src, Seq("doc_id"))
+            .select(col("doc_id"), col("lang"), col("z").as("score"),
+              (col("z") > lit(0.0)).cast("int").as("pred"), col("_src"))
+            .write.partitionBy("_src").mode("append")
+            .parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Documents-schema streaming source over a directory of parquet files —
     * incremental corpus ingestion: each arriving file is a micro-batch of
     * new documents. */

@@ -922,6 +922,58 @@ class StreamingSpec extends AnyFunSuite {
       "per-slice PQ encode must equal the whole-corpus encode")
   }
 
+  test("STR-CLS scored ingest: streamed scores equal the gated batch apply; replay and retrain converge") {
+    // The MODEL half of the maintained-artifact story (STR-IVF is the
+    // index half): train CLS-1 once in batch, stream the same corpus in
+    // as 4 arrival files scored against the published model, and demand
+    // the streamed store equal the gated quality_lr output exactly —
+    // same z doubles, same flags — because the scorer is ONE shared
+    // implementation. Then the exactly-once laws: idle rerun adds
+    // nothing; duplicate delivery leaves the distinct set unchanged;
+    // full replay under a RETRAINED (here: sign-flipped) model leaves no
+    // stale-model rows.
+    import graft.queries.LlmOps
+    val model = LlmOps.lrTrain(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = tempDir("cls_arrivals")
+    val out = tempDir("cls_store").toString
+    val ckpt = tempDir("cls_ckpt").toString
+    (0 to 3).foreach { i =>
+      writeSlice(docs.filter(pmod(col("doc_id"), lit(4)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    val batch = LlmOps.lrScore(model.pd, model)
+      .select(col("doc_id"), col("lang"), col("z").as("score"),
+        (col("z") > lit(0.0)).cast("int").as("pred"))
+    def stored() = spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("score"), col("pred"))
+    assertSameRows(stored(), batch,
+      "streamed scores vs the gated batch apply (bit-equal doubles)")
+    // Idle checkpointed rerun adds nothing.
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    assertSameRows(stored(), batch, "idle rerun must add nothing")
+    // Duplicate delivery under a new name: distinct score set unchanged.
+    writeSlice(docs.filter(pmod(col("doc_id"), lit(4)) === 0), d,
+      "slice_00_dup", 1700000400000L)
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    assertSameRows(stored().distinct(), batch,
+      "duplicate delivery must not change the distinct score set")
+    // Retrain-and-replay: wipe the checkpoint, score everything again
+    // under a sign-flipped model — the store must hold ONLY new-model
+    // rows (delete-then-append keying, runIvfIngest's retrain law).
+    val flipped = LlmOps.LrModel(model.pd, model.stats,
+      model.wt.select(col("b"), (-col("w")).as("w")),
+      model.w0.select((-col("w0")).as("w0")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    StreamOps.runScoredIngest(spark, d.toString, flipped, out, ckpt)
+    val batchFlipped = LlmOps.lrScore(model.pd, flipped)
+      .select(col("doc_id"), col("lang"), col("z").as("score"),
+        (col("z") > lit(0.0)).cast("int").as("pred"))
+    assertSameRows(stored().distinct(), batchFlipped,
+      "full replay under a retrained model must leave no stale scores")
+  }
+
   test("STR-IVF composed ADC ingest: streamed search state equals batch encode; replay and duplicates converge") {
     // runIvfAdcIngest lands the COMPLETE per-vector IVFADC search state
     // (cell, 8 PQ codes, norm). The streamed store must equal the batch
