@@ -992,6 +992,14 @@ object LlmOps {
       |    JOIN cells ON sshort.neighbor_id = cells.vec_id
       |)""".stripMargin
 
+  private lazy val duckIvfSqSql: String =
+    s"""WITH $duckIvfSqCtes
+      |SELECT query_id, rn, neighbor_id,
+      |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
+      |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
+      |FROM sranked WHERE rn <= 3
+      |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin
+
   private lazy val duckIvfCtes: String =
     s"""$duckIvfBaseCtes, probes AS (
       |  SELECT vec_id AS query_id, e AS qe, vn AS qn, cell_label AS pcell
@@ -1440,22 +1448,36 @@ object LlmOps {
     * (scan-proportional, zero shuffle); the ADC scan costs one exact
     * 64-element dot per candidate from the probed cells only — the same
     * probed-cell-proportional search mass as ivf_pq with no LUT join. */
-  private def ivfSqRanked(s: SparkSession, d: String,
-      shortlist: Int = 16): DataFrame = {
-    val emb = load(s, d, "embeddings")
+  /** SQ long form: each vector on the dec4 grid as a scaled-int64 array
+    * (vec_id, xi) — the input of the SQ trainer/encoder and the query
+    * side of the ADC dot. Per-row pure, so a SLICE encodes identically
+    * to the whole corpus (the streamed-ingest premise). */
+  private[graft] def sqLongForm(emb: DataFrame): DataFrame = {
     val xiC = transform(col("embedding"),
       x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
-    val base = emb.select(col("vec_id"), xiC.as("xi")).pinned
-    // --- TRAIN: per-dim [min, max] on the dec4 grid ---
+    emb.select(col("vec_id"), xiC.as("xi"))
+  }
+
+  /** SQ trainer: the per-dim [min, max] grid — ONE map-side-combined
+    * aggregate producing the 1-row broadcast stats relation (mi, ma,
+    * rng arrays; 192 longs of index metadata, publishable exactly like
+    * the PQ codebook). */
+  private[graft] def sqStats(base: DataFrame): DataFrame = {
     val mm = (1 to 64).map(i => min(element_at(col("xi"), i)).as(s"mi$i")) ++
       (1 to 64).map(i => max(element_at(col("xi"), i)).as(s"ma$i"))
-    val stats = base.agg(mm.head, mm.tail: _*)
+    base.agg(mm.head, mm.tail: _*)
       .select(array((1 to 64).map(i => col(s"mi$i")): _*).as("mi"),
         array((1 to 64).map(i => col(s"ma$i")): _*).as("ma"))
       .withColumn("rng", zip_with(col("ma"), col("mi"), (a, b) => a - b))
-    // --- ENCODE: code_d = round-half-up((xi−mi)·255/(ma−mi)) ∈ [0,255],
-    //     carried as its dequantized numerator nq_d (units 10⁻⁴/255) ---
-    val enc = base.crossJoin(broadcast(stats))
+  }
+
+  /** SQ encoder against a PUBLISHED stats row: code_d = round-half-up
+    * ((xi−mi)·255/(ma−mi)) ∈ [0,255], carried as its dequantized
+    * numerator nq_d = 255·mi + code_d·(ma−mi) (units 10⁻⁴/255). Shared
+    * verbatim by the batch pipeline and the streamed STR-IVF-SQ ingest,
+    * so the two encode paths cannot drift. */
+  private[graft] def sqEncodeWith(base: DataFrame, stats: DataFrame): DataFrame =
+    base.crossJoin(broadcast(stats))
       .withColumn("sh", zip_with(col("xi"), col("mi"), (x, m) => x - m))
       .withColumn("code", zip_with(col("sh"), col("rng"), (sft, r) =>
         when(r === lit(0L), lit(0L)).otherwise(
@@ -1465,6 +1487,14 @@ object LlmOps {
       .withColumn("nq", zip_with(col("cr"), col("mi"),
         (c, m) => c + lit(255L) * m))
       .select(col("vec_id"), col("nq"))
+
+  private def ivfSqRanked(s: SparkSession, d: String,
+      shortlist: Int = 16, extState: Option[DataFrame] = None): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    val base = sqLongForm(emb).pinned
+    // --- TRAIN + ENCODE (the shared core; see [[sqStats]]/[[sqEncodeWith]]) ---
+    val stats = sqStats(base)
+    val enc = sqEncodeWith(base, stats)
     // --- IVF cells + probes + queries (the shared assignment, verbatim) ---
     val assigned = ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
@@ -1477,11 +1507,15 @@ object LlmOps {
       .select(col("vec_id").as("query_id"),
         transform(col("xi"), _.cast("double")).as("qxa"))
     // --- Per-vector search state: cell + dequantized code numerators +
-    //     norm (the inverted-list relation; raw vectors stay cold) ---
-    val state = enc.join(cells.select(col("vec_id"), col("vn"),
-        col("cell_label")), Seq("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), col("cell_label"),
-        transform(col("nq"), _.cast("double")).as("nqa"), col("vn"))
+    //     norm (the inverted-list relation; raw vectors stay cold), or
+    //     (the `ivf_sq_stream` parity case) the state STR-IVF-SQ streamed
+    //     into the cell-partitioned store ---
+    val state = extState.getOrElse(
+      enc.join(cells.select(col("vec_id"), col("vn"),
+          col("cell_label")), Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("cell_label"),
+          col("nq"), col("vn")))
+      .withColumn("nqa", transform(col("nq"), _.cast("double")))
     // --- ADC scan: ONE exact integer dot per probed-cell candidate ---
     val pool = broadcast(probes).join(state,
         col("pcell") === col("cell_label") && col("query_id") =!= col("neighbor_id"))
@@ -1515,6 +1549,16 @@ object LlmOps {
     val cent = pin(ivfKmeansCentroids(s, d))
     val book = graft.operators.PqEncode.codebook(
       graft.operators.PqEncode.toLong(emb), "xq").pinned
+    val arrivals = stageArrivalSlices(emb, out)
+    graft.streaming.StreamOps.runIvfAdcIngest(s, arrivals,
+      emb.schema, cent, book, s"$out/store", s"$out/ckpt")
+  }
+
+  /** Land the corpus as four single-parquet arrival files under
+    * `out`/arrivals (one micro-batch each under maxFilesPerTrigger=1) —
+    * shared by the IVF-PQ and IVF-SQ streamed-store builders. */
+  private def stageArrivalSlices(emb: DataFrame, out: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val arrivals = Paths.get(out, "arrivals")
     Files.createDirectories(arrivals)
     (0 to 3).foreach { i =>
@@ -1535,8 +1579,22 @@ object LlmOps {
       finally rest.close()
       Files.deleteIfExists(tmp)
     }
-    graft.streaming.StreamOps.runIvfAdcIngest(s, arrivals.toString,
-      emb.schema, cent, book, s"$out/store", s"$out/ckpt")
+    arrivals.toString
+  }
+
+  /** Build the STR-IVF-SQ streamed store for `ivf_sq_stream`: arrivals
+    * assigned against the published Lloyd centroids and SQ-encoded
+    * against the published per-dim grid by
+    * [[graft.streaming.StreamOps.runIvfSqIngest]]. */
+  private def buildIvfSqStreamStore(s: SparkSession, d: String,
+      out: String): Unit = {
+    val emb = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // Pin the index metadata (see buildIvfAdcStreamStore's rationale).
+    val cent = pin(ivfKmeansCentroids(s, d))
+    val stats = pin(sqStats(sqLongForm(emb)))
+    val arrivals = stageArrivalSlices(emb, out)
+    graft.streaming.StreamOps.runIvfSqIngest(s, arrivals,
+      emb.schema, cent, stats, s"$out/store", s"$out/ckpt")
   }
 
   private def ivfPqRanked(s: SparkSession, d: String,
@@ -1948,6 +2006,33 @@ object LlmOps {
     //      ceiling, the 8× storage buys real recall. ----
     "ivf_sq_eval" -> ((s, d) =>
       ordered(recallPerQuery(bruteTruthTop3(s, d), ivfSqRanked(s, d)))),
+
+    // ---- STR-IVF-SQ-SEARCH: search the STREAMED SQ store
+    //      (`ivf_sq_stream`) — ivf_pq_stream's parity gate applied to
+    //      the scalar-quantized index: the per-vector state (cell, 64
+    //      code numerators, norm) comes from STR-IVF-SQ's ingest
+    //      (arrival files assigned/encoded against the PUBLISHED Lloyd
+    //      centroids + per-dim grid) and the same ivfSqRanked ADC scan +
+    //      exact re-rank runs against it, gated under ivf_sq's own
+    //      oracle — streamed SQ index ≡ batch SQ index, hash-certified.
+    //      With ivf_pq_stream this closes BOTH quantization families'
+    //      maintenance-drift channels. ----
+    "ivf_sq_stream" -> ((s, d) => {
+      val root = graft.core.Warehouse.once(d, "ivfsq_stream") { out =>
+        buildIvfSqStreamStore(s, d, out)
+      }
+      // DISTINCT guards the ADC against at-least-once residue
+      // (ivf_pq_stream's rationale — a duplicated state row would let a
+      // neighbor occupy two shortlist slots).
+      val state = s.read.parquet(s"$root/store")
+        .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_label"),
+          col("nq"), col("vn"))
+        .distinct()
+      ordered(ivfSqRanked(s, d, extState = Some(state))
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          dec4S(col("adc_raw")).as("adc"),
+          dec4S(col("score_raw")).as("score")))
+    }),
 
     // ---- SIM-EVAL: ANN recall audit — DDP-EVAL's sibling for the dense
     //      ladder: measured recall@3 of SIM-1's IVF 2-probe search
@@ -5179,13 +5264,10 @@ object LlmOps {
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
 
-    "ivf_sq" ->
-      s"""WITH $duckIvfSqCtes
-        |SELECT query_id, rn, neighbor_id,
-        |  CAST(CAST(floor((adc_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS adc,
-        |  CAST(CAST(floor((score_raw)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score
-        |FROM sranked WHERE rn <= 3
-        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST, neighbor_id NULLS FIRST, adc NULLS FIRST, score NULLS FIRST""".stripMargin,
+    "ivf_sq" -> duckIvfSqSql,
+
+    // Streamed SQ index must hash-match the batch SQ index: same oracle.
+    "ivf_sq_stream" -> duckIvfSqSql,
 
     "ivf_sq_eval" ->
       s"""WITH $duckIvfSqCtes, sq3 AS (

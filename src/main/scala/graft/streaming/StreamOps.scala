@@ -247,6 +247,54 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STR-IVF-SQ: the scalar-quantized sibling of [[runIvfAdcIngest]] —
+    * each arriving embedding file lands as (vec_id, nq, vn) rows
+    * partitioned by (_src, cell): cell assignment against the PUBLISHED
+    * centroid table, SQ code numerators against the PUBLISHED per-dim
+    * [min,max] grid (`LlmOps.sqEncodeWith` — the SAME encoder the batch
+    * `ivf_sq` pipeline runs, per-row pure so slices encode identically),
+    * and the exact vector norm. Exactly-once per file by the same
+    * DELETE-THEN-APPEND `_src` keying. The gated parity query
+    * `ivf_sq_stream` searches this store and must hash-match batch
+    * `ivf_sq` under its own oracle. */
+  def runIvfSqIngest(spark: SparkSession, vecDir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     cent: DataFrame, sqStats: DataFrame, outDir: String,
+                     checkpointDir: String): Unit = {
+    import graft.functions.GraftFunctions.dot_product
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withSrc = batch.withColumn("_src", md5(input_file_name()))
+        val srcs = withSrc.select(col("_src")).distinct()
+          .collect().map(_.getString(0))
+        if (srcs.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(conf)
+          srcs.foreach { h =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
+          }
+          val dbl = transform(col("embedding"), x => x.cast("double"))
+          val meta = withSrc.select(col("vec_id"), col("_src"),
+            sqrt(dot_product(dbl, dbl)).as("vn"))
+          assignCells(withSrc, cent)
+            .join(graft.queries.LlmOps.sqEncodeWith(
+              graft.queries.LlmOps.sqLongForm(withSrc), sqStats),
+              Seq("vec_id"))
+            .join(meta, Seq("vec_id"))
+            .write.partitionBy("_src", "cell").mode("append")
+            .parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STR-CLS: streamed model application (`runScoredIngest`) — the
     * MODEL half of the maintained-artifact story whose INDEX half is
     * [[runIvfAdcIngest]]: a quality classifier is trained by a batch job

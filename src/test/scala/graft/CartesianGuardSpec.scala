@@ -152,6 +152,9 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // index metadata, tfidf1's broadcast shape
     "ivf_sq_eval", // ivf_pq_eval's rationale: brute-force truth leg +
                   // the ivf_sq shapes above
+    "ivf_sq_stream", // ivf_sq's rationale: the Lloyd training and grid
+                  // metadata crosses run inside the store build + the
+                  // search-side shapes are ivf_sq's own
     "dsir_select", // 1-row (corpus-total, target-total) scalar attach onto
                   // the 256-row bucket census: tfidf1's broadcast shape
     "vec_jl",     // vec_mrl's rationale: the truth leg and the three

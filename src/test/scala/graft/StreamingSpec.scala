@@ -974,6 +974,27 @@ class StreamingSpec extends AnyFunSuite {
       "full replay under a retrained model must leave no stale scores")
   }
 
+  test("classifier lifecycle: the Snapshot-published model scores bit-identically") {
+    // STR-CLS's serving premise made executable end-to-end: the trained
+    // model's three relations publish as Snapshot versions (exactly like
+    // the IVF centroids/codebook in the index lifecycle test), read back,
+    // and score the corpus bit-identically to the in-memory model.
+    import graft.core.Snapshot
+    import graft.queries.LlmOps
+    val m = LlmOps.lrTrain(spark, sfDir)
+    val root = tempDir("cls_meta").toString
+    val vS = Snapshot.publish(m.stats, root, Map("kind" -> "lr_stats"))
+    val vW = Snapshot.publish(m.wt, root, Map("kind" -> "lr_weights"))
+    val vB = Snapshot.publish(m.w0, root, Map("kind" -> "lr_bias"))
+    assert(Snapshot.meta(root, vW).get("kind").contains("lr_weights"))
+    val pub = LlmOps.LrModel(m.pd,
+      Snapshot.read(spark, root, Some(vS)),
+      Snapshot.read(spark, root, Some(vW)),
+      Snapshot.read(spark, root, Some(vB)))
+    assertSameRows(LlmOps.lrScore(m.pd, pub), LlmOps.lrScore(m.pd, m),
+      "published model must score bit-identically to the in-memory one")
+  }
+
   test("STR-IVF composed ADC ingest: streamed search state equals batch encode; replay and duplicates converge") {
     // runIvfAdcIngest lands the COMPLETE per-vector IVFADC search state
     // (cell, 8 PQ codes, norm). The streamed store must equal the batch
