@@ -72,6 +72,33 @@ object LlmOps {
         .cast("long"))
   }
 
+  /** SEL-1 core: per-doc DSIR importance log-weight — see the
+    * `dsir_select` query doc for the derivation; shared by the gated
+    * selection query and the `lr_eval` discrimination audit. Returns
+    * (doc_id, lang, n_feat, w DECIMAL(38,8)). */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val B = 256
+    val feat = hashedGramBuckets(docs).pinned
+    val perBucket = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("cs"),
+      sum((col("lang") === "en").cast("long")).as("ct"))
+    val tot = perBucket.agg(
+      sum(col("cs")).as("stot"), sum(col("ct")).as("ttot"))
+    val ratio = perBucket.crossJoin(broadcast(tot))
+      .select(col("b"), dec8(log(
+        ((col("ct") + 1) * (col("stot") + B)).cast("double") /
+          ((col("cs") + 1) * (col("ttot") + B)).cast("double")))
+        .cast(DecimalType(28, 8)).as("lr"))
+    val perDoc = feat.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    perDoc.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_feat"),
+        sum(col("n").cast(DecimalType(9, 0)) * col("lr"))
+          .cast(DecimalType(38, 8)).as("w"))
+  }
+
   /** CLS-1 feature relation: per (doc, bucket) the tf weight
     * x = n/Σn over [[hashedGramBuckets]], plus the weak label
     * y = (lang = 'en'). Per-doc quantities only — computable on any
@@ -991,6 +1018,155 @@ object LlmOps {
       |  FROM sshort JOIN sqv ON sshort.query_id = sqv.query_id
       |    JOIN cells ON sshort.neighbor_id = cells.vec_id
       |)""".stripMargin
+
+  /** CLS-1 oracle pipeline through its `z6` CTE — DuckDB twin of the
+    * 5-round sparse relational GD (see the quality_lr query doc). Shared
+    * by the gated apply and the `lr_eval` discrimination audit. */
+  private lazy val duckLrCtes: String =
+    """wrds AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), feat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 2)) AS BIGINT) AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(list_concat(
+        |      list_filter(ws, w -> w <> ''),
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+        |    )) AS g
+        |    FROM wrds)
+        |), pdc AS MATERIALIZED (
+        |  SELECT doc_id, lang, b, COUNT(1) AS n FROM feat GROUP BY 1, 2, 3
+        |), pdt AS (
+        |  SELECT doc_id, SUM(n) AS tot FROM pdc GROUP BY doc_id
+        |), pd AS MATERIALIZED (
+        |  SELECT pdc.doc_id, pdc.lang,
+        |    CASE WHEN pdc.lang = 'en' THEN 1.0 ELSE 0.0 END AS y, pdc.b,
+        |    CAST(pdc.n AS DOUBLE) / CAST(pdt.tot AS DOUBLE) AS x
+        |  FROM pdc JOIN pdt ON pdc.doc_id = pdt.doc_id
+        |), nn AS MATERIALIZED (
+        |  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM pd
+        |), bs AS MATERIALIZED (
+        |  SELECT b,
+        |    CAST(SUM(CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE)/nd AS mu,
+        |    CAST(SUM(CAST(floor((x*x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE)/nd - mu*mu AS vr,
+        |    CASE WHEN vr <= 0.0 THEN 1.0 ELSE sqrt(vr) END AS sd
+        |  FROM pd, nn GROUP BY b, nd
+        |), w0 AS MATERIALIZED (SELECT b, 0.0 AS w FROM bs
+        |), s0 AS MATERIALIZED (SELECT 0.0 AS w0),
+        |k1 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w0.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w0 JOIN bs ON w0.b = bs.b
+        |), z1 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.y,
+        |    s0.w0 - CAST(k1.kk AS DOUBLE) + CAST(SUM(CAST(floor((w0.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w0 ON pd.b = w0.b JOIN bs ON pd.b = bs.b, s0, k1
+        |  GROUP BY pd.doc_id, pd.y, s0.w0, k1.kk
+        |), p1 AS MATERIALIZED (
+        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z1
+        |), r1 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p1
+        |), g1 AS MATERIALIZED (
+        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p1.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
+        |  FROM pd JOIN p1 ON pd.doc_id = p1.doc_id GROUP BY pd.b
+        |), w1 AS MATERIALIZED (
+        |  SELECT bs.b, CAST(CAST(floor((w0.w + 2.0*((CAST(g1.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r1.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
+        |  FROM w0 JOIN bs ON w0.b = bs.b JOIN g1 ON bs.b = g1.b, r1, nn
+        |), s1 AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor((s0.w0 + 2.0*(CAST(r1.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s0, r1, nn
+        |),
+        |k2 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w1.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w1 JOIN bs ON w1.b = bs.b
+        |), z2 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.y,
+        |    s1.w0 - CAST(k2.kk AS DOUBLE) + CAST(SUM(CAST(floor((w1.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w1 ON pd.b = w1.b JOIN bs ON pd.b = bs.b, s1, k2
+        |  GROUP BY pd.doc_id, pd.y, s1.w0, k2.kk
+        |), p2 AS MATERIALIZED (
+        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z2
+        |), r2 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p2
+        |), g2 AS MATERIALIZED (
+        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p2.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
+        |  FROM pd JOIN p2 ON pd.doc_id = p2.doc_id GROUP BY pd.b
+        |), w2 AS MATERIALIZED (
+        |  SELECT bs.b, CAST(CAST(floor((w1.w + 2.0*((CAST(g2.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r2.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
+        |  FROM w1 JOIN bs ON w1.b = bs.b JOIN g2 ON bs.b = g2.b, r2, nn
+        |), s2 AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor((s1.w0 + 2.0*(CAST(r2.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s1, r2, nn
+        |),
+        |k3 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w2.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w2 JOIN bs ON w2.b = bs.b
+        |), z3 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.y,
+        |    s2.w0 - CAST(k3.kk AS DOUBLE) + CAST(SUM(CAST(floor((w2.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w2 ON pd.b = w2.b JOIN bs ON pd.b = bs.b, s2, k3
+        |  GROUP BY pd.doc_id, pd.y, s2.w0, k3.kk
+        |), p3 AS MATERIALIZED (
+        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z3
+        |), r3 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p3
+        |), g3 AS MATERIALIZED (
+        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p3.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
+        |  FROM pd JOIN p3 ON pd.doc_id = p3.doc_id GROUP BY pd.b
+        |), w3 AS MATERIALIZED (
+        |  SELECT bs.b, CAST(CAST(floor((w2.w + 2.0*((CAST(g3.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r3.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
+        |  FROM w2 JOIN bs ON w2.b = bs.b JOIN g3 ON bs.b = g3.b, r3, nn
+        |), s3 AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor((s2.w0 + 2.0*(CAST(r3.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s2, r3, nn
+        |),
+        |k4 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w3.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w3 JOIN bs ON w3.b = bs.b
+        |), z4 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.y,
+        |    s3.w0 - CAST(k4.kk AS DOUBLE) + CAST(SUM(CAST(floor((w3.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w3 ON pd.b = w3.b JOIN bs ON pd.b = bs.b, s3, k4
+        |  GROUP BY pd.doc_id, pd.y, s3.w0, k4.kk
+        |), p4 AS MATERIALIZED (
+        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z4
+        |), r4 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p4
+        |), g4 AS MATERIALIZED (
+        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p4.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
+        |  FROM pd JOIN p4 ON pd.doc_id = p4.doc_id GROUP BY pd.b
+        |), w4 AS MATERIALIZED (
+        |  SELECT bs.b, CAST(CAST(floor((w3.w + 2.0*((CAST(g4.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r4.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
+        |  FROM w3 JOIN bs ON w3.b = bs.b JOIN g4 ON bs.b = g4.b, r4, nn
+        |), s4 AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor((s3.w0 + 2.0*(CAST(r4.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s3, r4, nn
+        |),
+        |k5 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w4.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w4 JOIN bs ON w4.b = bs.b
+        |), z5 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.y,
+        |    s4.w0 - CAST(k5.kk AS DOUBLE) + CAST(SUM(CAST(floor((w4.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w4 ON pd.b = w4.b JOIN bs ON pd.b = bs.b, s4, k5
+        |  GROUP BY pd.doc_id, pd.y, s4.w0, k5.kk
+        |), p5 AS MATERIALIZED (
+        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z5
+        |), r5 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p5
+        |), g5 AS MATERIALIZED (
+        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p5.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
+        |  FROM pd JOIN p5 ON pd.doc_id = p5.doc_id GROUP BY pd.b
+        |), w5 AS MATERIALIZED (
+        |  SELECT bs.b, CAST(CAST(floor((w4.w + 2.0*((CAST(g5.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r5.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
+        |  FROM w4 JOIN bs ON w4.b = bs.b JOIN g5 ON bs.b = g5.b, r5, nn
+        |), s5 AS MATERIALIZED (
+        |  SELECT CAST(CAST(floor((s4.w0 + 2.0*(CAST(r5.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s4, r5, nn
+        |),
+        |k6 AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(floor((w5.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
+        |  FROM w5 JOIN bs ON w5.b = bs.b
+        |), z6 AS MATERIALIZED (
+        |  SELECT pd.doc_id, pd.lang,
+        |    s5.w0 - CAST(k6.kk AS DOUBLE) + CAST(SUM(CAST(floor((w5.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
+        |  FROM pd JOIN w5 ON pd.b = w5.b JOIN bs ON pd.b = bs.b, s5, k6
+        |  GROUP BY pd.doc_id, pd.lang, s5.w0, k6.kk
+        |)""".stripMargin
 
   private lazy val duckIvfSqSql: String =
     s"""WITH $duckIvfSqCtes
@@ -4382,30 +4558,53 @@ object LlmOps {
     //      one 256-row broadcast join, one per-doc aggregate — no pair
     //      join, no window, nothing data² anywhere; the bucket census is
     //      index metadata exactly like SIM-1g's [min,max] grid. ----
-    "dsir_select" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-      val B = 256
-      val feat = hashedGramBuckets(docs).pinned
-      val perBucket = feat.groupBy(col("b")).agg(
-        count(lit(1)).as("cs"),
-        sum((col("lang") === "en").cast("long")).as("ct"))
-      val tot = perBucket.agg(
-        sum(col("cs")).as("stot"), sum(col("ct")).as("ttot"))
-      val ratio = perBucket.crossJoin(broadcast(tot))
-        .select(col("b"), dec8(log(
-          ((col("ct") + 1) * (col("stot") + B)).cast("double") /
-            ((col("cs") + 1) * (col("ttot") + B)).cast("double")))
-          .cast(DecimalType(28, 8)).as("lr"))
-      val perDoc = feat.groupBy(col("doc_id"), col("lang"), col("b"))
-        .agg(count(lit(1)).as("n"))
-      ordered(perDoc.join(broadcast(ratio), Seq("b"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("n")).as("n_feat"),
-          sum(col("n").cast(DecimalType(9, 0)) * col("lr"))
-            .cast(DecimalType(38, 8)).as("w"))
+    "dsir_select" -> ((s, d) =>
+      ordered(dsirWeights(s, d)
         .select(col("doc_id"), col("lang"), col("n_feat"),
           cstr(col("w")).as("weight"),
-          (col("w") > lit(0)).cast("int").as("selected")))
+          (col("w") > lit(0)).cast("int").as("selected")))),
+
+    // ---- EVAL-CLS: paired selector discrimination audit (`lr_eval`) —
+    //      the THRESHOLD-FREE judgment of the two selection rules on one
+    //      task: rank-sum ROC AUC (auc_roc's exact tie-average identity,
+    //      2U as exact int64, GlobalRank distributed prefix) of the
+    //      DSIR importance weight vs the trained classifier logit, both
+    //      against the same `en` labels over the SAME hashed-ngram
+    //      feature space. quality_lr's 0.822-accuracy-vs-0.726-sign-rule
+    //      comparison fixes one threshold each; this integrates over all
+    //      thresholds — the number that says the discriminative model
+    //      dominates everywhere, not just at zero (spec law pins
+    //      auc_lr > auc_dsir > 0.5). Scores enter on a dec4 double grid
+    //      (distinct-score collapse must group identical values in both
+    //      engines; ties then resolve by the average-rank identity). ----
+    "lr_eval" -> ((s, d) => {
+      val m = lrTrain(s, d)
+      val lrS = lrScore(m.pd, m).select(
+        (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),
+        col("y").cast("long").as("pos"))
+      val dw = dsirWeights(s, d).select(
+        (floor(col("w").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      def aucOf(scored: DataFrame, mdl: String): DataFrame = {
+        val perS = scored.groupBy(col("score")).agg(
+          count(lit(1)).as("ct"), sum(col("pos")).as("cpos"))
+        val withP = graft.operators.GlobalRank.attach(perS,
+          Seq(col("score").asc), None, Seq("ct" -> "cbefore"))
+        val one = withP.agg(
+          sum(col("cpos")).as("n_pos"),
+          sum(col("ct") - col("cpos")).as("n_neg"),
+          sum(col("cpos") * (lit(2L) * col("cbefore") + col("ct") + lit(1L)))
+            .as("r2pos"))
+        val u2 = col("r2pos") - col("n_pos") * (col("n_pos") + 1L)
+        val den = lit(2.0) * col("n_pos").cast("double") *
+          col("n_neg").cast("double")
+        val auc = u2.cast("double") /
+          when(den === 0.0, lit(null)).otherwise(den)
+        one.select(lit(mdl).as("model"), col("n_pos"), col("n_neg"),
+          dec4S(auc).as("auc"))
+      }
+      ordered(aucOf(dw, "dsir").unionByName(aucOf(lrS, "lr")))
     }),
 
     // ---- DDP-CDC: content-defined chunking dedup census (`ddp_cdc`) —
@@ -5323,151 +5522,67 @@ object LlmOps {
     // stream as dsir_select, per-bucket moments, and per round the same
     // K/z/p/residual/gradient/update chain with every cross-row sum a
     // dec8-quantized decimal fold and the sigmoid dec8-quantized at birth.
-    "quality_lr" ->
-      """WITH wrds AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
-        |), feat AS (
-        |  SELECT doc_id, lang,
-        |    CAST(concat('0x', substr(md5(g), 1, 2)) AS BIGINT) AS b
-        |  FROM (
-        |    SELECT doc_id, lang, unnest(list_concat(
-        |      list_filter(ws, w -> w <> ''),
-        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
-        |    )) AS g
-        |    FROM wrds)
-        |), pdc AS MATERIALIZED (
+    // Paired rank-sum AUC of the DSIR weight vs the classifier logit —
+    // the same exact tie-average identity as auc_roc, both scores on the
+    // dec4 double grid, dsir CTEs re-derived from the shared `feat`.
+    "lr_eval" ->
+      s"""WITH $duckLrCtes, dpb AS MATERIALIZED (
+        |  SELECT b, COUNT(1) AS cs,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM feat GROUP BY b
+        |), dtot AS MATERIALIZED (
+        |  SELECT CAST(SUM(cs) AS BIGINT) AS stot, CAST(SUM(ct) AS BIGINT) AS ttot FROM dpb
+        |), dratio AS MATERIALIZED (
+        |  SELECT b, CAST(floor(ln(CAST((ct + 1) * (stot + 256) AS DOUBLE)
+        |      / CAST((cs + 1) * (ttot + 256) AS DOUBLE))*100000000+0.5)/100000000
+        |    AS DECIMAL(28,8)) AS lr
+        |  FROM dpb, dtot
+        |), dpd AS MATERIALIZED (
         |  SELECT doc_id, lang, b, COUNT(1) AS n FROM feat GROUP BY 1, 2, 3
-        |), pdt AS (
-        |  SELECT doc_id, SUM(n) AS tot FROM pdc GROUP BY doc_id
-        |), pd AS MATERIALIZED (
-        |  SELECT pdc.doc_id, pdc.lang,
-        |    CASE WHEN pdc.lang = 'en' THEN 1.0 ELSE 0.0 END AS y, pdc.b,
-        |    CAST(pdc.n AS DOUBLE) / CAST(pdt.tot AS DOUBLE) AS x
-        |  FROM pdc JOIN pdt ON pdc.doc_id = pdt.doc_id
-        |), nn AS MATERIALIZED (
-        |  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM pd
-        |), bs AS MATERIALIZED (
-        |  SELECT b,
-        |    CAST(SUM(CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE)/nd AS mu,
-        |    CAST(SUM(CAST(floor((x*x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE)/nd - mu*mu AS vr,
-        |    CASE WHEN vr <= 0.0 THEN 1.0 ELSE sqrt(vr) END AS sd
-        |  FROM pd, nn GROUP BY b, nd
-        |), w0 AS MATERIALIZED (SELECT b, 0.0 AS w FROM bs
-        |), s0 AS MATERIALIZED (SELECT 0.0 AS w0),
-        |k1 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w0.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w0 JOIN bs ON w0.b = bs.b
-        |), z1 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.y,
-        |    s0.w0 - CAST(k1.kk AS DOUBLE) + CAST(SUM(CAST(floor((w0.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w0 ON pd.b = w0.b JOIN bs ON pd.b = bs.b, s0, k1
-        |  GROUP BY pd.doc_id, pd.y, s0.w0, k1.kk
-        |), p1 AS MATERIALIZED (
-        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z1
-        |), r1 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p1
-        |), g1 AS MATERIALIZED (
-        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p1.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
-        |  FROM pd JOIN p1 ON pd.doc_id = p1.doc_id GROUP BY pd.b
-        |), w1 AS MATERIALIZED (
-        |  SELECT bs.b, CAST(CAST(floor((w0.w + 2.0*((CAST(g1.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r1.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
-        |  FROM w0 JOIN bs ON w0.b = bs.b JOIN g1 ON bs.b = g1.b, r1, nn
-        |), s1 AS MATERIALIZED (
-        |  SELECT CAST(CAST(floor((s0.w0 + 2.0*(CAST(r1.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s0, r1, nn
-        |),
-        |k2 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w1.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w1 JOIN bs ON w1.b = bs.b
-        |), z2 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.y,
-        |    s1.w0 - CAST(k2.kk AS DOUBLE) + CAST(SUM(CAST(floor((w1.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w1 ON pd.b = w1.b JOIN bs ON pd.b = bs.b, s1, k2
-        |  GROUP BY pd.doc_id, pd.y, s1.w0, k2.kk
-        |), p2 AS MATERIALIZED (
-        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z2
-        |), r2 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p2
-        |), g2 AS MATERIALIZED (
-        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p2.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
-        |  FROM pd JOIN p2 ON pd.doc_id = p2.doc_id GROUP BY pd.b
-        |), w2 AS MATERIALIZED (
-        |  SELECT bs.b, CAST(CAST(floor((w1.w + 2.0*((CAST(g2.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r2.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
-        |  FROM w1 JOIN bs ON w1.b = bs.b JOIN g2 ON bs.b = g2.b, r2, nn
-        |), s2 AS MATERIALIZED (
-        |  SELECT CAST(CAST(floor((s1.w0 + 2.0*(CAST(r2.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s1, r2, nn
-        |),
-        |k3 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w2.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w2 JOIN bs ON w2.b = bs.b
-        |), z3 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.y,
-        |    s2.w0 - CAST(k3.kk AS DOUBLE) + CAST(SUM(CAST(floor((w2.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w2 ON pd.b = w2.b JOIN bs ON pd.b = bs.b, s2, k3
-        |  GROUP BY pd.doc_id, pd.y, s2.w0, k3.kk
-        |), p3 AS MATERIALIZED (
-        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z3
-        |), r3 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p3
-        |), g3 AS MATERIALIZED (
-        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p3.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
-        |  FROM pd JOIN p3 ON pd.doc_id = p3.doc_id GROUP BY pd.b
-        |), w3 AS MATERIALIZED (
-        |  SELECT bs.b, CAST(CAST(floor((w2.w + 2.0*((CAST(g3.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r3.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
-        |  FROM w2 JOIN bs ON w2.b = bs.b JOIN g3 ON bs.b = g3.b, r3, nn
-        |), s3 AS MATERIALIZED (
-        |  SELECT CAST(CAST(floor((s2.w0 + 2.0*(CAST(r3.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s2, r3, nn
-        |),
-        |k4 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w3.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w3 JOIN bs ON w3.b = bs.b
-        |), z4 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.y,
-        |    s3.w0 - CAST(k4.kk AS DOUBLE) + CAST(SUM(CAST(floor((w3.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w3 ON pd.b = w3.b JOIN bs ON pd.b = bs.b, s3, k4
-        |  GROUP BY pd.doc_id, pd.y, s3.w0, k4.kk
-        |), p4 AS MATERIALIZED (
-        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z4
-        |), r4 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p4
-        |), g4 AS MATERIALIZED (
-        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p4.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
-        |  FROM pd JOIN p4 ON pd.doc_id = p4.doc_id GROUP BY pd.b
-        |), w4 AS MATERIALIZED (
-        |  SELECT bs.b, CAST(CAST(floor((w3.w + 2.0*((CAST(g4.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r4.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
-        |  FROM w3 JOIN bs ON w3.b = bs.b JOIN g4 ON bs.b = g4.b, r4, nn
-        |), s4 AS MATERIALIZED (
-        |  SELECT CAST(CAST(floor((s3.w0 + 2.0*(CAST(r4.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s3, r4, nn
-        |),
-        |k5 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w4.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w4 JOIN bs ON w4.b = bs.b
-        |), z5 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.y,
-        |    s4.w0 - CAST(k5.kk AS DOUBLE) + CAST(SUM(CAST(floor((w4.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w4 ON pd.b = w4.b JOIN bs ON pd.b = bs.b, s4, k5
-        |  GROUP BY pd.doc_id, pd.y, s4.w0, k5.kk
-        |), p5 AS MATERIALIZED (
-        |  SELECT doc_id, y, CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS p FROM z5
-        |), r5 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((y - p)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS rr FROM p5
-        |), g5 AS MATERIALIZED (
-        |  SELECT pd.b, CAST(SUM(CAST(floor(((pd.y - p5.p) * pd.x)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sb
-        |  FROM pd JOIN p5 ON pd.doc_id = p5.doc_id GROUP BY pd.b
-        |), w5 AS MATERIALIZED (
-        |  SELECT bs.b, CAST(CAST(floor((w4.w + 2.0*((CAST(g5.sb AS DOUBLE)/bs.sd - bs.mu/bs.sd*CAST(r5.rr AS DOUBLE))/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w
-        |  FROM w4 JOIN bs ON w4.b = bs.b JOIN g5 ON bs.b = g5.b, r5, nn
-        |), s5 AS MATERIALIZED (
-        |  SELECT CAST(CAST(floor((s4.w0 + 2.0*(CAST(r5.rr AS DOUBLE)/nn.nd))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS w0 FROM s4, r5, nn
-        |),
-        |k6 AS MATERIALIZED (
-        |  SELECT CAST(SUM(CAST(floor((w5.w * bs.mu / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS kk
-        |  FROM w5 JOIN bs ON w5.b = bs.b
-        |), z6 AS MATERIALIZED (
-        |  SELECT pd.doc_id, pd.lang,
-        |    s5.w0 - CAST(k6.kk AS DOUBLE) + CAST(SUM(CAST(floor((w5.w * pd.x / bs.sd)*100000000+0.5)/100000000 AS DECIMAL(38,8))) AS DOUBLE) AS z
-        |  FROM pd JOIN w5 ON pd.b = w5.b JOIN bs ON pd.b = bs.b, s5, k6
-        |  GROUP BY pd.doc_id, pd.lang, s5.w0, k6.kk
+        |), dwt AS MATERIALIZED (
+        |  SELECT dpd.doc_id, dpd.lang,
+        |    CAST(SUM(CAST(dpd.n AS DECIMAL(9,0)) * dratio.lr) AS DECIMAL(38,8)) AS w
+        |  FROM dpd JOIN dratio ON dpd.b = dratio.b GROUP BY 1, 2
+        |), dsx AS (
+        |  SELECT floor(CAST(w AS DOUBLE)*10000+0.5)/10000 AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM dwt
+        |), lsx AS (
+        |  SELECT floor((z)*10000+0.5)/10000 AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM z6
+        |), rkd AS (
+        |  SELECT pos, RANK() OVER (ORDER BY score) AS r,
+        |    COUNT(1) OVER (PARTITION BY score) AS ct FROM dsx
+        |), oned AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN pos = 1 THEN 2 * r + ct - 1 ELSE 0 END) AS BIGINT) AS r2pos
+        |  FROM rkd
+        |), fd AS (
+        |  SELECT 'dsir' AS model, n_pos, n_neg,
+        |    CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE) AS u2,
+        |    2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) AS den
+        |  FROM oned
+        |), rkl AS (
+        |  SELECT pos, RANK() OVER (ORDER BY score) AS r,
+        |    COUNT(1) OVER (PARTITION BY score) AS ct FROM lsx
+        |), onel AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN pos = 1 THEN 2 * r + ct - 1 ELSE 0 END) AS BIGINT) AS r2pos
+        |  FROM rkl
+        |), fl AS (
+        |  SELECT 'lr' AS model, n_pos, n_neg,
+        |    CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE) AS u2,
+        |    2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) AS den
+        |  FROM onel
         |)
+        |SELECT model, n_pos, n_neg,
+        |  CAST(CAST(floor((u2 / NULLIF(den, 0.0))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS auc
+        |FROM (SELECT * FROM fd UNION ALL SELECT * FROM fl)
+        |ORDER BY model NULLS FIRST, n_pos NULLS FIRST, n_neg NULLS FIRST, auc NULLS FIRST""".stripMargin,
+
+    "quality_lr" ->
+      s"""WITH $duckLrCtes
         |SELECT doc_id, lang,
         |  CAST(CAST(floor((z)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS score,
         |  CASE WHEN z > 0.0 THEN 1 ELSE 0 END AS pred

@@ -164,10 +164,12 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // centered scan (tfidf1's 1-row scalar-attach shape),
                   // plus the 1-row mean/total-variance attaches — the
                   // distributed power method's declared state exchange
-    "quality_lr"  // per round three 1-row scalar attaches (N, the z
+    "quality_lr", // per round three 1-row scalar attaches (N, the z
                   // constant K, the residual total R) — the sparse
                   // relational GD's declared state exchange; the
                   // posting/weight joins are all equi-keyed
+    "lr_eval"     // quality_lr's and dsir_select's declared scalar
+                  // attaches composed (the audit scores both rules)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -444,6 +444,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(crafted(3L) == 0, s"control doc shared ${crafted(3L)} chars")
   }
 
+  test("lr_eval: trained classifier dominates the generative rule threshold-free") {
+    val rows = SparkEntry.queries("lr_eval")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getString(3))).toMap
+    assert(rows.keySet == Set("dsir", "lr"))
+    // Both rules genuinely discriminate (AUC > chance), and the trained
+    // boundary integrates better over ALL thresholds, not just at zero —
+    // the claim quality_lr's accuracy comparison fixes one threshold for.
+    assert(rows("dsir") > BigDecimal("0.5"), s"dsir auc ${rows("dsir")}")
+    assert(rows("lr") > rows("dsir"),
+      s"lr auc ${rows("lr")} must beat dsir auc ${rows("dsir")}")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
