@@ -4607,6 +4607,49 @@ object LlmOps {
       ordered(aucOf(dw, "dsir").unionByName(aucOf(lrS, "lr")))
     }),
 
+    // ---- EVAL-CLS2: classifier calibration (`lr_calibration`) — does
+    //      the classifier's σ(z) = 0.7 mean 70%? calibration_bins'
+    //      10-bin reliability design applied to CLS-1's own
+    //      probabilities (the audit suite that ships WITH a classifier:
+    //      accuracy at the zero threshold, AUC over all thresholds,
+    //      and ECE for the probabilities themselves — the third is what
+    //      a downstream mixture-weighting or acceptance-sampling stage
+    //      actually consumes). σ(z) enters dec8-quantized (the training
+    //      loop's own sigmoid discipline), bins are pure IEEE floor
+    //      arithmetic, per-bin confidence finishes from dec4-per-row
+    //      decimal sums — order-free everywhere. ----
+    "lr_calibration" -> ((s, d) => {
+      val m = lrTrain(s, d)
+      val scored = lrScore(m.pd, m).select(
+        dec8(lit(1.0) / (lit(1.0) + exp(-col("z")))).cast("double")
+          .as("score"),
+        col("y").cast("long").as("pos"))
+      val dt4 = DecimalType(38, 4)
+      val binned = scored.withColumn("bin",
+        least(floor(col("score") * lit(10.0)).cast("int"), lit(9)))
+      val agg = binned.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(dec4(col("score"))).cast(dt4).as("ssc"))
+      val withRates = agg
+        .withColumn("conf", col("ssc").cast("double") / col("n").cast("double"))
+        .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
+      val tot = withRates.agg(
+        sum(col("n")).as("nn"),
+        sum((dec4(abs(col("acc") - col("conf"))) * col("n")).cast(dt4))
+          .cast(dt4).as("we"))
+      val ece = tot.select(
+        dec4S(col("we").cast("double") / col("nn").cast("double")).as("ece"))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+      ordered(spine.join(withRates, Seq("bin"), "left")
+        .crossJoin(broadcast(ece))
+        .select(col("bin"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+          dec4S(col("conf")).as("conf"),
+          dec4S(col("acc")).as("acc"),
+          col("ece")))
+    }),
+
     // ---- DDP-CDC: content-defined chunking dedup census (`ddp_cdc`) —
     //      the STORAGE-dedup primitive (LBFS, Muthitacharoen et al.
     //      SOSP'01; FastCDC lineage — all public): cut every doc at
@@ -5522,6 +5565,42 @@ object LlmOps {
     // stream as dsir_select, per-bucket moments, and per round the same
     // K/z/p/residual/gradient/update chain with every cross-row sum a
     // dec8-quantized decimal fold and the sigmoid dec8-quantized at birth.
+    // Calibration of the classifier's own probabilities: σ(z) dec8 at
+    // birth (the training loop's sigmoid discipline), then
+    // calibration_bins' 10-bin reliability block verbatim.
+    "lr_calibration" ->
+      s"""WITH $duckLrCtes, sc AS (
+        |  SELECT CAST(CAST(floor((1.0/(1.0+exp(-z)))*100000000+0.5)/100000000 AS DECIMAL(38,8)) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM z6
+        |), bnn AS (
+        |  SELECT LEAST(CAST(floor(score * 10.0) AS INT), 9) AS bin, score, pos
+        |  FROM sc
+        |), agg AS (
+        |  SELECT bin, COUNT(1) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(floor((score)*10000+0.5)/10000 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ssc
+        |  FROM bnn GROUP BY bin
+        |), r AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(ssc AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+        |  FROM agg
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CAST(CAST(floor((abs(acc - conf))*10000+0.5)/10000 AS DECIMAL(38,4)) * n AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS we
+        |  FROM r
+        |), e AS (
+        |  SELECT CAST(CAST(floor((CAST(we AS DOUBLE) / CAST(nn AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS ece
+        |  FROM tot
+        |), spine AS (SELECT unnest(range(0, 10)) AS bin)
+        |SELECT CAST(spine.bin AS INT) AS bin,
+        |  COALESCE(r.n, 0) AS n, COALESCE(r.n_pos, 0) AS n_pos,
+        |  CAST(CAST(floor((r.conf)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS conf,
+        |  CAST(CAST(floor((r.acc)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS acc,
+        |  e.ece
+        |FROM spine LEFT JOIN r ON spine.bin = r.bin, e
+        |ORDER BY bin NULLS FIRST, n NULLS FIRST, n_pos NULLS FIRST, conf NULLS FIRST, acc NULLS FIRST, ece NULLS FIRST""".stripMargin,
+
     // Paired rank-sum AUC of the DSIR weight vs the classifier logit —
     // the same exact tie-average identity as auc_roc, both scores on the
     // dec4 double grid, dsir CTEs re-derived from the shared `feat`.

@@ -168,8 +168,11 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // constant K, the residual total R) — the sparse
                   // relational GD's declared state exchange; the
                   // posting/weight joins are all equi-keyed
-    "lr_eval"     // quality_lr's and dsir_select's declared scalar
+    "lr_eval",    // quality_lr's and dsir_select's declared scalar
                   // attaches composed (the audit scores both rules)
+    "lr_calibration" // quality_lr's GD scalar attaches + the 1-row ECE
+                  // attach onto the 10-bin spine (calibration_bins'
+                  // whitelisted shape)
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

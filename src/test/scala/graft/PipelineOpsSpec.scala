@@ -456,6 +456,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"lr auc ${rows("lr")} must beat dsir auc ${rows("dsir")}")
   }
 
+  test("lr_calibration: full bin spine, census partitions the corpus, ECE consistent") {
+    val rows = SparkEntry.queries("lr_calibration")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)), r.getString(5)))
+    assert(rows.map(_._1).sorted.toSeq == (0 to 9), "bin spine incomplete")
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "bin census must partition the corpus")
+    rows.foreach { case (b, n, np, conf, acc, _) =>
+      assert(np <= n, s"bin $b n_pos $np > n $n")
+      if (n == 0) assert(conf.isEmpty && acc.isEmpty, s"empty bin $b has rates")
+    }
+    // ECE internal consistency: recompute Σ (n/N)·dec4|acc − conf| from
+    // the shipped rows and match the attached scalar at dec4.
+    def d4(x: Double): BigDecimal =
+      BigDecimal(math.floor(x * 10000.0 + 0.5) / 10000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val we = rows.collect { case (_, n, _, Some(c), Some(a), _) if n > 0 =>
+      d4(math.abs(a.toDouble - c.toDouble)) * n }.sum
+    val ece = d4((we / nDocs).toDouble)
+    rows.foreach { case (b, _, _, _, _, e) =>
+      assert(BigDecimal(e) == ece, s"bin $b ece $e != recomputed $ece") }
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
