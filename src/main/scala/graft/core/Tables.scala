@@ -69,6 +69,17 @@ object Tables {
   def dec4(c: Column): Column =
     (floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)).cast(dt)
 
+  /** 8-decimal sibling of [[dec4]], for per-term float quantities that
+    * get SUMMED over data-sized term counts (at dec4 the ~1/|terms|
+    * contributions would quantize to zero; at dec8 the worst-case
+    * accumulation error over 10⁴ terms is 1e-4 while both engines still
+    * floor the identical IEEE double). DuckDB twin:
+    * `CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))`. */
+  val dt8: DecimalType = DecimalType(38, 8)
+  def dec8(c: Column): Column =
+    (floor(c * lit(1.0e8) + lit(0.5)) / lit(1.0e8)).cast(dt8)
+  def dec8S(c: Column): Column = cstr(dec8(c))
+
   /** Exact decimal sum of a RAW (≤2 decimal places) measure column. */
   def dsum(c: Column): Column = sum(dec(c)).cast(dt)
 

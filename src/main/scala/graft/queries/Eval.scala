@@ -31,10 +31,8 @@ object Eval {
     * engines still floor the identical IEEE double. DuckDB twin:
     * `CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))`
     * (vec_pq's DECIMAL(38,8) rendering precedent). */
-  private val dt8 = org.apache.spark.sql.types.DecimalType(38, 8)
-  private def dec8(c: Column): Column =
-    (floor(c * lit(1.0e8) + lit(0.5)) / lit(1.0e8)).cast(dt8)
-  private def dec8S(c: Column): Column = cstr(dec8(c))
+  // Hoisted to graft.core.Tables (r11 review): one copy of the
+  // determinism-critical rounding primitive, shared with LlmOps.
 
   /** TXT-3's stopword-ratio score + binary gold label, the shared eval
     * input: score = |{w : w ∈ {a, the}}| / |words| (one correctly-rounded

@@ -47,12 +47,6 @@ object LlmOps {
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
-  /** Tie-safe round-half-up at 8 decimals (Eval's dec8 — used where dec4
-    * would quantize small per-term contributions to zero). DuckDB twin:
-    * `CAST(floor((x)*100000000+0.5)/100000000 AS DECIMAL(38,8))`. */
-  private def dec8(c: Column): Column =
-    (floor(c * lit(1e8) + lit(0.5)) / lit(1e8)).cast(DecimalType(38, 8))
-
   /** Hashed-ngram feature stream shared by the generative (SEL-1
     * `dsir_select`) and discriminative (CLS-1 `quality_lr`) data
     * selectors — ONE feature space so the two scoring rules are
@@ -76,10 +70,14 @@ object LlmOps {
     * `dsir_select` query doc for the derivation; shared by the gated
     * selection query and the `lr_eval` discrimination audit. Returns
     * (doc_id, lang, n_feat, w DECIMAL(38,8)). */
-  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val docs = load(s, d, "documents")
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsFrom(hashedGramBuckets(load(s, d, "documents")).pinned)
+
+  /** [[dsirWeights]] over a caller-supplied (already pinned) gram-bucket
+    * stream — so `lr_eval` runs the dominant explode ONCE for both
+    * selectors (its oracle already shares one `feat` CTE). */
+  private def dsirWeightsFrom(feat: DataFrame): DataFrame = {
     val B = 256
-    val feat = hashedGramBuckets(docs).pinned
     val perBucket = feat.groupBy(col("b")).agg(
       count(lit(1)).as("cs"),
       sum((col("lang") === "en").cast("long")).as("ct"))
@@ -105,7 +103,11 @@ object LlmOps {
     * SLICE of the corpus identically to the whole (the property the
     * streamed scorer STR-CLS relies on). */
   private[graft] def lrFeatures(docs: DataFrame): DataFrame =
-    hashedGramBuckets(docs)
+    lrFeaturesFrom(hashedGramBuckets(docs))
+
+  /** [[lrFeatures]] over a caller-supplied gram-bucket stream. */
+  private[graft] def lrFeaturesFrom(feat: DataFrame): DataFrame =
+    feat
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
       .withColumn("tot", sum(col("n")).over(
@@ -128,15 +130,24 @@ object LlmOps {
     * z_d = w0 − Σ_b w_b·μ_b/σ_b + Σ_present w_b·x_db/σ_b with the same
     * dec8-quantized decimal folds — one implementation, so batch and
     * streamed scores cannot drift. */
-  private[graft] def lrScore(pd: DataFrame, m: LrModel): DataFrame = {
-    val dt8 = DecimalType(38, 8)
+  private[graft] def lrScore(pd: DataFrame, m: LrModel,
+      spine: Option[DataFrame] = None): DataFrame = {
     val kk = m.wt.join(m.stats, Seq("b"))
       .agg(sum(dec8(col("w") * col("mu") / col("sd"))).cast(dt8).as("kk"))
-    pd.join(broadcast(m.wt.join(m.stats.select(col("b"), col("sd")),
+    val zs = pd.join(broadcast(m.wt.join(m.stats.select(col("b"), col("sd")),
         Seq("b"))), Seq("b"))
       .groupBy(col("doc_id"), col("lang"), col("y"))
       .agg(sum(dec8(col("w") * col("x") / col("sd"))).cast(dt8).as("zs"))
-      .crossJoin(broadcast(m.w0)).crossJoin(broadcast(kk))
+    // Serving-time spine (review fix): a doc whose buckets are ALL absent
+    // from the published model — possible when the model trained on a
+    // different corpus — must still be scored, at its standardized-zero
+    // logit z = w0 − K, not silently dropped by the feature⋈weight inner
+    // join. The training/gated path passes no spine: there every bucket
+    // of every doc is in the model by construction, so the join is total.
+    val based = spine.map(sp => sp.join(zs, Seq("doc_id", "lang", "y"), "left")
+        .withColumn("zs", coalesce(col("zs"), lit(0).cast(dt8))))
+      .getOrElse(zs)
+    based.crossJoin(broadcast(m.w0)).crossJoin(broadcast(kk))
       .withColumn("z",
         col("w0") - col("kk").cast("double") + col("zs").cast("double"))
   }
@@ -145,9 +156,12 @@ object LlmOps {
     * sparse relational GD — see the `quality_lr` query doc for the
     * standardization-folded-into-constants derivation and the decimal
     * discipline. */
-  private[graft] def lrTrain(s: SparkSession, d: String): LrModel = {
-    val dt8 = DecimalType(38, 8)
-    val pd = lrFeatures(load(s, d, "documents"))
+  private[graft] def lrTrain(s: SparkSession, d: String): LrModel =
+    lrTrainFrom(s, hashedGramBuckets(load(s, d, "documents")))
+
+  /** [[lrTrain]] over a caller-supplied gram-bucket stream. */
+  private[graft] def lrTrainFrom(s: SparkSession, feat: DataFrame): LrModel = {
+    val pd = lrFeaturesFrom(feat)
       .pinned // read by the stats pass and every training round
     val nrow = pd.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
     // Per-bucket standardization stats over ALL docs (absent ⇒ x = 0,
@@ -4545,7 +4559,11 @@ object LlmOps {
     //      would zero small-ratio buckets; the ln itself is the
     //      lm_score/bm25 precedent — identical IEEE double arguments in
     //      both engines, quantized one level up; ratio arguments are
-    //      exact-int64 products < 2⁵³ cast to double). A doc's
+    //      exact-int64 products < 2⁵³ cast to double). Domain = docs
+    //      with ≥1 gram (non-empty text) — gram-less docs have no
+    //      feature rows and no score here or in quality_lr; the
+    //      STREAMED scorer's serving spine covers them at z = w0 − K.
+    //      A doc's
     //      importance log-weight is then the EXACT decimal sum
     //      Σ n_b·lr_b over its bucket counts — order-free,
     //      engine-identical ((9,0)×(28,8) products cap at precision 38,
@@ -4578,11 +4596,14 @@ object LlmOps {
     //      (distinct-score collapse must group identical values in both
     //      engines; ties then resolve by the average-rank identity). ----
     "lr_eval" -> ((s, d) => {
-      val m = lrTrain(s, d)
+      // ONE pinned gram explode feeds both selectors (the oracle's shared
+      // `feat` CTE, mirrored in code — the explode is the dominant scan).
+      val feat = hashedGramBuckets(load(s, d, "documents")).pinned
+      val m = lrTrainFrom(s, feat)
       val lrS = lrScore(m.pd, m).select(
         (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),
         col("y").cast("long").as("pos"))
-      val dw = dsirWeights(s, d).select(
+      val dw = dsirWeightsFrom(feat).select(
         (floor(col("w").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
           .as("score"),
         (col("lang") === "en").cast("long").as("pos"))

@@ -130,6 +130,45 @@ object StreamOps {
       .select(col("vec_id"), col("cell_label").as("cell"))
   }
 
+  /** The exactly-once-per-FILE ingest skeleton shared by every streamed
+    * store builder (review fix — four verbatim copies diverge silently):
+    * a checkpointed AvailableNow file stream where each micro-batch tags
+    * rows with `_src = md5(path)`, DELETES its own `_src=` partitions,
+    * then appends `rowsFor(taggedBatch)` partitioned by
+    * (partCols…, _src-last-ordering preserved via `partSpec`). The
+    * delete-then-append keying converges under replay, duplicate
+    * delivery, and metadata retrain between crash and replay — the laws
+    * StreamingSpec pins once and every consumer inherits. */
+  private def runSrcKeyedIngest(spark: SparkSession, src: DataFrame,
+      outDir: String, checkpointDir: String, partSpec: Seq[String])
+      (rowsFor: DataFrame => DataFrame): Unit = {
+    val q = src
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withSrc = batch.withColumn("_src", md5(input_file_name()))
+        // ≤ maxFilesPerTrigger values — a scan-only distinct, never the
+        // transform plan (which would run twice otherwise).
+        val srcs = withSrc.select(col("_src")).distinct()
+          .collect().map(_.getString(0))
+        if (srcs.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(conf)
+          srcs.foreach { h =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
+          }
+          rowsFor(withSrc)
+            .write.partitionBy(partSpec: _*).mode("append")
+            .parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STR-IVF: streaming ANN index maintenance — the arrival half of the
     * SIM-1d/SIM-1e index kept fresh without rebuilds: each micro-batch of
     * newly-landed embedding files is assigned to the PUBLISHED centroid
@@ -155,33 +194,12 @@ object StreamOps {
                    schema: org.apache.spark.sql.types.StructType,
                    cent: DataFrame, outDir: String,
                    checkpointDir: String): Unit = {
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(vecDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withSrc = batch.withColumn("_src", md5(input_file_name()))
-        // ≤ maxFilesPerTrigger values — a scan-only distinct, never the
-        // assignment plan (which would run twice otherwise).
-        val srcs = withSrc.select(col("_src")).distinct()
-          .collect().map(_.getString(0))
-        if (srcs.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val base = new org.apache.hadoop.fs.Path(outDir)
-          val fs = base.getFileSystem(conf)
-          srcs.foreach { h =>
-            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
-          }
-          assignCells(withSrc, cent)
-            .join(withSrc, Seq("vec_id"))
-            .write.partitionBy("_src", "cell").mode("append")
-            .parquet(outDir)
-        }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runSrcKeyedIngest(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vecDir),
+      outDir, checkpointDir, Seq("_src", "cell")) { withSrc =>
+      assignCells(withSrc, cent).join(withSrc, Seq("vec_id"))
+    }
   }
 
   /** STR-IVF's PQ half: encode arriving vectors against a PUBLISHED
@@ -214,37 +232,19 @@ object StreamOps {
                       cent: DataFrame, book: DataFrame, outDir: String,
                       checkpointDir: String): Unit = {
     import graft.functions.GraftFunctions.dot_product
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(vecDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withSrc = batch.withColumn("_src", md5(input_file_name()))
-        val srcs = withSrc.select(col("_src")).distinct()
-          .collect().map(_.getString(0))
-        if (srcs.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val base = new org.apache.hadoop.fs.Path(outDir)
-          val fs = base.getFileSystem(conf)
-          srcs.foreach { h =>
-            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
-          }
-          val dbl = transform(col("embedding"), x => x.cast("double"))
-          // vn uses the IDENTICAL expression the batch assignment computes
-          // (sqrt of the codegen'd in-order dot fold) — bit-equal doubles.
-          val meta = withSrc.select(col("vec_id"), col("_src"),
-            sqrt(dot_product(dbl, dbl)).as("vn"))
-          assignCells(withSrc, cent)
-            .join(encodePq(withSrc, book), Seq("vec_id"))
-            .join(meta, Seq("vec_id"))
-            .write.partitionBy("_src", "cell").mode("append")
-            .parquet(outDir)
-        }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runSrcKeyedIngest(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vecDir),
+      outDir, checkpointDir, Seq("_src", "cell")) { withSrc =>
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      // vn uses the IDENTICAL expression the batch assignment computes
+      // (sqrt of the codegen'd in-order dot fold) — bit-equal doubles.
+      val meta = withSrc.select(col("vec_id"), col("_src"),
+        sqrt(dot_product(dbl, dbl)).as("vn"))
+      assignCells(withSrc, cent)
+        .join(encodePq(withSrc, book), Seq("vec_id"))
+        .join(meta, Seq("vec_id"))
+    }
   }
 
   /** STR-IVF-SQ: the scalar-quantized sibling of [[runIvfAdcIngest]] —
@@ -262,37 +262,19 @@ object StreamOps {
                      cent: DataFrame, sqStats: DataFrame, outDir: String,
                      checkpointDir: String): Unit = {
     import graft.functions.GraftFunctions.dot_product
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(vecDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withSrc = batch.withColumn("_src", md5(input_file_name()))
-        val srcs = withSrc.select(col("_src")).distinct()
-          .collect().map(_.getString(0))
-        if (srcs.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val base = new org.apache.hadoop.fs.Path(outDir)
-          val fs = base.getFileSystem(conf)
-          srcs.foreach { h =>
-            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
-          }
-          val dbl = transform(col("embedding"), x => x.cast("double"))
-          val meta = withSrc.select(col("vec_id"), col("_src"),
-            sqrt(dot_product(dbl, dbl)).as("vn"))
-          assignCells(withSrc, cent)
-            .join(graft.queries.LlmOps.sqEncodeWith(
-              graft.queries.LlmOps.sqLongForm(withSrc), sqStats),
-              Seq("vec_id"))
-            .join(meta, Seq("vec_id"))
-            .write.partitionBy("_src", "cell").mode("append")
-            .parquet(outDir)
-        }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runSrcKeyedIngest(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vecDir),
+      outDir, checkpointDir, Seq("_src", "cell")) { withSrc =>
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val meta = withSrc.select(col("vec_id"), col("_src"),
+        sqrt(dot_product(dbl, dbl)).as("vn"))
+      assignCells(withSrc, cent)
+        .join(graft.queries.LlmOps.sqEncodeWith(
+          graft.queries.LlmOps.sqLongForm(withSrc), sqStats),
+          Seq("vec_id"))
+        .join(meta, Seq("vec_id"))
+    }
   }
 
   /** STR-CLS: streamed model application (`runScoredIngest`) — the
@@ -315,35 +297,22 @@ object StreamOps {
   def runScoredIngest(spark: SparkSession, docDir: String,
                       model: graft.queries.LlmOps.LrModel, outDir: String,
                       checkpointDir: String): Unit = {
-    val q = documentsFileSource(spark, docDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withSrc = batch.withColumn("_src", md5(input_file_name()))
-        val srcs = withSrc.select(col("_src")).distinct()
-          .collect().map(_.getString(0))
-        if (srcs.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val base = new org.apache.hadoop.fs.Path(outDir)
-          val fs = base.getFileSystem(conf)
-          srcs.foreach { h =>
-            fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
-          }
-          val pd = graft.queries.LlmOps.lrFeatures(
-            withSrc.select(col("doc_id"), col("text"), col("lang")))
-          val src = withSrc.select(col("doc_id"), col("_src"))
-          graft.queries.LlmOps.lrScore(pd, model)
-            .join(src, Seq("doc_id"))
-            .select(col("doc_id"), col("lang"), col("z").as("score"),
-              (col("z") > lit(0.0)).cast("int").as("pred"), col("_src"))
-            .write.partitionBy("_src").mode("append")
-            .parquet(outDir)
-        }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runSrcKeyedIngest(spark, documentsFileSource(spark, docDir),
+      outDir, checkpointDir, Seq("_src")) { withSrc =>
+      val pd = graft.queries.LlmOps.lrFeatures(
+        withSrc.select(col("doc_id"), col("text"), col("lang")))
+      // Serving spine (review fix): EVERY arriving doc gets a score row —
+      // a doc whose buckets are all absent from the published model (or
+      // with no grams at all) scores at its standardized-zero logit
+      // z = w0 − K instead of being silently dropped by the feature join.
+      val spine = withSrc.select(col("doc_id"), col("lang"),
+        (col("lang") === "en").cast("double").as("y"))
+      val src = withSrc.select(col("doc_id"), col("_src"))
+      graft.queries.LlmOps.lrScore(pd, model, Some(spine))
+        .join(src, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("z").as("score"),
+          (col("z") > lit(0.0)).cast("int").as("pred"), col("_src"))
+    }
   }
 
   /** Documents-schema streaming source over a directory of parquet files —

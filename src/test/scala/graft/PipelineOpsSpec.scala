@@ -461,8 +461,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         Option(r.getString(3)), Option(r.getString(4)), r.getString(5)))
     assert(rows.map(_._1).sorted.toSeq == (0 to 9), "bin spine incomplete")
-    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
-    assert(rows.map(_._2).sum == nDocs, "bin census must partition the corpus")
+    // Domain = gram-bearing docs (dsir_select's declared domain: a doc
+    // with no unigrams after the empty-token filter has no feature rows
+    // and no batch score; the STREAMED path's serving spine covers it).
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
+      .count()
+    assert(rows.map(_._2).sum == nDocs,
+      "bin census must partition the gram-bearing corpus")
     rows.foreach { case (b, n, np, conf, acc, _) =>
       assert(np <= n, s"bin $b n_pos $np > n $n")
       if (n == 0) assert(conf.isEmpty && acc.isEmpty, s"empty bin $b has rates")

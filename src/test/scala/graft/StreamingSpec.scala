@@ -974,6 +974,42 @@ class StreamingSpec extends AnyFunSuite {
       "full replay under a retrained model must leave no stale scores")
   }
 
+  test("STR-CLS serving spine: a doc with no model-covered buckets still scores") {
+    // Review-found edge: the scorer's feature⋈weight join is INNER, so a
+    // doc whose hashed buckets are all absent from the published model
+    // (trained on a different corpus) used to vanish from the scored
+    // store. The serving spine must emit it at z = w0 − K instead.
+    import graft.queries.LlmOps
+    import spark.implicits._
+    val trainDir = tempDir("cls_tiny").toString
+    Seq((1L, "alpha beta gamma", "en", "t", 16L),
+        (2L, "delta epsilon zeta", "fr", "t", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$trainDir/documents.parquet")
+    val model = LlmOps.lrTrain(spark, trainDir)
+    val d = tempDir("cls_unseen")
+    val out = tempDir("cls_unseen_store").toString
+    val ckpt = tempDir("cls_unseen_ckpt").toString
+    val newDoc = Seq((9L, "omicron sigma tau upsilon", "en", "t", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeSlice(newDoc, d, "slice_00", 1700000000000L)
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    val stored = spark.read.parquet(out)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stored.keySet == Set(9L), s"arriving doc must be scored: $stored")
+    // And the streamed score equals the spined batch scorer on the same
+    // slice — one implementation, fixed path included.
+    val spine = newDoc.select(col("doc_id"), col("lang"),
+      (col("lang") === "en").cast("double").as("y"))
+    val batch = LlmOps.lrScore(LlmOps.lrFeatures(newDoc), model, Some(spine))
+      .select(col("doc_id"), col("z")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stored(9L) == batch(9L),
+      s"streamed ${stored(9L)} != spined batch ${batch(9L)}")
+  }
+
   test("classifier lifecycle: the Snapshot-published model scores bit-identically") {
     // STR-CLS's serving premise made executable end-to-end: the trained
     // model's three relations publish as Snapshot versions (exactly like
