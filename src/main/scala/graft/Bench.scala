@@ -141,7 +141,7 @@ object Bench {
     // wherever hashing landed them; running them first hands each one the
     // freshest JVM it can get. Measurement independence is unchanged: each
     // query still gets the same blocking block-drop + GC epilogue.
-    val results: Seq[(String, Double)] = selected.toSeq
+    val results0: Seq[(String, Double)] = selected.toSeq
       .sortBy { case (name, _) => -prior.getOrElse(name, 0.0) }
       .flatMap { case (name, fn) =>
       val (first, firstOk) = timeOnce(name, fn)
@@ -160,7 +160,6 @@ object Bench {
         // (1.5x let a 1.4x-inflated 10s query ship unrerun; the extra
         // reruns are untimed wall-clock, not artifact noise).
         val suspectVsPrior = prior.get(name).exists(p => first >= 1.35 * p)
-        var rerunFlaked = false
         val best0 =
           if (first < 5.0 || suspectVsPrior) {
             val (second, secondOk) = timeOnce(name, fn)
@@ -168,25 +167,37 @@ object Bench {
               // The RERUN failed after a clean measured run: keep the valid
               // first sample but record the flake in rerun_failed.
               rerunFailed += name
-              rerunFlaked = true
               first
             } else math.min(first, second)
           } else first
-        // Both samples inflated — the r6 failure mode (a transient bad
-        // regime can outlast one rerun: ddp_incr_best sampled 7.15 s twice
-        // in one board, 1.25 s steady before and after it). One bounded
-        // third sample, only for a >=2x-floor outlier, is cheap insurance
-        // against shipping a number three consecutive seconds of bad luck
-        // produced; a GENUINE regression still ships (all three agree).
-        // (Skipped when the second sample ERRORED rather than inflated —
-        // the "both samples inflated" premise never held, and a third run
-        // of a flaking query is more flake exposure, not insurance.)
-        val best =
-          if (!rerunFlaked && prior.get(name).exists(p => best0 >= 2.0 * p)) {
-            val (third, thirdOk) = timeOnce(name, fn)
-            if (thirdOk) math.min(best0, third) else { rerunFailed += name; best0 }
-          } else best0
-        Some(name -> best)
+        // NOTE (r12): no inline third sample here. r11 proved a localized
+        // multi-x disturbance window (GC/JIT/co-tenant, run positions
+        // 62-135) outlasts back-to-back reruns: 10 queries breached the
+        // 2x floor gate with immediate reruns inside the same window,
+        // while the SAME board's back half ran 30-40% UNDER floors on
+        // unchanged code. Breach resolution moved to the post-board
+        // requeue pass below — by the time the full board has drained,
+        // the transient regime is over, so a transient cannot breach
+        // twice while a genuine plan regression still ships (both
+        // samples agree).
+        Some(name -> best0)
+      }
+    }
+    // Post-board breach requeue (r12, the r11 verdict's task 1): any query
+    // whose best board sample still reads >=2x its committed floor gets ONE
+    // re-timing after the whole board pass, and ships min(sample, retime).
+    // Timing epilogue (blocking block drop + GC) is identical to the main
+    // pass, so the retime is a fair sample of the same measurement, just
+    // taken outside whatever regime window the board pass was in.
+    val results: Seq[(String, Double)] = {
+      val fns = selected
+      results0.map { case (name, t) =>
+        if (prior.get(name).exists(p => t >= 2.0 * p)) {
+          System.err.println(f"[bench] requeue $name: board sample $t%.2fs >= 2x floor")
+          val (again, ok) = timeOnce(name, fns(name))
+          if (ok) name -> math.min(t, again)
+          else { rerunFailed += name; name -> t }
+        } else name -> t
       }
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -201,10 +212,19 @@ object Bench {
     // (or a human) can always read, keep the printed line short (3-dp
     // timings), and emit it after spark.stop() so no shutdown logging
     // lands between it and the end of stdout.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    //
+    // Clobber discipline (r12, the r11 verdict's task 7): bench_out.json
+    // is the LATEST-RUN scratch file — every invocation (focused, smoke,
+    // driver) overwrites it, so it is gitignored and never the committed
+    // artifact. The committed clean board lives at bench_clean.json, a
+    // name this main never writes: round close copies a verified full
+    // board there explicitly (SPARK_GRAFT_BOARD_OUT=bench_clean.json).
+    val outs = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BOARD_OUT")
+    outs.foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] $f write failed: ${e.getMessage}") }
+    }
     spark.stop()
     println(json)
   }

@@ -52,7 +52,15 @@ object LlmOps {
     * selectors — ONE feature space so the two scoring rules are
     * comparable: every unigram + word-bigram OCCURRENCE (counts, not
     * distinct — the bag model), hashed into 256 buckets by the md5 first
-    * byte. Returns one row per occurrence: (doc_id, lang, b). */
+    * byte. Returns one row per occurrence: (doc_id, lang, b).
+    *
+    * Modeling quirk, DELIBERATE and pinned (ADVICE r11): empty tokens
+    * are filtered from the UNIGRAM stream but bigrams form over the
+    * unfiltered words array, so consecutive spaces yield bigrams with an
+    * empty side ("a " / " b"). Both engines share this exact feature
+    * space (the oracle's list_transform mirrors it) and the dsir_select
+    * n_feat census test pins it — "fixing" one side alone would silently
+    * shift every downstream selector/classifier score. */
   private def hashedGramBuckets(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val unis = filter(words, w => w =!= "")
@@ -83,10 +91,18 @@ object LlmOps {
       sum((col("lang") === "en").cast("long")).as("ct"))
     val tot = perBucket.agg(
       sum(col("cs")).as("stot"), sum(col("ct")).as("ttot"))
+    // Each factor casts to double BEFORE the multiply (ADVICE r11): at
+    // 100 TB gram-occurrence totals (~1e12+) the int64 product
+    // (ct+1)·(stot+B) would overflow outright, while double·double never
+    // does. Engine-identical at any scale the oracle gates (factors
+    // < 2²⁶ there, so the double products are exact and equal the old
+    // int64 path bit-for-bit); at extreme scale the products are
+    // correctly-rounded doubles in BOTH engines — same discipline, no
+    // overflow cliff.
     val ratio = perBucket.crossJoin(broadcast(tot))
       .select(col("b"), dec8(log(
-        ((col("ct") + 1) * (col("stot") + B)).cast("double") /
-          ((col("cs") + 1) * (col("ttot") + B)).cast("double")))
+        ((col("ct") + 1).cast("double") * (col("stot") + B).cast("double")) /
+          ((col("cs") + 1).cast("double") * (col("ttot") + B).cast("double"))))
         .cast(DecimalType(28, 8)).as("lr"))
     val perDoc = feat.groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
@@ -998,8 +1014,8 @@ object LlmOps {
       |  SELECT vec_id, list(CAST(nq AS DOUBLE) ORDER BY dim) AS nqa FROM (
       |    SELECT slf.vec_id, slf.dim,
       |      255 * sstat.mi + (CASE WHEN sstat.ma = sstat.mi THEN 0
-      |        ELSE CAST(floor(CAST((slf.xi - sstat.mi) * 510 + (sstat.ma - sstat.mi) AS DOUBLE)
-      |          / CAST((sstat.ma - sstat.mi) * 2 AS DOUBLE)) AS BIGINT) END) * (sstat.ma - sstat.mi) AS nq
+      |        ELSE GREATEST(0, LEAST(255, CAST(floor(CAST((slf.xi - sstat.mi) * 510 + (sstat.ma - sstat.mi) AS DOUBLE)
+      |          / CAST((sstat.ma - sstat.mi) * 2 AS DOUBLE)) AS BIGINT))) END) * (sstat.ma - sstat.mi) AS nq
       |    FROM slf JOIN sstat ON slf.dim = sstat.dim)
       |  GROUP BY vec_id
       |), sqx AS (
@@ -1662,17 +1678,24 @@ object LlmOps {
   }
 
   /** SQ encoder against a PUBLISHED stats row: code_d = round-half-up
-    * ((xi−mi)·255/(ma−mi)) ∈ [0,255], carried as its dequantized
-    * numerator nq_d = 255·mi + code_d·(ma−mi) (units 10⁻⁴/255). Shared
-    * verbatim by the batch pipeline and the streamed STR-IVF-SQ ingest,
-    * so the two encode paths cannot drift. */
+    * ((xi−mi)·255/(ma−mi)) SATURATED to [0,255], carried as its
+    * dequantized numerator nq_d = 255·mi + code_d·(ma−mi) (units
+    * 10⁻⁴/255). The clamp is the SQ8 saturation semantics (ADVICE r11;
+    * e.g. Faiss IndexScalarQuantizer): a dimension outside the published
+    * [mi,ma] grid — the EXPECTED case when STR-IVF-SQ serves arrivals
+    * against a stale published grid — encodes to the nearest grid edge
+    * instead of a silently extrapolated negative or >255 code. In-grid
+    * inputs (every batch encode: the stats come from the same corpus)
+    * are untouched. Shared verbatim by the batch pipeline and the
+    * streamed STR-IVF-SQ ingest, so the two encode paths cannot drift. */
   private[graft] def sqEncodeWith(base: DataFrame, stats: DataFrame): DataFrame =
     base.crossJoin(broadcast(stats))
       .withColumn("sh", zip_with(col("xi"), col("mi"), (x, m) => x - m))
       .withColumn("code", zip_with(col("sh"), col("rng"), (sft, r) =>
         when(r === lit(0L), lit(0L)).otherwise(
-          floor((sft * lit(510L) + r).cast("double") /
-            (r * lit(2L)).cast("double")).cast("long"))))
+          greatest(lit(0L), least(lit(255L),
+            floor((sft * lit(510L) + r).cast("double") /
+              (r * lit(2L)).cast("double")).cast("long"))))))
       .withColumn("cr", zip_with(col("code"), col("rng"), (c, r) => c * r))
       .withColumn("nq", zip_with(col("cr"), col("mi"),
         (c, m) => c + lit(255L) * m))
@@ -1719,6 +1742,39 @@ object LlmOps {
     adcShortlistRerank(pool, qv,
       cells.select(col("vec_id").as("neighbor_id"), col("e").as("ce2"),
         col("vn").as("cn2")), shortlist)
+  }
+
+  /** The (memoized) root of the streamed IVFADC store `ivf_pq_stream`
+    * searches — exposed package-private so the compaction law
+    * (StreamingSpec) can duplicate a `_src` partition, compact, and
+    * re-search the SAME store the gated query reads. */
+  private[graft] def ivfPqStreamStoreRoot(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "ivfadc_stream") { out =>
+      buildIvfAdcStreamStore(s, d, out)
+    }
+
+  /** STR-IVF-SEARCH core: search the streamed IVFADC store under
+    * ivf_pq's exact output contract. `distinctGuard = true` is the gated
+    * path: DISTINCT guards ADC correctness against at-least-once residue
+    * (a duplicate-DELIVERED file — same content, new name — leaves a
+    * second `_src` partition, and a duplicated state row would double
+    * that neighbor's ADC sum and let it occupy two top-3 ranks).
+    * `distinctGuard = false` is the COMPACTED read path: after
+    * [[graft.streaming.StreamOps.compactStore]] the store carries one
+    * row per vector and the guard is provably redundant — the law
+    * StreamingSpec pins by hash-matching this path against batch
+    * `ivf_pq` on a store with an injected duplicate partition. */
+  private[graft] def ivfPqStreamSearch(s: SparkSession, d: String,
+      distinctGuard: Boolean): DataFrame = {
+    val root = ivfPqStreamStoreRoot(s, d)
+    val state0 = s.read.parquet(s"$root/store")
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").as("cell_label"), col("sp"), col("cw"), col("vn"))
+    val state = if (distinctGuard) state0.distinct() else state0
+    ordered(ivfPqRanked(s, d, extState = Some(state))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        dec4S(col("adc_raw")).as("adc"),
+        dec4S(col("score_raw")).as("score")))
   }
 
   /** Build the STR-IVF streamed IVFADC store for `ivf_pq_stream`: the
@@ -2126,25 +2182,7 @@ object LlmOps {
     //      itself reads only (neighbor_id, cell, sp, cw, vn) — the raw
     //      vectors stay cold and are fetched only for the bounded
     //      re-rank leg, exactly the 100 TB read pattern. ----
-    "ivf_pq_stream" -> ((s, d) => {
-      val root = graft.core.Warehouse.once(d, "ivfadc_stream") { out =>
-        buildIvfAdcStreamStore(s, d, out)
-      }
-      // DISTINCT guards ADC correctness against at-least-once residue:
-      // the store keeps a duplicate-DELIVERED file (same content, new
-      // name) as a second _src partition, and a duplicated state row
-      // would double that neighbor's ADC sum and let it occupy two
-      // top-3 ranks. At scale the periodic store compaction dedups;
-      // search-side distinct is the correctness guard between passes.
-      val state = s.read.parquet(s"$root/store")
-        .select(col("vec_id").as("neighbor_id"),
-          col("cell").as("cell_label"), col("sp"), col("cw"), col("vn"))
-        .distinct()
-      ordered(ivfPqRanked(s, d, extState = Some(state))
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          dec4S(col("adc_raw")).as("adc"),
-          dec4S(col("score_raw")).as("score")))
-    }),
+    "ivf_pq_stream" -> ((s, d) => ivfPqStreamSearch(s, d, distinctGuard = true)),
 
     // ---- SIM-EVAL3: IVF-PQ recall audit (`ivf_pq_eval`) — ivf_eval's
     //      rule applied to the composed index: measured recall@3 of the
@@ -2759,8 +2797,12 @@ object LlmOps {
     //      1-ulp agreement (§5.3) — lift needs only exact-integer
     //      products (< 2⁵³) and one correctly-rounded division, bit-equal
     //      anywhere. Shape: distinct (doc, word) first (multiplicity is
-    //      presence, not frequency), per-doc pair explode bounded by
-    //      distinct-words-per-doc² (vocabulary-bounded, NOT doc-length-
+    //      presence, not frequency), DF-PRUNED before pairing (a semi-
+    //      join against the df ≥ 20 vocabulary — words rarer than the
+    //      support threshold cannot survive cab ≥ 20 since cab ≤
+    //      min(ca, cb), so the self-join fans out only over HOT words),
+    //      per-doc pair explode bounded by hot-distinct-words-per-doc²
+    //      (vocabulary-bounded, NOT doc-length-
     //      bounded), map-side-combined pair counts, word counts broadcast
     //      back, global top-k = TakeOrderedAndProject. At 100 TB the
     //      per-doc pair fan-out is the declared cost — capped by keeping
@@ -2777,9 +2819,25 @@ object LlmOps {
       // never a driver action.
       val nDocs = dw.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("n_docs"))
-      val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val a = dw.select(col("doc_id"), col("w").as("w1"))
-      val b = dw.select(col("doc_id"), col("w").as("w2"))
+      // Vocab-sized; read three times (the df-prune semi-join below plus
+      // the two c1-broadcast joins), so pinned once.
+      val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c1")).pinned
+      // DF-PRUNE BEFORE THE SELF-JOIN (r12, the r11 verdict's one found
+      // scale-killer): a surviving pair needs cab >= 20 and cab <=
+      // min(ca, cb), so any word with global df < 20 can never appear in
+      // the output — semi-joining the (doc, word) relation against the
+      // df-thresholded vocabulary FIRST bounds the per-doc pair fan-out
+      // by the HOT vocabulary, not the full one. Result-identical by the
+      // cab <= min(ca, cb) containment; plan-pinned in PlanGuardSpec.
+      // No broadcast hint: hot derives from the PINNED wc, so AQE sees
+      // its true size and broadcasts it at any tested SF; at 100 TB a
+      // Heaps-law hot vocabulary can outgrow the broadcast budget and
+      // the same plan degrades to a shuffle semi-join instead of OOMing
+      // the driver.
+      val hot = wc.filter(col("c1") >= 20).select(col("w"))
+      val dwh = dw.join(hot, Seq("w"), "left_semi")
+      val a = dwh.select(col("doc_id"), col("w").as("w1"))
+      val b = dwh.select(col("doc_id"), col("w").as("w2"))
       val pairs = a.join(b, Seq("doc_id")).filter(col("w1") < col("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 20)
@@ -4558,8 +4616,11 @@ object LlmOps {
     //      dec8-quantized ONCE into a 256-row broadcast table (dec4
     //      would zero small-ratio buckets; the ln itself is the
     //      lm_score/bm25 precedent — identical IEEE double arguments in
-    //      both engines, quantized one level up; ratio arguments are
-    //      exact-int64 products < 2⁵³ cast to double). Domain = docs
+    //      both engines, quantized one level up; each ratio FACTOR casts
+    //      to double before the multiply, so the products are exact
+    //      below 2⁵³ — the gated scales — and correctly-rounded
+    //      identically in both engines beyond it, with no int64
+    //      overflow cliff at 100 TB gram totals). Domain = docs
     //      with ≥1 gram (non-empty text) — gram-less docs have no
     //      feature rows and no score here or in quality_lr; the
     //      STREAMED scorer's serving spine covers them at z = w0 − K.
@@ -5633,8 +5694,8 @@ object LlmOps {
         |), dtot AS MATERIALIZED (
         |  SELECT CAST(SUM(cs) AS BIGINT) AS stot, CAST(SUM(ct) AS BIGINT) AS ttot FROM dpb
         |), dratio AS MATERIALIZED (
-        |  SELECT b, CAST(floor(ln(CAST((ct + 1) * (stot + 256) AS DOUBLE)
-        |      / CAST((cs + 1) * (ttot + 256) AS DOUBLE))*100000000+0.5)/100000000
+        |  SELECT b, CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(stot + 256 AS DOUBLE))
+        |      / (CAST(cs + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE)))*100000000+0.5)/100000000
         |    AS DECIMAL(28,8)) AS lr
         |  FROM dpb, dtot
         |), dpd AS MATERIALIZED (
@@ -5708,8 +5769,8 @@ object LlmOps {
         |), tot AS (
         |  SELECT CAST(SUM(cs) AS BIGINT) AS stot, CAST(SUM(ct) AS BIGINT) AS ttot FROM pb
         |), ratio AS (
-        |  SELECT b, CAST(floor(ln(CAST((ct + 1) * (stot + 256) AS DOUBLE)
-        |      / CAST((cs + 1) * (ttot + 256) AS DOUBLE))*100000000+0.5)/100000000
+        |  SELECT b, CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(stot + 256 AS DOUBLE))
+        |      / (CAST(cs + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE)))*100000000+0.5)/100000000
         |    AS DECIMAL(28,8)) AS lr
         |  FROM pb, tot
         |), pd AS (

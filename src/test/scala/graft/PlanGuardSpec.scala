@@ -452,4 +452,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(df.queryExecution.optimizedPlan.toString.contains("_im_"),
       "ivl_merge: IslandMerge columns absent — distributed rewrite lost")
   }
+
+  test("cooc_lift: the pair self-join reads the df-pruned word relation") {
+    // VERDICT r11's one found scale-killer: the per-doc pair fan-out must
+    // run over the df >= 20 HOT vocabulary only (a word rarer than the
+    // support threshold cannot survive cab >= 20, since cab <= min(ca,cb)).
+    // Pin that a LeftSemi prune sits UPSTREAM of the doc_id self-join: the
+    // inner pair join's inputs must both descend from a semi-join.
+    val plan = SparkEntry.queries("cooc_lift")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val selfJoins = plan.collect {
+      case j: Join if j.joinType == Inner &&
+        j.condition.exists(_.references.exists(_.name == "doc_id")) => j
+    }
+    assert(selfJoins.nonEmpty, "cooc_lift: doc_id pair self-join not found")
+    selfJoins.foreach { j =>
+      val semis = j.collect { case s: Join if s.joinType == LeftSemi => s }
+      assert(semis.nonEmpty,
+        s"cooc_lift: pair self-join no longer reads the df-pruned (semi-" +
+          s"joined) word relation:\n${j.toString.take(1200)}")
+    }
+  }
 }

@@ -1073,6 +1073,134 @@ class StreamingSpec extends AnyFunSuite {
       "duplicate delivery must not change the distinct state set")
   }
 
+  test("STR-IVF-SQ out-of-grid arrival saturates to the published grid edges (SQ8 clamp)") {
+    // ADVICE r11: serving arrivals against a STALE published [mi,ma]
+    // grid is the expected streamed-SQ case, and a dimension outside the
+    // grid must encode to the nearest edge (Faiss IndexScalarQuantizer
+    // saturation), never to an extrapolated negative or >255 code. Train
+    // the grid on the corpus, then stream an arrival scaled 3x — far
+    // outside the grid both ways — and demand every stored numerator lie
+    // on [255·mi, 255·ma], with both edges actually hit.
+    import graft.queries.LlmOps
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val train = emb.filter(col("vec_id") < 100)
+    val stats = LlmOps.sqStats(LlmOps.sqLongForm(train))
+    val cent = train.filter(col("vec_id") < 8)
+      .select(concat(lit("c"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val wild = train.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val d = tempDir("sq_wild")
+    val out = tempDir("sq_wild_store").toString
+    val ckpt = tempDir("sq_wild_ckpt").toString
+    writeSlice(wild, d, "slice_00", 1700000000000L)
+    StreamOps.runIvfSqIngest(spark, d.toString, emb.schema, cent, stats,
+      out, ckpt)
+    val row = spark.read.parquet(out).select(col("nq"))
+      .crossJoin(broadcast(stats.select(col("mi"), col("ma"))))
+      .select(posexplode(col("nq")).as(Seq("i", "nqv")),
+        col("mi"), col("ma"))
+      .select(col("nqv"),
+        (lit(255L) * element_at(col("mi"), col("i") + 1)).as("lo"),
+        (lit(255L) * element_at(col("ma"), col("i") + 1)).as("hi"))
+      .agg(
+        sum(when(col("nqv") < col("lo") || col("nqv") > col("hi"), 1L)
+          .otherwise(0L)).as("oob"),
+        sum(when(col("nqv") === col("hi"), 1L).otherwise(0L)).as("sat_hi"),
+        sum(when(col("nqv") === col("lo"), 1L).otherwise(0L)).as("sat_lo"))
+      .collect().head
+    assert(row.getLong(0) == 0L,
+      s"${row.getLong(0)} numerators escaped the published grid")
+    assert(row.getLong(1) > 0L && row.getLong(2) > 0L,
+      "a 3x-scaled arrival must saturate at both grid edges")
+  }
+
+  test("STR-COMPACT compaction removes at-least-once residue; post-compact store equals batch encode") {
+    // The r11 verdict's task 4: the answer to `_src`-keyed stores'
+    // at-least-once residue must be EXECUTABLE, not a comment. Ingest two
+    // slices + one duplicate-DELIVERED file (same content, new name →
+    // residue under a second _src), compact, and the store must equal
+    // the batch encode ROW-FOR-ROW — no read-side DISTINCT anywhere.
+    import graft.operators.PqEncode
+    import graft.functions.GraftFunctions.dot_product
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(concat(lit("c"), col("vec_id")).as("cell_label"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val book = PqEncode.codebook(PqEncode.toLong(emb), "xq")
+    val d = tempDir("cmp_ingest")
+    val out = tempDir("cmp_store").toString
+    val ckpt = tempDir("cmp_ckpt").toString
+    (0 to 1).foreach { i =>
+      writeSlice(emb.filter(pmod(col("vec_id"), lit(2)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    writeSlice(emb.filter(pmod(col("vec_id"), lit(2)) === 0), d,
+      "slice_00_dup", 1700000400000L)
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val batchState = StreamOps.assignCells(emb, cent)
+      .join(StreamOps.encodePq(emb, book), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), sqrt(dot_product(dbl, dbl)).as("vn")),
+        Seq("vec_id"))
+    def stored() = spark.read.parquet(out)
+      .select(col("vec_id"), col("cell"), col("sp"), col("cw"), col("vn"))
+    // The ADC state is LONG-form: 8 rows per vector (one per PQ
+    // subspace `sp`), so the logical row key is (vec_id, sp).
+    val n = batchState.count()
+    val dupN = 8L * emb.filter(pmod(col("vec_id"), lit(2)) === 0).count()
+    assert(stored().count() == n + dupN,
+      "duplicate delivery must leave residue rows before compaction")
+    StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    assert(stored().count() == n,
+      "post-compact row count must equal the batch encode")
+    assertSameRows(stored(), batchState,
+      "post-compact store vs batch state, NO read-side DISTINCT")
+    // The checkpointed ingest keeps working across a compaction: an idle
+    // rerun adds nothing (the _src-partitioned layout is preserved).
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
+    assert(stored().count() == n,
+      "idle checkpointed rerun after compaction must add nothing")
+  }
+
+  test("STR-COMPACT2 gated ivf_pq_stream: compacted read path matches batch ivf_pq with DISTINCT removed") {
+    // End-to-end on the REAL gated store (the one `ivf_pq_stream`
+    // searches, Lloyd centroids + refined codebook): inject residue as a
+    // copied `_src=` partition (a duplicate-delivered file's residue IS a
+    // second _src partition with identical content), compact, and the
+    // UNGUARDED search — `.distinct()` removed — must equal batch
+    // `ivf_pq`, whose oracle the gated query shares.
+    import java.nio.file.{Files, Path => JPath}
+    val root = graft.queries.LlmOps.ivfPqStreamStoreRoot(spark, sfDir)
+    val store = java.nio.file.Paths.get(root, "store")
+    val src = Files.list(store).filter(_.getFileName.toString.startsWith("_src="))
+      .findFirst().orElseThrow(() => new IllegalStateException("no _src partition"))
+    val residue = store.resolve("_src=00000000000000000000000000residue")
+    def copyTree(from: JPath, to: JPath): Unit = {
+      Files.createDirectories(to)
+      val kids = Files.list(from)
+      try kids.forEach { k =>
+        if (Files.isDirectory(k)) copyTree(k, to.resolve(k.getFileName.toString))
+        else { Files.copy(k, to.resolve(k.getFileName.toString)); () }
+      } finally kids.close()
+    }
+    copyTree(src, residue)
+    val batch = SparkEntry.queries("ivf_pq")(spark, sfDir)
+    val guarded = graft.queries.LlmOps.ivfPqStreamSearch(spark, sfDir,
+      distinctGuard = true)
+    assertSameRows(guarded, batch,
+      "guarded streamed search must absorb the residue partition")
+    graft.streaming.StreamOps.compactStore(spark, store.toString,
+      Seq("vec_id", "sp"), Seq("_src", "cell"))
+    val unguarded = graft.queries.LlmOps.ivfPqStreamSearch(spark, sfDir,
+      distinctGuard = false)
+    assertSameRows(unguarded, batch,
+      "compacted streamed search (DISTINCT removed) vs batch ivf_pq")
+  }
+
   test("index lifecycle end-to-end: train → publish metadata → stream arrivals → search") {
     // The composed story the subsystems exist for: index METADATA
     // (centroids + PQ codebook) is trained by a batch job and published
