@@ -170,9 +170,12 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // posting/weight joins are all equi-keyed
     "lr_eval",    // quality_lr's and dsir_select's declared scalar
                   // attaches composed (the audit scores both rules)
-    "lr_calibration" // quality_lr's GD scalar attaches + the 1-row ECE
+    "lr_calibration", // quality_lr's GD scalar attaches + the 1-row ECE
                   // attach onto the 10-bin spine (calibration_bins'
                   // whitelisted shape)
+    "lr_temp"     // lr_calibration's attaches + the 1-row u/gradient
+                  // scalars of the 5 Newton rounds and the published-T
+                  // attach — all 1-row broadcasts by construction
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -485,6 +485,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(BigDecimal(e) == ece, s"bin $b ece $e != recomputed $ece") }
   }
 
+  test("lr_temp: temperature scaling reduces held-slice ECE; blocks consistent") {
+    val rows = SparkEntry.queries("lr_temp")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)),
+        r.getString(6), r.getString(7)))
+    assert(rows.length == 20, s"expected 2 variants x 10 bins, got ${rows.length}")
+    val byVar = rows.groupBy(_._1)
+    assert(byVar.keySet == Set("raw", "scaled"), s"variants ${byVar.keySet}")
+    byVar.foreach { case (v, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0 to 9), s"$v bin spine incomplete") }
+    // Both blocks bin the same held-slice population (gram-bearing docs
+    // with doc_id % 5 == 3 — the T-fit slice).
+    val heldN = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(size(filter(split(col("text"), " "), w => w =!= "")) > 0)
+      .filter(pmod(col("doc_id"), lit(5)) === 3)
+      .count()
+    byVar.foreach { case (v, rs) =>
+      assert(rs.map(_._3).sum == heldN, s"$v census must partition the held slice") }
+    // One ECE per variant, one published T overall.
+    val ece = byVar.map { case (v, rs) => v -> rs.map(_._7).distinct }
+    ece.foreach { case (v, es) =>
+      assert(es.length == 1, s"$v carries ${es.length} distinct ECEs") }
+    val temps = rows.map(_._8).distinct
+    assert(temps.length == 1 && BigDecimal(temps.head) > 0,
+      s"published temperature must be one positive scalar, got $temps")
+    // THE law (r11 verdict task 3): NLL-fit temperature must improve the
+    // held-slice calibration the raw few-round-GD probabilities lack.
+    val eRaw = BigDecimal(ece("raw").head)
+    val eScaled = BigDecimal(ece("scaled").head)
+    assert(eScaled < eRaw,
+      s"temperature scaling must reduce ECE: raw $eRaw scaled $eScaled")
+  }
+
   test("smp1: splits partition the corpus and reruns are bit-stable") {
     val doc = graft.core.Tables.load(spark, sfDir, "documents")
     val total = doc.groupBy(col("lang")).count()
