@@ -61,7 +61,7 @@ object LlmOps {
     * space (the oracle's list_transform mirrors it) and the dsir_select
     * n_feat census test pins it — "fixing" one side alone would silently
     * shift every downstream selector/classifier score. */
-  private def hashedGramBuckets(docs: DataFrame): DataFrame = {
+  private[graft] def hashedGramBuckets(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val unis = filter(words, w => w =!= "")
     val bigs = when(size(words) >= 2,
