@@ -57,10 +57,17 @@ object ProbeGen {
     spark.sparkContext.setLogLevel("WARN")
     // Offset far beyond any base key so replica key ranges never collide.
     val off = 1000000000L
+    // Repartition before write: the sf sources are single parquet files,
+    // so an unrepartitioned fan writes ONE file and every probe query
+    // then scans + explodes it on ONE core (the 20 MB ×100 documents fan
+    // sits under maxPartitionBytes) — the probe would measure the
+    // synthetic file layout, not the query. A real 100 TB table brings
+    // its own input splits.
     def fan(df: DataFrame, keyCol: String): DataFrame =
       df.withColumn("_i", explode(sequence(lit(0L), lit(factor - 1L))))
         .withColumn(keyCol, col(keyCol) + col("_i") * off)
         .drop("_i")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
     val all = Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
     for (t <- all) {

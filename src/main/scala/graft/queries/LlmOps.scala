@@ -47,6 +47,24 @@ object LlmOps {
   /** Distinct whitespace tokens of a text column. */
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Positional word-bigram array over a words array, O(n) per row:
+    * zip_with over two slices, so `ws` is evaluated a CONSTANT number of
+    * times per row. The previous spelling —
+    * `transform(sequence(1, size(ws)-1), i => concat_ws(" ",
+    * element_at(ws, i), element_at(ws, i+1)))` — re-evaluated the
+    * captured `ws` subtree PER ELEMENT (higher-order functions are
+    * CodegenFallback; ddp_cdc's documented trap), which turned every
+    * bigram build over an inline `split(text)` into O(len²) re-splits
+    * per doc — invisible on this corpus's ~40-word docs, catastrophic on
+    * real 1000+-word documents at 100 TB. Callers keep their
+    * `when(size(ws) >= 2, …)` guard so the slices only evaluate with
+    * n ≥ 2 (start 2 ≤ n, length n−1 ≥ 1). Emits identical values in
+    * identical order to the old spelling — every consumer's oracle hash
+    * is unchanged. */
+  private[graft] def bigramArr(ws: Column): Column =
+    zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
   /** Hashed-ngram feature stream shared by the generative (SEL-1
     * `dsir_select`) and discriminative (CLS-1 `quality_lr`) data
     * selectors — ONE feature space so the two scoring rules are
@@ -64,9 +82,7 @@ object LlmOps {
   private[graft] def hashedGramBuckets(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val unis = filter(words, w => w =!= "")
-    val bigs = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+    val bigs = when(size(words) >= 2, bigramArr(words))
       .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), col("lang"),
         explode(concat(unis, bigs)).as("g"))
@@ -79,7 +95,7 @@ object LlmOps {
     * selection query and the `lr_eval` discrimination audit. Returns
     * (doc_id, lang, n_feat, w DECIMAL(38,8)). */
   private def dsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirWeightsFrom(hashedGramBuckets(load(s, d, "documents")).pinned)
+    dsirWeightsFrom(hashedGramBuckets(spread(load(s, d, "documents"))).pinned)
 
   /** [[dsirWeights]] over a caller-supplied (already pinned) gram-bucket
     * stream — so `lr_eval` runs the dominant explode ONCE for both
@@ -172,8 +188,12 @@ object LlmOps {
     * sparse relational GD — see the `quality_lr` query doc for the
     * standardization-folded-into-constants derivation and the decimal
     * discipline. */
+  // spread: documents.parquet is one file split at test scale, and the
+  // gram explode + first partial aggregate otherwise run on ONE core
+  // (txt_repetition's rationale); a real multi-file table gets its
+  // parallelism from input splits and the exchange is a no-op cost.
   private[graft] def lrTrain(s: SparkSession, d: String): LrModel =
-    lrTrainFrom(s, hashedGramBuckets(load(s, d, "documents")))
+    lrTrainFrom(s, hashedGramBuckets(spread(load(s, d, "documents"))))
 
   /** [[lrTrain]] over a caller-supplied gram-bucket stream. */
   private[graft] def lrTrainFrom(s: SparkSession, feat: DataFrame): LrModel = {
@@ -267,14 +287,11 @@ object LlmOps {
     * shingling prescription for template-heavy corpora. */
   private def shingles(text: Column): Column = {
     val words = split(text, " ")
-    // Single-word docs: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
-    // ANSI element_at(words, 2) then throws — guard to an empty set (what
-    // DuckDB's exclusive-end range(1, 1) yields natively), so degenerate
-    // docs drop out of the sketch instead of killing the job.
-    val grams = transform(
-      sequence(lit(1), size(words) - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
-    array_distinct(when(size(words) >= 2, grams)
+    // Single-word docs guard to an empty set (what DuckDB's exclusive-end
+    // range(1, 1) yields natively), so degenerate docs drop out of the
+    // sketch instead of killing the job; the guard also keeps
+    // [[bigramArr]]'s slices inside the array for n >= 2.
+    array_distinct(when(size(words) >= 2, bigramArr(words))
       .otherwise(array().cast("array<string>")))
   }
 
@@ -457,9 +474,7 @@ object LlmOps {
   private def lmSurprisal(doc: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     // POSITIONAL bigrams — the sequence the doc is, not the distinct set.
-    val grams = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+    val grams = when(size(words) >= 2, bigramArr(words))
       .otherwise(array().cast("array<string>"))
     // Materialized once: the count build and the scoring join both read it.
     val pos = doc.select(col("doc_id"), col("lang"), posexplode(grams).as(Seq("pos", "gram")))
@@ -3519,12 +3534,16 @@ object LlmOps {
       val text2 = when(col("doc_id") % 7 === 0 && size(words0) >= 8,
         concat(array_join(slice(words0, 1, 8), " "), lit(" "), col("text")))
         .otherwise(col("text"))
-      val words = split(col("t2"), " ")
+      val words = col("ws")
       val ns = ceil(size(words) / lit(8.0)).cast("int")
       val segs = transform(sequence(lit(0), ns - 1),
         i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
       ordered(spread(doc)
         .select(col("doc_id"), text2.as("t2"))
+        // ws MATERIALIZED before the per-segment lambda (bigramArr's
+        // rationale: captured subtrees re-evaluate per element, so an
+        // inline split re-split the doc once per segment — O(len²/8)).
+        .select(col("doc_id"), split(col("t2"), " ").as("ws"))
         .select(col("doc_id"),
           when(ns >= 1, segs).otherwise(array().cast("array<string>")).as("segs"))
         // array_distinct IS the first-occurrence filter: Spark's
@@ -3543,7 +3562,7 @@ object LlmOps {
 
     "ddp_segment" -> ((s, d) => {
       val doc = spread(load(s, d, "documents"))
-      val words = split(col("text"), " ")
+      val words = col("ws")
       // sequence(0, -1) is DESCENDING in Spark ([0, -1]) — guard docs
       // shorter than one segment to the empty list (DuckDB's exclusive-end
       // range(0, 0) natively), same trap as [[shingles]].
@@ -3553,10 +3572,14 @@ object LlmOps {
       // Materialized once: the segment-count aggregation and the join back
       // both read this posting table — without the checkpoint Spark
       // re-runs the scan + segmentation for each side (2× the dominant
-      // cost; the dcn1/ddp_ngram pattern).
-      val perDoc = doc.select(col("doc_id"),
-        explode(array_distinct(when(nseg >= 1, segs)
-          .otherwise(array().cast("array<string>")))).as("seg"))
+      // cost; the dcn1/ddp_ngram pattern). The words array materializes
+      // BEFORE the per-segment lambda (bigramArr's rationale — an inline
+      // split re-split the doc once per segment, O(len²/8)).
+      val perDoc = doc
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(array_distinct(when(nseg >= 1, segs)
+            .otherwise(array().cast("array<string>")))).as("seg"))
         .pinned
       // Segments are distinct within a doc, so count(1) == distinct docs.
       val segDocs = perDoc.groupBy(col("seg")).agg(count(lit(1)).as("ndocs"))
@@ -3586,11 +3609,15 @@ object LlmOps {
     //      partition. ----
     "scrub_segments" -> ((s, d) => {
       val doc = spread(load(s, d, "documents"))
-      val words = split(col("text"), " ")
+      val words = col("ws")
       val nseg = ceil(size(words).cast("double") / 8).cast("int")
       // Positional segment table, materialized once — the df-count and the
-      // rebuild join both read it (the ddp_segment/dcn1 pattern).
-      val segs = doc.select(col("doc_id"), nseg.as("ns"),
+      // rebuild join both read it (the ddp_segment/dcn1 pattern). Words
+      // array materialized before the per-segment lambda (bigramArr's
+      // rationale — inline split re-split the doc once per segment).
+      val segs = doc
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), nseg.as("ns"),
           posexplode(transform(sequence(lit(0), nseg - 1),
             i => array_join(slice(words, i * 8 + 1, lit(8)), " "))))
         .select(col("doc_id"), col("ns"), col("pos"), col("col").as("seg"))
@@ -3920,14 +3947,19 @@ object LlmOps {
     //      provide the parallelism and the spread is unnecessary — the
     //      shuffle is the price of the synthetic single-file layout. ----
     "txt_repetition" -> ((s, d) => {
+      // Words array materialized ONCE before the per-element lambdas: the
+      // top-word count transform captures `w` inside its filter, so with
+      // an inline split every (distinct-word × word) comparison re-split
+      // the doc — bigramArr's O(len²) trap at its worst (measured in the
+      // r12 ×100 probe session).
       val doc = spread(load(s, d, "documents"))
-      val w = split(col("text"), " ")
+        .select(col("doc_id"), split(col("text"), " ").as("w0"))
+      val w = col("w0")
       val n = size(w)
       val nd = size(array_distinct(w))
       val topCnt = array_max(transform(array_distinct(w),
         t => size(filter(w, x => x === t))))
-      val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      val bigrams = when(n >= 2, bigramArr(w))
         .otherwise(array().cast("array<string>"))
       val ndb = size(array_distinct(bigrams))
       ordered(doc.select(col("doc_id"),
@@ -4692,7 +4724,7 @@ object LlmOps {
     "lr_eval" -> ((s, d) => {
       // ONE pinned gram explode feeds both selectors (the oracle's shared
       // `feat` CTE, mirrored in code — the explode is the dominant scan).
-      val feat = hashedGramBuckets(load(s, d, "documents")).pinned
+      val feat = hashedGramBuckets(spread(load(s, d, "documents"))).pinned
       val m = lrTrainFrom(s, feat)
       val lrS = lrScore(m.pd, m).select(
         (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),

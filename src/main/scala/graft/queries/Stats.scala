@@ -551,10 +551,12 @@ object Stats {
       // `spread` rationale); no-op cost at real corpus scale
       val doc = load(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+      // zip_with bigrams (LlmOps.bigramArr): the old transform-over-
+      // sequence spelling re-evaluated the captured split per element —
+      // O(len²) re-splits per doc (bigramArr's scaladoc).
       val words = split(col("text"), " ")
       val grams = doc.select(explode(when(size(words) >= 2,
-          transform(sequence(lit(1), size(words) - 1),
-            i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          graft.queries.LlmOps.bigramArr(words))
           .otherwise(array().cast("array<string>"))).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("freq"))
       val buckets = grams
