@@ -192,7 +192,11 @@ object Bench {
     val results: Seq[(String, Double)] = {
       val fns = selected
       results0.map { case (name, t) =>
-        if (prior.get(name).exists(p => t >= 2.0 * p)) {
+        // rerunFailed queries are excluded: their inline rerun ERRORED, and
+        // a further run of a known-flaky query is more flake exposure, not
+        // insurance (the deleted third-sample rule's rationale, kept here).
+        if (!rerunFailed.contains(name) &&
+            prior.get(name).exists(p => t >= 2.0 * p)) {
           System.err.println(f"[bench] requeue $name: board sample $t%.2fs >= 2x floor")
           val (again, ok) = timeOnce(name, fns(name))
           if (ok) name -> math.min(t, again)
@@ -219,7 +223,18 @@ object Bench {
     // artifact. The committed clean board lives at bench_clean.json, a
     // name this main never writes: round close copies a verified full
     // board there explicitly (SPARK_GRAFT_BOARD_OUT=bench_clean.json).
-    val outs = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BOARD_OUT")
+    // SPARK_GRAFT_BOARD_OUT is honored ONLY for a full board: a focused
+    // or smoke run with the env var lingering in the shell would
+    // otherwise overwrite the committed clean board with a partial one —
+    // the exact clobber this split exists to retire (review r12).
+    val fullBoard = selected.size == SparkEntry.queries.size
+    val boardOut = sys.env.get("SPARK_GRAFT_BOARD_OUT").filter { f =>
+      if (!fullBoard) System.err.println(
+        s"[bench] ignoring SPARK_GRAFT_BOARD_OUT=$f: partial board " +
+          s"(${selected.size}/${SparkEntry.queries.size} queries)")
+      fullBoard
+    }
+    val outs = Seq("bench_out.json") ++ boardOut
     outs.foreach { f =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(f), (json + "\n").getBytes("UTF-8"))

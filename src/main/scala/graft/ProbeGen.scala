@@ -63,11 +63,16 @@ object ProbeGen {
     // sits under maxPartitionBytes) — the probe would measure the
     // synthetic file layout, not the query. A real 100 TB table brings
     // its own input splits.
+    // The repartition runs BEFORE the ×factor explode: it shuffles only
+    // the base table's bytes, and the narrow explode then fans out inside
+    // each of the same N partitions — identical N-file layout at
+    // 1/factor the shuffle cost of repartitioning the exploded rows
+    // (review r12: a ×100 fan was shuffling ~2 GB to spread 20 MB).
     def fan(df: DataFrame, keyCol: String): DataFrame =
-      df.withColumn("_i", explode(sequence(lit(0L), lit(factor - 1L))))
+      df.repartition(spark.sparkContext.defaultParallelism * 2)
+        .withColumn("_i", explode(sequence(lit(0L), lit(factor - 1L))))
         .withColumn(keyCol, col(keyCol) + col("_i") * off)
         .drop("_i")
-        .repartition(spark.sparkContext.defaultParallelism * 2)
     val all = Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
     for (t <- all) {

@@ -328,14 +328,26 @@ object StreamOps {
     * leaves the same logical row under two `_src` partitions, which the
     * search/read side must `.distinct()` away between maintenance passes.
     * This pass rewrites `storeDir` keeping, per `keyCols` tuple, the
-    * single row from the lexicographically smallest `_src` (deterministic;
-    * under duplicate delivery the candidate rows are content-identical,
-    * so min is a stable choice, not a semantic one — rows that DIVERGED
-    * under a metadata retrain are re-converged by the ingest's own
-    * delete-then-append replay, never by compaction). After a compact,
-    * the read-side DISTINCT is provably redundant until the next
-    * duplicate delivery (StreamingSpec law: post-compact row set EQUALS
-    * the batch encode).
+    * single row from the lexicographically smallest `_src`. After a
+    * compact, the read-side DISTINCT is provably redundant until the
+    * next duplicate delivery (StreamingSpec law: post-compact row set
+    * EQUALS the batch encode).
+    *
+    * QUIESCENCE CONTRACT (review r12): compaction runs while the ingest
+    * is STOPPED — the same offline-exclusivity rule as Snapshot's fsck.
+    * A concurrent append would land between the dedup read and the
+    * directory swap and be silently dropped (its rows in the swapped-out
+    * copy, its file marked committed in the checkpoint). Two guards
+    * back the contract up: the store's file listing is snapshotted
+    * before the read and re-checked immediately before the swap —
+    * a change aborts the pass with the store untouched; and the key-set
+    * must be CONTENT-CONVERGED — if any key carries more than one
+    * distinct non-`_src` row (a duplicate-NAMED delivery spanning a
+    * metadata/model republish: the ingest's delete-then-append replay
+    * only ever reconciles a file with its OWN `_src`, never two names
+    * of the same content), the pass refuses rather than electing an
+    * arbitrary survivor. The remedy for that state is the maintenance
+    * order republish → full re-ingest (fresh checkpoint) → compact.
     *
     * The store layout (partitioning by `partSpec`, `_src` included) is
     * preserved, so the ingest's delete-then-append keying keeps working
@@ -344,27 +356,68 @@ object StreamOps {
     *
     * Swap discipline: the compacted copy is fully written to
     * `<store>.compact-tmp`, then two metadata renames swap it in
-    * (store → `.compact-old` → delete). A crash between the renames
-    * leaves no `storeDir` but an intact `.compact-old` to rename back —
-    * never a half-compacted mix (Snapshot's fsck convention). At 100 TB
-    * this is the standard periodic maintenance job: shuffle ∝ store
-    * size by key, one window pass, no data² anywhere. */
+    * (store → `.compact-old` → delete), and RECOVERY IS IN THE ENTRY
+    * PATH: a crash between the renames leaves no `storeDir` but an
+    * intact `.compact-old`, which the next call renames back before
+    * doing anything else; a crash after the swap leaves a stale
+    * `.compact-old` that is simply dropped. Never a half-compacted mix.
+    * At 100 TB this is the standard periodic maintenance job: shuffle ∝
+    * store size by key, one aggregate + one window pass, no data²
+    * anywhere. */
   def compactStore(spark: SparkSession, storeDir: String,
       keyCols: Seq[String], partSpec: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val store = new Path(storeDir)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(store)) return
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col("_src").asc)
-    val kept = spark.read.parquet(storeDir)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
     val tmp = new Path(store.getParent, store.getName + ".compact-tmp")
     val old = new Path(store.getParent, store.getName + ".compact-old")
+    // Crash recovery first (the scaladoc's promise, executable): resume
+    // the interrupted swap before looking at anything else.
+    if (!fs.exists(store) && fs.exists(old)) {
+      if (!fs.rename(old, store))
+        throw new java.io.IOException(
+          s"compactStore: crash recovery cannot restore $old to $store")
+    } else if (fs.exists(store) && fs.exists(old)) {
+      fs.delete(old, true) // crashed after the swap, before the cleanup
+    }
+    if (!fs.exists(store)) return
+    def listing(): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(store, true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      b.result()
+    }
+    val before = listing()
+    val cur = spark.read.parquet(storeDir)
+    // Convergence check: every key must carry ONE distinct non-_src row,
+    // or the min-_src election would pick an arbitrary (possibly stale)
+    // survivor among genuinely different states.
+    val diverged = cur.drop("_src").distinct()
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_nv"))
+      .filter(col("_nv") > 1).count()
+    if (diverged > 0)
+      throw new java.io.IOException(
+        s"compactStore: $diverged key(s) carry divergent state across _src " +
+          "partitions (duplicate-named delivery spanning a republish?) — " +
+          "re-ingest from a fresh checkpoint before compacting")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_src").asc)
+    val kept = cur
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
     fs.delete(tmp, true)
-    fs.delete(old, true)
     kept.write.partitionBy(partSpec: _*).mode("overwrite").parquet(tmp.toString)
+    // Quiescence guard: abort (store untouched) if anything landed while
+    // the compacted copy was being built.
+    if (listing() != before) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compactStore: $store changed during compaction — quiesce the " +
+          "ingest before running the maintenance pass")
+    }
     if (!fs.rename(store, old))
       throw new java.io.IOException(s"compactStore: cannot move $store aside")
     if (!fs.rename(tmp, store)) {

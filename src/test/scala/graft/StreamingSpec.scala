@@ -1164,6 +1164,30 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
     assert(stored().count() == n,
       "idle checkpointed rerun after compaction must add nothing")
+    // Crash-recovery entry path (review r12): simulate a crash between
+    // the two swap renames — storeDir gone, data in .compact-old — and
+    // the next call must restore it before doing anything else.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + ".compact-old")))
+    StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    assert(stored().count() == n,
+      "crash recovery must restore the moved-aside store")
+    // Divergence refusal (review r12): a key whose rows DIFFER across
+    // _src partitions (duplicate-named delivery spanning a republish)
+    // must abort the pass with the store untouched — min-_src election
+    // between genuinely different states would keep an arbitrary one.
+    spark.read.parquet(out)
+      .withColumn("vn", col("vn") + lit(1.0))
+      .withColumn("_src", lit("00000000000000000000000divergent"))
+      .write.partitionBy("_src", "cell").mode("append").parquet(out)
+    val divTotal = stored().count()
+    intercept[java.io.IOException] {
+      StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    }
+    assert(stored().count() == divTotal,
+      "a refused compaction must leave the store untouched")
   }
 
   test("STR-COMPACT2 gated ivf_pq_stream: compacted read path matches batch ivf_pq with DISTINCT removed") {
