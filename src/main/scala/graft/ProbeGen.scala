@@ -42,6 +42,12 @@ object ProbeGen {
       case Array(b, o, f)     => (b, o, f.toLong, Seq("orders", "lineitem"))
       case Array(b, o, f, ts) => (b, o, f.toLong, ts.split(",").toSeq)
     }
+    // `len:documents` fans document LENGTH instead of row count: text
+    // repeated ×factor (space-joined), doc count unchanged — the probe
+    // axis for per-doc text machinery (§4.4.11: the HOF captured-subtree
+    // trap was O(len²) per doc, invisible on row-count fans whose docs
+    // stay ~40 words).
+    val lenTables = fanTables.collect { case s if s.startsWith("len:") => s.drop(4) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       // Same extension registration as TestSpark: GraftStrategy must be
@@ -75,9 +81,16 @@ object ProbeGen {
         .drop("_i")
     val all = Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")
+    def lenFan(df: DataFrame): DataFrame = df
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .withColumn("text", array_join(array_repeat(col("text"), factor.toInt), " "))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     for (t <- all) {
       val src = spark.read.parquet(s"$baseDir/$t.parquet")
-      val out = if (fanTables.contains(t)) fan(src, keyOf(t)) else src
+      val out =
+        if (lenTables.contains(t)) lenFan(src)
+        else if (fanTables.contains(t)) fan(src, keyOf(t))
+        else src
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     spark.stop()

@@ -95,7 +95,7 @@ object LlmOps {
     * selection query and the `lr_eval` discrimination audit. Returns
     * (doc_id, lang, n_feat, w DECIMAL(38,8)). */
   private def dsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirWeightsFrom(hashedGramBuckets(spread(load(s, d, "documents"))).pinned)
+    dsirWeightsFrom(hashedGramBuckets(load(s, d, "documents")).pinned)
 
   /** [[dsirWeights]] over a caller-supplied (already pinned) gram-bucket
     * stream — so `lr_eval` runs the dominant explode ONCE for both
@@ -188,12 +188,15 @@ object LlmOps {
     * sparse relational GD — see the `quality_lr` query doc for the
     * standardization-folded-into-constants derivation and the decimal
     * discipline. */
-  // spread: documents.parquet is one file split at test scale, and the
-  // gram explode + first partial aggregate otherwise run on ONE core
-  // (txt_repetition's rationale); a real multi-file table gets its
-  // parallelism from input splits and the exchange is a no-op cost.
+  // Deliberately UNSPREAD (A/B r12): post-§4.4.11 the gram explode is
+  // O(n) and cheap enough that a width-restoring repartition before it
+  // COSTS more than the serial explode saves (dsir_select 2.49 s
+  // unspread vs 4.89 s spread at sf0.1, 1.1 vs 5.1 at sf0.01 — the
+  // exchange + 64-way task fan on a tiny table is pure overhead). A
+  // real multi-file corpus parallelizes the scan from its input splits
+  // (ProbeGen now writes probe corpora that way).
   private[graft] def lrTrain(s: SparkSession, d: String): LrModel =
-    lrTrainFrom(s, hashedGramBuckets(spread(load(s, d, "documents"))))
+    lrTrainFrom(s, hashedGramBuckets(load(s, d, "documents")))
 
   /** [[lrTrain]] over a caller-supplied gram-bucket stream. */
   private[graft] def lrTrainFrom(s: SparkSession, feat: DataFrame): LrModel = {
@@ -4724,7 +4727,7 @@ object LlmOps {
     "lr_eval" -> ((s, d) => {
       // ONE pinned gram explode feeds both selectors (the oracle's shared
       // `feat` CTE, mirrored in code — the explode is the dominant scan).
-      val feat = hashedGramBuckets(spread(load(s, d, "documents"))).pinned
+      val feat = hashedGramBuckets(load(s, d, "documents")).pinned
       val m = lrTrainFrom(s, feat)
       val lrS = lrScore(m.pd, m).select(
         (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),
