@@ -227,12 +227,18 @@ object Bench {
     // or smoke run with the env var lingering in the shell would
     // otherwise overwrite the committed clean board with a partial one —
     // the exact clobber this split exists to retire (review r12).
+    // ... and only for a CLEAN one: a full-selection run with failures
+    // drops those queries from `results`, which is the same partial-board
+    // clobber via result completeness instead of selection (review r12).
     val fullBoard = selected.size == SparkEntry.queries.size
     val boardOut = sys.env.get("SPARK_GRAFT_BOARD_OUT").filter { f =>
       if (!fullBoard) System.err.println(
         s"[bench] ignoring SPARK_GRAFT_BOARD_OUT=$f: partial board " +
           s"(${selected.size}/${SparkEntry.queries.size} queries)")
-      fullBoard
+      else if (failed.nonEmpty) System.err.println(
+        s"[bench] ignoring SPARK_GRAFT_BOARD_OUT=$f: board has failures " +
+          s"(${failed.mkString(",")})")
+      fullBoard && failed.isEmpty
     }
     val outs = Seq("bench_out.json") ++ boardOut
     outs.foreach { f =>

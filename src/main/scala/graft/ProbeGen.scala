@@ -48,6 +48,11 @@ object ProbeGen {
     // trap was O(len²) per doc, invisible on row-count fans whose docs
     // stay ~40 words).
     val lenTables = fanTables.collect { case s if s.startsWith("len:") => s.drop(4) }
+    // lenFan rewrites (text, n_chars) — documents-schema only; fail fast
+    // on any other target instead of dying mid-write with an unresolved
+    // column after some tables already landed (review r12).
+    require(lenTables.forall(_ == "documents"),
+      s"len: fan supports only 'documents' (got ${lenTables.mkString(",")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       // Same extension registration as TestSpark: GraftStrategy must be

@@ -4821,14 +4821,18 @@ object LlmOps {
           .pinned // per-round lineage truncation (lrTrain's rule)
       }
       val temp = u.select(dec4S(lit(1.0) / col("u")).as("temp"))
-      def block(scoreOf: Column, variant: String): DataFrame =
-        reliabilityTable(s, held.crossJoin(broadcast(u)).select(
+      def block(base: DataFrame, scoreOf: Column, variant: String): DataFrame =
+        reliabilityTable(s, base.select(
           dec8(lit(1.0) / (lit(1.0) + exp(-scoreOf))).cast("double")
             .as("score"),
           col("y").cast("long").as("pos")))
           .withColumn("variant", lit(variant))
-      ordered(block(col("z"), "raw")
-        .unionByName(block(col("u") * col("z"), "scaled"))
+      // The raw block reads `held` directly — only the scaled block needs
+      // the fitted u attached (review r12: the raw side's broadcast join
+      // on u was a wasted stage + a false dependency on the Newton loop).
+      ordered(block(held, col("z"), "raw")
+        .unionByName(block(held.crossJoin(broadcast(u)),
+          col("u") * col("z"), "scaled"))
         .crossJoin(broadcast(temp))
         .select(col("variant"), col("bin"), col("n"), col("n_pos"),
           col("conf"), col("acc"), col("ece"), col("temp")))

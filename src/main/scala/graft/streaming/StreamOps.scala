@@ -348,6 +348,11 @@ object StreamOps {
     * of the same content), the pass refuses rather than electing an
     * arbitrary survivor. The remedy for that state is the maintenance
     * order republish → full re-ingest (fresh checkpoint) → compact.
+    * The guards NARROW the concurrent-append window to the final
+    * metadata-rename instant; they cannot close it — an append landing
+    * between the last listing re-check and the swap rename is still
+    * lost. That is why quiescence is the CONTRACT and the guards are
+    * only its tripwire.
     *
     * The store layout (partitioning by `partSpec`, `_src` included) is
     * preserved, so the ingest's delete-then-append keying keeps working
