@@ -53,6 +53,11 @@ object ProbeGen {
     // column after some tables already landed (review r12).
     require(lenTables.forall(_ == "documents"),
       s"len: fan supports only 'documents' (got ${lenTables.mkString(",")})")
+    // array_repeat takes an Int count: a factor above Int.MaxValue would
+    // silently truncate (possibly to a negative repeat count) instead of
+    // failing fast like the len-target check above (ADVICE r12).
+    require(factor > 0 && factor <= Int.MaxValue,
+      s"fan factor must be in [1, ${Int.MaxValue}] (got $factor)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       // Same extension registration as TestSpark: GraftStrategy must be
