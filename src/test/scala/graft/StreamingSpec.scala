@@ -1010,6 +1010,86 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${stored(9L)} != spined batch ${batch(9L)}")
   }
 
+  test("STR-CLS compaction: post-compact scored store equals the gated batch apply, no read-side DISTINCT") {
+    // r12 verdict task 2: STR-COMPACT's law applied to the SCORED store —
+    // the last `_src`-keyed store family whose residue answer lived only
+    // in a spec-side `.distinct()`. Ingest two slices + one
+    // duplicate-DELIVERED file, compact keyed on doc_id (one score row
+    // per doc), and the raw reader must equal the gated batch apply.
+    import graft.queries.LlmOps
+    val model = LlmOps.lrTrain(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = tempDir("clsc_arrivals")
+    val out = tempDir("clsc_store").toString
+    val ckpt = tempDir("clsc_ckpt").toString
+    (0 to 1).foreach { i =>
+      writeSlice(docs.filter(pmod(col("doc_id"), lit(2)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    writeSlice(docs.filter(pmod(col("doc_id"), lit(2)) === 0), d,
+      "slice_00_dup", 1700000400000L)
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    val batch = LlmOps.lrScore(model.pd, model)
+      .select(col("doc_id"), col("lang"), col("z").as("score"),
+        (col("z") > lit(0.0)).cast("int").as("pred"))
+    def stored() = spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("score"), col("pred"))
+    val n = batch.count()
+    val dupN = docs.filter(pmod(col("doc_id"), lit(2)) === 0).count()
+    assert(stored().count() == n + dupN,
+      "duplicate delivery must leave residue score rows before compaction")
+    StreamOps.compactStore(spark, out, Seq("doc_id"), Seq("_src"))
+    assertSameRows(stored(), batch,
+      "post-compact scored store vs gated batch apply, NO DISTINCT")
+    // The checkpointed ingest survives the compaction (layout preserved).
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
+    assert(stored().count() == n,
+      "idle checkpointed rerun after compaction must add nothing")
+  }
+
+  test("STR-CLS calibrated serving: streamed score_cal equals batch sigma(z/T); T publishes beside the model") {
+    // r12 verdict task 6: the published temperature reaches the serving
+    // spine. Fit u = 1/T once in batch (the SAME lrTempFitU the gated
+    // lr_temp runs), publish it as Snapshot metadata like the other
+    // three model relations, stream the corpus against the PUBLISHED u,
+    // and the stored score_cal must be bit-equal to the batch fold
+    // dec8(sigma(u*z)) — one implementation, one published scalar.
+    import graft.core.Snapshot
+    import graft.core.Tables.dec8
+    import graft.queries.LlmOps
+    val model = LlmOps.lrTrain(spark, sfDir)
+    val u = LlmOps.lrTemperatureU(spark, model)
+    val root = tempDir("cls_temp_meta").toString
+    val vT = Snapshot.publish(u, root, Map("kind" -> "lr_temperature"))
+    assert(Snapshot.meta(root, vT).get("kind").contains("lr_temperature"))
+    val uPub = Snapshot.read(spark, root, Some(vT))
+    assertSameRows(uPub, u, "published temperature must round-trip")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = tempDir("cls_cal_arrivals")
+    val out = tempDir("cls_cal_store").toString
+    val ckpt = tempDir("cls_cal_ckpt").toString
+    (0 to 1).foreach { i =>
+      writeSlice(docs.filter(pmod(col("doc_id"), lit(2)) === i), d,
+        f"slice_$i%02d", 1700000000000L + i * 60000)
+    }
+    StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt,
+      temp = Some(uPub))
+    val batchCal = LlmOps.lrScore(model.pd, model)
+      .crossJoin(broadcast(u))
+      .select(col("doc_id"), col("z").as("score"),
+        dec8(lit(1.0) / (lit(1.0) + exp(-col("u") * col("z"))))
+          .cast("double").as("score_cal"))
+    val stored = spark.read.parquet(out)
+      .select(col("doc_id"), col("score"), col("score_cal"))
+    assertSameRows(stored, batchCal,
+      "streamed calibrated scores vs the batch temperature fold")
+    // Monotonicity sanity: calibration never flips the decision column.
+    val flips = spark.read.parquet(out)
+      .filter((col("score") > 0.0) =!= (col("score_cal") > 0.5)).count()
+    assert(flips == 0, s"temperature scaling flipped $flips decisions")
+  }
+
   test("classifier lifecycle: the Snapshot-published model scores bit-identically") {
     // STR-CLS's serving premise made executable end-to-end: the trained
     // model's three relations publish as Snapshot versions (exactly like
@@ -1174,6 +1254,34 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
     assert(stored().count() == n,
       "crash recovery must restore the moved-aside store")
+    // Mutual-exclusion sentinel (ADVICE r12): while `.compacting` is
+    // present, a second compaction refuses AND every `_src`-keyed ingest
+    // refuses to commit a micro-batch — the quiescence contract is
+    // enforced on the append side, not just documented. The refused
+    // batch stays uncommitted in the checkpoint and redelivers once the
+    // sentinel lifts.
+    val sentinel = new org.apache.hadoop.fs.Path(out + ".compacting")
+    fs.create(sentinel, false).close()
+    intercept[java.io.IOException] {
+      StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    }
+    writeSlice(emb.filter(pmod(col("vec_id"), lit(2)) === 1), d,
+      "slice_01_dup", 1700000800000L)
+    val ex = intercept[Exception] {
+      StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book,
+        out, ckpt)
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+    assert(stored().count() == n,
+      "an ingest refused by the sentinel must commit nothing")
+    fs.delete(sentinel, false)
+    StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book,
+      out, ckpt)
+    assert(stored().count() > n,
+      "the refused micro-batch must redeliver once the sentinel lifts")
+    StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    assertSameRows(stored(), batchState,
+      "post-sentinel compaction restores the batch state exactly")
     // Divergence refusal (review r12): a key whose rows DIFFER across
     // _src partitions (duplicate-named delivery spanning a republish)
     // must abort the pass with the store untouched — min-_src election
