@@ -366,7 +366,7 @@ object LlmOps {
     * argument). Returns the 6 PINNED 1-row argmax relations
     * (pair, lft, rgt, n) in merge-priority order; each round's vocab
     * rewrite is also pinned (iterative-loop lineage discipline). */
-  private def bpeMerges(doc: DataFrame, k: Int = 6): Seq[DataFrame] = {
+  private[graft] def bpeMerges(doc: DataFrame, k: Int = 6): Seq[DataFrame] = {
     var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -388,6 +388,101 @@ object LlmOps {
           call_function("replace", col("pair"), lit("||"), lit(""))).as("enc")))
       best
     }
+  }
+
+  /** BPE-1's BATCHED trainer (r12 verdict task 3 — the declared at-scale
+    * switch): per round, ONE corpus pair-count pass admits a PRIORITY
+    * PREFIX of mutually symbol-disjoint merges and applies them all in
+    * one vocab rewrite, so corpus passes scale with merge BATCHES, not
+    * merges — at a real 10⁵-merge vocabulary this is the difference
+    * between 10⁵ and ~10⁴ corpus scans (the standard parallel-BPE
+    * batching; the merge table itself is metadata either way).
+    *
+    * EQUIVALENCE GUARD (the law PipelineOpsSpec pins): the admitted batch
+    * must reproduce the sequential trainer's merge table EXACTLY, which
+    * holds under two conditions, both enforced conservatively:
+    *   1. admitted merges are the CONSECUTIVE top of the (n DESC, pair
+    *      ASC) candidate order and pairwise symbol-disjoint — applying
+    *      earlier admitted merges then cannot change a later one's count
+    *      (its symbols appear in none of their patterns or outputs);
+    *   2. every admitted merge after the first counts STRICTLY more than
+    *      the first candidate that TOUCHES an admitted symbol (or the
+    *      collection cut line, whichever binds): a touched pair can
+    *      shrink or morph into new pairs under the applied merges, but
+    *      never above its own old count — so nothing it becomes can
+    *      outrank (or tie, where the lexicographic tie-break could flip)
+    *      a strictly-greater admitted merge. A round that can admit
+    *      nothing beyond the argmax degrades to the sequential step.
+    * The driver-side walk reads a BOUNDED top slice (≤ max(64, 16·cap)
+    * rows — merge-table metadata, never data-bounded; the cut line is
+    * treated as a touched candidate so the uncollected tail is
+    * accounted). Returns (merge table in priority order, corpus-pass
+    * rounds). */
+  private[graft] def bpeMergesBatched(doc: DataFrame, k: Int = 6,
+      batchCap: Int = 8): (Seq[(String, String, String, Long)], Int) = {
+    var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_replace(col("w"), "(.)", "|$1|").as("enc")))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    var rounds = 0
+    var dry = false
+    while (merges.size < k && !dry) {
+      rounds += 1
+      val lim = math.max(64, 16 * batchCap)
+      val top = vocab
+        .select(col("cnt"), split(trim(col("enc"), "|"), "\\|\\|").as("a"))
+        .select(col("cnt"), col("a"), posexplode(col("a")).as(Seq("i", "lft")))
+        .withColumn("rgt", try_element_at(col("a"), col("i") + 2))
+        .filter(col("rgt").isNotNull)
+        .select(col("cnt"), col("lft"), col("rgt"),
+          concat(lit("|"), col("lft"), lit("||"), col("rgt"), lit("|")).as("pair"))
+        .groupBy(col("pair"), col("lft"), col("rgt"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(lim)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      if (top.isEmpty) dry = true
+      else {
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+        val symbols = scala.collection.mutable.Set[String]()
+        // The count of the first candidate whose symbols touch an admitted
+        // merge — the bound every admitted-after-the-first must strictly
+        // beat. If the walk exhausts the collected slice untouched, the
+        // cut line binds instead (uncollected candidates count <= last
+        // collected); a fully-drained table binds nothing.
+        var touchBound = Long.MinValue
+        val want = math.min(batchCap, k - merges.size)
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped) {
+          val c = top(i)
+          if (symbols(c._2) || symbols(c._3)) {
+            // First touched candidate: the max count anything an admitted
+            // merge can change/create is bounded by. Binds even when the
+            // cap was already reached — the scan continues past the cap
+            // precisely to find this bound.
+            touchBound = c._4; stopped = true
+          } else if (admitted.size < want) {
+            admitted += c
+            symbols += c._2; symbols += c._3
+            symbols += c._1.replace("||", "").stripPrefix("|").stripSuffix("|")
+          } // else: untouched candidate past the cap — skip, keep scanning
+          i += 1
+        }
+        if (!stopped && top.length == lim)
+          touchBound = top.last._4
+        val kept = admitted.head +:
+          admitted.tail.takeWhile(_._4 > touchBound).toSeq
+        merges ++= kept
+        val newEnc = kept.foldLeft(col("enc")) { (e, m) =>
+          call_function("replace", e, lit(m._1), lit(m._1.replace("||", "")))
+        }
+        vocab = pin(vocab.select(col("cnt"), newEnc.as("enc")))
+      }
+    }
+    (merges.toSeq, rounds)
   }
 
   /** Spread a narrow-scan table across cores before an expensive per-row

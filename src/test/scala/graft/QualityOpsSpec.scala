@@ -519,6 +519,56 @@ class QualityOpsSpec extends AnyFunSuite {
       s"merge counts increased across rounds: ${ns.toSeq}")
   }
 
+  test("bpe_train batched: non-conflicting batches reproduce the sequential merge table; rounds track batches") {
+    // BPE-1's declared at-scale switch, EXECUTED (r12 verdict task 3):
+    // merges whose symbols are pairwise disjoint (and strictly above the
+    // first touched candidate's count) apply in ONE corpus pass. The law
+    // is exact merge-table equivalence with the sequential trainer.
+    import spark.implicits._
+    import graft.queries.LlmOps
+    def seqTable(doc: org.apache.spark.sql.DataFrame, k: Int) =
+      LlmOps.bpeMerges(doc, k).flatMap(_.collect().headOption)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // (a) the gated corpus at the gated budget
+    val (b6, r6) = LlmOps.bpeMergesBatched(docs, 6)
+    assert(b6 == seqTable(docs, 6),
+      s"batched(6) diverged from sequential on the corpus: $b6")
+    assert(r6 <= 6, s"batched rounds $r6 exceed merges")
+    // (b) crafted CONFLICT: (a,b) outranks (a,a) but shares 'a' — the
+    // guard must degrade round 1 to the sequential single step, and the
+    // table must still equal sequential exactly.
+    val conflict = (1 to 10).map(i => (i.toLong, "aab", "en", "t", 3L))
+      .++((11 to 15).map(i => (i.toLong, "ab", "en", "t", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bc, rc) = LlmOps.bpeMergesBatched(conflict, 2)
+    assert(bc == seqTable(conflict, 2),
+      s"batched diverged from sequential on the conflict corpus: $bc")
+    assert(rc == 2, s"conflicting pairs must not batch (rounds $rc)")
+    assert(bc.map(_._1) == Seq("|a||b|", "|a||ab|"), s"priority order: $bc")
+    // (c) crafted DISJOINT pairs batch into one round.
+    val disjoint = (1 to 10).map(i => (i.toLong, "ab", "en", "t", 2L))
+      .++((11 to 17).map(i => (i.toLong, "cd", "en", "t", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bd, rd) = LlmOps.bpeMergesBatched(disjoint, 2)
+    assert(bd == seqTable(disjoint, 2),
+      s"batched diverged from sequential on the disjoint corpus: $bd")
+    assert(rd == 1, s"disjoint top pairs must batch into one round (got $rd)")
+    // (d) the enlarged-budget probe: at 64 merges the corpus-pass count
+    // must track BATCHES, not merges — the at-scale claim itself — while
+    // the table stays exactly sequential.
+    val (b64, r64) = LlmOps.bpeMergesBatched(docs, 64)
+    val s64 = seqTable(docs, 64)
+    assert(b64 == s64.take(b64.length),
+      "batched(64) diverged from sequential")
+    assert(b64.length == s64.length,
+      s"batched trained ${b64.length} merges vs sequential ${s64.length}")
+    info(s"64-merge budget: ${b64.length} merges in $r64 corpus passes " +
+      f"(${b64.length.toDouble / r64}%.1f merges/pass)")
+    assert(r64 < b64.length || b64.length <= 1,
+      s"no batching happened at the 64-merge budget ($r64 rounds)")
+  }
+
   test("bounded_balance: reflection identity equals the direct clamped recurrence") {
     // b_t = prefix_t - min(0, min_{i<=t} prefix_i) must equal the literal
     // b_t = max(0, b_{t-1} + x_t) fold — recomputed driver-side per user in
