@@ -27,6 +27,16 @@ Regression sensitivity is preserved: a genuine plan regression must now
 exceed 2 * 1.15 = 2.3x of the clean-board sample to breach, versus 2.0x
 before — while the Prof steady-state audit (every round's floor audit)
 remains the fine-grained detector for sub-gate drift.
+
+Regime sentinel (r13): Bench times one fixed-shape probe at board
+start/middle/end and ships the triple as board["sentinel"]. This script
+annotates it on stderr — intra-board drift (max/min of the triple) and,
+when a prior board is given as argv[2] (e.g. the committed
+bench_clean.json), the cross-board regime ratio (mean vs mean). Reading:
+identical code + drifted sentinel = machine regime (re-true floors, both
+directions); stable sentinel + one drifted query = plan regression
+(investigate the query). The annotation is informational — floors are
+still derived from the board samples alone.
 """
 import json
 import sys
@@ -35,10 +45,40 @@ BAND = 1.15
 MIN_FLOOR = 0.5
 
 
+def annotate_sentinel(board: dict, prior_path: str | None) -> None:
+    sent = board.get("sentinel")
+    if not sent:
+        return
+    vals = [sent.get(k, 0.0) for k in ("start", "mid", "end")]
+    if min(vals) <= 0:
+        print(f"[floors] sentinel incomplete: {sent}", file=sys.stderr)
+        return
+    intra = max(vals) / min(vals)
+    msg = (f"[floors] sentinel start/mid/end = "
+           f"{vals[0]:.3f}/{vals[1]:.3f}/{vals[2]:.3f} s "
+           f"(intra-board drift {intra:.2f}x)")
+    if prior_path:
+        try:
+            with open(prior_path) as f:
+                prev = json.load(f).get("sentinel")
+            if prev:
+                pvals = [prev.get(k, 0.0) for k in ("start", "mid", "end")]
+                if min(pvals) > 0:
+                    ratio = (sum(vals) / 3) / (sum(pvals) / 3)
+                    msg += f"; regime vs prior board {ratio:.2f}x"
+                    if ratio >= 1.3 or ratio <= 1 / 1.3:
+                        msg += (" — REGIME SHIFT: re-true floors from this"
+                                " board (both directions)")
+        except (OSError, json.JSONDecodeError):
+            pass
+    print(msg, file=sys.stderr)
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
     with open(src) as f:
         board = json.load(f)
+    annotate_sentinel(board, sys.argv[2] if len(sys.argv) > 2 else None)
     queries = board["queries"] if "queries" in board else board
     floors = {q: round(max(t * BAND, MIN_FLOOR), 3)
               for q, t in sorted(queries.items())}

@@ -83,6 +83,38 @@ object Bench {
         .groupBy(col("event_type")).agg(count(col("rn")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Machine-regime SENTINEL (r12 verdict task 4): one tiny FIXED-SHAPE
+    // probe (scan + map-side-combined agg on lineitem — no window, no
+    // join, ~0.2 s steady) timed at board start / middle / end with the
+    // same epilogue as every measurement. The three timings ship in the
+    // board JSON, so a machine-regime shift (GC ergonomics, co-tenant,
+    // JIT churn) is MEASURED in-band instead of diagnosed post-hoc from
+    // fresh-JVM Prof sessions (the r11→r12 floor re-truing took a day of
+    // steady-state audits to attribute): identical code + drifting
+    // sentinel = regime, stable sentinel + one drifting query = plan.
+    // scripts/true_floors.py reads and annotates the triple.
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val e = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      e
+    }
+    // One untimed warmup first: the probe's own whole-stage-codegen class
+    // compiles exactly once per JVM, and letting that land in the START
+    // sample would fake a permanent start-vs-end "drift" of ~3x.
+    sentinelOnce()
+    val sentinelStart = sentinelOnce()
+    var sentinelMid = 0.0
     // Prior-round reference timings (bench_prior.json, committed each round
     // from the previous BENCH artifact). A first sample >=1.5x its prior is
     // treated as suspect-noisy and re-measured even when it is expensive:
@@ -141,9 +173,12 @@ object Bench {
     // wherever hashing landed them; running them first hands each one the
     // freshest JVM it can get. Measurement independence is unchanged: each
     // query still gets the same blocking block-drop + GC epilogue.
+    val half = selected.size / 2
     val results0: Seq[(String, Double)] = selected.toSeq
       .sortBy { case (name, _) => -prior.getOrElse(name, 0.0) }
-      .flatMap { case (name, fn) =>
+      .zipWithIndex
+      .flatMap { case ((name, fn), idx) =>
+      if (idx == half) sentinelMid = sentinelOnce()
       val (first, firstOk) = timeOnce(name, fn)
       if (!firstOk) {
         // A failed run's time-to-abort is not a measurement: recording it
@@ -204,12 +239,14 @@ object Bench {
         } else name -> t
       }
     }
+    val sentinelEnd = sentinelOnce()
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def names(b: scala.collection.Seq[String]) = b.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${names(failed)},"rerun_failed":${names(rerunFailed)},"sf":"$sfDir"}"""
+    val sent = s"""{"start":${r3(sentinelStart)},"mid":${r3(sentinelMid)},"end":${r3(sentinelEnd)}}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${names(failed)},"rerun_failed":${names(rerunFailed)},"sentinel":$sent,"sf":"$sfDir"}"""
     // The r4 driver failed to parse the bench output: the one JSON line
     // (87 full-precision timings) overflowed its stdout tail-capture
     // window. Belt and braces: persist the document to a file the driver
