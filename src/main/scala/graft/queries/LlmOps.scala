@@ -1680,6 +1680,34 @@ object LlmOps {
   private def ivfKmeansCentroids(s: SparkSession, d: String): DataFrame =
     ivfKmeansCentroidsFrom(load(s, d, "embeddings"))
 
+  /** The corpus Lloyd centroid table, memoized per (process, corpus) via
+    * Warehouse.once (gramBucketsOnce's rationale applied to the index
+    * family): ~12 gated IVF/PQ queries each re-ran the two certified
+    * Lloyd rounds on the same corpus; the table is ten rows of
+    * deterministic dec4-quantized doubles — EXACTLY the published index
+    * metadata the lifecycle tests Snapshot-round-trip — so one training
+    * job + shared reads is both pure caching (bit-identical values,
+    * oracles unchanged) and the production shape. */
+  private def centroidsOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "ivf_centroids") { out =>
+      ivfKmeansCentroidsFrom(load(s, d, "embeddings"))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The corpus PQ codebook (xq space), memoized like [[centroidsOnce]] —
+    * ≤ 1024 rows of exact DECIMAL(18,4) codewords, the other half of the
+    * published index metadata. */
+  private def pqBookOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "pq_book_xq") { out =>
+      graft.operators.PqEncode.codebook(
+        graft.operators.PqEncode.toLong(load(s, d, "embeddings")), "xq")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   /** [[ivfKmeansCentroids]] over a caller-supplied TRAINING embeddings
     * frame — the full table on the certified path, [[embSampleTrain]]'s
     * slice on the sample-train path (assignment of the full corpus
@@ -1725,7 +1753,7 @@ object LlmOps {
     * (crn=1 is its home cell; crn≤nprobe are a query's probe cells).
     * Columns: (vec_id, e, vn, cell_label, cscore, crn). */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    ivfAssignedWith(s, d, pin(ivfKmeansCentroids(s, d)))
+    ivfAssignedWith(s, d, centroidsOnce(s, d))
 
   /** [[ivfAssigned]] against a caller-supplied centroid table — so a
     * pipeline that also needs the centroids themselves (the residual
@@ -2086,13 +2114,11 @@ object LlmOps {
       out: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val emb = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    // Pin the index metadata: each of the 4 foreachBatch invocations
-    // below broadcasts these — unpinned, every micro-batch would re-run
-    // the full Lloyd training and codebook-refinement DAGs (4× redundant
-    // training per store build).
-    val cent = pin(ivfKmeansCentroids(s, d))
-    val book = graft.operators.PqEncode.codebook(
-      graft.operators.PqEncode.toLong(emb), "xq").pinned
+    // Memoized index metadata (centroidsOnce/pqBookOnce): already
+    // materialized parquet, so each of the 4 foreachBatch invocations
+    // broadcasts a small scan instead of re-running the training DAGs.
+    val cent = centroidsOnce(s, d)
+    val book = pqBookOnce(s, d)
     val arrivals = stageArrivalSlices(emb, out)
     graft.streaming.StreamOps.runIvfAdcIngest(s, arrivals,
       emb.schema, cent, book, s"$out/store", s"$out/ckpt")
@@ -2133,8 +2159,8 @@ object LlmOps {
   private def buildIvfSqStreamStore(s: SparkSession, d: String,
       out: String): Unit = {
     val emb = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    // Pin the index metadata (see buildIvfAdcStreamStore's rationale).
-    val cent = pin(ivfKmeansCentroids(s, d))
+    // Memoized/pinned index metadata (see buildIvfAdcStreamStore).
+    val cent = centroidsOnce(s, d)
     val stats = pin(sqStats(sqLongForm(emb)))
     val arrivals = stageArrivalSlices(emb, out)
     graft.streaming.StreamOps.runIvfSqIngest(s, arrivals,
@@ -2156,7 +2182,7 @@ object LlmOps {
     val book = (if (trainSample)
         graft.operators.PqEncode.codebook(
           graft.operators.PqEncode.toLong(embSampleTrain(emb)), "xq")
-      else graft.operators.PqEncode.codebook(long, "xq"))
+      else pqBookOnce(s, d))
       .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
     val code = graft.operators.PqEncode.encode(long, book, "xq")
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -2214,9 +2240,9 @@ object LlmOps {
       shortlist: Int = 16): DataFrame = {
     val emb = load(s, d, "embeddings")
     val long = graft.operators.PqEncode.toLong(emb).pinned
-    // --- Coarse quantizer: ONE Lloyd training shared by the assignment
-    //     and the residual μ table (pinned 10-row relation) ---
-    val centTab = pin(ivfKmeansCentroids(s, d))
+    // --- Coarse quantizer: the memoized table shared by the assignment
+    //     and the residual μ table (10-row relation) ---
+    val centTab = centroidsOnce(s, d)
     // --- IVF cells + probes (shared assignment) ---
     val assigned = ivfAssignedWith(s, d, centTab)
     val cells = assigned.filter(col("crn") === 1)
