@@ -57,7 +57,13 @@ object Warehouse {
       val key = f"${srcDir.hashCode}%08x"
       val pid = ProcessHandle.current().pid()
       val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/${name}_${stem}_${key}_$pid"
+      val t0 = System.nanoTime()
       write(out)
+      // Build-cost observability: memoized builds hide inside whichever
+      // query runs first; the one-line stderr stamp keeps the amortized
+      // term attributable when reading Bench/Prof output.
+      System.err.println(
+        f"[warehouse] built $name in ${(System.nanoTime() - t0) / 1e9}%.2f s ($srcDir)")
       out
     })).value
 }

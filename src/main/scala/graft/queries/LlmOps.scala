@@ -1708,6 +1708,29 @@ object LlmOps {
     s.read.parquet(dir)
   }
 
+  /** The SAMPLE-trained metadata pair (Lloyd cells + PQ codebook fit on
+    * [[embSampleTrain]]'s slice), memoized exactly like the full-train
+    * pair — the sample-trained index is published metadata in precisely
+    * the same way, and the train-once/read-everywhere shape IS the
+    * 100 TB story the SIM-SAMPLE audits price. */
+  private def centroidsSampleOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "ivf_centroids_sample") { out =>
+      ivfKmeansCentroidsFrom(embSampleTrain(load(s, d, "embeddings")))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
+  private def pqBookSampleOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "pq_book_xq_sample") { out =>
+      graft.operators.PqEncode.codebook(
+        graft.operators.PqEncode.toLong(
+          embSampleTrain(load(s, d, "embeddings"))), "xq")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   /** [[ivfKmeansCentroids]] over a caller-supplied TRAINING embeddings
     * frame — the full table on the certified path, [[embSampleTrain]]'s
     * slice on the sample-train path (assignment of the full corpus
@@ -2023,10 +2046,10 @@ object LlmOps {
     val stats = sqStats(
       if (trainSample) sqLongForm(embSampleTrain(emb)) else base)
     val enc = sqEncodeWith(base, stats)
-    // --- IVF cells + probes + queries (the shared assignment, verbatim) ---
+    // --- IVF cells + probes + queries (the shared assignment, verbatim;
+    //     memoized sample-trained centroids on the sample path) ---
     val assigned =
-      if (trainSample)
-        ivfAssignedWith(s, d, pin(ivfKmeansCentroidsFrom(embSampleTrain(emb))))
+      if (trainSample) ivfAssignedWith(s, d, centroidsSampleOnce(s, d))
       else ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
@@ -2179,18 +2202,14 @@ object LlmOps {
     //     against the fixed book — the 100 TB train-on-sample path the
     //     gated `ivf_pq_sample_eval` audits. ---
     val long = graft.operators.PqEncode.toLong(emb).pinned
-    val book = (if (trainSample)
-        graft.operators.PqEncode.codebook(
-          graft.operators.PqEncode.toLong(embSampleTrain(emb)), "xq")
-      else pqBookOnce(s, d))
+    val book = (if (trainSample) pqBookSampleOnce(s, d) else pqBookOnce(s, d))
       .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
     val code = graft.operators.PqEncode.encode(long, book, "xq")
       .withColumnRenamed("vec_id", "neighbor_id")
     // --- IVF cells + probes (ivfAssigned verbatim; sample-trained
     //     centroid table on the sample path, full-corpus assignment) ---
     val assigned =
-      if (trainSample)
-        ivfAssignedWith(s, d, pin(ivfKmeansCentroidsFrom(embSampleTrain(emb))))
+      if (trainSample) ivfAssignedWith(s, d, centroidsSampleOnce(s, d))
       else ivfAssigned(s, d)
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("vn"), col("cell_label"))
