@@ -215,8 +215,25 @@ object LlmOps {
   // exchange + 64-way task fan on a tiny table is pure overhead). A
   // real multi-file corpus parallelizes the scan from its input splits
   // (ProbeGen now writes probe corpora that way).
-  private[graft] def lrTrain(s: SparkSession, d: String): LrModel =
-    lrTrainFrom(s, gramBucketsOnce(s, d))
+  /** The corpus-trained model, memoized per (process, corpus): the three
+    * broadcast-sized relations (stats/weights/bias) are EXACTLY what the
+    * lifecycle test Snapshot-publishes, so one 5-round GD + shared reads
+    * is pure caching (decimal/double relations round-trip parquet
+    * bit-exactly) — `quality_lr`, `lr_eval`, `lr_calibration` and
+    * `lr_temp` each re-ran the full training term before. The feature
+    * relation `pd` is rebuilt per call from the memoized gram relation
+    * (one groupBy — the apply-side pass, not the training term). */
+  private[graft] def lrTrain(s: SparkSession, d: String): LrModel = {
+    val dir = graft.core.Warehouse.once(d, "lr_model") { out =>
+      val m = lrTrainFrom(s, gramBucketsOnce(s, d))
+      m.stats.write.mode("overwrite").parquet(s"$out/stats")
+      m.wt.write.mode("overwrite").parquet(s"$out/wt")
+      m.w0.write.mode("overwrite").parquet(s"$out/w0")
+    }
+    LrModel(lrFeaturesFrom(gramBucketsOnce(s, d)),
+      s.read.parquet(s"$dir/stats"), s.read.parquet(s"$dir/wt"),
+      s.read.parquet(s"$dir/w0"))
+  }
 
   /** [[lrTrain]] over a caller-supplied gram-bucket stream. */
   private[graft] def lrTrainFrom(s: SparkSession, feat: DataFrame): LrModel = {
@@ -5056,7 +5073,7 @@ object LlmOps {
       // shared `feat` CTE, mirrored in code — the explode is the
       // dominant scan, run once per process via gramBucketsOnce).
       val feat = gramBucketsOnce(s, d)
-      val m = lrTrainFrom(s, feat)
+      val m = lrTrain(s, d) // memoized model over the same gram relation
       val lrS = lrScore(m.pd, m).select(
         (floor(col("z") * lit(1e4) + lit(0.5)) / lit(1e4)).as("score"),
         col("y").cast("long").as("pos"))
