@@ -437,6 +437,8 @@ object LlmOps {
     * rounds). */
   private[graft] def bpeMergesBatched(doc: DataFrame, k: Int = 6,
       batchCap: Int = 8): (Seq[(String, String, String, Long)], Int) = {
+    require(k > 0 && batchCap > 0,
+      s"bpeMergesBatched needs positive budgets (k=$k, batchCap=$batchCap)")
     var vocab = pin(doc.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1694,9 +1696,6 @@ object LlmOps {
       "x -> CAST(floor(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT))) % 2 = 0 " +
       "OR vec_id < 10"
 
-  private def ivfKmeansCentroids(s: SparkSession, d: String): DataFrame =
-    ivfKmeansCentroidsFrom(load(s, d, "embeddings"))
-
   /** The corpus Lloyd centroid table, memoized per (process, corpus) via
     * Warehouse.once (gramBucketsOnce's rationale applied to the index
     * family): ~12 gated IVF/PQ queries each re-ran the two certified
@@ -1748,10 +1747,11 @@ object LlmOps {
     s.read.parquet(dir)
   }
 
-  /** [[ivfKmeansCentroids]] over a caller-supplied TRAINING embeddings
-    * frame — the full table on the certified path, [[embSampleTrain]]'s
-    * slice on the sample-train path (assignment of the full corpus
-    * against the sample-trained table stays [[ivfAssignedWith]]). */
+  /** The Lloyd trainer over a caller-supplied TRAINING embeddings
+    * frame — the full table on the certified path ([[centroidsOnce]]),
+    * [[embSampleTrain]]'s slice on the sample-train path (assignment of
+    * the full corpus against the sample-trained table stays
+    * [[ivfAssignedWith]]). */
   private def ivfKmeansCentroidsFrom(emb: DataFrame): DataFrame = {
     val dbl = transform(col("embedding"), x => x.cast("double"))
     val base = spread(emb, "vec_id").select(col("vec_id"), dbl.as("v"),
@@ -1788,7 +1788,7 @@ object LlmOps {
 
   /** The IVF coarse-quantizer ASSIGNMENT shared by the whole IVF family
     * (`sim1_ivf`, `ivf_eval`, `ivf_curve`, `ivf_pq`): Lloyd-trained
-    * centroids ([[ivfKmeansCentroids]]), every vector scored against the
+    * centroids ([[ivfKmeansCentroidsFrom]]), every vector scored against the
     * broadcast centroid table, `crn` = that vector's cell preference rank
     * (crn=1 is its home cell; crn≤nprobe are a query's probe cells).
     * Columns: (vec_id, e, vn, cell_label, cscore, crn). */

@@ -92,6 +92,17 @@ object StreamOps {
         val paths = batch.collect().map(_.getString(0).trim)
           .filter(_.nonEmpty).distinct
         if (paths.nonEmpty) {
+          // Same compaction mutual exclusion as runSrcKeyedIngest (review
+          // r13 — this store is `_src`-keyed too): pre- and post-write
+          // sentinel checks keep a refused batch uncommitted for replay.
+          val base = new org.apache.hadoop.fs.Path(outDir)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val sentinel = compactionSentinel(base)
+          def refuse(): Nothing =
+            throw new java.io.IOException(
+              s"notified load refused: a compaction pass is live on " +
+                s"$outDir ($sentinel present) — rerun after it completes")
+          if (fs.exists(sentinel)) refuse()
           val reader = spark.read.schema(schema)
           val src = format match {
             case "csv" => reader.option("header", true).option("escape", "\"")
@@ -107,6 +118,7 @@ object StreamOps {
             .write.partitionBy("_src").mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(outDir)
+          if (fs.exists(sentinel)) refuse()
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -160,18 +172,29 @@ object StreamOps {
           // landing mid-pass would be silently swapped out — REFUSE
           // instead, leaving the micro-batch uncommitted (the
           // checkpointed source redelivers it once the pass is over).
+          // This pre-check plus the post-append re-check below NARROW
+          // the race to a doubly-unlucky interleaving (see compactStore's
+          // contract note); quiescence remains the operator contract.
           val sentinel = compactionSentinel(base)
-          if (fs.exists(sentinel))
+          def refuse(): Nothing =
             throw new java.io.IOException(
               s"ingest refused: a compaction pass is live on $outDir " +
                 s"($sentinel present) — rerun after it completes (or " +
                 "remove the sentinel if the pass crashed)")
+          if (fs.exists(sentinel)) refuse()
           srcs.foreach { h =>
             fs.delete(new org.apache.hadoop.fs.Path(base, s"_src=$h"), true)
           }
           rowsFor(withSrc)
             .write.partitionBy(partSpec: _*).mode("append")
             .parquet(outDir)
+          // Post-append re-check (review r13): a compaction that STARTED
+          // after the pre-check above would otherwise swap this append
+          // out while its file commits in the checkpoint. Throwing here
+          // keeps the batch UNCOMMITTED, so the source redelivers it and
+          // the delete-then-append keying reconverges against whichever
+          // store version won.
+          if (fs.exists(sentinel)) refuse()
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -370,25 +393,29 @@ object StreamOps {
     * next duplicate delivery (StreamingSpec law: post-compact row set
     * EQUALS the batch encode).
     *
-    * QUIESCENCE CONTRACT, ENFORCED (ADVICE r12): compaction runs while
-    * the ingest is STOPPED — the same offline-exclusivity rule as
-    * Snapshot's fsck. A concurrent append would land between the dedup
-    * read and the directory swap and be silently dropped (its rows in
-    * the swapped-out copy, its file marked committed in the checkpoint).
-    * The pass now holds a `.compacting` SENTINEL file (sibling of the
-    * store, created atomically at entry, removed at every non-crash
-    * exit) for its whole duration, and [[runSrcKeyedIngest]] — every
-    * `_src`-keyed ingest — REFUSES to commit a micro-batch while the
-    * sentinel is present: the append-during-compaction race is a thrown
-    * error on the append side, not a documented operator rule. The
-    * refused micro-batch is redelivered by the checkpointed source on
-    * the next ingest run. A second compactStore finding the sentinel
-    * refuses too (concurrent pass, or a crashed one: the two
-    * crash-recovery branches below reclaim the stale sentinel when they
-    * see crash evidence; a crash BEFORE the tmp write leaves no
-    * evidence, and the error message says to remove the sentinel by
-    * hand after confirming no pass is live). Two further guards back
-    * the contract: the store's file listing is snapshotted before the
+    * QUIESCENCE CONTRACT, MECHANICALLY BACKED (ADVICE r12): compaction
+    * runs while the ingest is STOPPED — the same offline-exclusivity
+    * rule as Snapshot's fsck. A concurrent append would land between
+    * the dedup read and the directory swap and be silently dropped (its
+    * rows in the swapped-out copy, its file marked committed in the
+    * checkpoint). The pass holds a `.compacting` SENTINEL file (sibling
+    * of the store, created atomically at entry, removed at every
+    * non-crash exit) for its whole duration, and every `_src`-keyed
+    * writer ([[runSrcKeyedIngest]] and [[runNotifiedLoad]]) checks it
+    * BEFORE mutating and AGAIN after its append — either check firing
+    * throws, leaving the micro-batch uncommitted for the checkpointed
+    * source to redeliver. The checks NARROW the lost-append race to a
+    * doubly-unlucky interleaving (an append whose write lands entirely
+    * inside the compaction's final recheck-to-swap instant AND whose
+    * own post-append re-check runs only after the sentinel lifts); they
+    * cannot CLOSE it, which is why quiescence remains the operator
+    * contract and the sentinel its enforcement tripwire. A second
+    * compactStore finding the sentinel refuses — live and crashed
+    * passes are indistinguishable, so recovery never runs under a
+    * present marker: the operator confirms nothing is live, removes the
+    * marker, and re-calls (crash recovery then resumes any interrupted
+    * swap first). Two further guards back the contract: the store's
+    * file listing is snapshotted before the
     * read and re-checked immediately before the swap — a change aborts
     * the pass with the store untouched; and the key-set must be
     * CONTENT-CONVERGED — if any key carries more than one distinct
@@ -431,29 +458,41 @@ object StreamOps {
     val tmp = new Path(store.getParent, store.getName + ".compact-tmp")
     val old = new Path(store.getParent, store.getName + ".compact-old")
     val sentinel = compactionSentinel(store)
-    // Crash recovery first (the scaladoc's promise, executable): resume
-    // the interrupted swap before looking at anything else. Both crash
-    // shapes are evidence the prior pass died, so its stale sentinel is
-    // reclaimed here.
+    // SENTINEL FIRST, recovery second (review r13): a present sentinel
+    // means a pass is live OR crashed, and this code cannot tell which —
+    // running the crash-recovery renames against a LIVE pass mid-swap
+    // would race its own renames and then both passes' finally-blocks
+    // would strip each other's markers. So a present sentinel always
+    // refuses; the operator confirms nothing is running, removes the
+    // marker, and re-calls — THEN the recovery branches below resume any
+    // interrupted swap before a new pass starts.
+    if (fs.exists(sentinel))
+      throw new java.io.IOException(
+        s"compactStore: $sentinel present — another compaction is live " +
+          "on this store, or a crashed pass left its marker; after " +
+          "confirming nothing is running, remove it and re-call (crash " +
+          "recovery then resumes any interrupted swap)")
     if (!fs.exists(store) && fs.exists(old)) {
       if (!fs.rename(old, store))
         throw new java.io.IOException(
           s"compactStore: crash recovery cannot restore $old to $store")
-      fs.delete(sentinel, false)
     } else if (fs.exists(store) && fs.exists(old)) {
       fs.delete(old, true) // crashed after the swap, before the cleanup
-      fs.delete(sentinel, false)
     }
     if (!fs.exists(store)) return
-    // Acquire the exclusion marker ATOMICALLY (create-new semantics): a
-    // concurrent pass — or a crashed one that left no .compact-* evidence
-    // for the recovery branches above — surfaces as a refusal here.
+    // Acquire the exclusion marker ATOMICALLY (create-new semantics): two
+    // simultaneous passes that both passed the exists-check above race
+    // here and exactly one create succeeds.
     try fs.create(sentinel, false).close()
-    catch { case _: java.io.IOException =>
-      throw new java.io.IOException(
-        s"compactStore: $sentinel already present — another compaction " +
-          "is live on this store (or a crashed pass left its marker; " +
-          "remove it after confirming nothing is running)")
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new java.io.IOException(
+          s"compactStore: $sentinel appeared concurrently — another " +
+            "compaction just started on this store")
+      case e: java.io.IOException if fs.exists(sentinel) =>
+        throw new java.io.IOException(
+          s"compactStore: $sentinel appeared concurrently — another " +
+            "compaction just started on this store", e)
     }
     try compactStoreLocked(spark, storeDir, keyCols, partSpec,
       store, fs, tmp, old)

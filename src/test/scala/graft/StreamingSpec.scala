@@ -1251,6 +1251,17 @@ class StreamingSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(out),
       new org.apache.hadoop.fs.Path(out + ".compact-old")))
+    // A REAL crash leaves the sentinel too — recovery must REFUSE under
+    // a present marker (live and crashed are indistinguishable; review
+    // r13), then resume the swap once the operator removes it.
+    val crashMarker = new org.apache.hadoop.fs.Path(out + ".compacting")
+    fs.create(crashMarker, false).close()
+    intercept[java.io.IOException] {
+      StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out)),
+      "a refused call must not have touched the crashed state")
+    fs.delete(crashMarker, false)
     StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
     assert(stored().count() == n,
       "crash recovery must restore the moved-aside store")
@@ -1271,7 +1282,14 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book,
         out, ckpt)
     }
-    assert(ex.getMessage != null || ex.getCause != null)
+    // The failure must be the SENTINEL refusal, not a coincidental error
+    // (review r13: a vacuous assert here would keep passing if the
+    // sentinel path construction broke while something else threw).
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("ingest refused")),
+      s"expected the sentinel refusal, got: $msgs")
     assert(stored().count() == n,
       "an ingest refused by the sentinel must commit nothing")
     fs.delete(sentinel, false)
