@@ -365,6 +365,69 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object GraftGearImpl {
+  final val Mask60: Long = (1L << 60) - 1
+  /** The 256-entry gear table: G(b) = the first 15 hex chars of
+    * md5(decimal string of b) as a 60-bit long — exactly what DuckDB's
+    * `CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS
+    * BIGINT)` parses, so both engines draw from the same deterministic
+    * table (the portable-hash discipline of [[GraftHashImpl.polyHash]]).
+    * Derived once at class load; no RNG anywhere. */
+  final val G: Array[Long] = Array.tabulate(256) { b =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(String.valueOf(b).getBytes("UTF-8"))
+    (BigInt(1, md.take(8)) >> 4).toLong
+  }
+
+  /** Content-defined chunk boundaries by GEAR rolling hash (FastCDC
+    * lineage, public): one O(1) table-lookup + shift + add per character
+    * — h := ((h << 1) + G(cp mod 256)) mod 2^60, boundary after
+    * position i iff (h AND 15) = 0 (mean chunk 16 chars, DDP-CDC's
+    * rate) and i is not the last character (no empty tail chunk,
+    * ddp_cdc's convention). Positions are 1-based code-point indexes.
+    *
+    * Shift-resistance identity the oracle exploits: because the update
+    * is a left shift, h's LOW 4 BITS depend on only the LAST 4
+    * characters — (Σ_{j=0..3} 2^j·G(c_{i−j})) mod 16 — so the boundary
+    * predicate is POSITIONALLY computable (the DuckDB twin's per-index
+    * lambda) while this one-pass loop pays O(1)/byte, vs the md5-window
+    * formulation's full digest per position (the ddp_cdc row's declared
+    * production swap). Identical substrings therefore align at
+    * identical relative boundaries once 4 characters deep — the CDC
+    * property itself. */
+  def boundaries(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var i = 0
+    var pos = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      pos += 1
+      h = ((h << 1) + G(cp & 0xff)) & Mask60
+      if ((h & 15L) == 0L && pos != n) cuts += pos
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
+  }
+}
+
+/** `graft_gear_cuts(str)` → array<int>: codegen'd gear-hash
+  * content-defined chunk boundaries (see [[GraftGearImpl.boundaries]]). */
+case class GearBoundaries(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_gear_cuts"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftGearImpl.boundaries(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftGearImpl.boundaries($c)")
+  override protected def withNewChildInternal(newChild: Expression): GearBoundaries =
+    copy(child = newChild)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -379,6 +442,7 @@ object GraftFunctions {
   def word_entropy(s: Column): Column = c(WordEntropy(e(s)))
   def first_sig_digit(v: Column): Column = c(FirstSigDigit(e(v)))
   def jaro_winkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
+  def gear_cuts(s: Column): Column = c(GearBoundaries(e(s)))
 }
 
 /** SQL registration via SparkSessionExtensions (the declared extension
@@ -419,5 +483,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gear_cuts"),
+      new ExpressionInfo(classOf[GearBoundaries].getName, "graft_gear_cuts"),
+      (args: Seq[Expression]) => GearBoundaries(args.head)))
   }
 }

@@ -5241,6 +5241,51 @@ object LlmOps {
             col("chunked_chars").cast("double")).as("dup_ratio")))
     }),
 
+    // ---- DDP-CDC-GEAR: gear-hash content-defined chunking
+    //      (`ddp_cdc_gear`) — ddp_cdc's declared production swap
+    //      EXECUTED (r13; FastCDC lineage, public): boundaries from the
+    //      codegen'd GearBoundaries Expression — ONE table lookup +
+    //      shift + add per character (O(1)/byte) instead of a full md5
+    //      digest per position — same mean chunk (1/16 rate), same
+    //      no-empty-tail convention, same census/dup-ratio semantics and
+    //      output shape as ddp_cdc, so the two rows read side by side.
+    //      The oracle exploits gear's shift identity: h's low 4 bits
+    //      depend on only the last 4 characters, so the boundary
+    //      predicate is positionally computable in SQL while the engine
+    //      side runs the one-pass rolling loop inside whole-stage
+    //      codegen (no explode, no per-position window relation at
+    //      all — the boundary scan is a single projection). ----
+    "ddp_cdc_gear" -> ((s, d) => {
+      val doc = load(s, d, "documents")
+      val base = doc.filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("int").as("n"),
+          graft.functions.GraftFunctions.gear_cuts(col("text")).as("bp"))
+      val cuts = concat(array(lit(0)), col("bp"), array(col("n")))
+      val chunks = base
+        .withColumn("cuts", cuts)
+        .select(col("doc_id"), col("lang"), explode(transform(
+          sequence(lit(1), size(col("cuts")) - 1), k =>
+            col("text").substr(element_at(col("cuts"), k) + 1,
+              element_at(col("cuts"), k + 1) - element_at(col("cuts"), k))))
+          .as("ck"))
+        .select(col("doc_id"), col("lang"), length(col("ck")).as("cl"),
+          md5(col("ck")).as("ch"))
+        .pinned // read by the census and the per-doc rollup
+      val census = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+      ordered(chunks.join(census, Seq("ch"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("cl").cast("long")).as("chunked_chars"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("cnt") >= 2, col("cl").cast("long")).otherwise(0L))
+            .as("dup_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chunks"),
+          col("chunked_chars"), col("n_dup_chunks"), col("dup_chars"),
+          dec4S(col("dup_chars").cast("double") /
+            col("chunked_chars").cast("double")).as("dup_ratio")))
+    }),
+
     // ---- CLS-1: in-engine quality-classifier training + fleet apply
     //      (`quality_lr`) — the DISCRIMINATIVE selector beside SEL-1's
     //      generative one (the GPT-3/PaLM recipe: train a linear
@@ -6096,6 +6141,48 @@ object LlmOps {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id
         |ORDER BY t.query_id NULLS FIRST, n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin,
+
+    // Gear twin: the boundary predicate uses the shift identity — low 4
+    // bits of the rolling hash = (Σ_{j=0..3} 2^j·G(c_{i−j})) mod 16 with
+    // missing leading terms 0 — so SQL computes it positionally from the
+    // per-char G table (md5 of the decimal code point mod 256, 15 hex
+    // chars — the engine's table derivation verbatim; only G mod 16
+    // matters here, which also keeps the 2^j products tiny).
+    "ddp_cdc_gear" ->
+      """WITH cs AS (
+        |  SELECT doc_id, lang, text, len(text) AS n FROM documents WHERE len(text) > 0
+        |), gl AS (
+        |  SELECT doc_id, lang, text, n,
+        |    list_transform(string_split(text, ''), c ->
+        |      CAST(concat('0x', substr(md5(CAST(ascii(c) % 256 AS VARCHAR)), 1, 15)) AS BIGINT) % 16) AS g
+        |  FROM cs
+        |), bnd AS (
+        |  SELECT doc_id, lang, text, n,
+        |    list_filter(range(1, n + 1), i -> i <> n AND (
+        |      g[i]
+        |      + (CASE WHEN i >= 2 THEN 2 * g[i - 1] ELSE 0 END)
+        |      + (CASE WHEN i >= 3 THEN 4 * g[i - 2] ELSE 0 END)
+        |      + (CASE WHEN i >= 4 THEN 8 * g[i - 3] ELSE 0 END)) % 16 = 0) AS bp
+        |  FROM gl
+        |), ck AS (
+        |  SELECT doc_id, lang, len(c) AS cl, md5(c) AS ch FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(cuts)), k ->
+        |      substr(text, CAST(cuts[k] + 1 AS INT), CAST(cuts[k + 1] - cuts[k] AS INT)))) AS c
+        |    FROM (SELECT doc_id, lang, text,
+        |      list_concat(list_concat([CAST(0 AS BIGINT)], bp), [CAST(n AS BIGINT)]) AS cuts FROM bnd))
+        |), census AS (
+        |  SELECT ch, COUNT(1) AS cnt FROM ck GROUP BY ch
+        |)
+        |SELECT ck.doc_id, ck.lang,
+        |  COUNT(1) AS n_chunks,
+        |  CAST(SUM(ck.cl) AS BIGINT) AS chunked_chars,
+        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(CAST(floor((CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(ck.cl) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
+        |FROM ck JOIN census ON ck.ch = census.ch
+        |GROUP BY ck.doc_id, ck.lang
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chunks NULLS FIRST, chunked_chars NULLS FIRST, n_dup_chunks NULLS FIRST, dup_chars NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
 
     "ddp_cdc" ->
       """WITH cs AS (

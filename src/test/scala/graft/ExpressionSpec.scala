@@ -256,6 +256,62 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("gear_cuts: HOF parity on every document; shift alignment; rate; codegen parity; SQL; edges") {
+    import graft.functions.GraftFunctions.gear_cuts
+    val doc = Tables.load(spark, sfDir, "documents")
+    // HOF reference: the positional low-4-bit identity — boundary after
+    // position i iff (Σ_{j=0..3} 2^j·G(c_{i−j})) mod 16 = 0 and i ≠ n,
+    // with G(b) mod 16 spelled exactly like the DuckDB twin (md5 of the
+    // decimal code point mod 256, 15 hex chars, low 4 bits).
+    def gl(c: org.apache.spark.sql.Column) =
+      transform(split(c, ""), ch =>
+        conv(substring(md5(pmod(ascii(ch), lit(256)).cast("string")), 1, 15),
+          16, 10).cast("long") % 16)
+    def hofCuts(c: org.apache.spark.sql.Column) = {
+      val g = gl(c)
+      filter(sequence(lit(1), size(g)), i =>
+        i =!= size(g) && (
+          element_at(g, i)
+          + when(i >= 2, lit(2L) * element_at(g, i - 1)).otherwise(0L)
+          + when(i >= 3, lit(4L) * element_at(g, i - 2)).otherwise(0L)
+          + when(i >= 4, lit(8L) * element_at(g, i - 3)).otherwise(0L)
+        ) % 16 === 0)
+    }
+    val base = doc.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        gear_cuts(col("text")).as("cuts"),
+        hofCuts(col("text")).cast("array<int>").as("ref"))
+    assert(base.filter(!(col("cuts") <=> col("ref"))).count() == 0,
+      "gear_cuts must equal the positional low-4-bit HOF formulation")
+    // Mean-rate sanity: boundary probability ~1/16 over the corpus.
+    val r = base.agg(
+      sum(size(col("cuts"))).as("nb"), sum(length(col("text"))).as("nc")).head()
+    val rate = r.getLong(0).toDouble / r.getLong(1)
+    assert(rate > 1.0 / 40 && rate < 1.0 / 8, s"boundary rate $rate off ~1/16")
+    // THE CDC property, crafted: prepend 3 chars to a doc — boundaries
+    // 4+ characters into the shared suffix must align at shifted
+    // positions (identical content → identical cuts regardless of
+    // offset; a fixed-grid chunker fails exactly this).
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "xy " + a
+    val Seq(ca, cb) = Seq(a, b).map(t =>
+      spark.range(1).select(gear_cuts(lit(t))).head()
+        .getSeq[Int](0).toList)
+    val deep = ca.filter(_ > 4)
+    assert(deep.nonEmpty, "probe text must produce a deep boundary")
+    assert(deep.forall(p => cb.contains(p + 3)),
+      s"shifted content must keep its boundaries: $ca vs $cb")
+    // Codegen/interpreted parity.
+    def cutsOf() = base.select(col("doc_id"), col("cuts")).limit(50)
+      .collect().map(r2 => (r2.getLong(0), r2.getSeq[Int](1).toList)).toSet
+    assert(cutsOf() == interpretedOnly(cutsOf()))
+    // SQL registration + null propagation + empty/short edges: a 1-char
+    // string has no legal cut (the only position is the last char).
+    val row = spark.sql(
+      "SELECT graft_gear_cuts('a'), graft_gear_cuts(NULL), graft_gear_cuts('')").head()
+    assert(row.getSeq[Int](0).isEmpty && row.isNullAt(1) && row.getSeq[Int](2).isEmpty)
+  }
+
   test("morton_code equals the bit-by-bit interleave reference") {
     import graft.functions.GraftFunctions.morton_code
     def ref(x: Long, y: Long): Long = {
