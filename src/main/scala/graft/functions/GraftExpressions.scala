@@ -397,7 +397,6 @@ object GraftGearImpl {
     * property itself. */
   def boundaries(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.codePointCount(0, str.length)
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Any]
     var h = 0L
     var i = 0
@@ -406,8 +405,12 @@ object GraftGearImpl {
       val cp = str.codePointAt(i)
       pos += 1
       h = ((h << 1) + G(cp & 0xff)) & Mask60
-      if ((h & 15L) == 0L && pos != n) cuts += pos
       i += Character.charCount(cp)
+      // i is already past this code point, so i < length ⟺ not the last
+      // position — no codePointCount pre-pass (review r13: the pre-pass
+      // decoded every code point a second time in the loop whose whole
+      // point is the per-byte constant).
+      if ((h & 15L) == 0L && i < str.length) cuts += pos
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
   }

@@ -504,6 +504,63 @@ object LlmOps {
     (merges.toSeq, rounds)
   }
 
+  /** The CDC chunk-extraction pass shared by `ddp_cdc` and `ddp_cdc_gear`
+    * (review r13 — the census semantics must have ONE definition): from
+    * (doc_id, lang, text, cuts sorted int positions incl. 0 and n) to one
+    * (doc_id, lang, cl, ch) row per chunk. */
+  private def cdcChunkRows(withCuts: DataFrame): DataFrame =
+    withCuts.select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(col("cuts")) - 1), k =>
+          col("text").substr(element_at(col("cuts"), k) + 1,
+            element_at(col("cuts"), k + 1) - element_at(col("cuts"), k))))
+        .as("ck"))
+      .select(col("doc_id"), col("lang"), length(col("ck")).as("cl"),
+        md5(col("ck")).as("ch"))
+
+  /** The CDC census/per-doc rollup tail shared by `ddp_cdc` and
+    * `ddp_cdc_gear`: instance census over chunk hashes + the per-doc
+    * chunk/char/dup accounting and dec4 dup ratio. `chunks` should be
+    * pinned by the caller (read by the census and the rollup). */
+  private def cdcCensus(chunks: DataFrame): DataFrame = {
+    val census = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    chunks.join(census, Seq("ch"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("cl").cast("long")).as("chunked_chars"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("cnt") >= 2, col("cl").cast("long")).otherwise(0L))
+          .as("dup_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chunks"),
+        col("chunked_chars"), col("n_dup_chunks"), col("dup_chars"),
+        dec4S(col("dup_chars").cast("double") /
+          col("chunked_chars").cast("double")).as("dup_ratio"))
+  }
+
+  /** The DuckDB spelling of [[cdcChunkRows]] + [[cdcCensus]] — the shared
+    * oracle tail from the `ck` CTE through the final ORDER BY; callers
+    * prepend their `cs`/boundary CTEs ending in `bnd(doc_id, lang, text,
+    * n, bp)`. */
+  private lazy val duckCdcTail: String =
+    """ck AS (
+      |  SELECT doc_id, lang, len(c) AS cl, md5(c) AS ch FROM (
+      |    SELECT doc_id, lang, unnest(list_transform(range(1, len(cuts)), k ->
+      |      substr(text, CAST(cuts[k] + 1 AS INT), CAST(cuts[k + 1] - cuts[k] AS INT)))) AS c
+      |    FROM (SELECT doc_id, lang, text,
+      |      list_concat(list_concat([CAST(0 AS BIGINT)], bp), [CAST(n AS BIGINT)]) AS cuts FROM bnd))
+      |), census AS (
+      |  SELECT ch, COUNT(1) AS cnt FROM ck GROUP BY ch
+      |)
+      |SELECT ck.doc_id, ck.lang,
+      |  COUNT(1) AS n_chunks,
+      |  CAST(SUM(ck.cl) AS BIGINT) AS chunked_chars,
+      |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS BIGINT) AS dup_chars,
+      |  CAST(CAST(floor((CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(ck.cl) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
+      |FROM ck JOIN census ON ck.ch = census.ch
+      |GROUP BY ck.doc_id, ck.lang
+      |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chunks NULLS FIRST, chunked_chars NULLS FIRST, n_dup_chunks NULLS FIRST, dup_chars NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin
+
   /** Spread a narrow-scan table across cores before an expensive per-row
     * projection. The documents table is one parquet split at test scale,
     * so shingling/hashing otherwise runs at scan parallelism = 1; the
@@ -5217,28 +5274,9 @@ object LlmOps {
         .agg(sort_array(collect_list(col("i").cast("int"))).as("bp"))
       val cuts = concat(array(lit(0)),
         coalesce(col("bp"), array().cast("array<int>")), array(col("n")))
-      val chunks = base.join(bps, Seq("doc_id"), "left")
-        .withColumn("cuts", cuts)
-        .select(col("doc_id"), col("lang"), explode(transform(
-          sequence(lit(1), size(col("cuts")) - 1), k =>
-            col("text").substr(element_at(col("cuts"), k) + 1,
-              element_at(col("cuts"), k + 1) - element_at(col("cuts"), k))))
-          .as("ck"))
-        .select(col("doc_id"), col("lang"), length(col("ck")).as("cl"),
-          md5(col("ck")).as("ch"))
-        .pinned // read by the census and the per-doc rollup
-      val census = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-      ordered(chunks.join(census, Seq("ch"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("cl").cast("long")).as("chunked_chars"),
-          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
-          sum(when(col("cnt") >= 2, col("cl").cast("long")).otherwise(0L))
-            .as("dup_chars"))
-        .select(col("doc_id"), col("lang"), col("n_chunks"),
-          col("chunked_chars"), col("n_dup_chunks"), col("dup_chars"),
-          dec4S(col("dup_chars").cast("double") /
-            col("chunked_chars").cast("double")).as("dup_ratio")))
+      ordered(cdcCensus(cdcChunkRows(
+        base.join(bps, Seq("doc_id"), "left").withColumn("cuts", cuts))
+        .pinned))
     }),
 
     // ---- DDP-CDC-GEAR: gear-hash content-defined chunking
@@ -5262,28 +5300,7 @@ object LlmOps {
           length(col("text")).cast("int").as("n"),
           graft.functions.GraftFunctions.gear_cuts(col("text")).as("bp"))
       val cuts = concat(array(lit(0)), col("bp"), array(col("n")))
-      val chunks = base
-        .withColumn("cuts", cuts)
-        .select(col("doc_id"), col("lang"), explode(transform(
-          sequence(lit(1), size(col("cuts")) - 1), k =>
-            col("text").substr(element_at(col("cuts"), k) + 1,
-              element_at(col("cuts"), k + 1) - element_at(col("cuts"), k))))
-          .as("ck"))
-        .select(col("doc_id"), col("lang"), length(col("ck")).as("cl"),
-          md5(col("ck")).as("ch"))
-        .pinned // read by the census and the per-doc rollup
-      val census = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-      ordered(chunks.join(census, Seq("ch"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("cl").cast("long")).as("chunked_chars"),
-          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
-          sum(when(col("cnt") >= 2, col("cl").cast("long")).otherwise(0L))
-            .as("dup_chars"))
-        .select(col("doc_id"), col("lang"), col("n_chunks"),
-          col("chunked_chars"), col("n_dup_chunks"), col("dup_chars"),
-          dec4S(col("dup_chars").cast("double") /
-            col("chunked_chars").cast("double")).as("dup_ratio")))
+      ordered(cdcCensus(cdcChunkRows(base.withColumn("cuts", cuts)).pinned))
     }),
 
     // ---- CLS-1: in-engine quality-classifier training + fleet apply
@@ -6149,7 +6166,7 @@ object LlmOps {
     // chars — the engine's table derivation verbatim; only G mod 16
     // matters here, which also keeps the 2^j products tiny).
     "ddp_cdc_gear" ->
-      """WITH cs AS (
+      s"""WITH cs AS (
         |  SELECT doc_id, lang, text, len(text) AS n FROM documents WHERE len(text) > 0
         |), gl AS (
         |  SELECT doc_id, lang, text, n,
@@ -6164,28 +6181,10 @@ object LlmOps {
         |      + (CASE WHEN i >= 3 THEN 4 * g[i - 2] ELSE 0 END)
         |      + (CASE WHEN i >= 4 THEN 8 * g[i - 3] ELSE 0 END)) % 16 = 0) AS bp
         |  FROM gl
-        |), ck AS (
-        |  SELECT doc_id, lang, len(c) AS cl, md5(c) AS ch FROM (
-        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(cuts)), k ->
-        |      substr(text, CAST(cuts[k] + 1 AS INT), CAST(cuts[k + 1] - cuts[k] AS INT)))) AS c
-        |    FROM (SELECT doc_id, lang, text,
-        |      list_concat(list_concat([CAST(0 AS BIGINT)], bp), [CAST(n AS BIGINT)]) AS cuts FROM bnd))
-        |), census AS (
-        |  SELECT ch, COUNT(1) AS cnt FROM ck GROUP BY ch
-        |)
-        |SELECT ck.doc_id, ck.lang,
-        |  COUNT(1) AS n_chunks,
-        |  CAST(SUM(ck.cl) AS BIGINT) AS chunked_chars,
-        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS BIGINT) AS dup_chars,
-        |  CAST(CAST(floor((CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS DOUBLE) /
-        |    CAST(SUM(ck.cl) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
-        |FROM ck JOIN census ON ck.ch = census.ch
-        |GROUP BY ck.doc_id, ck.lang
-        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chunks NULLS FIRST, chunked_chars NULLS FIRST, n_dup_chunks NULLS FIRST, dup_chars NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
+        |), $duckCdcTail""".stripMargin,
 
     "ddp_cdc" ->
-      """WITH cs AS (
+      s"""WITH cs AS (
         |  SELECT doc_id, lang, text, len(text) AS n FROM documents WHERE len(text) > 0
         |), bnd AS (
         |  SELECT doc_id, lang, text, n,
@@ -6193,25 +6192,7 @@ object LlmOps {
         |      i <> n AND substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1) = '0')
         |    ELSE [] END AS bp
         |  FROM cs
-        |), ck AS (
-        |  SELECT doc_id, lang, len(c) AS cl, md5(c) AS ch FROM (
-        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(cuts)), k ->
-        |      substr(text, CAST(cuts[k] + 1 AS INT), CAST(cuts[k + 1] - cuts[k] AS INT)))) AS c
-        |    FROM (SELECT doc_id, lang, text,
-        |      list_concat(list_concat([CAST(0 AS BIGINT)], bp), [CAST(n AS BIGINT)]) AS cuts FROM bnd))
-        |), census AS (
-        |  SELECT ch, COUNT(1) AS cnt FROM ck GROUP BY ch
-        |)
-        |SELECT ck.doc_id, ck.lang,
-        |  COUNT(1) AS n_chunks,
-        |  CAST(SUM(ck.cl) AS BIGINT) AS chunked_chars,
-        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-        |  CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS BIGINT) AS dup_chars,
-        |  CAST(CAST(floor((CAST(SUM(CASE WHEN census.cnt >= 2 THEN ck.cl ELSE 0 END) AS DOUBLE) /
-        |    CAST(SUM(ck.cl) AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS dup_ratio
-        |FROM ck JOIN census ON ck.ch = census.ch
-        |GROUP BY ck.doc_id, ck.lang
-        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chunks NULLS FIRST, chunked_chars NULLS FIRST, n_dup_chunks NULLS FIRST, dup_chars NULLS FIRST, dup_ratio NULLS FIRST""".stripMargin,
+        |), $duckCdcTail""".stripMargin,
 
     // DuckDB twin of the 5-round sparse relational GD: identical feature
     // stream as dsir_select, per-bucket moments, and per round the same

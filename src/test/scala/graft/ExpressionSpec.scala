@@ -267,8 +267,12 @@ class ExpressionSpec extends AnyFunSuite {
       transform(split(c, ""), ch =>
         conv(substring(md5(pmod(ascii(ch), lit(256)).cast("string")), 1, 15),
           16, 10).cast("long") % 16)
-    def hofCuts(c: org.apache.spark.sql.Column) = {
-      val g = gl(c)
+    // g is MATERIALIZED as a column before the filter lambda references
+    // it (5 references per position): HOFs re-evaluate captured subtrees
+    // per element, and an inline g would re-run the per-char md5
+    // transform O(n) times per position — the repo's own ddp_cdc PLAN
+    // LESSON (review r13).
+    def hofCuts(g: org.apache.spark.sql.Column) =
       filter(sequence(lit(1), size(g)), i =>
         i =!= size(g) && (
           element_at(g, i)
@@ -276,11 +280,12 @@ class ExpressionSpec extends AnyFunSuite {
           + when(i >= 3, lit(4L) * element_at(g, i - 2)).otherwise(0L)
           + when(i >= 4, lit(8L) * element_at(g, i - 3)).otherwise(0L)
         ) % 16 === 0)
-    }
-    val base = doc.filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
-        gear_cuts(col("text")).as("cuts"),
-        hofCuts(col("text")).cast("array<int>").as("ref"))
+    val base = graft.core.Tables.pin(doc.filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          gear_cuts(col("text")).as("cuts"), gl(col("text")).as("g")))
+      // pin: CollapseProject would otherwise re-inline g into the lambda
+      .select(col("doc_id"), col("text"), col("cuts"),
+        hofCuts(col("g")).cast("array<int>").as("ref"))
     assert(base.filter(!(col("cuts") <=> col("ref"))).count() == 0,
       "gear_cuts must equal the positional low-4-bit HOF formulation")
     // Mean-rate sanity: boundary probability ~1/16 over the corpus.
