@@ -96,13 +96,24 @@ object Bench {
     def sentinelOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
-      try spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .filter(col("l_quantity") > 25)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val e = (System.nanoTime() - t0) / 1e9
+      // A failed probe ships -1.0, NOT its time-to-abort (ADVICE r13): a
+      // missing lineitem.parquet or transient read error aborts in
+      // near-zero time, and a plausible-looking tiny sample would read as
+      // a spurious regime shift downstream; true_floors.py treats
+      // non-positive samples as absent and falls back to the rest of the
+      // triple.
+      val e =
+        try {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .filter(col("l_quantity") > 25)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] sentinel probe FAILED: ${t.getMessage}")
+          -1.0
+        }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -239,6 +250,12 @@ object Bench {
         } else name -> t
       }
     }
+    // A focused SPARK_GRAFT_ONLY run selecting zero queries never reaches
+    // the mid-board index (and a one-query run fires it before the query);
+    // measure the mid sample here rather than shipping mid:0.0, which
+    // true_floors.py would have to treat as an incomplete triple (ADVICE
+    // r13). -1.0 (a failed probe) is a real marker and is NOT re-measured.
+    if (sentinelMid == 0.0) sentinelMid = sentinelOnce()
     val sentinelEnd = sentinelOnce()
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
