@@ -334,6 +334,35 @@ object Relational {
           count(lit(1)).as("n_months")))
     }),
 
+    // ---- AGG-14: re-aggregatable QUANTILE sketch (`agg_qsketch`) — the
+    //      percentile analog of AGG-13's HLL cube (r13 verdict task 5):
+    //      exact percentiles don't re-aggregate (AGG-9/WIN-9 recompute
+    //      from raw values — impossible for a 100 TB rolling p99), so the
+    //      engine ships a MERGEABLE deterministic Munro–Paterson summary
+    //      as a TypedImperativeAggregate ([[graft.functions.QSketch]]):
+    //      per-partition sketches combine map-side, stored per-group
+    //      sketches union into any coarser rollup, and the shuffle
+    //      carries O(k·log(n/k)) longs per group, never the values.
+    //      Values enter on the exact cents grid (dec2 int64) so the
+    //      summary is integer end-to-end. Like agg_approx this cannot be
+    //      oracle-hashed (engine-specific sketch, §2.7): ApproxSpec gates
+    //      the ε-rank-bound vs exact percentiles per group, GraftLaws
+    //      pins merge associativity within the same bound; the driver
+    //      records a rows-only check. ----
+    "agg_qsketch" -> ((s, d) => {
+      import graft.functions.QuantileSketch.quantile_sketch
+      val l = load(s, d, "lineitem")
+      val cents = floor(col("l_extendedprice").cast("double") * 100.0 + 0.5)
+        .cast("long")
+      ordered(l.groupBy(col("l_returnflag"))
+        .agg(quantile_sketch(cents, 0.5, 0.99).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          dec4S(element_at(col("qs"), 1).cast("double") / 100.0).as("p50"),
+          dec4S(element_at(col("qs"), 2).cast("double") / 100.0).as("p99"),
+          col("n")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")

@@ -93,4 +93,40 @@ class ApproxSpec extends AnyFunSuite {
         s"$prio: union-of-partials $est != direct sketch ${direct(prio)} — merge is lossy")
     }
   }
+
+  test("agg_qsketch: mergeable quantile estimates within the rank bound of exact per group") {
+    // AGG-14's ε-rank-bound gate (the agg_approx percentile discipline
+    // applied to the engine's own Munro–Paterson summary): the sketch
+    // runs distributed (ObjectHashAggregate partial → shuffle merge), so
+    // a pass certifies the whole monoid path, not just the driver math.
+    // ε ≈ log₂(n/K)/K ≈ 2.5% at K=256 over these group sizes; the 6%
+    // window is the can't-flake cushion and still orders of magnitude
+    // under a broken sketch.
+    val est = graft.queries.Relational.all("agg_qsketch")(spark, TestSpark.sfDir)
+      .select(col("l_returnflag"), col("p50").cast("double"),
+        col("p99").cast("double"), col("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).cache()
+    try {
+      val groups = li.select(col("l_returnflag")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(est.keySet == groups, "group sets differ")
+      for (flag <- groups) {
+        val values = li.filter(col("l_returnflag") === flag)
+          .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+        val n = values.length.toLong
+        val row = est(flag)
+        assert(row.getLong(3) == n, s"$flag: exact count passthrough mismatch")
+        val slack = math.max(3L, (0.06 * n).round)
+        for ((p, v) <- Seq(0.5 -> row.getDouble(1), 0.99 -> row.getDouble(2))) {
+          val target = math.max(1L, math.ceil(p * n).toLong)
+          val lo = values.count(_ < v - 1e-6)
+          val hi = values.count(_ <= v + 1e-6)
+          assert(target >= lo - slack && target <= hi + slack,
+            s"$flag p$p: value $v has rank window [$lo,$hi], target $target ± $slack")
+        }
+      }
+    } finally li.unpersist()
+  }
 }

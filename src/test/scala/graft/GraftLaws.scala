@@ -123,6 +123,41 @@ object GraftLaws extends Properties("graft.laws") {
       sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L) && sigs(1L).length == 8
     }
 
+  property("QSketch: merge is associative within the rank bound; x10 merge tree holds it") =
+    forAll(Gen.listOfN(3, Gen.listOfN(300, Gen.choose(-100000L, 100000L)))) { chunks =>
+      import graft.functions.QSketch
+      def build(xs: Seq[Long]): QSketch.State =
+        xs.foldLeft(new QSketch.State())(QSketch.update)
+      // merge() mutates its left argument, so every grouping gets fresh
+      // builds — the law is about the SUMMARY algebra, not buffer reuse.
+      val all = chunks.flatten.sorted
+      val n = all.length
+      def rankOk(est: Long, q: Double): Boolean = {
+        // ε ≈ log2(n/K)/K is sub-1% at these sizes; the 5%·n window (min
+        // 3) is the can't-flake cushion, still far below a broken sketch.
+        val slack = math.max(3L, (0.05 * n).round)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val lo = all.count(_ < est)
+        val hi = all.count(_ <= est)
+        target >= lo - slack && target <= hi + slack
+      }
+      val Seq(a, b, c) = chunks
+      val leftAssoc = QSketch.merge(QSketch.merge(build(a), build(b)), build(c))
+      val rightAssoc = QSketch.merge(build(a), QSketch.merge(build(b), build(c)))
+      // x10 merge tree: the same rows split into 10 chunk-sketches and
+      // merged pairwise-tree-wise — the 100 TB rollup shape (AGG-13's
+      // union story applied to quantiles).
+      val tree = all.grouped(math.max(1, n / 10)).map(build)
+        .reduce(QSketch.merge)
+      val qs = Seq(0.1, 0.5, 0.9)
+      leftAssoc.n == n && rightAssoc.n == n && tree.n == n &&
+        qs.forall { q =>
+          rankOk(QSketch.quantile(leftAssoc, q), q) &&
+            rankOk(QSketch.quantile(rightAssoc, q), q) &&
+            rankOk(QSketch.quantile(tree, q), q)
+        }
+    }
+
   private val asciiStr = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
 
   property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>

@@ -327,6 +327,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the 10 seed vectors must ride along with the sample")
   }
 
+  test("quantizer FIXED-SIZE training cap: capped recall within band; training set exactly capped") {
+    // SIM-CAP (r13 verdict task 1 — the knob the rate-keyed sample left
+    // unexecuted): the training population is seeds ∪ the K smallest
+    // (content-hash, vec_id) vectors, K = 256, so the training job stops
+    // scaling with the corpus ENTIRELY while encode/search stay full
+    // scans. The law pins (a) the cap-trained index still retrieves far
+    // above chance, (b) drift vs full-train bounded at the sample law's
+    // band, and (c) the training set is EXACTLY capped: |slice| ∈
+    // [K, K + seeds] at every corpus size with corpus > K. Measured truth
+    // at sf0.01: PQ cap 0.600 vs full 0.667 (= the rate sample's 0.600),
+    // SQ cap 0.867 vs full 0.933 — a ≤0.07 recall cost for a CONSTANT
+    // training term.
+    def meanRecall(q: String): Double =
+      SparkEntry.queries(q)(spark, sfDir)
+        .agg(avg(col("n_hit").cast("double") / 3.0)).collect()(0).getDouble(0)
+    val pqFull = meanRecall("ivf_pq_eval")
+    val pqCap = meanRecall("ivf_pq_cap_eval")
+    val sqFull = meanRecall("ivf_sq_eval")
+    val sqCap = meanRecall("ivf_sq_cap_eval")
+    info(f"recall@3 PQ full=$pqFull%.3f capped=$pqCap%.3f | SQ full=$sqFull%.3f capped=$sqCap%.3f")
+    assert(pqCap >= 0.5, s"cap-trained PQ must retrieve (recall $pqCap)")
+    assert(sqCap >= 0.5, s"cap-trained SQ must retrieve (recall $sqCap)")
+    assert(math.abs(pqFull - pqCap) <= 0.30,
+      s"PQ fixed-size-cap drift beyond the measured band: $pqFull vs $pqCap")
+    assert(math.abs(sqFull - sqCap) <= 0.30,
+      s"SQ fixed-size-cap drift beyond the measured band: $sqFull vs $sqCap")
+    // The cap BINDS: |slice| is between K (all seeds under the threshold)
+    // and K + 10 (no seed under it), independent of corpus size — the
+    // fixed-training-job property the row exists for.
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val k = graft.queries.LlmOps.capTrainK
+    assert(emb.count() > k, "corpus must exceed K for the cap law to bind")
+    val slice = graft.queries.LlmOps.embCapTrain(emb)
+    val nc = slice.count()
+    assert(nc >= k && nc <= k + 10, s"capped slice size $nc outside [$k, ${k + 10}]")
+    assert(slice.filter(col("vec_id") < 10).count() == 10,
+      "the 10 seed vectors must ride along with the capped slice")
+  }
+
   test("dsir_select: target slice scores highest; flag consistent; census exact") {
     val out = SparkEntry.queries("dsir_select")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
