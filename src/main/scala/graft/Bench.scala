@@ -83,6 +83,42 @@ object Bench {
         .groupBy(col("event_type")).agg(count(col("rn")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // UNTIMED build pre-pass (r13 verdict task 3): force every
+    // Warehouse.once dataset BEFORE any query is timed, so board samples
+    // measure steady state only. Previously each one-time build landed
+    // inside whichever consumer ran first (desc-by-prior order put the
+    // gram+model build on lr_eval this round, +18% on unchanged code),
+    // and an order change could migrate a multi-second build onto a
+    // sub-second query and fake a 2x floor breach. Build costs stay
+    // visible: each is timed here and shipped as board["builds"].
+    // Full board only — a focused/smoke run is an iteration loop and
+    // should not pay ~20 builds for 1-20 queries (set
+    // SPARK_GRAFT_PREBUILD=1 to force, e.g. when profiling a
+    // build-consuming query's steady state in isolation).
+    val fullBoard = only.isEmpty && board.isEmpty
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (fullBoard || sys.env.contains("SPARK_GRAFT_PREBUILD")) {
+      val all = graft.queries.Relational.prebuilds ++
+        graft.queries.Events.prebuilds ++ graft.queries.Ingestion.prebuilds ++
+        graft.queries.Pruning.prebuilds ++ graft.queries.LlmOps.prebuilds
+      all.foreach { case (name, force) =>
+        val t0 = System.nanoTime()
+        try {
+          force(spark, sfDir)
+          builds(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable =>
+          // A failed build is NOT fatal to the board: its consumers will
+          // retry it inline (and fail visibly there if it is real).
+          System.err.println(s"[bench] prebuild $name FAILED: ${t.getMessage}")
+        }
+      }
+      // Same epilogue as a measurement: whatever the builds cached or
+      // checkpointed must not ride into the first timed query.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // Machine-regime SENTINEL (r12 verdict task 4): one tiny FIXED-SHAPE
     // probe (scan + map-side-combined agg on lineitem — no window, no
     // join, ~0.2 s steady) timed at board start / middle / end with the
@@ -263,7 +299,12 @@ object Bench {
     val total = results.map(_._2).sum
     def names(b: scala.collection.Seq[String]) = b.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sent = s"""{"start":${r3(sentinelStart)},"mid":${r3(sentinelMid)},"end":${r3(sentinelEnd)}}"""
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${names(failed)},"rerun_failed":${names(rerunFailed)},"sentinel":$sent,"sf":"$sfDir"}"""
+    // One-time Warehouse builds, timed in the untimed pre-pass above —
+    // separate from query samples by design (floors read "queries" only;
+    // "builds" is the amortized-term ledger a human or the judge reads).
+    val bjs = builds.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${names(failed)},"rerun_failed":${names(rerunFailed)},"sentinel":$sent,"builds":$bjs,"sf":"$sfDir"}"""
     // The r4 driver failed to parse the bench output: the one JSON line
     // (87 full-precision timings) overflowed its stdout tail-capture
     // window. Belt and braces: persist the document to a file the driver
@@ -284,7 +325,6 @@ object Bench {
     // ... and only for a CLEAN one: a full-selection run with failures
     // drops those queries from `results`, which is the same partial-board
     // clobber via result completeness instead of selection (review r12).
-    val fullBoard = selected.size == SparkEntry.queries.size
     val boardOut = sys.env.get("SPARK_GRAFT_BOARD_OUT").filter { f =>
       if (!fullBoard) System.err.println(
         s"[bench] ignoring SPARK_GRAFT_BOARD_OUT=$f: partial board " +

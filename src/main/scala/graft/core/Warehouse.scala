@@ -30,6 +30,14 @@ object Warehouse {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
+  /** Per-build wall seconds, keyed by dataset name, recorded as each
+    * [[once]] body completes. Bench's untimed pre-pass reads this after
+    * forcing every registered build so the board JSON can ship
+    * `"builds"` separately from query samples (r13 verdict task 3:
+    * one-time builds were landing inside whichever query ran first —
+    * stderr-stamped but invisible to floor adjudication). */
+  val buildSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   // Every dir this process builds is deleted at JVM exit: the pid suffix
   // that isolates concurrent processes also means no other process can be
   // reading our copies, so cleanup is always safe — and without it every
@@ -61,9 +69,11 @@ object Warehouse {
       write(out)
       // Build-cost observability: memoized builds hide inside whichever
       // query runs first; the one-line stderr stamp keeps the amortized
-      // term attributable when reading Bench/Prof output.
-      System.err.println(
-        f"[warehouse] built $name in ${(System.nanoTime() - t0) / 1e9}%.2f s ($srcDir)")
+      // term attributable when reading Bench/Prof output, and the
+      // buildSecs entry lets Bench ship the cost in the board JSON.
+      val secs = (System.nanoTime() - t0) / 1e9
+      buildSecs.put(name, secs)
+      System.err.println(f"[warehouse] built $name in $secs%.2f s ($srcDir)")
       out
     })).value
 }

@@ -1871,4 +1871,9 @@ object Events {
         |GROUP BY user_id, session_id
         |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST, session_start NULLS FIRST, session_end NULLS FIRST, sum_value NULLS FIRST""".stripMargin
   )
+
+  /** Every [[graft.core.Warehouse.once]] dataset this module owns, as
+    * (name, forcing thunk) — see [[LlmOps.prebuilds]]. */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "events_zorder" -> ((s, d) => { zorderEvents(s, d); () }))
 }

@@ -640,4 +640,16 @@ object Ingestion {
         |FROM j
         |ORDER BY o_orderkey NULLS FIRST, change NULLS FIRST, price_before NULLS FIRST, price_after NULLS FIRST""".stripMargin
   )
+
+  /** Every [[graft.core.Warehouse.once]] dataset this module owns, as
+    * (name, forcing thunk) — see [[LlmOps.prebuilds]]. */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "orders_evolve" -> ((s, d) => { evolveOrders(s, d); () }),
+    "orders_snap" -> ((s, d) => { snapshotOrders(s, d); () }),
+    "orders_diff" -> ((s, d) => { diffOrders(s, d); () }),
+    "orders_orc" -> ((s, d) => { orcOrders(s, d); () }),
+    "orders_avro" -> ((s, d) => { avroOrders(s, d); () }),
+    "orders_xml" -> ((s, d) => { xmlOrders(s, d); () }),
+    "orders_derby" -> ((s, d) => { jdbcOrders(s, d); () }),
+    "orders_upsert_derby" -> ((s, d) => { upsertOrders(s, d); () }))
 }

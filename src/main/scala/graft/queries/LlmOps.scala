@@ -2312,6 +2312,12 @@ object LlmOps {
       buildIvfAdcStreamStore(s, d, out)
     }
 
+  /** The streamed SQ8 store, memoized like [[ivfPqStreamStoreRoot]]. */
+  private[graft] def ivfSqStreamStoreRoot(s: SparkSession, d: String): String =
+    graft.core.Warehouse.once(d, "ivfsq_stream") { out =>
+      buildIvfSqStreamStore(s, d, out)
+    }
+
   /** STR-IVF-SEARCH core: search the streamed IVFADC store under
     * ivf_pq's exact output contract. `distinctGuard = true` is the gated
     * path: DISTINCT guards ADC correctness against at-least-once residue
@@ -2326,7 +2332,7 @@ object LlmOps {
   private[graft] def ivfPqStreamSearch(s: SparkSession, d: String,
       distinctGuard: Boolean): DataFrame = {
     val root = ivfPqStreamStoreRoot(s, d)
-    val state0 = s.read.parquet(s"$root/store")
+    val state0 = graft.streaming.StreamOps.readStore(s, s"$root/store")
       .select(col("vec_id").as("neighbor_id"),
         col("cell").as("cell_label"), col("sp"), col("cw"), col("vn"))
     val state = if (distinctGuard) state0.distinct() else state0
@@ -2856,13 +2862,11 @@ object LlmOps {
     //      With ivf_pq_stream this closes BOTH quantization families'
     //      maintenance-drift channels. ----
     "ivf_sq_stream" -> ((s, d) => {
-      val root = graft.core.Warehouse.once(d, "ivfsq_stream") { out =>
-        buildIvfSqStreamStore(s, d, out)
-      }
+      val root = ivfSqStreamStoreRoot(s, d)
       // DISTINCT guards the ADC against at-least-once residue
       // (ivf_pq_stream's rationale — a duplicated state row would let a
       // neighbor occupy two shortlist slots).
-      val state = s.read.parquet(s"$root/store")
+      val state = graft.streaming.StreamOps.readStore(s, s"$root/store")
         .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_label"),
           col("nq"), col("vn"))
         .distinct()
@@ -8351,4 +8355,20 @@ object LlmOps {
         |FROM m
         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_masked NULLS FIRST, n_distinct_pii NULLS FIRST, masked_md5 NULLS FIRST""".stripMargin
   )
+
+  /** Every [[graft.core.Warehouse.once]] dataset this module owns, as
+    * (name, forcing thunk) — Bench's untimed pre-pass runs these so board
+    * samples measure steady state only (r13 verdict task 3: `lr_eval`
+    * absorbed the gram+model build because it happened to run first). */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "gram_buckets" -> ((s, d) => { gramBucketsOnce(s, d); () }),
+    "lr_model" -> ((s, d) => { lrTrain(s, d); () }),
+    "ivf_centroids" -> ((s, d) => { centroidsOnce(s, d); () }),
+    "pq_book_xq" -> ((s, d) => { pqBookOnce(s, d); () }),
+    "ivf_centroids_sample" -> ((s, d) => { centroidsSampleOnce(s, d); () }),
+    "pq_book_xq_sample" -> ((s, d) => { pqBookSampleOnce(s, d); () }),
+    "ivf_centroids_cap" -> ((s, d) => { centroidsCapOnce(s, d); () }),
+    "pq_book_xq_cap" -> ((s, d) => { pqBookCapOnce(s, d); () }),
+    "ivfadc_stream" -> ((s, d) => { ivfPqStreamStoreRoot(s, d); () }),
+    "ivfsq_stream" -> ((s, d) => { ivfSqStreamStoreRoot(s, d); () }))
 }

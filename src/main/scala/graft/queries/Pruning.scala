@@ -87,4 +87,9 @@ object Pruning {
         |GROUP BY 1, 2
         |ORDER BY o_year NULLS FIRST, r_name NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST""".stripMargin
   )
+
+  /** Every [[graft.core.Warehouse.once]] dataset this module owns, as
+    * (name, forcing thunk) — see [[LlmOps.prebuilds]]. */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "orders_by_year" -> ((s, d) => { partitionedOrders(s, d); () }))
 }

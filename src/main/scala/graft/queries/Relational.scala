@@ -334,7 +334,7 @@ object Relational {
           count(lit(1)).as("n_months")))
     }),
 
-    // ---- AGG-14: re-aggregatable QUANTILE sketch (`agg_qsketch`) — the
+    // ---- AGG-19: re-aggregatable QUANTILE sketch (`agg_qsketch`) — the
     //      percentile analog of AGG-13's HLL cube (r13 verdict task 5):
     //      exact percentiles don't re-aggregate (AGG-9/WIN-9 recompute
     //      from raw values — impossible for a 100 TB rolling p99), so the
@@ -2499,4 +2499,11 @@ object Relational {
         |GROUP BY 1, 4
         |ORDER BY bucket NULLS FIRST, n_orders NULLS FIRST, sum_price NULLS FIRST, bucket_lo NULLS FIRST""".stripMargin
   )
+
+  /** Every [[graft.core.Warehouse.once]] dataset this module owns, as
+    * (name, forcing thunk) — see [[LlmOps.prebuilds]]. bucket_tables
+    * includes the catalog registration that happens OUTSIDE the once
+    * block, so forcing it here also pre-registers the bucketed tables. */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "bucket_tables" -> ((s, d) => { bucketedTables(s, d); () }))
 }

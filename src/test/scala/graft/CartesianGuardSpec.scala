@@ -160,6 +160,12 @@ class CartesianGuardSpec extends AnyFunSuite {
                   // Lloyd/codebook training, not any join shape
     "ivf_sq_sample_eval", // ivf_sq_eval's rationale verbatim (sample-
                   // trained grid + cells, same declared crosses)
+    "ivf_pq_cap_eval", // ivf_pq_sample_eval's rationale + ONE 1-row
+                  // threshold attach: the K-th-smallest (hash, vec_id)
+                  // pair from the bounded take broadcast onto the scan
+                  // (tfidf1's scalar-attach shape) — the fixed-size
+                  // training-slice selection
+    "ivf_sq_cap_eval", // ivf_pq_cap_eval's rationale for the SQ family
     "dsir_select", // 1-row (corpus-total, target-total) scalar attach onto
                   // the 256-row bucket census: tfidf1's broadcast shape
     "vec_jl",     // vec_mrl's rationale: the truth leg and the three

@@ -508,7 +508,7 @@ class IngestSpec extends AnyFunSuite {
     notify("n1.txt", s"$f1/feed.csv")
     notify("n2.txt", s"$f2/feed.csv")
     val v1 = LifecycleGate.gatedPublish(spark,
-      spark.read.parquet(out).drop("_src"), snapRoot) {
+      StreamOps.readStore(spark, out).drop("_src"), snapRoot) {
       StreamOps.runNotifiedLoad(spark, queue.toString, Ingestion.csvSchema,
         out, ckpt, format = "csv")
     }
@@ -522,7 +522,7 @@ class IngestSpec extends AnyFunSuite {
     // holds, readers keep seeing v1.
     notify("n3.txt", s"$f1/never_arrived.csv")
     val v2 = LifecycleGate.gatedPublish(spark,
-      spark.read.parquet(out).drop("_src"), snapRoot) {
+      StreamOps.readStore(spark, out).drop("_src"), snapRoot) {
       StreamOps.runNotifiedLoad(spark, queue.toString, Ingestion.csvSchema,
         out, ckpt, format = "csv")
     }

@@ -882,7 +882,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     StreamOps.runIvfIngest(spark, d.toString, emb.schema, cent, out, ckpt)
     val batchAssign = StreamOps.assignCells(emb, cent)
-    def stored() = spark.read.parquet(out).select(col("vec_id"), col("cell"))
+    def stored() = StreamOps.readStore(spark, out).select(col("vec_id"), col("cell"))
     assertSameRows(stored(), batchAssign,
       "streamed inverted lists vs batch cell assignment")
     // Idle rerun: the checkpoint re-delivers nothing.
@@ -946,7 +946,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = LlmOps.lrScore(model.pd, model)
       .select(col("doc_id"), col("lang"), col("z").as("score"),
         (col("z") > lit(0.0)).cast("int").as("pred"))
-    def stored() = spark.read.parquet(out)
+    def stored() = StreamOps.readStore(spark, out)
       .select(col("doc_id"), col("lang"), col("score"), col("pred"))
     assertSameRows(stored(), batch,
       "streamed scores vs the gated batch apply (bit-equal doubles)")
@@ -995,7 +995,7 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     writeSlice(newDoc, d, "slice_00", 1700000000000L)
     StreamOps.runScoredIngest(spark, d.toString, model, out, ckpt)
-    val stored = spark.read.parquet(out)
+    val stored = StreamOps.readStore(spark, out)
       .select(col("doc_id"), col("score")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(stored.keySet == Set(9L), s"arriving doc must be scored: $stored")
@@ -1033,7 +1033,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = LlmOps.lrScore(model.pd, model)
       .select(col("doc_id"), col("lang"), col("z").as("score"),
         (col("z") > lit(0.0)).cast("int").as("pred"))
-    def stored() = spark.read.parquet(out)
+    def stored() = StreamOps.readStore(spark, out)
       .select(col("doc_id"), col("lang"), col("score"), col("pred"))
     val n = batch.count()
     val dupN = docs.filter(pmod(col("doc_id"), lit(2)) === 0).count()
@@ -1080,12 +1080,12 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"), col("z").as("score"),
         dec8(lit(1.0) / (lit(1.0) + exp(-col("u") * col("z"))))
           .cast("double").as("score_cal"))
-    val stored = spark.read.parquet(out)
+    val stored = StreamOps.readStore(spark, out)
       .select(col("doc_id"), col("score"), col("score_cal"))
     assertSameRows(stored, batchCal,
       "streamed calibrated scores vs the batch temperature fold")
     // Monotonicity sanity: calibration never flips the decision column.
-    val flips = spark.read.parquet(out)
+    val flips = StreamOps.readStore(spark, out)
       .filter((col("score") > 0.0) =!= (col("score_cal") > 0.5)).count()
     assert(flips == 0, s"temperature scaling flipped $flips decisions")
   }
@@ -1138,7 +1138,7 @@ class StreamingSpec extends AnyFunSuite {
       .join(StreamOps.encodePq(emb, book), Seq("vec_id"))
       .join(emb.select(col("vec_id"), sqrt(dot_product(dbl, dbl)).as("vn")),
         Seq("vec_id"))
-    def stored() = spark.read.parquet(out)
+    def stored() = StreamOps.readStore(spark, out)
       .select(col("vec_id"), col("cell"), col("sp"), col("cw"), col("vn"))
     assertSameRows(stored(), batchState,
       "streamed ADC state vs batch assignment+encode+norm")
@@ -1177,7 +1177,7 @@ class StreamingSpec extends AnyFunSuite {
     writeSlice(wild, d, "slice_00", 1700000000000L)
     StreamOps.runIvfSqIngest(spark, d.toString, emb.schema, cent, stats,
       out, ckpt)
-    val row = spark.read.parquet(out).select(col("nq"))
+    val row = StreamOps.readStore(spark, out).select(col("nq"))
       .crossJoin(broadcast(stats.select(col("mi"), col("ma"))))
       .select(posexplode(col("nq")).as(Seq("i", "nqv")),
         col("mi"), col("ma"))
@@ -1226,7 +1226,7 @@ class StreamingSpec extends AnyFunSuite {
       .join(StreamOps.encodePq(emb, book), Seq("vec_id"))
       .join(emb.select(col("vec_id"), sqrt(dot_product(dbl, dbl)).as("vn")),
         Seq("vec_id"))
-    def stored() = spark.read.parquet(out)
+    def stored() = StreamOps.readStore(spark, out)
       .select(col("vec_id"), col("cell"), col("sp"), col("cw"), col("vn"))
     // The ADC state is LONG-form: 8 rows per vector (one per PQ
     // subspace `sp`), so the logical row key is (vec_id, sp).
@@ -1244,70 +1244,108 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book, out, ckpt)
     assert(stored().count() == n,
       "idle checkpointed rerun after compaction must add nothing")
-    // Crash-recovery entry path (review r12): simulate a crash between
-    // the two swap renames — storeDir gone, data in .compact-old — and
-    // the next call must restore it before doing anything else.
+    // Crash windows are STRUCTURAL under the versioned layout (r14): a
+    // crash after publishing v+1 but before the pointer swap leaves an
+    // orphan version ABOVE the pointer (plus the sentinel). The store
+    // stays fully readable throughout — the pointer always names a
+    // complete version — and the next pass refuses under the marker,
+    // then sweeps the orphan once the operator removes it.
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
-      new org.apache.hadoop.fs.Path(out + ".compact-old")))
-    // A REAL crash leaves the sentinel too — recovery must REFUSE under
-    // a present marker (live and crashed are indistinguishable; review
-    // r13), then resume the swap once the operator removes it.
+    val curV = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_CURRENT")).trim.toLong
+    val orphan = new org.apache.hadoop.fs.Path(out, s"v=${curV + 1}")
+    fs.mkdirs(orphan)
+    // Junk marker INSIDE the orphan: the recompaction legitimately
+    // re-publishes at the same v=N path after sweeping it, so "the dir
+    // exists" cannot distinguish swept-and-republished from never-swept —
+    // the junk file can.
+    val orphanJunk = new org.apache.hadoop.fs.Path(orphan, "crashed-junk")
+    fs.create(orphanJunk, false).close()
     val crashMarker = new org.apache.hadoop.fs.Path(out + ".compacting")
     fs.create(crashMarker, false).close()
+    assert(stored().count() == n,
+      "a crashed pass's orphan version must be invisible to readers")
     intercept[java.io.IOException] {
       StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
     }
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(out)),
+    assert(fs.exists(orphanJunk),
       "a refused call must not have touched the crashed state")
     fs.delete(crashMarker, false)
     StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    assert(!fs.exists(orphanJunk),
+      "the next pass's entry sweep must clear the crashed pass's orphan")
     assert(stored().count() == n,
-      "crash recovery must restore the moved-aside store")
-    // Mutual-exclusion sentinel (ADVICE r12): while `.compacting` is
-    // present, a second compaction refuses AND every `_src`-keyed ingest
-    // refuses to commit a micro-batch — the quiescence contract is
-    // enforced on the append side, not just documented. The refused
-    // batch stays uncommitted in the checkpoint and redelivers once the
-    // sentinel lifts.
-    val sentinel = new org.apache.hadoop.fs.Path(out + ".compacting")
-    fs.create(sentinel, false).close()
-    intercept[java.io.IOException] {
+      "content is unchanged across crash recovery + recompaction")
+    // RACE 1 (the window the r12/r13 sentinel could NOT cover): an
+    // append lands after the pre-swap listing re-check, before the
+    // pointer swap. The pass must detect it at the post-swap re-check,
+    // roll the pointer back, and leave the append intact in the served
+    // version — NEVER silently swap it out.
+    val dataDir = new org.apache.hadoop.fs.Path(
+      StreamOps.storeDataDir(spark, out))
+    // Materialize the racing rows up front (a write job must not read
+    // the directory it is appending to).
+    val raceSrc = spark.read.parquet(dataDir.toString)
+      .filter(col("vec_id") === 0)
+      .withColumn("_src", lit("00000000000000000000000000raceapp"))
+    val raceLocal = spark.createDataFrame(
+      java.util.Arrays.asList(raceSrc.collect(): _*), raceSrc.schema)
+    StreamOps.compactPreSwapHook = () =>
+      raceLocal.write.partitionBy("_src", "cell").mode("append")
+        .parquet(dataDir.toString)
+    val raceEx = try intercept[java.io.IOException] {
       StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
-    }
+    } finally StreamOps.compactPreSwapHook = () => ()
+    assert(raceEx.getMessage.contains("rolled back"),
+      s"expected the post-swap race detection, got: ${raceEx.getMessage}")
+    assert(StreamOps.storeDataDir(spark, out) == dataDir.toString,
+      "the pointer must be rolled back to the raced version")
+    assert(stored().count() == n + 8L,
+      "the racing append must be intact in the served version")
+    // A plain rerun (no race) now compacts the append away normally.
+    StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    assertSameRows(stored(), batchState,
+      "post-race recompaction restores the batch state exactly")
+    // RACE 2 (writer side): a compaction publishes a new version between
+    // a micro-batch's append and its commit. The writer's post-append
+    // pointer re-validation must throw — leaving the batch uncommitted —
+    // and the checkpointed rerun redelivers it against the new current
+    // version, converging by the delete-then-append keying.
     writeSlice(emb.filter(pmod(col("vec_id"), lit(2)) === 1), d,
       "slice_01_dup", 1700000800000L)
-    val ex = intercept[Exception] {
+    StreamOps.ingestPostAppendHook = () =>
+      StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
+    val ex = try intercept[Exception] {
       StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book,
         out, ckpt)
-    }
-    // The failure must be the SENTINEL refusal, not a coincidental error
-    // (review r13: a vacuous assert here would keep passing if the
-    // sentinel path construction broke while something else threw).
+    } finally StreamOps.ingestPostAppendHook = () => ()
+    // The failure must be the version-supersede refusal, not a
+    // coincidental error (review r13's vacuous-assert rule).
     val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .toSeq
-    assert(msgs.exists(_.contains("ingest refused")),
-      s"expected the sentinel refusal, got: $msgs")
-    assert(stored().count() == n,
-      "an ingest refused by the sentinel must commit nothing")
-    fs.delete(sentinel, false)
+    assert(msgs.exists(_.contains("ingest superseded")),
+      s"expected the version-supersede refusal, got: $msgs")
+    // The hook's compaction SAW the append (it ran after the job
+    // commit), so the published version already carries it — and the
+    // redelivery is an idempotent rewrite of the same _src partitions.
     StreamOps.runIvfAdcIngest(spark, d.toString, emb.schema, cent, book,
       out, ckpt)
-    assert(stored().count() > n,
-      "the refused micro-batch must redeliver once the sentinel lifts")
+    assertSameRows(stored().distinct(), batchState,
+      "the superseded micro-batch must redeliver and converge")
     StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
     assertSameRows(stored(), batchState,
-      "post-sentinel compaction restores the batch state exactly")
+      "post-race compaction restores the batch state exactly")
     // Divergence refusal (review r12): a key whose rows DIFFER across
     // _src partitions (duplicate-named delivery spanning a republish)
     // must abort the pass with the store untouched — min-_src election
     // between genuinely different states would keep an arbitrary one.
-    spark.read.parquet(out)
+    val divDir = StreamOps.storeDataDir(spark, out)
+    spark.read.parquet(divDir)
       .withColumn("vn", col("vn") + lit(1.0))
       .withColumn("_src", lit("00000000000000000000000divergent"))
-      .write.partitionBy("_src", "cell").mode("append").parquet(out)
+      .write.partitionBy("_src", "cell").mode("append").parquet(divDir)
     val divTotal = stored().count()
     intercept[java.io.IOException] {
       StreamOps.compactStore(spark, out, Seq("vec_id", "sp"), Seq("_src", "cell"))
@@ -1326,9 +1364,13 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Path => JPath}
     val root = graft.queries.LlmOps.ivfPqStreamStoreRoot(spark, sfDir)
     val store = java.nio.file.Paths.get(root, "store")
-    val src = Files.list(store).filter(_.getFileName.toString.startsWith("_src="))
+    // Residue goes into the CURRENT VERSION directory (the store is
+    // versioned since r14) — the path every writer and reader resolves.
+    val dataDir = java.nio.file.Paths.get(
+      StreamOps.storeDataDir(spark, store.toString))
+    val src = Files.list(dataDir).filter(_.getFileName.toString.startsWith("_src="))
       .findFirst().orElseThrow(() => new IllegalStateException("no _src partition"))
-    val residue = store.resolve("_src=00000000000000000000000000residue")
+    val residue = dataDir.resolve("_src=00000000000000000000000000residue")
     def copyTree(from: JPath, to: JPath): Unit = {
       Files.createDirectories(to)
       val kids = Files.list(from)
@@ -1383,7 +1425,7 @@ class StreamingSpec extends AnyFunSuite {
         f"slice_$i%02d", 1700000000000L + i * 60000)
     }
     StreamOps.runIvfIngest(spark, d.toString, emb.schema, centPub, out, ckpt)
-    val store = spark.read.parquet(out).select(col("vec_id"), col("cell"))
+    val store = StreamOps.readStore(spark, out).select(col("vec_id"), col("cell"))
     // 3. Search: query 0 probes its 2 nearest published cells; exact
     // cosine top-3 among the STREAMED store's members of those cells must
     // equal the same search over the batch assignment.
@@ -1422,7 +1464,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(queue.resolve(name),
         lines.mkString("\n") + "\n")
     val cols = eventsBatch.columns.map(col)
-    def loaded() = spark.read.parquet(out).select(cols: _*)
+    def loaded() = StreamOps.readStore(spark, out).select(cols: _*)
 
     // Arrival wave 1: two manifests (one micro-batch each, slices 0/1).
     notify("n0.txt", s"$replayDir/slice_00.parquet")
