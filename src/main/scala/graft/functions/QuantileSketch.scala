@@ -184,10 +184,120 @@ case class QuantileSketch(child: Expression, percentiles: Seq[Double],
     copy(child = newChild)
 }
 
+/** `quantile_sketch_bin(longCol)` → binary: the SERIALIZED mergeable
+  * summary itself — the per-bucket artifact a rolling/cube consumer
+  * stores once and re-aggregates without rescanning the fact table
+  * (AGG-13's `hll_sketch_agg` analog for rank queries; the write side
+  * of WIN-10's rolling window). Empty groups evaluate to null. */
+case class QuantileSketchBin(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketch.State] with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantile_sketch_bin"
+
+  override def createAggregationBuffer(): QSketch.State = new QSketch.State()
+
+  override def update(buf: QSketch.State, input: InternalRow): QSketch.State = {
+    val v = child.eval(input)
+    if (v != null) QSketch.update(buf, v.asInstanceOf[Long]) else buf
+  }
+
+  override def merge(b1: QSketch.State, b2: QSketch.State): QSketch.State =
+    QSketch.merge(b1, b2)
+
+  override def eval(buf: QSketch.State): Any =
+    if (buf.n == 0L) null else QSketch.serialize(buf)
+
+  override def serialize(buf: QSketch.State): Array[Byte] =
+    QSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QSketch.State =
+    QSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchBin =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchBin =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchBin =
+    copy(child = newChild)
+}
+
+/** Java-callable codegen helper for [[QuantileSketchEval]] (the
+  * GraftGearImpl/GraftEntropyImpl pattern: a top-level object gets static
+  * forwarders the generated Java can call directly). */
+object QSketchOps {
+  /** Merge serialized summaries (null elements skipped — an empty bucket
+    * stores null) and rank-query the union; null when nothing merged. */
+  def mergeEval(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      percs: Array[Double]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var acc: QSketch.State = null
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val st = QSketch.deserialize(arr.getBinary(i))
+        acc = if (acc == null) st else QSketch.merge(acc, st)
+      }
+      i += 1
+    }
+    if (acc == null || acc.n == 0L) null
+    else new GenericArrayData(percs.map(q => QSketch.quantile(acc, q)))
+  }
+}
+
+/** `quantile_sketch_eval(array<binary>, p…)` → `array<long>`: merge
+  * serialized summaries and rank-query the union — the READ side of the
+  * sketch cube / rolling window: one merge of a bounded handful of
+  * O(k·log(n/k)) states per output row, never a value rescan. */
+case class QuantileSketchEval(child: Expression, percentiles: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
+    s"percentiles must be in [0,1]: $percentiles")
+
+  override def inputTypes = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantile_sketch_eval"
+
+  @transient private lazy val percs: Array[Double] = percentiles.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    QSketchOps.mergeEval(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], percs)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("graftPercs", percs, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.QSketchOps.mergeEval($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchEval =
+    copy(child = newChild)
+}
+
 object QuantileSketch {
   /** Column API: `quantile_sketch(valueCol, 0.5, 0.99)` → `array<long>`. */
   def quantile_sketch(c: Column, percentiles: Double*): Column =
     Bridge.column(
       QuantileSketch(Bridge.expression(c), percentiles.toSeq)
         .toAggregateExpression())
+
+  /** Column API: the serialized per-bucket summary (WIN-10's write side). */
+  def quantile_sketch_bin(c: Column): Column =
+    Bridge.column(
+      QuantileSketchBin(Bridge.expression(c)).toAggregateExpression())
+
+  /** Column API: merge an `array<binary>` of summaries and rank-query. */
+  def quantile_sketch_eval(c: Column, percentiles: Double*): Column =
+    Bridge.column(QuantileSketchEval(Bridge.expression(c), percentiles.toSeq))
 }

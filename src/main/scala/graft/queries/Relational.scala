@@ -363,6 +363,40 @@ object Relational {
           col("n")))
     }),
 
+    // ---- WIN-10: rolling-window percentiles from MERGED per-bucket
+    //      sketches (`win_rolling_qsketch`) — AGG-19's production READ
+    //      pattern, the thing a 100 TB rolling p99 actually needs: per
+    //      ship-month sketches of l_extendedprice cents are the stored
+    //      artifacts (ONE scan of the fact table builds them all), and
+    //      each month's rolling 3-month p50/p99 merges THREE bounded
+    //      O(k·log(n/k)) states — the window function runs over the
+    //      |months|-row SKETCH relation, never over values (exact
+    //      percentiles would rescan every window; AGG-9's shape can't
+    //      re-aggregate). Exact n rides along from the same monthly
+    //      relation. Rows-only like AGG-19 (engine-specific sketch,
+    //      §2.7); ApproxSpec gates every month's rolling estimates
+    //      against exact percentiles of the same 3-month value set. ----
+    "win_rolling_qsketch" -> ((s, d) => {
+      import graft.functions.QuantileSketch.{quantile_sketch_bin, quantile_sketch_eval}
+      val l = load(s, d, "lineitem")
+      val cents = floor(col("l_extendedprice").cast("double") * 100.0 + 0.5)
+        .cast("long")
+      val monthly = l
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(quantile_sketch_bin(cents).as("sk"), count(lit(1)).as("n"))
+      // Unpartitioned window by design: it runs over the months-sized
+      // sketch relation (84 rows at any corpus size), not the data.
+      val w = Window.orderBy(col("month")).rowsBetween(-2, 0)
+      val rolled = monthly
+        .withColumn("qs", quantile_sketch_eval(
+          collect_list(col("sk")).over(w), 0.5, 0.99))
+        .withColumn("n3", sum(col("n")).over(w))
+      ordered(rolled.select(col("month"),
+        dec4S(element_at(col("qs"), 1).cast("double") / 100.0).as("p50"),
+        dec4S(element_at(col("qs"), 2).cast("double") / 100.0).as("p99"),
+        col("n3")))
+    }),
+
     // ---- JOIN-1: inner equi-join, small side broadcast ----
     "join1" -> ((s, d) => {
       val o = load(s, d, "orders")

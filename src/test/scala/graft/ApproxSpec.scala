@@ -95,7 +95,7 @@ class ApproxSpec extends AnyFunSuite {
   }
 
   test("agg_qsketch: mergeable quantile estimates within the rank bound of exact per group") {
-    // AGG-14's ε-rank-bound gate (the agg_approx percentile discipline
+    // AGG-19's ε-rank-bound gate (the agg_approx percentile discipline
     // applied to the engine's own Munro–Paterson summary): the sketch
     // runs distributed (ObjectHashAggregate partial → shuffle merge), so
     // a pass certifies the whole monoid path, not just the driver math.
@@ -125,6 +125,45 @@ class ApproxSpec extends AnyFunSuite {
           val hi = values.count(_ <= v + 1e-6)
           assert(target >= lo - slack && target <= hi + slack,
             s"$flag p$p: value $v has rank window [$lo,$hi], target $target ± $slack")
+        }
+      }
+    } finally li.unpersist()
+  }
+
+  test("win_rolling_qsketch: every month's rolling p50/p99 within the rank bound of the exact 3-month set") {
+    // WIN-10's gate: the rolling estimates come from MERGING three
+    // stored monthly summaries (quantile_sketch_bin → collect_list over
+    // the window → quantile_sketch_eval), so a pass certifies the
+    // serialize/merge/rank-query read path end to end — against exact
+    // percentiles recomputed from the raw 3-month value sets.
+    val est = graft.queries.Relational.all("win_rolling_qsketch")(
+        spark, TestSpark.sfDir)
+      .select(col("month").cast("string"), col("p50").cast("double"),
+        col("p99").cast("double"), col("n3"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(date_trunc("month", col("l_shipdate")).cast("date")
+          .cast("string").as("m"),
+        col("l_extendedprice")).cache()
+    try {
+      val months = li.select(col("m")).distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(est.keySet == months.toSet, "month sets differ")
+      for (idx <- months.indices) {
+        val windowMonths = months.slice(math.max(0, idx - 2), idx + 1).toSet
+        val values = li.filter(col("m").isin(windowMonths.toSeq: _*))
+          .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+        val n = values.length.toLong
+        val row = est(months(idx))
+        assert(row.getLong(3) == n,
+          s"${months(idx)}: exact rolling count passthrough mismatch")
+        val slack = math.max(3L, (0.06 * n).round)
+        for ((p, v) <- Seq(0.5 -> row.getDouble(1), 0.99 -> row.getDouble(2))) {
+          val target = math.max(1L, math.ceil(p * n).toLong)
+          val lo = values.count(_ < v - 1e-6)
+          val hi = values.count(_ <= v + 1e-6)
+          assert(target >= lo - slack && target <= hi + slack,
+            s"${months(idx)} p$p: value $v rank window [$lo,$hi], target $target ± $slack")
         }
       }
     } finally li.unpersist()

@@ -317,6 +317,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(row.getSeq[Int](0).isEmpty && row.isNullAt(1) && row.getSeq[Int](2).isEmpty)
   }
 
+  test("quantile_sketch_eval: bin→merge→rank-query equals the direct aggregate; codegen parity; null edges") {
+    // WIN-10's read path: per-bucket serialized summaries merged and
+    // rank-queried must equal the DIRECT quantile_sketch aggregate over
+    // the same single-partition stream (one partition ⇒ identical update
+    // order ⇒ identical deterministic state on both paths — the
+    // composition law, exact, no ε needed).
+    import graft.functions.QuantileSketch.{quantile_sketch, quantile_sketch_bin, quantile_sketch_eval}
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice").cast("double") * 100.0 + 0.5)
+          .cast("long").as("c"))
+      .coalesce(1)
+    val direct = li.agg(quantile_sketch(col("c"), 0.25, 0.5, 0.99).as("q"))
+      .head().getSeq[Long](0).toList
+    val viaBin = li.agg(quantile_sketch_bin(col("c")).as("sk"))
+      .select(quantile_sketch_eval(array(col("sk")), 0.25, 0.5, 0.99).as("q"))
+    def viaBinRes() = viaBin.head().getSeq[Long](0).toList
+    assert(viaBinRes() == direct,
+      s"bin→eval ${viaBinRes()} != direct $direct")
+    // Codegen/interpreted parity on the eval expression.
+    assert(viaBinRes() == interpretedOnly(viaBinRes()))
+    // Null edges: an all-null array merges to nothing → null; an empty
+    // group's bin is null.
+    val edge = spark.range(1)
+      .select(quantile_sketch_eval(
+        array(lit(null).cast("binary")), 0.5).as("q")).head()
+    assert(edge.isNullAt(0), "all-null sketch array must evaluate to null")
+    val emptyBin = li.filter(col("c") < 0L)
+      .agg(quantile_sketch_bin(col("c")).as("sk")).head()
+    assert(emptyBin.isNullAt(0), "empty group's bin must be null")
+  }
+
   test("morton_code equals the bit-by-bit interleave reference") {
     import graft.functions.GraftFunctions.morton_code
     def ref(x: Long, y: Long): Long = {
