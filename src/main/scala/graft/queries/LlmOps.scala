@@ -5194,6 +5194,62 @@ object LlmOps {
         .select(col("tok"), col("n"), least(col("c1"), col("c2")).as("est")))
     }),
 
+    // ---- SKT-2: Misra–Gries frequent-items summary (`freq_mg`) — the
+    //      ENUMERATING member of the sketch family: SKT-1's count-min
+    //      answers point lookups but can't list the heavy items; the
+    //      full groupBy-count-sort enumerates exactly but shuffles the
+    //      whole vocabulary (billions of n-gram keys at 100 TB). The MG
+    //      summary ([[graft.functions.MGSketch]], a
+    //      TypedImperativeAggregate like AGG-19's quantile state) keeps
+    //      ≤ k pairs per partial, merges associatively (Agarwal et al.
+    //      2012 rule), and guarantees true−n/(k+1) ≤ est ≤ true plus
+    //      COVERAGE of every item above n/(k+1) under ANY merge tree.
+    //      Retained counts are merge-order-dependent (unlike SKT-1's
+    //      commutative counters), so like agg_qsketch this gates
+    //      rows-only; ApproxSpec asserts both ε laws against exact
+    //      counts and GraftLaws pins the merge-tree invariance. ----
+    "freq_mg" -> ((s, d) => {
+      import graft.functions.HeavyHitters.heavy_hitters
+      val doc = load(s, d, "documents")
+      val toks = doc.select(explode(split(col("text"), " ")).as("tok"))
+      ordered(toks
+        .agg(heavy_hitters(col("tok"), 1024, 10).as("hh"),
+          count(lit(1)).as("n_toks"))
+        .select(explode(col("hh")).as("e"), col("n_toks"))
+        .select(col("e.item").as("tok"), col("e.est").as("est"),
+          col("n_toks")))
+    }),
+
+    // ---- SKT-3: sketch-guided two-pass EXACT top-K (`freq_topk_exact`)
+    //      — how a 100 TB engine gets exact heavy hitters without the
+    //      full-vocabulary shuffle: pass 1 elects ≤ k candidates via the
+    //      MG summary (map-side partials, one bounded-state shuffle);
+    //      pass 2 exact-counts ONLY the candidate stream (broadcast
+    //      semi-join filter at the scan, ≤ k result groups) and takes
+    //      the top 20 by (count desc, tok asc). MG's coverage guarantee
+    //      (every item above n/(k+1) retained, any merge tree) makes the
+    //      candidate set a superset of the true top-K on any corpus
+    //      whose K-th item clears n/(k+1) — Zipfian text clears it by
+    //      ~40× here — and ANY superset yields the identical exact
+    //      pass-2 answer, which is why this composition HASH-gates
+    //      against the plain groupBy-count-limit oracle even though the
+    //      sketch itself is merge-order-dependent. Contrast txt_topwords
+    //      (exact full shuffle, fine per-language at sf) — this is the
+    //      same answer shape with shuffle volume O(k·partitions), not
+    //      O(vocabulary). ----
+    "freq_topk_exact" -> ((s, d) => {
+      import graft.functions.HeavyHitters.heavy_hitters_items
+      val doc = load(s, d, "documents")
+      val toks = doc.select(explode(split(col("text"), " ")).as("tok"))
+        .pinned
+      val cand = toks
+        .agg(heavy_hitters_items(col("tok"), 1024).as("cands"))
+        .select(explode(col("cands")).as("tok"))
+      ordered(toks.join(broadcast(cand), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(20))
+    }),
+
     // ---- SMP-4: deterministic WEIGHTED (importance) sampling — keep
     //      probability ∝ a per-row weight (here n_chars: longer docs kept
     //      more often), the data-mixing primitive behind upweighting
@@ -8265,6 +8321,17 @@ object LlmOps {
         |SELECT tok, n, LEAST(c1, c2) AS est
         |FROM top JOIN r1 ON top.b1 = r1.b JOIN r2 ON top.b2 = r2.b
         |ORDER BY tok NULLS FIRST, n NULLS FIRST, est NULLS FIRST""".stripMargin,
+
+    // SKT-3: the oracle is the PLAIN exact top-20 — the whole point of
+    // the two-pass plan is that it matches this answer with a bounded
+    // shuffle instead of a full-vocabulary one.
+    "freq_topk_exact" ->
+      """SELECT tok, n FROM (
+        |  SELECT tok, COUNT(1) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |  ORDER BY n DESC, tok ASC LIMIT 20
+        |) ORDER BY tok NULLS FIRST, n NULLS FIRST""".stripMargin,
 
     "smp_weighted" ->
       """WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),

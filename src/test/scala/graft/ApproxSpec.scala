@@ -130,6 +130,48 @@ class ApproxSpec extends AnyFunSuite {
     } finally li.unpersist()
   }
 
+  test("freq_mg: Misra–Gries estimates within n/(k+1) of exact; coverage and the SKT-3 premise hold") {
+    // SKT-2's ε gate: the sketch ran distributed (partial per partition →
+    // shuffle merge), so a pass certifies the mergeable-summaries path,
+    // not just the driver math. Bounds are DETERMINISTIC (not
+    // probabilistic): true − n/(k+1) ≤ est ≤ true for every retained
+    // item, and every item above n/(k+1) is retained — under any merge
+    // tree (GraftLaws pins the tree-shape invariance on crafted streams).
+    val est = graft.queries.LlmOps.all("freq_mg")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val doc = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
+    val toks = doc.select(explode(split(col("text"), " ")).as("tok")).cache()
+    try {
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val eps = n / 1025L // k = 1024
+      assert(est.length == 10, s"expected top-10 rows, got ${est.length}")
+      for ((tok, e, nToks) <- est) {
+        assert(nToks == n, "token-count passthrough mismatch")
+        val t = exact(tok)
+        assert(e <= t && e >= t - eps,
+          s"$tok: MG estimate $e outside [${t - eps}, $t] (n=$n, eps=$eps)")
+      }
+      // Coverage (the guarantee SKT-3's hash gate rests on): every item
+      // above n/(k+1) must be retained in the candidate set...
+      val cands = toks
+        .agg(graft.functions.HeavyHitters.heavy_hitters_items(col("tok"), 1024)
+          .as("c"))
+        .head().getSeq[String](0).toSet
+      val heavy = exact.filter(_._2 > eps).keySet
+      assert(heavy.subsetOf(cands),
+        s"coverage violated: ${(heavy -- cands).take(5)} above eps but not retained")
+      // ...and the corpus-side premise: the 20th-most-frequent token
+      // clears the threshold (with slack), so the candidate set is a
+      // superset of the true top-20 and pass 2 reproduces the oracle.
+      val top20min = exact.values.toSeq.sorted(Ordering[Long].reverse)
+        .take(20).min
+      assert(top20min > eps,
+        s"top-20 boundary $top20min does not clear eps=$eps — SKT-3 premise broken")
+    } finally toks.unpersist()
+  }
+
   test("win_rolling_qsketch: every month's rolling p50/p99 within the rank bound of the exact 3-month set") {
     // WIN-10's gate: the rolling estimates come from MERGING three
     // stored monthly summaries (quantile_sketch_bin → collect_list over

@@ -158,6 +158,42 @@ object GraftLaws extends Properties("graft.laws") {
         }
     }
 
+  property("MGSketch: every merge tree keeps the deterministic bounds and coverage") =
+    forAll(Gen.listOfN(3, Gen.listOfN(400,
+      // Skewed item stream (one dominant item, a mid tier, a long tail)
+      // so the coverage clause is non-vacuous at k = 8.
+      Gen.frequency(10 -> Gen.const(0), 5 -> Gen.const(1),
+        3 -> Gen.choose(2, 5), 7 -> Gen.choose(6, 60))))) { chunks =>
+      import graft.functions.MGSketch
+      import org.apache.spark.unsafe.types.UTF8String
+      val k = 8
+      def build(xs: Seq[Int]): MGSketch.State =
+        xs.foldLeft(new MGSketch.State(k)) { (s, x) =>
+          MGSketch.update(s, UTF8String.fromString("w" + x))
+        }
+      val all = chunks.flatten
+      val n = all.length.toLong
+      val exact = all.groupBy(identity).map { case (x, xs) => ("w" + x, xs.size.toLong) }
+      val eps = n / (k + 1L)
+      // The MG contract for a FULL summary of the stream: estimates are
+      // underestimates within eps, every >eps item retained, n preserved.
+      def ok(s: MGSketch.State): Boolean = {
+        val ents = MGSketch.sortedEntries(s)
+          .map { case (u, c) => u.toString -> c }.toMap
+        s.n == n &&
+          ents.forall { case (w, e) =>
+            val t = exact(w); e <= t && e >= t - eps } &&
+          exact.forall { case (w, t) => t <= eps || ents.contains(w) }
+      }
+      val Seq(a, b, c) = chunks
+      // merge() mutates its left argument — fresh builds per grouping.
+      ok(MGSketch.merge(MGSketch.merge(build(a), build(b)), build(c))) &&
+        ok(MGSketch.merge(build(a), MGSketch.merge(build(b), build(c)))) &&
+        ok(all.grouped(math.max(1, all.length / 10)).map(build)
+          .reduce(MGSketch.merge)) &&
+        ok(MGSketch.deserialize(MGSketch.serialize(build(all))))
+    }
+
   private val asciiStr = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
 
   property("poly_hash lands in [0, P) and is deterministic") = forAll(asciiStr) { s =>
