@@ -5240,8 +5240,11 @@ object LlmOps {
     "freq_topk_exact" -> ((s, d) => {
       import graft.functions.HeavyHitters.heavy_hitters_items
       val doc = load(s, d, "documents")
-      val toks = doc.select(explode(split(col("text"), " ")).as("tok"))
-        .pinned
+      // NOT pinned: both passes re-derive the token stream from the
+      // documents scan (codegen explode) — at 100 TB you cannot
+      // checkpoint the token stream, and two scans of the source are
+      // the two-pass algorithm's declared cost.
+      def toks = doc.select(explode(split(col("text"), " ")).as("tok"))
       val cand = toks
         .agg(heavy_hitters_items(col("tok"), 1024).as("cands"))
         .select(explode(col("cands")).as("tok"))
