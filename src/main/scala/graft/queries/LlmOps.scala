@@ -4918,6 +4918,37 @@ object LlmOps {
         cstr(avgKept).as("avg_kept_chars")))
     }),
 
+    // ---- SMP-6: join-consistent UNIVERSE sampling (`smp_universe`) —
+    //      the sampling shape that SURVIVES joins (Quickr/BlinkDB
+    //      lineage, public): independent per-row Bernoulli samples of
+    //      two fact tables destroy their join (P(both sides of a pair
+    //      kept) = p², and per-key multiplicities are broken), so a
+    //      pipeline that debugs a 100 TB join on samples needs the
+    //      UNIVERSE scheme — hash the JOIN KEY into [0,1) and keep the
+    //      same key-universe slice on BOTH tables. Join multiplicity is
+    //      then EXACT on sampled keys: join(sample(O), sample(L)) ≡
+    //      sample(join(O, L)) as sets, not in expectation (the law
+    //      PipelineOpsSpec pins; the md5-prefix predicate is SMP-3's
+    //      idiom so both engines decide identically bit-for-bit). The
+    //      keep test is a scan-level filter on each side — pushed to the
+    //      parquet scan, embarrassingly parallel, no coordination
+    //      between the two tables beyond sharing the hash constant. ----
+    "smp_universe" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val l = load(s, d, "lineitem")
+      // ~10.2% key universe: first 2 md5 hex chars < '1a' (26/256).
+      def keep(k: Column) = substring(md5(k.cast("string")), 1, 2) < lit("1a")
+      val os = o.filter(keep(col("o_orderkey")))
+      val ls = l.filter(keep(col("l_orderkey")))
+      val avgPrice = dec4(sum(dec(col("l_extendedprice"))).cast("double") /
+        count(lit(1)))
+      ordered(os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          cstr(avgPrice).as("avg_price")))
+    }),
+
     // ---- VQ-AUDIT: embedding-quality audit (`vec_norm_audit`) — the
     //      gate an embedding pipeline runs BEFORE building indexes or
     //      deduping on cosine: per label, zero-norm vectors (cosine is
@@ -7797,6 +7828,18 @@ object LlmOps {
         |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_kept_chars
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST, n_total NULLS FIRST, n_kept NULLS FIRST, avg_kept_chars NULLS FIRST""".stripMargin,
+
+    "smp_universe" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  COUNT(1) AS n_items,
+        |  CAST(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+        |    / COUNT(1))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS avg_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |  AND substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST, n_orders NULLS FIRST, n_items NULLS FIRST, avg_price NULLS FIRST""".stripMargin,
 
     "split_embargo" ->
       """WITH tagged AS (

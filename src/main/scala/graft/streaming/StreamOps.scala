@@ -768,6 +768,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** STR-HH: streaming heavy hitters — the SKT-2 Misra–Gries summary
+    * maintained across micro-batches by the streaming-aggregation state
+    * itself: a TypedImperativeAggregate's partial buffer IS the state
+    * store entry, so each arriving document file folds its tokens into
+    * the bounded ≤ k-pair summary (O(1) amortized per token) and the
+    * Complete-mode sink serves the current top-N after every trigger —
+    * heavy-hitter detection AT INGESTION, no batch job. State is ONE
+    * serialized summary (single global group), bounded by k forever,
+    * regardless of stream length or vocabulary; the MG merge rule is
+    * tree-shape-free (GraftLaws), so however the engine folds batches
+    * into state the deterministic ε bounds hold — which is exactly what
+    * StreamingSpec gates (underestimate-within-n/(k+1) + coverage vs the
+    * exact counts of everything streamed, same laws as the batch gate).
+    * One code path: this function IS the batch freq_mg shape, so
+    * batch/stream equivalence is structural (docCleanProjection's
+    * discipline). */
+  def heavyHitterStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 1024, 10)
+          .as("hh"),
+        count(lit(1)).as("n_toks"))
+      .select(explode(col("hh")).as("e"), col("n_toks"))
+      .select(col("e.item").as("tok"), col("e.est").as("est"), col("n_toks"))
+
   /** STR-W1: tumbling 10-minute window × event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events

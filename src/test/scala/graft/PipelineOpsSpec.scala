@@ -680,6 +680,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq == run().toSeq)
   }
 
+  test("smp_universe: join of samples EQUALS sample of join — exactly, not in expectation") {
+    // SMP-6's defining law (what separates universe sampling from
+    // independent Bernoulli): keeping the same hash-slice of the join-key
+    // universe on both tables commutes with the join as a SET identity.
+    // A Bernoulli twin would only satisfy it in expectation (p² pair
+    // survival) — this assertion is exact row equality.
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    val l = graft.core.Tables.load(spark, sfDir, "lineitem")
+    def keep(k: org.apache.spark.sql.Column) =
+      substring(md5(k.cast("string")), 1, 2) < lit("1a")
+    val joinCols = Seq(col("o_orderkey"), col("l_linenumber"),
+      col("o_orderpriority"), col("l_extendedprice"))
+    val joinOfSamples = o.filter(keep(col("o_orderkey")))
+      .join(l.filter(keep(col("l_orderkey"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(joinCols: _*)
+    val sampleOfJoin = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .filter(keep(col("o_orderkey")))
+      .select(joinCols: _*)
+    TestSpark.assertSameRows(joinOfSamples, sampleOfJoin,
+      "universe sampling must commute with the join")
+    // Non-degenerate: the slice keeps a real fraction, not all or nothing.
+    val kept = joinOfSamples.count()
+    val total = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+    assert(kept > 0 && kept < total,
+      s"sample should be a proper slice: $kept of $total")
+  }
+
   test("ddp_winnow: the winnowing guarantee — any shared >= w+k-1 word run shares a fingerprint") {
     // MOSS's theorem (k=3, w=4 here): a common substring of >= w+k-1 = 6
     // words spans a full window of shared 3-gram hashes, whose minimum is

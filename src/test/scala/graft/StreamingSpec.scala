@@ -205,6 +205,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.filter(col("admit")).count() > 0, "some docs must pass the gate")
   }
 
+  test("STR-HH streaming heavy hitters: MG bounds hold over the drained stream state") {
+    // The summary folds into streaming-aggregation state across 3
+    // micro-batches; whatever merge tree the engine used, the
+    // deterministic MG bounds must hold against the exact counts of
+    // everything streamed (the ApproxSpec laws applied to the streamed
+    // final state), and the shape must serve: 10 rows + exact n_toks.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d = tempDir("hh_replay")
+    (0 until 3).foreach { i =>
+      writeSlice(docs.filter(col("doc_id") % 3 === i), d, f"slice_$i",
+        1700000000000L + i * 60000)
+    }
+    val streamed = StreamOps.heavyHitterStream(
+        StreamOps.documentsFileSource(spark, d.toString))
+    val rows = StreamOps.drainToMemory(streamed, "hh_stream", complete = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = n / 1025L
+    assert(rows.length == 10, s"expected top-10 rows, got ${rows.length}")
+    for ((tok, est, nToks) <- rows) {
+      assert(nToks == n, s"streamed token count $nToks != exact $n")
+      val t = exact(tok)
+      assert(est <= t && est >= t - eps,
+        s"$tok: streamed MG estimate $est outside [${t - eps}, $t]")
+    }
+  }
+
   test("STR-EVAL streaming classifier audit equals the batch confusion cells") {
     val docs = Tables.load(spark, sfDir, "documents")
     val d = tempDir("eval_replay")
