@@ -1911,6 +1911,50 @@ object LlmOps {
     s.read.parquet(dir)
   }
 
+  /** Assignment centroids unnested to LONG decimal form (cell, sp, p,
+    * dec4 m) — the residual family's μ table, shared by the q·μ leg and
+    * the residual join (see ivfPqResRanked's centering note: with the
+    * Lloyd flip the residual μ and the coarse quantizer are ONE table). */
+  private def resCentLong(centTab: DataFrame): DataFrame =
+    centTab
+      .select(col("cell_label"), posexplode(col("ce")).as(Seq("pos", "m0")))
+      .select(col("cell_label"),
+        (floor(col("pos") / 8) + 1).cast("int").as("sp"),
+        (col("pos") % 8 + 1).cast("int").as("p"),
+        col("m0").cast(DecimalType(18, 4)).as("m"))
+
+  /** Exact-decimal residuals r = xq − μ_cell(v) from caller-supplied
+    * frames — one definition for the training build ([[resBookOnce]])
+    * and the per-call encode leg (ivfPqResRanked), so they cannot
+    * drift. */
+  private def resLongFrom(long: DataFrame, cells: DataFrame,
+      centLong: DataFrame): DataFrame =
+    long
+      .join(cells.select(col("vec_id"), col("cell_label")), Seq("vec_id"))
+      .join(broadcast(centLong), Seq("cell_label", "sp", "p"))
+      .select(col("vec_id"), col("sp"), col("p"),
+        (col("xq") - col("m")).cast(DecimalType(18, 4)).as("r"))
+
+  /** The RESIDUAL-space PQ codebook, memoized like [[pqBookOnce]] (r14:
+    * the residual pair was the last quantizer family still retraining
+    * per call — both gated consumers re-ran the Lloyd refinement on the
+    * same corpus every time). The residual frame is deterministic given
+    * the corpus (memoized assignment centroids, exact decimal
+    * subtraction), so one training job serves `ivf_pq_res` and
+    * `ivf_pq_res_eval` bit-identically — published index metadata
+    * exactly like the xq-space books. */
+  private def resBookOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Warehouse.once(d, "pq_book_res") { out =>
+      val long = graft.operators.PqEncode.toLong(load(s, d, "embeddings"))
+      val centTab = centroidsOnce(s, d)
+      val cells = ivfAssignedWith(s, d, centTab).filter(col("crn") === 1)
+      val rlong = resLongFrom(long, cells, resCentLong(centTab)).pinned
+      graft.operators.PqEncode.codebook(rlong, "r")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   /** Training-population selector shared by the quantizer pipelines:
     * "full" (the certified path), "sample" ([[embSampleTrain]]'s rate-
     * keyed ~50% parity slice), "cap" ([[embCapTrain]]'s fixed-size
@@ -2495,23 +2539,17 @@ object LlmOps {
     //     assignment centroid; the residual step provably bought nothing
     //     because the cells explained no variance). Centroid dims are
     //     dec4-quantized doubles, so the decimal cast is exact. ---
-    val centLong = centTab
-      .select(col("cell_label"), posexplode(col("ce")).as(Seq("pos", "m0")))
-      .select(col("cell_label"),
-        (floor(col("pos") / 8) + 1).cast("int").as("sp"),
-        (col("pos") % 8 + 1).cast("int").as("p"),
-        col("m0").cast(DecimalType(18, 4)).as("m"))
+    val centLong = resCentLong(centTab)
       .pinned // |cells|·64 rows; residual join + q·μ table + LUT-free
-    // --- Residuals: r = xq − μ_cell(v), exact decimal ---
-    val rlong = long
-      .join(cells.select(col("vec_id"), col("cell_label")), Seq("vec_id"))
-      .join(broadcast(centLong), Seq("cell_label", "sp", "p"))
-      .select(col("vec_id"), col("sp"), col("p"),
-        (col("xq") - col("m")).cast(DecimalType(18, 4)).as("r"))
-      .pinned
-    // --- PQ train/encode on residuals (the shared operators/PqEncode
-    //     core, applied to the residual column) ---
-    val rbook = graft.operators.PqEncode.codebook(rlong, "r").pinned
+    // --- Residuals: r = xq − μ_cell(v), exact decimal (one definition
+    //     with the training build — resLongFrom) ---
+    val rlong = resLongFrom(long, cells, centLong).pinned
+    // --- Residual codebook: memoized published metadata (resBookOnce —
+    //     the Lloyd refinement trains once per (process, corpus) and
+    //     both gated consumers read it); encode stays the per-call
+    //     scan-proportional leg, the shared operators/PqEncode core
+    //     applied to the residual column ---
+    val rbook = resBookOnce(s, d)
     val rcode = graft.operators.PqEncode.encode(rlong, rbook, "r")
       .withColumnRenamed("vec_id", "neighbor_id")
     // --- q·μ per (query, cell): |queries|×|cells| broadcast scalars ---
@@ -8482,6 +8520,7 @@ object LlmOps {
     "pq_book_xq_sample" -> ((s, d) => { pqBookSampleOnce(s, d); () }),
     "ivf_centroids_cap" -> ((s, d) => { centroidsCapOnce(s, d); () }),
     "pq_book_xq_cap" -> ((s, d) => { pqBookCapOnce(s, d); () }),
+    "pq_book_res" -> ((s, d) => { resBookOnce(s, d); () }),
     "ivfadc_stream" -> ((s, d) => { ivfPqStreamStoreRoot(s, d); () }),
     "ivfsq_stream" -> ((s, d) => { ivfSqStreamStoreRoot(s, d); () }))
 }
