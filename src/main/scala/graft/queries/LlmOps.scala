@@ -5322,6 +5322,45 @@ object LlmOps {
         .orderBy(col("n").desc, col("tok").asc).limit(20))
     }),
 
+    // ---- SKT-4: sketch-based JOIN-SIZE estimation (`join_size_cms`) —
+    //      the planner-grade question ("how big is this join going to
+    //      be?") answered WITHOUT running the join: for an equi-join the
+    //      true size is Σ_k n_a(k)·n_b(k), and the CMS inner product
+    //      Σ_b c_a(b)·c_b(b) per hash row — min over independent rows —
+    //      OVERESTIMATES it by exactly the collision mass (AMS/CMS
+    //      lineage, public: est ≥ exact always, E[slack] ≤ N_a·N_b/w).
+    //      Probed here on the many-to-many self-join lineitem ⋈ lineitem
+    //      ON l_partkey (size Σ n(k)² — the shape that detonates when a
+    //      key is hot; key-unique joins need no estimator). Like SKT-1
+    //      the counters are commutative SUMS of the portable 31-poly
+    //      hash buckets, so the whole estimate is bit-deterministic and
+    //      oracle-HASHABLE — no ε gate needed, the slack itself is the
+    //      pinned number. At 100 TB: each side's sketch is a w-bounded
+    //      aggregate built in one map-side-combined pass over its scan;
+    //      comparing sketches costs O(w), not O(join) — run it BEFORE
+    //      committing the cluster to a detonating shuffle. ----
+    "join_size_cms" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      val W = 1024L
+      val cnt = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .pinned // vocabulary-sized; feeds both counter rows + the exact leg
+      val b1 = polyHash(col("l_partkey").cast("string")) % W
+      val b2 = polyHash(concat(lit("#"), col("l_partkey").cast("string"))) % W
+      def sqSum(b: Column) = cnt.groupBy(b.as("b"))
+        .agg(sum(col("n")).as("c"))
+        .agg(sum(col("c") * col("c")).as("e"))
+      val est1 = sqSum(b1).select(col("e").as("est1"))
+      val est2 = sqSum(b2).select(col("e").as("est2"))
+      val exact = cnt.agg(sum(col("n") * col("n")).as("exact_size"),
+        count(lit(1)).as("n_keys"))
+      ordered(exact.crossJoin(broadcast(est1)).crossJoin(broadcast(est2))
+        .select(col("exact_size"),
+          least(col("est1"), col("est2")).as("est_size"),
+          col("n_keys"),
+          cstr(dec4(least(col("est1"), col("est2")).cast("double") /
+            col("exact_size").cast("double"))).as("overcount")))
+    }),
+
     // ---- SMP-4: deterministic WEIGHTED (importance) sampling — keep
     //      probability ∝ a per-row weight (here n_chars: longer docs kept
     //      more often), the data-mixing primitive behind upweighting
@@ -8416,6 +8455,28 @@ object LlmOps {
         |  GROUP BY tok
         |  ORDER BY n DESC, tok ASC LIMIT 20
         |) ORDER BY tok NULLS FIRST, n NULLS FIRST""".stripMargin,
+
+    "join_size_cms" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey, COUNT(1) AS n FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(l_partkey AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS b1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('#' || CAST(l_partkey AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS b2
+        |  FROM cnt),
+        |r1 AS (SELECT b1 AS b, CAST(SUM(n) AS BIGINT) AS c FROM h GROUP BY 1),
+        |r2 AS (SELECT b2 AS b, CAST(SUM(n) AS BIGINT) AS c FROM h GROUP BY 1),
+        |e1 AS (SELECT CAST(SUM(c*c) AS BIGINT) AS est1 FROM r1),
+        |e2 AS (SELECT CAST(SUM(c*c) AS BIGINT) AS est2 FROM r2),
+        |x AS (SELECT CAST(SUM(n*n) AS BIGINT) AS exact_size, COUNT(1) AS n_keys FROM cnt)
+        |SELECT exact_size, LEAST(est1, est2) AS est_size, n_keys,
+        |  CAST(CAST(floor((CAST(LEAST(est1, est2) AS DOUBLE) / CAST(exact_size AS DOUBLE))*10000+0.5)/10000 AS DECIMAL(38,4)) AS VARCHAR) AS overcount
+        |FROM x, e1, e2
+        |ORDER BY exact_size NULLS FIRST, est_size NULLS FIRST, n_keys NULLS FIRST, overcount NULLS FIRST""".stripMargin,
 
     "smp_weighted" ->
       """WITH m AS (SELECT MAX(n_chars) AS wmax FROM documents),

@@ -792,6 +792,30 @@ object StreamOps {
       .select(explode(col("hh")).as("e"), col("n_toks"))
       .select(col("e.item").as("tok"), col("e.est").as("est"), col("n_toks"))
 
+  /** STR-QSK: streaming percentile monitor — AGG-19's mergeable
+    * Munro–Paterson quantile summary maintained by streaming-aggregation
+    * state (STR-HH's discipline applied to RANK queries): each
+    * micro-batch folds its values into the bounded O(k·log(n/k)) summary
+    * per event_type, and the Complete-mode sink serves live p50/p99
+    * after every trigger — the streaming percentile dashboard that a
+    * batch AGG-9 recompute (impossible to re-aggregate) cannot give.
+    * Values enter on the exact cents grid (WIN-10's integer discipline);
+    * state per key is the summary, never the value stream, so it stays
+    * index-metadata-sized at any volume. The merge rule is
+    * tree-shape-free within the ε rank bound (GraftLaws), so however the
+    * engine folds batches into state the bound holds — StreamingSpec
+    * gates exactly that against exact percentiles of everything
+    * streamed. */
+  def quantileStream(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantile_sketch(
+          floor(col("value") * 100 + 0.5).cast("long"), 0.5, 0.99).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("qs"), 1).as("p50_cents"),
+        element_at(col("qs"), 2).as("p99_cents"),
+        col("n"))
+
   /** STR-W1: tumbling 10-minute window × event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events

@@ -184,9 +184,13 @@ class CartesianGuardSpec extends AnyFunSuite {
     "lr_calibration", // quality_lr's GD scalar attaches + the 1-row ECE
                   // attach onto the 10-bin spine (calibration_bins'
                   // whitelisted shape)
-    "lr_temp"     // lr_calibration's attaches + the 1-row u/gradient
+    "lr_temp",    // lr_calibration's attaches + the 1-row u/gradient
                   // scalars of the 5 Newton rounds and the published-T
                   // attach — all 1-row broadcasts by construction
+    "join_size_cms" // two 1-row sketch-total attaches onto the 1-row
+                  // exact leg (tfidf1's scalar shape twice — drift_ks's
+                  // pattern); the counter rows themselves are equi-keyed
+                  // hash-bucket aggregates
   )
 
   test("no gated query plans a CartesianProduct; BNLJ only where declared") {

@@ -235,6 +235,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("STR-QSK streaming quantile state: rank bounds hold per event_type over the drained state") {
+    // STR-HH's discipline applied to rank queries: the mergeable summary
+    // folds into streaming-aggregation state across 3 micro-batches;
+    // whatever merge tree the engine used, the ε rank bound must hold
+    // per key against exact percentiles of everything streamed, with the
+    // exact count riding along.
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val d = tempDir("qsk_replay")
+    (0 until 3).foreach { i =>
+      writeSlice(events.filter(col("event_id") % 3 === i), d, f"slice_$i",
+        1700000000000L + i * 60000)
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val rows = StreamOps.drainToMemory(
+        StreamOps.quantileStream(stream), "qsk_stream", complete = true)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val cents = events.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c")).cache()
+    try {
+      val types = cents.select("event_type").distinct()
+        .collect().map(_.getString(0))
+      assert(rows.keySet == types.toSet, "event_type sets differ")
+      for (t <- types) {
+        val values = cents.filter(col("event_type") === t)
+          .select("c").collect().map(_.getLong(0)).sorted
+        val n = values.length.toLong
+        val (p50, p99, nOut) = rows(t)
+        assert(nOut == n, s"$t: streamed count $nOut != exact $n")
+        val slack = math.max(3L, (0.06 * n).round)
+        for ((q, v) <- Seq(0.5 -> p50, 0.99 -> p99)) {
+          val target = math.max(1L, math.ceil(q * n).toLong)
+          val lo = values.count(_ < v)
+          val hi = values.count(_ <= v)
+          assert(target >= lo - slack && target <= hi + slack,
+            s"$t p$q: value $v rank window [$lo,$hi], target $target ± $slack")
+        }
+      }
+    } finally cents.unpersist()
+  }
+
   test("STR-EVAL streaming classifier audit equals the batch confusion cells") {
     val docs = Tables.load(spark, sfDir, "documents")
     val d = tempDir("eval_replay")
