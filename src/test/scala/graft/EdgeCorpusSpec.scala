@@ -39,6 +39,27 @@ class EdgeCorpusSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
 
+  test("freq_mg and freq_topk_exact: vocabulary under k — estimates exact, list complete") {
+    // The MG degenerate regime a real corpus hits on tiny shards: when
+    // |vocab| ≤ k the summary never decrements, so every estimate is the
+    // EXACT count and the candidate set is the whole vocabulary — both
+    // queries must agree with the plain groupBy on this corpus.
+    import org.apache.spark.sql.functions._
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mg = SparkEntry.queries("freq_mg")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mg.nonEmpty, "freq_mg must emit rows on a non-empty corpus")
+    for ((tok, est) <- mg)
+      assert(est == exact(tok), s"sub-capacity MG must be exact: $tok $est != ${exact(tok)}")
+    val topk = SparkEntry.queries("freq_topk_exact")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val trueTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).toSet
+    assert(topk == trueTop, s"two-pass top-K differs from the plain top-K")
+  }
+
   test("ddp_minhash: exactly the identical pairs; degenerate docs are silent") {
     assert(pairs("ddp_minhash") ==
       Set((3L, 4L, "1.0000"), (6L, 100L, "1.0000")))
