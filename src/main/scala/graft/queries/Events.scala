@@ -1022,6 +1022,41 @@ object Events {
         .limit(15))
     }),
 
+    // ---- SEQ-2: regex pattern matching over event SEQUENCES
+    //      (`seq_regex`) — the MATCH_RECOGNIZE operator class (SQL:2016,
+    //      public; Spark ships no native row-pattern operator): each
+    //      user's µs-ordered journey collapses to a compact symbol
+    //      string (one initial per event — the five types map to
+    //      distinct letters), and the behavioral question "a view, then
+    //      a click, then the FIRST purchase after it, with no purchase
+    //      in between" is the regex v[^p]*c[^p]*p evaluated by the
+    //      engine's regexp machinery — arbitrary sequence patterns
+    //      without a bespoke state-machine operator. The journey build
+    //      is one per-user collect (array_sort of (ts, event_id, sym)
+    //      structs — scrub_segments' ordered-fold idiom, exact total
+    //      order); the match is then a scan over |users| short strings.
+    //      Java regex and RE2 agree on leftmost-first greedy semantics
+    //      for this backreference-free pattern, so match text and
+    //      length hash exactly. At 100 TB journeys are burst-bounded
+    //      (CTX-1/BOT-1's argument), not corpus-proportional; patterns
+    //      over unbounded histories ride the STR-ST sessionizer
+    //      instead. ----
+    "seq_regex" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val pat = "v[^p]*c[^p]*p"
+      val j = e.groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("sym")))),
+          x => x.getField("sym")), "").as("journey"))
+      val m = regexp_extract(col("journey"), pat, 0)
+      ordered(j.select(col("user_id"),
+        length(col("journey")).cast("long").as("n_events"),
+        (m =!= "").cast("long").as("matched"),
+        length(m).cast("long").as("match_len"),
+        m.as("match_str")))
+    }),
+
     "evt_markov" -> ((s, d) => {
       val e = load(s, d, "events")
       val w = Window.partitionBy(col("user_id"))
@@ -1431,6 +1466,22 @@ object Events {
         |GROUP BY motif
         |ORDER BY n_occurrences DESC, motif ASC
         |LIMIT 15""".stripMargin,
+
+    "seq_regex" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts ASC, event_id ASC) AS journey
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, journey,
+        |    COALESCE(regexp_extract(journey, 'v[^p]*c[^p]*p', 0), '') AS ms
+        |  FROM j)
+        |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN ms <> '' THEN 1 ELSE 0 END AS BIGINT) AS matched,
+        |  CAST(length(ms) AS BIGINT) AS match_len,
+        |  ms AS match_str
+        |FROM m
+        |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST, matched NULLS FIRST, match_len NULLS FIRST, match_str NULLS FIRST""".stripMargin,
 
     "debounce" ->
       """WITH RECURSIVE ev AS (
