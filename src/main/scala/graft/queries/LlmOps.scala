@@ -5277,17 +5277,14 @@ object LlmOps {
     //      commutative counters), so like agg_qsketch this gates
     //      rows-only; ApproxSpec asserts both ε laws against exact
     //      counts and GraftLaws pins the merge-tree invariance. ----
-    "freq_mg" -> ((s, d) => {
-      import graft.functions.HeavyHitters.heavy_hitters
-      val doc = load(s, d, "documents")
-      val toks = doc.select(explode(split(col("text"), " ")).as("tok"))
-      ordered(toks
-        .agg(heavy_hitters(col("tok"), 1024, 10).as("hh"),
-          count(lit(1)).as("n_toks"))
-        .select(explode(col("hh")).as("e"), col("n_toks"))
-        .select(col("e.item").as("tok"), col("e.est").as("est"),
-          col("n_toks")))
-    }),
+    "freq_mg" -> ((s, d) =>
+      // ONE code path with the streaming twin (STR-HH): the same
+      // function body serves batch here and the Complete-mode stream —
+      // the clickPurchaseJoin/docCleanProjection structural-equivalence
+      // discipline, so the two gates (this rows-only entry + the
+      // StreamingSpec drain) certify one definition.
+      ordered(graft.streaming.StreamOps.heavyHitterStream(
+        load(s, d, "documents")))),
 
     // ---- SKT-3: sketch-guided two-pass EXACT top-K (`freq_topk_exact`)
     //      — how a 100 TB engine gets exact heavy hitters without the

@@ -172,6 +172,45 @@ class ApproxSpec extends AnyFunSuite {
     } finally toks.unpersist()
   }
 
+  test("MG under capacity pressure: distributed bounds hold when the summary actually decrements") {
+    // The freq_mg gate above runs in the sub-capacity regime (the corpus
+    // vocabulary fits k=1024, so estimates are exact and the decrement/
+    // merge-cut machinery never fires end-to-end). This test forces the
+    // pressure path THROUGH the real distributed aggregate — partial
+    // buffers, serialization offsets, shuffle merge — on a synthetic
+    // Zipf-ish stream: 500 distinct tokens vs k=64, repartitioned so
+    // multiple partials must merge-cut, with eps small enough that both
+    // the underestimate window and the coverage clause bind.
+    import spark.implicits._
+    val rows = (1 to 500).flatMap(i => Seq.fill(2000 / i + 1)(s"w$i"))
+    val n = rows.length.toLong
+    val k = 64
+    val eps = n / (k + 1)
+    val exact = rows.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    assert(exact.size > k, "corpus must exceed capacity for this test to bite")
+    val heavy = exact.filter(_._2 > eps).keySet
+    assert(heavy.nonEmpty, "corpus must have items above eps (non-vacuous coverage)")
+    val toks = rows.toDF("tok").repartition(13).cache()
+    try {
+      val res = toks
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), k, k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(res.nonEmpty && res.length <= k, s"summary must hold <= $k pairs")
+      for ((w, est) <- res) {
+        val t = exact(w)
+        assert(est <= t && est >= t - eps,
+          s"$w: pressured MG estimate $est outside [${t - eps}, $t] (n=$n, eps=$eps)")
+      }
+      val cands = toks
+        .agg(graft.functions.HeavyHitters.heavy_hitters_items(col("tok"), k).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(heavy.subsetOf(cands),
+        s"coverage under pressure violated: ${(heavy -- cands).take(5)}")
+    } finally toks.unpersist()
+  }
+
   test("win_rolling_qsketch: every month's rolling p50/p99 within the rank bound of the exact 3-month set") {
     // WIN-10's gate: the rolling estimates come from MERGING three
     // stored monthly summaries (quantile_sketch_bin → collect_list over
