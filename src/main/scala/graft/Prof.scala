@@ -41,12 +41,56 @@ object Prof {
     // steady-state convention is for sub-30s queries where warmup dominates;
     // multi-minute probe runs use 1 — warmup skew is negligible there.
     val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_JOBS=1: per-iteration job census — how many Spark jobs
+    // the query launches, their summed wall time, and the residual gap
+    // (wall − Σjob = driver work: Catalyst planning, codegen, broadcast
+    // builds, checkpoint bookkeeping). At sf0.1 most board queries are
+    // fixed-cost-dominated, so THIS split (not stage CPU) is the first
+    // optimization question: too many sequential jobs → remove barriers;
+    // big gap → shrink the plan.
+    // SPARK_GRAFT_JOBS=2 additionally prints one line per job (id,
+    // duration, #stages, first-stage name) — which barrier is which.
+    val wantJobs = sys.env.get("SPARK_GRAFT_JOBS").exists(v => v == "1" || v == "2")
+    val verboseJobs = sys.env.get("SPARK_GRAFT_JOBS").contains("2")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+    if (wantJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js0: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStarts.put(js0.jobId, System.nanoTime())
+          if (verboseJobs) {
+            val s0 = js0.stageInfos.headOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?")
+            System.err.println(f"[job] start ${js0.jobId}%4d stages=${js0.stageInfos.size}%2d $s0")
+          }
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (verboseJobs) {
+            val si = sc.stageInfo
+            val dur = (for (s <- si.submissionTime; e <- si.completionTime) yield e - s).getOrElse(-1L)
+            val run = si.taskMetrics.executorRunTime
+            System.err.println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%4d wall=${dur / 1e3}%6.2f run=${run / 1e3}%7.2f ${si.name.takeWhile(_ != '\n').take(80)}")
+          }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(je.jobId)
+          if (s != null) {
+            val el = System.nanoTime() - s
+            jobCount.incrementAndGet(); jobNanos.addAndGet(el)
+            if (verboseJobs)
+              System.err.println(f"[job]  end  ${je.jobId}%4d ${el / 1e9}%6.2f s")
+          }
+        }
+      })
     for (name <- names) {
       for (i <- 1 to iters) {
+        jobCount.set(0); jobNanos.set(0L)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        System.err.println(f"[prof] $name #$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[prof] $name #$i $wall%8.2f s" + (
+          if (wantJobs) f" jobs=${jobCount.get()}%3d jobTime=${jobNanos.get() / 1e9}%6.2f gap=${wall - jobNanos.get() / 1e9}%6.2f"
+          else ""))
         spark.catalog.clearCache()
         // Same untimed cleanup as Bench: synchronously drop localCheckpoint
         // blocks so iterations measure the query, not predecessors' leftovers.

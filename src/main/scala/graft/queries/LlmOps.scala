@@ -2462,10 +2462,16 @@ object LlmOps {
     //     [[embCapTrain]]'s fixed-size slice ("cap") and encodes the FULL
     //     corpus against the fixed book — the 100 TB train-on-sample
     //     paths the gated `ivf_pq_sample_eval`/`ivf_pq_cap_eval` audit. ---
-    val long = graft.operators.PqEncode.toLong(emb).pinned
+    // `long` now feeds ONLY the query-side LUT (the vec_id<10 filter
+    // pushes to the scan), so it needs no checkpoint barrier; the
+    // corpus-sized encode leg enters PqEncode straight off the wide rows
+    // (encodeWide: zero exchanges, scaled-long fold — see PqEncode's
+    // arithmetic note). The book is memoized parquet (≤1024 rows), read
+    // lazily by both consumers — a pin bought one parquet re-read and
+    // cost a materialization job.
+    val long = graft.operators.PqEncode.toLong(emb)
     val book = pqBookFor(s, d, trainPop)
-      .pinned // ≤ 8·16·8 = 1024 rows; read by the encode join AND the LUT
-    val code = graft.operators.PqEncode.encode(long, book, "xq")
+    val code = graft.operators.PqEncode.encodeWide(emb, book)
       .withColumnRenamed("vec_id", "neighbor_id")
     // --- IVF cells + probes (ivfAssigned verbatim; sample-trained
     //     centroid table on the sample path, full-corpus assignment) ---
@@ -2519,7 +2525,9 @@ object LlmOps {
   private def ivfPqResRanked(s: SparkSession, d: String,
       shortlist: Int = 16): DataFrame = {
     val emb = load(s, d, "embeddings")
-    val long = graft.operators.PqEncode.toLong(emb).pinned
+    // `long` feeds only the two query-side legs (qmu/qlut: vec_id<10
+    // pushes to the scan) — no barrier needed.
+    val long = graft.operators.PqEncode.toLong(emb)
     // --- Coarse quantizer: the memoized table shared by the assignment
     //     and the residual μ table (10-row relation) ---
     val centTab = centroidsOnce(s, d)
@@ -2539,18 +2547,31 @@ object LlmOps {
     //     assignment centroid; the residual step provably bought nothing
     //     because the cells explained no variance). Centroid dims are
     //     dec4-quantized doubles, so the decimal cast is exact. ---
-    val centLong = resCentLong(centTab)
-      .pinned // |cells|·64 rows; residual join + q·μ table + LUT-free
-    // --- Residuals: r = xq − μ_cell(v), exact decimal (one definition
-    //     with the training build — resLongFrom) ---
-    val rlong = resLongFrom(long, cells, centLong).pinned
+    val centLong = resCentLong(centTab) // |cells|·64 rows; q·μ broadcast only
     // --- Residual codebook: memoized published metadata (resBookOnce —
     //     the Lloyd refinement trains once per (process, corpus) and
     //     both gated consumers read it); encode stays the per-call
     //     scan-proportional leg, the shared operators/PqEncode core
-    //     applied to the residual column ---
+    //     applied to the residual ---
     val rbook = resBookOnce(s, d)
-    val rcode = graft.operators.PqEncode.encode(rlong, rbook, "r")
+    // --- Residuals + encode, WIDE (r14 optimization round): r = xq −
+    //     μ_cell(v) computed as one zip_with on the scaled-long grid
+    //     (exact: both operands are dec4-grid values ×10⁴ — the same
+    //     integers resLongFrom's DECIMAL(18,4) subtraction denotes;
+    //     resLongFrom itself remains the training-build path in
+    //     resBookOnce). One narrow join of the 2-column wide rows to
+    //     their cells replaces the 64-rows-per-vector long-form join
+    //     chain + two checkpoint barriers; the encode fold is
+    //     PqEncode.encodeScaled's zero-exchange per-row argmin. ---
+    val centScaled = centTab.select(col("cell_label"),
+      graft.operators.PqEncode.scaledLongs(col("ce")).as("ml"))
+    val rscaled = emb.select(col("vec_id"),
+        graft.operators.PqEncode.scaledLongs(col("embedding")).as("xl"))
+      .join(cells.select(col("vec_id"), col("cell_label")), Seq("vec_id"))
+      .join(broadcast(centScaled), Seq("cell_label"))
+      .select(col("vec_id"),
+        zip_with(col("xl"), col("ml"), (a, b) => a - b).as("xl"))
+    val rcode = graft.operators.PqEncode.encodeScaled(rscaled, rbook)
       .withColumnRenamed("vec_id", "neighbor_id")
     // --- q·μ per (query, cell): |queries|×|cells| broadcast scalars ---
     val qmu = long.filter(col("vec_id") < 10)

@@ -241,8 +241,7 @@ object StreamOps {
     * (vec_id, cell, 8 codes, norm) — the complete IVFADC search state —
     * without ever storing the raw vector in the hot index. */
   def encodePq(vecs: DataFrame, book: DataFrame): DataFrame =
-    graft.operators.PqEncode.encode(
-      graft.operators.PqEncode.toLong(vecs), book, "xq")
+    graft.operators.PqEncode.encodeWide(vecs, book)
 
   /** STR-IVF composed: the COMPLETE IVFADC search-state ingest — each
     * arriving embedding file lands as (vec_id, sp, cw, vn) rows
