@@ -207,6 +207,57 @@ case class WordEntropy(child: Expression) extends UnaryExpression with ExpectsIn
     copy(child = newChild)
 }
 
+/** One-pass distinct word-bigram shingles (r14 optimization round).
+  * Bit-identical to the HOF spelling every dedup-ladder query previously
+  * inlined —
+  *   array_distinct(zip_with(slice(ws,1,n−1), slice(ws,2,n−1),
+  *     concat_ws(" ", a, b)))   with ws = split(text, " ")
+  * — including Spark split's keep-empty-strings semantics (limit −1; the
+  * single-space pattern has no regex metacharacters, so a byte scan for
+  * 0x20 is the same split — a space byte cannot occur inside a UTF-8
+  * multibyte sequence) and array_distinct's first-occurrence order
+  * (LinkedHashSet), which positional consumers (winnowing) depend on.
+  * Why an Expression: the HOF chain evaluates interpreted per element
+  * with two array slices + a lambda invocation per bigram and re-splits
+  * the text for each subexpression; this is one allocation-lean pass
+  * that whole-stage codegen calls directly — the WordEntropy/
+  * GearBoundaries precedent (measured: the full-corpus shingle pass at
+  * sf0.1 drops ~1.1 s → ~0.3 s; every minhash/ngram/winnow/segment
+  * query pays this leg 1-2×). */
+object GraftShinglesImpl {
+  private val Space = UTF8String.fromString(" ")
+  def bigrams(s: UTF8String): ArrayData = {
+    // Same array as StringSplit(text, " ", -1): split on every single
+    // space, empties (consecutive/leading/trailing spaces) kept.
+    val words = s.split(Space, -1)
+    if (words.length < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < words.length - 1) {
+      seen.add(UTF8String.concatWs(Space, words(i), words(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+}
+
+/** `graft_word_bigrams(str)` → array<string>: codegen'd distinct
+  * word-bigram shingles (see [[GraftShinglesImpl.bigrams]]). */
+case class WordBigrams(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_word_bigrams"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftShinglesImpl.bigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShinglesImpl.bigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
 /** `graft_bloom_contains(long)` → boolean: membership probe against a
   * pre-built Bloom filter shipped with the expression.
   *
@@ -446,6 +497,7 @@ object GraftFunctions {
   def first_sig_digit(v: Column): Column = c(FirstSigDigit(e(v)))
   def jaro_winkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
   def gear_cuts(s: Column): Column = c(GearBoundaries(e(s)))
+  def word_bigrams(s: Column): Column = c(WordBigrams(e(s)))
 }
 
 /** SQL registration via SparkSessionExtensions (the declared extension
@@ -490,5 +542,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_gear_cuts"),
       new ExpressionInfo(classOf[GearBoundaries].getName, "graft_gear_cuts"),
       (args: Seq[Expression]) => GearBoundaries(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
+      (args: Seq[Expression]) => WordBigrams(args.head)))
   }
 }

@@ -368,15 +368,17 @@ object LlmOps {
     * is ~30× larger with low df, and the same banding yields candidates ≈
     * true near-dups (342 candidates / 220 pairs at sf0.1) — the standard
     * shingling prescription for template-heavy corpora. */
-  private def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    // Single-word docs guard to an empty set (what DuckDB's exclusive-end
-    // range(1, 1) yields natively), so degenerate docs drop out of the
-    // sketch instead of killing the job; the guard also keeps
-    // [[bigramArr]]'s slices inside the array for n >= 2.
-    array_distinct(when(size(words) >= 2, bigramArr(words))
-      .otherwise(array().cast("array<string>")))
-  }
+  private def shingles(text: Column): Column =
+    // Codegen'd one-pass distinct word bigrams (r14 optimization round) —
+    // bit-identical to the previous HOF spelling
+    //   array_distinct(when(size(ws) >= 2, bigramArr(ws)).otherwise([]))
+    // including the single-word/empty-doc guard (the Expression returns
+    // [] below 2 words — what DuckDB's exclusive-end range(1, 1) yields
+    // natively) and array_distinct's first-occurrence order; the null
+    // guard reproduces the old `when`'s null→[] fall-through. Parity is
+    // pinned per-document against the HOF formulation in ExpressionSpec.
+    when(text.isNull, array().cast("array<string>"))
+      .otherwise(graft.functions.GraftFunctions.word_bigrams(text))
 
   /** BPE-1/TOK-2 shared trainer: the 6 merge rounds over the |-encoded
     * word-frequency table (see the `bpe_train` scaladoc for the encoding

@@ -317,6 +317,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(row.getSeq[Int](0).isEmpty && row.isNullAt(1) && row.getSeq[Int](2).isEmpty)
   }
 
+  test("word_bigrams: HOF parity on every document; codegen parity; SQL; edges") {
+    import graft.functions.GraftFunctions.word_bigrams
+    val doc = Tables.load(spark, sfDir, "documents")
+    // HOF reference: the exact spelling the dedup ladder inlined before
+    // the Expression (r14 optimization round) — split keeps empties,
+    // zip_with over the two slices, array_distinct's first-occurrence
+    // order. Order-sensitive comparison (<=>), not set equality: the
+    // winnowing consumer reads positions off this array.
+    def hofSh(c: org.apache.spark.sql.Column) = {
+      val ws = split(c, " ")
+      val bg = zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1), (a, b) => concat_ws(" ", a, b))
+      array_distinct(when(size(ws) >= 2, bg)
+        .otherwise(array().cast("array<string>")))
+    }
+    val base = doc.select(col("doc_id"),
+      word_bigrams(col("text")).as("sh"), hofSh(col("text")).as("ref"))
+    assert(base.filter(!(col("sh") <=> col("ref"))).count() == 0,
+      "word_bigrams must equal the HOF shingle formulation element-for-element")
+    // Crafted edges: consecutive spaces (empty-sided bigrams), trailing
+    // space (trailing empty word), duplicate bigrams (first-occurrence
+    // order), single word and empty string (no bigram).
+    val edges = Seq("a b", "a  b", "a b ", "a b a b c", "a", "", " ")
+    val er = spark.createDataFrame(edges.map(Tuple1(_))).toDF("t")
+      .select(word_bigrams(col("t")).as("sh"), hofSh(col("t")).as("ref"))
+    assert(er.filter(!(col("sh") <=> col("ref"))).count() == 0,
+      "word_bigrams must match the HOF formulation on the crafted edges")
+    // Codegen/interpreted parity.
+    def shOf() = base.select(col("doc_id"), col("sh")).limit(50)
+      .collect().map(r2 => (r2.getLong(0), r2.getSeq[String](1).toList)).toSet
+    assert(shOf() == interpretedOnly(shOf()))
+    // SQL registration + null propagation + degenerate edges.
+    val row = spark.sql(
+      "SELECT graft_word_bigrams('a b c'), graft_word_bigrams(NULL), graft_word_bigrams('')").head()
+    assert(row.getSeq[String](0) == Seq("a b", "b c") && row.isNullAt(1) &&
+      row.getSeq[String](2).isEmpty)
+  }
+
   test("quantile_sketch_eval: bin→merge→rank-query equals the direct aggregate; codegen parity; null edges") {
     // WIN-10's read path: per-bucket serialized summaries merged and
     // rank-queried must equal the DIRECT quantile_sketch aggregate over
